@@ -1,38 +1,706 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship reconciliation report at sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the LLM-data-pipeline extensions).  ``oracle_sql()`` — DuckDB-equivalent
+SQL for every query (all hash-matchable: numeric outputs go through
+exact decimal arithmetic or engine-portable md5-based hashing).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
+from mvrepair.config import SyncSettings
+from mvrepair.operators import dedup as D
+from mvrepair.operators import similarity as S
+from mvrepair.operators import text as X
+from mvrepair.operators.reconcile import classify, reconcile_report, stats_df
+from mvrepair.operators.repair import (
+    apply_repairs_file_mode,
+    plan_deletes,
+    plan_upserts,
+)
+from mvrepair.plans import mv_pair as P
+from mvrepair.sources import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_FIX_ALL = SyncSettings(
+    {
+        "cass.mv.fixmissingmv": "true",
+        "cass.mv.fixorphanmv": "true",
+        "cass.mv.fixinconsistentmv": "true",
+    }
+)
+
+_DEC18 = "decimal(18,2)"
+_DEC12 = "decimal(12,10)"
+
+
+def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id + 1_000_000) — exact-dedup demo."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-duplicates (first token dropped, doc_id + 1_000_000)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionByName(variant)
+
+
+_DOCS_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents"
+)
+_NEARDUP_CORPUS_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1) FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# reconciliation family (SURVEY §2 O1-O19 on the derived orders base/MV pair)
+# ---------------------------------------------------------------------------
+
+def q_mv_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reconcile_report(
+        P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), window=P.WINDOW
+    )
+
+
+def q_mv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = classify(
+        P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), window=P.WINDOW
+    )
+    return stats_df(wide, SyncSettings({}))
+
+
+def q_mv_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = classify(
+        P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), window=P.WINDOW
+    )
+    return plan_upserts(wide, P.spec())
+
+
+def q_mv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = P.base_df(spark, sf_dir)
+    wide = classify(base, P.mv_df(spark, sf_dir), P.spec(), window=P.WINDOW)
+    return plan_deletes(wide, P.spec(), base)
+
+
+def q_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    repaired = apply_repairs_file_mode(
+        P.base_df(spark, sf_dir),
+        P.mv_df(spark, sf_dir),
+        P.spec(),
+        _FIX_ALL,
+        window=P.WINDOW,
+    )
+    return repaired.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+        *[F.col(f"{c}__writetime") for c in P.NON_PK],
+        *[F.col(f"{c}__ttl") for c in P.NON_PK],
+    )
+
+
+def _oracle_mv_classify() -> str:
+    return f"""WITH {P.oracle_classified_cte()}
+SELECT o_custkey, o_orderkey, problem, diff_column, diff_type, base_value, mv_value
+FROM cls WHERE problem NOT IN ('CONSISTENT', 'SKIPPED')"""
+
+
+def _oracle_mv_stats() -> str:
+    return f"""WITH {P.oracle_classified_cte()}
+SELECT
+  count(*)::BIGINT AS "totRecords",
+  sum(CASE WHEN problem='SKIPPED' THEN 1 ELSE 0 END)::BIGINT AS "skippedRecords",
+  sum(CASE WHEN problem='CONSISTENT' THEN 1 ELSE 0 END)::BIGINT AS "consistentRecords",
+  sum(CASE WHEN problem='INCONSISTENT' THEN 1 ELSE 0 END)::BIGINT AS "inConsistentRecords",
+  sum(CASE WHEN problem='MISSING_IN_BASE_TABLE' THEN 1 ELSE 0 END)::BIGINT AS "missingBaseTableRecords",
+  sum(CASE WHEN problem='MISSING_IN_MV_TABLE' THEN 1 ELSE 0 END)::BIGINT AS "missingMvRecords",
+  0::BIGINT AS "repairRecords",
+  sum(CASE WHEN problem IN ('INCONSISTENT','MISSING_IN_BASE_TABLE','MISSING_IN_MV_TABLE') THEN 1 ELSE 0 END)::BIGINT AS "notRepairRecords",
+  0::BIGINT AS "delAttemptedRecords", 0::BIGINT AS "delErrRecords",
+  0::BIGINT AS "delSuccessRecords", 0::BIGINT AS "notDelRecords",
+  0::BIGINT AS "upsertAttemptedRecords", 0::BIGINT AS "upsertErrRecords",
+  0::BIGINT AS "upsertSuccessRecords"
+FROM cls"""
+
+
+def _oracle_mv_upserts() -> str:
+    cells = []
+    for col, typ, bval, bdiff in [
+        ("o_orderdate", "TIMESTAMP", "CAST(epoch_ms(b_date) AS VARCHAR)",
+         "b_date IS DISTINCT FROM m_date"),
+        ("o_orderpriority", "TEXT", "b_prio", "b_prio IS DISTINCT FROM m_prio"),
+        ("o_orderstatus", "TEXT", "b_status", "b_status IS DISTINCT FROM m_status"),
+        ("o_totalprice", "DOUBLE", "CAST(b_price AS VARCHAR)",
+         "b_price IS DISTINCT FROM m_price"),
+    ]:
+        cells.append(f"""
+SELECT o_custkey, o_orderkey, '{col}' AS "column", '{typ}' AS column_type,
+       {bval} AS value, b_wt AS writetime, NULL::INTEGER AS ttl,
+       'TIMESTAMP' AS flavor
+FROM cls
+WHERE problem IN ('INCONSISTENT','MISSING_IN_MV_TABLE')
+  AND (problem = 'MISSING_IN_MV_TABLE' OR {bdiff})""")
+    return f"WITH {P.oracle_classified_cte()}" + " UNION ALL ".join(cells)
+
+
+def _oracle_mv_deletes() -> str:
+    return f"""WITH {P.oracle_classified_cte()}
+SELECT o_custkey, o_orderkey FROM cls WHERE problem = 'MISSING_IN_BASE_TABLE'"""
+
+
+def _oracle_mv_apply() -> str:
+    def pick(b: str, m: str) -> str:
+        return f"CASE WHEN problem IN ('INCONSISTENT','MISSING_IN_MV_TABLE') THEN {b} ELSE {m} END"
+
+    wt_cols = ", ".join(
+        f"{pick('b_wt', 'm_wt')} AS {c}__writetime" for c in P.NON_PK
+    )
+    ttl_cols = ", ".join(f"NULL::INTEGER AS {c}__ttl" for c in P.NON_PK)
+    return f"""WITH {P.oracle_classified_cte()}
+SELECT o_custkey, o_orderkey,
+  {pick('epoch_us(b_date)', 'epoch_us(m_date)')} AS o_orderdate_us,
+  {pick('b_prio', 'm_prio')} AS o_orderpriority,
+  {pick('b_status', 'm_status')} AS o_orderstatus,
+  {pick('b_price', 'm_price')} AS o_totalprice,
+  {wt_cols}, {ttl_cols}
+FROM cls
+WHERE (mp AND problem IN ('CONSISTENT','SKIPPED','INCONSISTENT'))
+   OR problem = 'MISSING_IN_MV_TABLE'"""
+
+
+# ---------------------------------------------------------------------------
+# analytics family (aggregations / joins / windows — "absent" rows of §2,
+# exposed as first-class Spark surface)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast(_DEC18)
+    price = F.col("l_extendedprice").cast(_DEC18)
+    disc_price = price * (F.lit(1.0) - F.col("l_discount")).cast(_DEC12)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(28,4)").cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast(_DEC18) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast(_DEC12)
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("__rev"))
+    )
+    w = Window.orderBy(F.col("__rev").desc(), F.col("o_orderkey").asc())
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "o_orderkey",
+            F.col("__rev").cast("decimal(28,4)").cast("double").alias("revenue"),
+            F.unix_micros(F.col("o_orderdate")).alias("o_orderdate_us"),
+            F.col("rnk").cast("int"),
+        )
+    )
+
+
+_ORACLE_TOP_REVENUE = """
+WITH agg AS (
+  SELECT o_orderkey, o_orderdate,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,10))) AS rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+    AND l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY o_orderkey, o_orderdate
+), ranked AS (
+  SELECT o_orderkey, CAST(CAST(rev AS DECIMAL(28,4)) AS DOUBLE) AS revenue, epoch_us(o_orderdate) AS o_orderdate_us,
+         row_number() OVER (ORDER BY rev DESC, o_orderkey) AS rnk
+  FROM agg
+)
+SELECT o_orderkey, revenue, o_orderdate_us, rnk::INTEGER AS rnk FROM ranked WHERE rnk <= 10"""
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast(_DEC18) * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast(_DEC12)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(
+            cust,
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue"))
+    )
+
+
+_ORACLE_REGIONAL = """
+SELECT r_name, n_name,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,10))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation via F.window (streaming-compatible)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_ORACLE_EVENTS_HOURLY = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "user_id", "n", F.col("rnk").cast("int"))
+    )
+
+
+_ORACLE_TOP_USERS = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, n,
+       rnk::INTEGER AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS rnk
+  FROM counts
+) WHERE rnk <= 5"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis family
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in X.EN_STOPWORDS) + "]"
+
+_ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len(string_split(text, ' '))::BIGINT AS n_tokens,
+  len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_tokens,
+  len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_SQL}, t)))::BIGINT AS stopword_count,
+  CAST(len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stopword_ratio,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len
+FROM documents"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TEXT_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id,
+    len(string_split(text, ' '))::BIGINT AS n_tokens,
+    len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct,
+    len(list_filter(string_split(text, ' '), t -> list_contains({_STOP_SQL}, t)))::BIGINT AS stop_cnt
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tokens,
+    CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+    CAST(stop_cnt AS DOUBLE) / n_tokens AS stopword_ratio,
+    (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+     + CASE WHEN stop_cnt > 0 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.2 THEN 1 ELSE 0 END) AS score
+  FROM s
+)
+SELECT doc_id, n_tokens, distinct_ratio, stopword_ratio,
+       score::INTEGER AS quality_score, score >= 2 AS is_quality
+FROM m"""
+
+
+def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_lang_scores() -> str:
+    langs = sorted(X.LANG_MARKERS)
+    hits = ", ".join(
+        f"len(list_filter(string_split(text, ' '), t -> list_contains(["
+        + ", ".join(f"'{m}'" for m in X.LANG_MARKERS[l])
+        + f"], t)))::BIGINT AS {l}_hits"
+        for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"{l}_hits" for l in langs) + ")"
+    guess = (
+        "CASE WHEN " + greatest + " = 0 THEN 'und' "
+        + " ".join(f"WHEN {l}_hits = {greatest} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents)
+SELECT *, {guess} AS lang_guess FROM h"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(text) AS fp_md5,
+       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp_hash64
+FROM documents"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.simhash32(load_table(spark, sf_dir, "documents"))
+
+
+def _oracle_simhash(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    bitsums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(32)
+    )
+    assemble = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(32)
+    )
+    return f"""
+WITH corpus AS ({corpus_sql}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 4294967296 AS h
+  FROM tok
+), sums AS (
+  SELECT doc_id, {bitsums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {assemble} AS simhash FROM sums"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs_corpus(spark, sf_dir))
+
+
+_ORACLE_DEDUP_EXACT = f"""
+WITH corpus AS ({_DOCS_CORPUS_SQL})
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY 1"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_exprs() -> str:
+    p = D.MINHASH_P
+    return ", ".join(
+        f"list_min(list_transform(hs, x -> ({D.MINHASH_A[i]} * x + {D.MINHASH_B[i]}) % {p})) AS sig_{i}"
+        for i in range(D.N_HASHES)
+    )
+
+
+def _oracle_minhash_signatures(
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    p = D.MINHASH_P
+    return f"""
+WITH corpus AS ({corpus_sql}),
+tokens AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS hs
+  FROM corpus
+)
+SELECT doc_id, {_minhash_sig_exprs()} FROM tokens"""
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_neardup_corpus(spark, sf_dir), threshold=0.5)
+
+
+def _oracle_neardup_minhash() -> str:
+    p = D.MINHASH_P
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_idx,
+               concat_ws('_', {", ".join(f"sig_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND))}) AS band_sig
+        FROM sigs"""
+        for b in range(D.N_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+tokens AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS hs
+  FROM corpus
+),
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs()} FROM tokens
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+  FROM ({_NEARDUP_CORPUS_SQL})
+)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+    / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) AS jaccard
+FROM cand
+JOIN toks ta ON cand.id_a = ta.doc_id
+JOIN toks tb ON cand.id_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+    / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5"""
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = X.simhash32(_neardup_corpus(spark, sf_dir))
+    return D.simhash_candidate_pairs(sims, max_hamming=6)
+
+
+def _oracle_simhash_neardup() -> str:
+    sim_sql = _oracle_simhash(_NEARDUP_CORPUS_SQL)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {i} AS byte_idx, (simhash >> {i * 8}) & 255 AS byte_val FROM sims"
+        for i in range(4)
+    )
+    return f"""
+WITH sims AS ({sim_sql}),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a JOIN bands b
+    ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INTEGER AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
+
+
+# ---------------------------------------------------------------------------
+# similarity-search family
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+def _oracle_ann_topk() -> str:
+    # exact int64 micro-unit dot products, generated per-dimension (dim=64)
+    def dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST(floor(CAST({a}.embedding[{i}] AS DOUBLE) * 1000000) AS BIGINT)"
+            f" * CAST(floor(CAST({b}.embedding[{i}] AS DOUBLE) * 1000000) AS BIGINT)"
+            for i in range(1, 65)
+        )
+
+    return f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST(({dot('q', 'c')}) AS DOUBLE)
+      / (sqrt(CAST(({dot('q', 'q')}) AS DOUBLE)) * sqrt(CAST(({dot('c', 'c')}) AS DOUBLE))) AS sim
+  FROM q, embeddings c WHERE q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM ranked WHERE rank <= 5"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal family (binary columns + Pandas-UDF plumbing)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrepair.operators.multimodal import attach_binary, extract_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = attach_binary(docs, text_col="text")
+    return extract_metadata(blobs).select("doc_id", "n_bytes", "format")
+
+
+_ORACLE_MULTIMODAL = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, 'raw' AS format
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full reconciliation report at sf0.001."""
+    return q_mv_classify(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # reconciliation core (SURVEY §2 O1-O12, O16-O19)
+        "mv_classify": q_mv_classify,
+        "mv_stats": q_mv_stats,
+        # repair planning/apply (O13-O15)
+        "mv_repair_upserts": q_mv_upserts,
+        "mv_repair_deletes": q_mv_deletes,
+        "mv_repair_apply": q_mv_apply,
+        # analytics surface
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "regional_revenue": q_regional_revenue,
+        "events_hourly": q_events_hourly,
+        "top_users_per_event": q_top_users_per_event,
+        # text analysis
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "lang_scores": q_lang_scores,
+        "doc_fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        # dedup
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "neardup_minhash": q_neardup_minhash,
+        "simhash_neardup": q_simhash_neardup,
+        # similarity search
+        "ann_cosine_topk": q_ann_topk,
+        # multimodal
+        "multimodal_meta": q_multimodal_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "mv_classify": _oracle_mv_classify(),
+        "mv_stats": _oracle_mv_stats(),
+        "mv_repair_upserts": _oracle_mv_upserts(),
+        "mv_repair_deletes": _oracle_mv_deletes(),
+        "mv_repair_apply": _oracle_mv_apply(),
+        "pricing_summary": _ORACLE_PRICING,
+        "top_revenue_orders": _ORACLE_TOP_REVENUE,
+        "regional_revenue": _ORACLE_REGIONAL,
+        "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "top_users_per_event": _ORACLE_TOP_USERS,
+        "text_stats": _ORACLE_TEXT_STATS,
+        "text_quality": _ORACLE_TEXT_QUALITY,
+        "lang_scores": _oracle_lang_scores(),
+        "doc_fingerprint": _ORACLE_FINGERPRINT,
+        "simhash": _oracle_simhash(),
+        "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "minhash_signatures": _oracle_minhash_signatures(),
+        "neardup_minhash": _oracle_neardup_minhash(),
+        "simhash_neardup": _oracle_simhash_neardup(),
+        "ann_cosine_topk": _oracle_ann_topk(),
+        "multimodal_meta": _ORACLE_MULTIMODAL,
+    }

@@ -1,0 +1,236 @@
+"""Deduplication operators for LLM-data pipelines, designed for 100 TB.
+
+- ``exact_dedup``: hash-groupBy on content digest.  One shuffle on the
+  digest; map-side combine keeps the shuffle at ~1 row per distinct doc.
+- ``minhash_signatures`` + ``minhash_candidate_pairs``: MinHash + LSH
+  banding.  Signatures are computed per-row with array expressions (no
+  explode, no UDF); banding groups rows by (band index, band signature), so
+  candidate generation is a self-join restricted to LSH buckets — the
+  classic sub-quadratic near-dup path.  All hashing is md5-based
+  (``stable_hash64``) so a DuckDB oracle reproduces every signature.
+- ``jaccard_verify``: exact token-set Jaccard on candidate pairs only.
+- ``simhash_candidate_pairs``: Hamming-ball near-dup via SimHash with
+  byte-banding (any of 4 equal bytes → candidate).
+
+MinHash math: h_i(x) = (a_i * (x mod p) + b_i) mod p with p = 2^31 - 1
+(Mersenne prime) so every product stays within int64 — portable to any
+engine with 64-bit integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mvrepair.functions import stable_hash64
+from mvrepair.operators.text import tokenize
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+
+# Fixed, public pseudo-random coefficients (decimals of pi/e chunks — any
+# fixed odd values work); 16 hash functions → 4 bands × 4 rows.
+MINHASH_A = [
+    1_685_821_657, 1_090_716_823, 1_273_689_151, 1_847_560_453,
+    1_353_932_519, 1_415_795_351, 1_986_823_003, 1_107_775_949,
+    1_511_111_767, 1_731_211_621, 1_046_527_793, 1_929_385_157,
+    1_612_711_459, 1_286_972_297, 1_764_312_523, 1_201_233_989,
+]
+MINHASH_B = [
+    422_527_911, 982_451_653, 336_470_237, 741_103_597,
+    521_502_829, 879_190_841, 133_303_799, 650_148_287,
+    287_309_243, 915_271_361, 461_920_471, 724_300_181,
+    198_491_317, 843_628_819, 555_555_557, 372_193_913,
+]
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content digest: representative id + copy count.
+
+    Groups on md5(text) — at 100 TB this shuffles one digest row per doc
+    with map-side combine, never the full text.
+    """
+    return (
+        df.select(
+            F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col)
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _token_hashes(text_col: str) -> Column:
+    """Distinct token → 60-bit stable hash, pre-reduced mod p."""
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    return F.transform(toks, lambda t: stable_hash64(t) % F.lit(MINHASH_P))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc MinHash signature as 16 columns ``sig_0..sig_15``.
+
+    Pure array expressions per row — no explode, no shuffle; at scale the
+    cost is one narrow map stage.
+    """
+    hashes = _token_hashes(text_col)
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                hashes,
+                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
+                % F.lit(MINHASH_P),
+            )
+        ).alias(f"sig_{i}")
+        for i in range(N_HASHES)
+    ]
+    return df.select(F.col(id_col), *sig_cols)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH-banded candidate pairs ``(id_a < id_b)``.
+
+    Bands the 16-signature into 4 bands of 4; docs sharing any band bucket
+    become a candidate pair.  The self-join key is (band_idx, band_sig) —
+    at 100 TB this is the bucket-join, never a cross join.
+    """
+    sigs = minhash_signatures(df, text_col, id_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(f"sig_{b * ROWS_PER_BAND + r}")
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact distinct-token-set Jaccard on candidate pairs only.
+
+    ``pairs`` has (id_a, id_b); output adds ``jaccard`` and filters by
+    threshold.  Joins the (small) candidate set against the token arrays —
+    at scale the pair side is tiny, so both joins broadcast.
+    """
+    toks = df.select(
+        F.col(id_col), F.array_distinct(tokenize(F.col(text_col))).alias("__toks")
+    )
+    out = (
+        pairs.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("__toks", "__ta"), "id_a")
+        .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("__toks", "__tb"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    union = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    jac = inter.cast("double") / union
+    return out.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: MinHash-LSH candidates verified by exact Jaccard.
+
+    The composition a 100 TB pipeline actually runs: sub-quadratic candidate
+    generation + exact verification on the candidate set only.
+    """
+    cands = minhash_candidate_pairs(df, text_col, id_col)
+    return jaccard_verify(cands, df, text_col, id_col, threshold)
+
+
+def simhash_candidate_pairs(
+    simhashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+) -> DataFrame:
+    """Near-dup pairs from 32-bit SimHashes via byte-banding.
+
+    Splits the fingerprint into 4 bytes; pairs sharing any byte value at the
+    same position are candidates (pigeonhole: hamming ≤ 6 over 32 bits
+    usually leaves one byte intact); verified with exact ``bit_count(xor)``.
+    Input: DataFrame(id_col, simhash) from ``text.simhash32``.
+    """
+    bands = simhashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("byte_idx"),
+                        F.shiftright(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.byte_idx", "band.byte_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.byte_idx") == F.col("b.byte_idx"),
+                F.col("a.byte_val") == F.col("b.byte_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

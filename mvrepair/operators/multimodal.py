@@ -1,0 +1,104 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design for 100 TB: image/audio/video payloads ride as ``binary`` columns
+with a typed metadata struct alongside; decode / feature-extract /
+resize / frame-sample run as Arrow-batched Pandas functions over
+``mapInPandas`` so payload bytes stay columnar end-to-end and never pass
+through row-at-a-time Python.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image`` raises ``NotImplementedError`` unless a codec is
+available, and ``extract_metadata`` uses a deterministic header parse
+(byte length + a fake format tag) — the Spark-side plumbing (schema,
+partitioning, UDF signature, Arrow batch shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+METADATA_SCHEMA = "doc_id long, n_bytes long, format string"
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Materialize an opaque binary payload column (UTF-8 bytes of the text
+    column — a deterministic stand-in for real image/audio bytes)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_metadata(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched metadata extraction over ``mapInPandas``.
+
+    Yields one row per payload with (id, byte length, format tag).  The
+    batch loop is the real shape a codec would use: bytes in, small typed
+    record out, no payload in the output schema (column pruning drops the
+    blob immediately above this operator).
+    """
+
+    def meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                    "format": "raw",
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(meta_batches, METADATA_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode image payloads to (height, width, channels) — STUB.
+
+    A real deployment plugs a codec (PIL/opencv) into the batch loop; this
+    container has none, so the operator fails fast with a clear error
+    rather than fake-decoding silently.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires an image codec (PIL/opencv), not "
+            "available in this environment; the mapInPandas plumbing is "
+            "exercised via extract_metadata instead"
+        ) from exc
+    raise NotImplementedError("codec integration not implemented")
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n_bytes: int = 64,
+) -> DataFrame:
+    """Deterministic 'frame sampling' over binary payloads: one output row
+    per 64-byte window (stand-in for video frame extraction), Arrow-batched.
+
+    Demonstrates the 1→N mapInPandas shape (explode-like fan-out of frames
+    from one payload) without needing a codec.
+    """
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes = [], [], []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                n = len(payload)
+                for i, off in enumerate(range(0, n, every_n_bytes)):
+                    ids.append(row[id_col])
+                    idxs.append(i)
+                    sizes.append(min(every_n_bytes, n - off))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        sample_batches, "doc_id long, frame_idx int, frame_bytes int"
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Engine-portable exact math: each embedding element is quantized to an
+int64 micro-unit (``floor(x * 1e6)`` — float→double widening is exact and
+floor of a double is deterministic in every engine), so dot products and
+norms are EXACT 64-bit integer sums, order-independent and bit-identical
+between Spark and a DuckDB oracle.  The only floating-point steps (sqrt +
+one division) are single deterministic ops on identical integer inputs.
+
+- ``cosine_topk``: brute-force top-k — the correctness baseline.  The
+  query side is expected to be small (it is broadcast); the corpus scan is
+  embarrassingly parallel.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane LSH buckets
+  (SimHash for vectors) shrink the candidate set from |corpus| to a bucket,
+  turning the cross join into a bucket-join.  Same exact scoring on the
+  shortlist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+QUANT = 1_000_000  # micro-unit quantization: |x|<=9e3 keeps dot < 2^63
+
+
+def _quant(arr: Column) -> Column:
+    """array<float> → array<long> micro-units (exact in any engine)."""
+    return F.transform(
+        arr, lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Quantized-exact cosine similarity of two float-array columns."""
+    qa, qb = _quant(a), _quant(b)
+    return _dot(qa, qb).cast("double") / (
+        F.sqrt(_dot(qa, qa).cast("double")) * F.sqrt(_dot(qb, qb).cast("double"))
+    )
+
+
+def _ranked(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int"),
+            # floor(x*1e6) — deterministic output quantization (round() is
+            # not portable across engines near decimal midpoints)
+            F.floor(F.col("__sim") * 1_000_000).cast("long").alias("cosine_micro"),
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, rank, cosine_micro).
+
+    ``queries`` is broadcast (small side); ranking orders by
+    (similarity desc, neighbor id) — deterministic because the similarity
+    doubles are bit-identical.  Self-matches are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
+    )
+    return _ranked(scored, k)
+
+
+# Fixed random-hyperplane signs for 8-bit LSH bucketing: sign pattern per
+# plane derived from a deterministic integer sequence (portable, seedless).
+_N_PLANES = 8
+
+
+def _plane_sign(plane: int, dim: int) -> int:
+    # deterministic ±1 from a tiny LCG on (plane, dim) — public arithmetic
+    v = (1103515245 * (plane * 131 + dim) + 12345) % 2147483648
+    return 1 if (v >> 16) & 1 else -1
+
+
+def lsh_bucket(vec: Column, dim: int) -> Column:
+    """8-bit random-hyperplane bucket id for a float-array column.
+
+    Projections run on the quantized int64 elements, so the bucket id is
+    exact and portable too.
+    """
+    qv = _quant(vec)
+    bucket = F.lit(0)
+    for p in range(_N_PLANES):
+        proj = None
+        for d in range(dim):
+            term = F.element_at(qv, d + 1) * F.lit(_plane_sign(p, d))
+            proj = term if proj is None else proj + term
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucket join, exact scoring in-bucket.
+
+    Both sides key by an 8-bit hyperplane signature; candidates share the
+    bucket (recall < 1 by design — the 100 TB trade).  The join is a plain
+    equi-join on the bucket id, so Catalyst shuffles each side once by
+    bucket instead of building a cross product.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
+    )
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    scored = (
+        q.join(c, on="__bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
+    )
+    return _ranked(scored, k)

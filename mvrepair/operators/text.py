@@ -1,0 +1,141 @@
+"""Text-analysis operators for LLM-data pipelines.
+
+All pure `pyspark.sql.functions` column algebra — no Python UDFs — so they
+run JVM-side inside WholeStageCodegen and scale linearly with executors.
+Deterministic across engines: hashing goes through md5 (see
+``mvrepair.functions.stable_hash64``) so a DuckDB oracle reproduces every
+value bit-for-bit.
+
+Operators:
+- ``tokenize``          whitespace tokens (regex-free fast path: single space)
+- ``text_stats``        length / token / distinct-token / stopword metrics
+- ``quality_score``     composite quality heuristics
+- ``lang_scores``       per-language marker-token hit counts (n-gram-free
+                        heuristic language ID; argmax = guessed language)
+- ``fingerprint``       md5 + 60-bit stable hash document fingerprints
+- ``simhash32``         32-bit SimHash over token multiset
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mvrepair.functions import stable_hash64
+
+# Small fixed stopword list used by the quality metrics (public knowledge).
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for"]
+
+# Marker tokens per language for the heuristic language scorer.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "es": ["el", "la", "de", "los", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "das", "und", "nicht"],
+}
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization (single-space fast path)."""
+    return F.split(text, " ")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document size/token statistics."""
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        stop_cnt.cast("long").alias("stopword_count"),
+        (stop_cnt.cast("double") / n_tokens).alias("stopword_ratio"),
+        (
+            F.length(F.replace(F.col(text_col), F.lit(" "), F.lit(""))).cast("double")
+            / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality heuristic: length band + stopword presence +
+    repetition (distinct-token ratio).  Flags docs a pretraining pipeline
+    would drop."""
+    stats = text_stats(df, text_col, id_col)
+    dr = F.col("n_distinct_tokens").cast("double") / F.col("n_tokens")
+    score = (
+        F.when((F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), 1).otherwise(0)
+        + F.when(F.col("stopword_ratio") > 0.0, 1).otherwise(0)
+        + F.when(dr > 0.2, 1).otherwise(0)
+    )
+    return stats.select(
+        id_col,
+        "n_tokens",
+        dr.alias("distinct_ratio"),
+        F.col("stopword_ratio"),
+        score.cast("int").alias("quality_score"),
+        (score >= 2).alias("is_quality"),
+    )
+
+
+def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-token hit counts per language + argmax guess.
+
+    The guess breaks ties by language-code order (deterministic).
+    """
+    toks = tokenize(F.col(text_col))
+    cols = [F.col(id_col)]
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            .cast("long")
+            .alias(f"{lang}_hits")
+        )
+    out = df.select(*cols)
+    # argmax with deterministic tie-break (alphabetical language order)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"{l}_hits") for l in langs])
+    guess = F.coalesce(
+        *[F.when(F.col(f"{l}_hits") == best, F.lit(l)) for l in langs]
+    )
+    return out.withColumn("lang_guess", F.when(best > 0, guess).otherwise(F.lit("und")))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 hex + engine-portable 60-bit hash."""
+    return df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        stable_hash64(F.col(text_col)).alias("fp_hash64"),
+    )
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over the token multiset.
+
+    Classic scheme: each token hashes to 32 bits; bit j contributes +1/-1
+    per occurrence; the fingerprint sets bit j where the sum is positive.
+    Implemented as explode → groupBy(doc) with 32 conditional sums — one
+    shuffle on the doc id, fully JVM-side.  At 100 TB the explode keeps
+    memory flat (no giant per-row arrays) and the aggregation is map-side
+    combined.
+    """
+    h = stable_hash64(F.col("__token")) % F.lit(2**32)
+    tok = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__token")
+    ).withColumn("__h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__b{j}")
+        for j in range(32)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for j in range(32):
+        term = F.when(F.col(f"__b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))

@@ -1,0 +1,75 @@
+"""Parquet source with schema normalization.
+
+The engine-facing analogue of the reference's connector scan (O1,
+/root/reference/src/main/java/mvsync/MvSync.java:245-246) for the fixture
+harness: token-range partitioning becomes parquet split planning, and
+column pruning/predicate pushdown are delegated to Catalyst (visible as
+``PushedFilters``/``ReadSchema`` in ``.explain``).
+
+Normalization: Spark 4 reads parquet timestamps written without
+``isAdjustedToUTC`` as TIMESTAMP_NTZ, which time-arithmetic functions
+(``unix_micros`` etc.) reject.  With a UTC session timezone the NTZ→LTZ
+cast is value-preserving, and it makes Spark's ``unix_micros`` agree
+exactly with DuckDB's ``epoch_us`` on the same files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 cannot
+    read natively (PARQUET_TYPE_ILLEGAL) — detected from the footer."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def _normalize(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
+    casts = {}
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            casts[f.name] = F.col(f.name).cast("timestamp")
+        elif f.name in nanos_cols and isinstance(f.dataType, T.LongType):
+            # nanosAsLong read: ns since epoch → µs timestamp (truncating,
+            # matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast)
+            casts[f.name] = F.timestamp_micros(
+                (F.col(f.name) / 1000).cast("long")
+            )
+    return df.withColumns(casts) if casts else df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalized (NTZ→UTC timestamp; parquet
+    nanos timestamps read via ``spark.sql.legacy.parquet.nanosAsLong`` and
+    converted to µs timestamps)."""
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _normalize(spark.read.parquet(path), nanos)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql access."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
