@@ -71,26 +71,54 @@ def _token_hashes(text_col: str) -> Column:
     return F.transform(toks, lambda t: stable_hash64(t) % F.lit(MINHASH_P))
 
 
+def _ab_array() -> Column:
+    # Built lazily: F.lit needs an active SparkContext, and this module must
+    # stay importable before the session exists (driver smoke-imports it).
+    return F.array(
+        *[
+            F.struct(F.lit(MINHASH_A[i]).alias("a"), F.lit(MINHASH_B[i]).alias("b"))
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+def minhash_sig_array(text_col: str) -> Column:
+    """All 16 MinHash values in ONE pass over the token hashes.
+
+    Higher-order functions run interpreted (no codegen CSE), so 16 separate
+    ``array_min(transform(...))`` columns would hash every token with md5
+    16 times.  A single ``aggregate`` whose accumulator is the 16-vector of
+    running minima keeps it to one md5 per token.
+    """
+    hs = _token_hashes(text_col)
+    ab = _ab_array()
+    init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), N_HASHES)
+    return F.aggregate(
+        hs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc, ab, lambda m, ab_i: F.least(m, (ab_i["a"] * x + ab_i["b"]) % F.lit(MINHASH_P))
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc MinHash signature as 16 columns ``sig_0..sig_15``.
 
-    Pure array expressions per row — no explode, no shuffle; at scale the
-    cost is one narrow map stage.
+    The signature array is computed in a single projection and forced
+    through a tiny round-robin exchange before the 16-column unpack —
+    otherwise Catalyst's projection collapse would inline (and recompute)
+    the whole aggregate per output column.
     """
-    hashes = _token_hashes(text_col)
-    sig_cols = [
-        F.array_min(
-            F.transform(
-                hashes,
-                lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i]))
-                % F.lit(MINHASH_P),
-            )
-        ).alias(f"sig_{i}")
-        for i in range(N_HASHES)
-    ]
-    return df.select(F.col(id_col), *sig_cols)
+    sigs = df.select(
+        F.col(id_col), minhash_sig_array(text_col).alias("__sigs")
+    ).repartition(F.col(id_col))
+    return sigs.select(
+        F.col(id_col),
+        *[F.element_at("__sigs", i + 1).alias(f"sig_{i}") for i in range(N_HASHES)],
+    )
 
 
 def minhash_candidate_pairs(
@@ -100,9 +128,13 @@ def minhash_candidate_pairs(
 
     Bands the 16-signature into 4 bands of 4; docs sharing any band bucket
     become a candidate pair.  The self-join key is (band_idx, band_sig) —
-    at 100 TB this is the bucket-join, never a cross join.
+    at 100 TB this is the bucket-join, never a cross join.  Both join
+    sides derive from the same exchange, so Spark's ReusedExchange computes
+    the signatures once.
     """
-    sigs = minhash_signatures(df, text_col, id_col)
+    sigs = df.select(
+        F.col(id_col), minhash_sig_array(text_col).alias("__sigs")
+    ).repartition(F.col(id_col))
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -113,7 +145,7 @@ def minhash_candidate_pairs(
                         F.concat_ws(
                             "_",
                             *[
-                                F.col(f"sig_{b * ROWS_PER_BAND + r}")
+                                F.element_at("__sigs", b * ROWS_PER_BAND + r + 1)
                                 for r in range(ROWS_PER_BAND)
                             ],
                         ).alias("band_sig"),

@@ -1,0 +1,133 @@
+"""Report sinks: golden-text formatter, categorized fan-out, stats file.
+
+Parity targets (citations into /root/reference):
+- Record format (O17): ``MVInconsistentRow.toString``
+  (src/main/java/mvsync/MVInconsistentRow.java:32-53):
+  ``Problem:/RowKey:/MainTableEntry:/MVTableEntry:[/BaseColumn:/MvColumn:]``
+  with ``RecordColumnInfo.toString`` = ``name:TYPE[:value]`` (value omitted
+  when null — RecordColumnInfo.java:39-47) and ``RecordPrimaryKey.toString``
+  = ``name:TYPE:value,…`` (RecordPrimaryKey.java:63-76).
+- Categorized sinks (O16): ``<outdir>/<PROBLEM>/…`` with records separated
+  by ``"="*30`` (MVJobOutputStreamer.java:28-101).  Re-expressed as
+  ``write.partitionBy("problem").text`` — one directory per category, one
+  file per Spark partition, exactly the reference's layout shape.
+- Stats sink (O18): single-line ``stats.txt`` (JobStats.java:44-76,
+  golden in README.md:73).
+
+Row rendering note: the reference prints ``CassandraRow{col: val, …}`` in
+connector map order, which is not deterministic; we render sorted column
+order and match parsed content, not byte order (SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mvrepair.functions import render_value
+from mvrepair.operators.reconcile import (
+    BASE_PREFIX,
+    CONSISTENT,
+    INCONSISTENT,
+    MV_PREFIX,
+    SKIPPED,
+    JobStatsResult,
+)
+from mvrepair.schema import MVSpec, TTL_SUFFIX, WRITETIME_SUFFIX
+
+SEPARATOR = "=" * 30
+
+
+def _render_or_null(col: Column, typ: str) -> Column:
+    return F.coalesce(render_value(col, typ), F.lit("null"))
+
+
+def _row_key_expr(spec: MVSpec) -> Column:
+    """RecordPrimaryKey.toString: ``name:TYPE:value,…`` over the MV PK."""
+    parts = []
+    for c in spec.mv_pk:
+        typ = spec.mv.columns[c]
+        if parts:
+            parts.append(F.lit(","))
+        parts.append(F.lit(f"{c}:{typ}:"))
+        parts.append(_render_or_null(F.col(c), typ))
+    return F.concat(*parts)
+
+
+def _row_render_expr(wide_cols: list[str], spec: MVSpec, prefix: str, side) -> Column:
+    """``CassandraRow{col: val, …}`` in sorted column order; null row (side
+    absent) renders as the literal ``null``."""
+    parts: list[Column] = [F.lit("CassandraRow{")]
+    first = True
+    for c in sorted(side.columns):
+        typ = side.columns[c]
+        src = c if c in spec.mv_pk else prefix + c
+        if src not in wide_cols and c not in spec.mv_pk:
+            continue
+        entries = [(c, _render_or_null(F.col(src), typ))]
+        if not first:
+            parts.append(F.lit(", "))
+        for name, val in entries:
+            parts.append(F.lit(f"{name}: "))
+            parts.append(val)
+        first = False
+        for suffix, label in ((WRITETIME_SUFFIX, "writetime"), (TTL_SUFFIX, "ttl")):
+            comp = (prefix + c + suffix) if c not in spec.mv_pk else None
+            if comp and comp in wide_cols:
+                parts.append(F.lit(f", {label}({c}): "))
+                parts.append(F.coalesce(F.col(comp).cast("string"), F.lit("null")))
+    parts.append(F.lit("}"))
+    present = F.coalesce(F.col(prefix + "present"), F.lit(False))
+    return F.when(present, F.concat(*parts)).otherwise(F.lit("null"))
+
+
+def format_report(wide: DataFrame, spec: MVSpec) -> DataFrame:
+    """Wide classified DataFrame → (problem, record) golden-text rows for
+    all problem keys (CONSISTENT/SKIPPED emit nothing)."""
+    cols = wide.columns
+    diff_name_type = F.concat(F.col("diff_column"), F.lit(":"), F.col("diff_type"))
+    base_cell = F.when(
+        F.col("base_value").isNotNull(),
+        F.concat(diff_name_type, F.lit(":"), F.col("base_value")),
+    ).otherwise(diff_name_type)
+    mv_cell = F.when(
+        F.col("mv_value").isNotNull(),
+        F.concat(diff_name_type, F.lit(":"), F.col("mv_value")),
+    ).otherwise(diff_name_type)
+
+    record = F.concat(
+        F.lit("Problem: "),
+        F.col("problem"),
+        F.lit("\nRowKey: "),
+        _row_key_expr(spec),
+        F.lit("\nMainTableEntry: "),
+        _row_render_expr(cols, spec, BASE_PREFIX, spec.base),
+        F.lit("\nMVTableEntry: "),
+        _row_render_expr(cols, spec, MV_PREFIX, spec.mv),
+        F.when(
+            (F.col("problem") == INCONSISTENT) & F.col("diff_column").isNotNull(),
+            F.concat(
+                F.lit("\nBaseColumn: "), base_cell, F.lit("\nMvColumn: "), mv_cell
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return wide.filter(~F.col("problem").isin(CONSISTENT, SKIPPED)).select(
+        F.col("problem"), record.alias("record")
+    )
+
+
+def write_reports(wide: DataFrame, spec: MVSpec, outdir: str) -> None:
+    """O16 multi-sink fan-out: ``<outdir>/problem=<CATEGORY>/part-*.txt``
+    with ``"="*30`` separators appended per record (FileStreamer parity)."""
+    formatted = format_report(wide, spec).withColumn(
+        "record", F.concat(F.col("record"), F.lit("\n" + SEPARATOR))
+    )
+    formatted.write.partitionBy("problem").mode("overwrite").text(outdir)
+
+
+def write_stats(stats: JobStatsResult, outdir: str) -> None:
+    """O18: single-line ``stats.txt`` in exact JobStats.toString format."""
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "stats.txt"), "w") as fh:
+        fh.write(stats.render())

@@ -1,0 +1,120 @@
+"""Incremental (Structured Streaming) operators.
+
+The reference is batch-only (SURVEY §2 — streaming deliberately absent);
+this module is the engine's additive streaming surface:
+
+- ``streaming_events_hourly``: watermarked tumbling-window aggregation over
+  a parquet-directory stream — the streaming twin of the batch
+  ``events_hourly`` query (same plan shape, late data handled by the
+  watermark instead of a full rescan).
+- ``streaming_reconcile_against_static``: incremental reconciliation — a
+  stream of base-table changes joined against a static MV snapshot.
+  Structured Streaming cannot full-outer-join two streams without
+  watermark bounds, and "missing in base" is unknowable from a base-side
+  stream, so the incremental operator reports the detectable classes per
+  arriving base row: MISSING_IN_MV_TABLE and INCONSISTENT (first-mismatch
+  semantics identical to the batch operator).  A periodic batch run stays
+  the source of truth for orphans — the classic lambda split.
+
+At 100 TB/day the streaming path turns the full-scan cogroup into
+per-microbatch broadcast/SMJ joins of the delta against the snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+from mvrepair.functions import deep_eq
+from mvrepair.operators.reconcile import (
+    INCONSISTENT,
+    MISSING_IN_MV_TABLE,
+    MV_PREFIX,
+    _diff_exprs,
+)
+from mvrepair.schema import MVSpec
+
+
+def streaming_events_hourly(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window per-type counts over an events directory.
+
+    Returns a streaming DataFrame; attach ``.writeStream`` (tests use the
+    ``availableNow`` trigger + memory sink and compare against the batch
+    twin).
+    """
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_reconcile_against_static(
+    base_stream: DataFrame,
+    mv_static: DataFrame,
+    spec: MVSpec,
+) -> DataFrame:
+    """Stream-static incremental reconcile.
+
+    Each arriving base row is left-joined against the MV snapshot on the
+    MV PK; absent → MISSING_IN_MV_TABLE, present-but-different →
+    INCONSISTENT (alphabetical first-mismatch, identical to batch O10).
+    Consistent rows are dropped (report semantics).
+    """
+    pk = spec.mv_pk
+    mv_p = mv_static.select(
+        *pk,
+        *[
+            F.col(c).alias(MV_PREFIX + c)
+            for c in mv_static.columns
+            if c not in pk
+        ],
+        F.lit(True).alias(MV_PREFIX + "present"),
+    )
+    # base side keeps its own names — _diff_exprs expects base__ prefix
+    from mvrepair.operators.reconcile import BASE_PREFIX
+
+    base_p = base_stream.select(
+        *pk,
+        *[
+            F.col(c).alias(BASE_PREFIX + c)
+            for c in base_stream.columns
+            if c not in pk
+        ],
+    )
+    joined = base_p.join(mv_p, on=pk, how="left")
+    diff_name, diff_type, base_val, mv_val = _diff_exprs(spec)
+    mv_present = F.coalesce(F.col(MV_PREFIX + "present"), F.lit(False))
+    problem = (
+        F.when(~mv_present, F.lit(MISSING_IN_MV_TABLE))
+        .when(diff_name.isNotNull(), F.lit(INCONSISTENT))
+        .otherwise(F.lit("CONSISTENT"))
+    )
+    return (
+        joined.withColumns(
+            {
+                "problem": problem,
+                "diff_column": F.when(mv_present, diff_name),
+                "diff_type": F.when(mv_present, diff_type),
+                "base_value": F.when(mv_present, base_val),
+                "mv_value": F.when(mv_present, mv_val),
+            }
+        )
+        .filter(F.col("problem") != "CONSISTENT")
+        .select(*pk, "problem", "diff_column", "diff_type", "base_value", "mv_value")
+    )
