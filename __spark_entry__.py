@@ -454,22 +454,40 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.simhash32(load_table(spark, sf_dir, "documents"))
 
 
-def _oracle_simhash(corpus_sql: str = "SELECT doc_id, text FROM documents") -> str:
+# DuckDB n=3 shingle list from a text column (1-indexed lists; range() is
+# end-exclusive and returns [] when the doc has <3 tokens).
+_SHINGLE_SQL = (
+    "list_transform(range(1, len(ts)-1),"
+    " i -> concat_ws(' ', ts[i], ts[i+1], ts[i+2]))"
+)
+
+
+def _oracle_simhash(
+    corpus_sql: str = "SELECT doc_id, text FROM documents",
+    bits: int = 32,
+    shingled: bool = False,
+) -> str:
     bitsums = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(32)
+        for j in range(bits)
     )
     assemble = " + ".join(
         f"CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
-        for j in range(32)
+        for j in range(bits)
     )
+    if shingled:
+        unit_cte = f"""
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS token
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus)"""
+    else:
+        unit_cte = "\n  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus"
+    mod = f" % {1 << bits}" if bits < 60 else ""
     return f"""
 WITH corpus AS ({corpus_sql}),
-tok AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM corpus
+tok AS ({unit_cte}
 ), hashed AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % 4294967296 AS h
+         CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT){mod} AS h
   FROM tok
 ), sums AS (
   SELECT doc_id, {bitsums} FROM hashed GROUP BY doc_id
@@ -511,9 +529,9 @@ def _oracle_minhash_signatures(
 WITH corpus AS ({corpus_sql}),
 tokens AS (
   SELECT doc_id,
-         list_transform(list_distinct(string_split(text, ' ')),
+         list_transform(list_distinct({_SHINGLE_SQL}),
                         t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS hs
-  FROM corpus
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus)
 )
 SELECT doc_id, {_minhash_sig_exprs()} FROM tokens"""
 
@@ -534,9 +552,9 @@ def _oracle_neardup_minhash() -> str:
 WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
 tokens AS (
   SELECT doc_id,
-         list_transform(list_distinct(string_split(text, ' ')),
+         list_transform(list_distinct({_SHINGLE_SQL}),
                         t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS hs
-  FROM corpus
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus)
 ),
 sigs AS (
   SELECT doc_id, {_minhash_sig_exprs()} FROM tokens
@@ -548,8 +566,8 @@ cand AS (
     ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 ),
 toks AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
-  FROM ({_NEARDUP_CORPUS_SQL})
+  SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS tk
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM ({_NEARDUP_CORPUS_SQL}))
 )
 SELECT id_a, id_b,
   CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
@@ -562,14 +580,22 @@ WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = X.simhash32(_neardup_corpus(spark, sf_dir))
-    return D.simhash_candidate_pairs(sims, max_hamming=6)
+    # 60-bit shingle SimHash with 15-bit bands: 32k LSH buckets, so random
+    # collisions stay ~n²/2^15 per band instead of the 256-bucket byte
+    # banding that floods on a small-vocabulary corpus.
+    corpus = _neardup_corpus(spark, sf_dir)
+    sims = X.simhash(
+        corpus, bits=60, units=D.shingles(F.col("text"))
+    )
+    return D.simhash_candidate_pairs(
+        sims, max_hamming=10, n_bands=4, band_bits=15
+    )
 
 
 def _oracle_simhash_neardup() -> str:
-    sim_sql = _oracle_simhash(_NEARDUP_CORPUS_SQL)
+    sim_sql = _oracle_simhash(_NEARDUP_CORPUS_SQL, bits=60, shingled=True)
     bands = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {i} AS byte_idx, (simhash >> {i * 8}) & 255 AS byte_val FROM sims"
+        f"SELECT doc_id, simhash, {i} AS byte_idx, (simhash >> {i * 15}) & 32767 AS byte_val FROM sims"
         for i in range(4)
     )
     return f"""
@@ -582,7 +608,7 @@ cand AS (
     ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INTEGER AS hamming
-FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6"""
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 10"""
 
 
 # ---------------------------------------------------------------------------

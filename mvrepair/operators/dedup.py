@@ -2,13 +2,20 @@
 
 - ``exact_dedup``: hash-groupBy on content digest.  One shuffle on the
   digest; map-side combine keeps the shuffle at ~1 row per distinct doc.
-- ``minhash_signatures`` + ``minhash_candidate_pairs``: MinHash + LSH
-  banding.  Signatures are computed per-row with array expressions (no
+- ``minhash_signatures`` + ``minhash_candidate_pairs``: shingle → MinHash →
+  LSH banding.  Signatures are computed per-row with array expressions (no
   explode, no UDF); banding groups rows by (band index, band signature), so
   candidate generation is a self-join restricted to LSH buckets — the
   classic sub-quadratic near-dup path.  All hashing is md5-based
   (``stable_hash64``) so a DuckDB oracle reproduces every signature.
-- ``jaccard_verify``: exact token-set Jaccard on candidate pairs only.
+  MinHash runs over n-token SHINGLES (default n=3), not unigrams: with a
+  small vocabulary, unigram token *sets* of unrelated documents are nearly
+  identical, every LSH band collides, and candidate generation degenerates
+  to the full cross product (measured: ~50% of all pairs on the synthetic
+  corpus).  Shingles restore discriminative power — the candidate count is
+  driven by true Jaccard similarity, which is what keeps this sub-quadratic
+  at 100 TB.
+- ``jaccard_verify``: exact shingle-set Jaccard on candidate pairs only.
 - ``simhash_candidate_pairs``: Hamming-ball near-dup via SimHash with
   byte-banding (any of 4 equal bytes → candidate).
 
@@ -65,10 +72,33 @@ def exact_dedup(
     )
 
 
-def _token_hashes(text_col: str) -> Column:
-    """Distinct token → 60-bit stable hash, pre-reduced mod p."""
-    toks = F.array_distinct(tokenize(F.col(text_col)))
-    return F.transform(toks, lambda t: stable_hash64(t) % F.lit(MINHASH_P))
+SHINGLE_N = 3
+
+
+def shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """n-token shingles of a whitespace-tokenized text (n=1 → tokens).
+
+    Pure array expressions — per-row, no explode.  Fewer than n tokens
+    yields an empty array (guarded: ``sequence`` would otherwise count
+    backwards).
+    """
+    toks = tokenize(text)
+    if n == 1:
+        return toks
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _token_hashes(text_col: str, n: int = SHINGLE_N) -> Column:
+    """Distinct n-shingle → 60-bit stable hash, pre-reduced mod p."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    return F.transform(sh, lambda t: stable_hash64(t) % F.lit(MINHASH_P))
 
 
 def _ab_array() -> Column:
@@ -82,7 +112,7 @@ def _ab_array() -> Column:
     )
 
 
-def minhash_sig_array(text_col: str) -> Column:
+def minhash_sig_array(text_col: str, n: int = SHINGLE_N) -> Column:
     """All 16 MinHash values in ONE pass over the token hashes.
 
     Higher-order functions run interpreted (no codegen CSE), so 16 separate
@@ -90,7 +120,7 @@ def minhash_sig_array(text_col: str) -> Column:
     16 times.  A single ``aggregate`` whose accumulator is the 16-vector of
     running minima keeps it to one md5 per token.
     """
-    hs = _token_hashes(text_col)
+    hs = _token_hashes(text_col, n)
     ab = _ab_array()
     init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), N_HASHES)
     return F.aggregate(
@@ -103,7 +133,7 @@ def minhash_sig_array(text_col: str) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
 ) -> DataFrame:
     """Per-doc MinHash signature as 16 columns ``sig_0..sig_15``.
 
@@ -113,7 +143,7 @@ def minhash_signatures(
     the whole aggregate per output column.
     """
     sigs = df.select(
-        F.col(id_col), minhash_sig_array(text_col).alias("__sigs")
+        F.col(id_col), minhash_sig_array(text_col, n).alias("__sigs")
     ).repartition(F.col(id_col))
     return sigs.select(
         F.col(id_col),
@@ -122,7 +152,7 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
 ) -> DataFrame:
     """LSH-banded candidate pairs ``(id_a < id_b)``.
 
@@ -133,7 +163,7 @@ def minhash_candidate_pairs(
     the signatures once.
     """
     sigs = df.select(
-        F.col(id_col), minhash_sig_array(text_col).alias("__sigs")
+        F.col(id_col), minhash_sig_array(text_col, n).alias("__sigs")
     ).repartition(F.col(id_col))
     bands = sigs.select(
         F.col(id_col),
@@ -180,15 +210,16 @@ def jaccard_verify(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    n: int = SHINGLE_N,
 ) -> DataFrame:
-    """Exact distinct-token-set Jaccard on candidate pairs only.
+    """Exact distinct-shingle-set Jaccard on candidate pairs only.
 
     ``pairs`` has (id_a, id_b); output adds ``jaccard`` and filters by
     threshold.  Joins the (small) candidate set against the token arrays —
     at scale the pair side is tiny, so both joins broadcast.
     """
     toks = df.select(
-        F.col(id_col), F.array_distinct(tokenize(F.col(text_col))).alias("__toks")
+        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("__toks")
     )
     out = (
         pairs.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("__toks", "__ta"), "id_a")
@@ -207,26 +238,39 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    n: int = SHINGLE_N,
 ) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates verified by exact Jaccard.
 
     The composition a 100 TB pipeline actually runs: sub-quadratic candidate
     generation + exact verification on the candidate set only.
     """
-    cands = minhash_candidate_pairs(df, text_col, id_col)
-    return jaccard_verify(cands, df, text_col, id_col, threshold)
+    cands = minhash_candidate_pairs(df, text_col, id_col, n)
+    return jaccard_verify(cands, df, text_col, id_col, threshold, n)
 
 
 def simhash_candidate_pairs(
-    simhashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 6
+    simhashes: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    n_bands: int = 4,
+    band_bits: int = 8,
 ) -> DataFrame:
-    """Near-dup pairs from 32-bit SimHashes via byte-banding.
+    """Near-dup pairs from SimHashes via bit-slice banding.
 
-    Splits the fingerprint into 4 bytes; pairs sharing any byte value at the
-    same position are candidates (pigeonhole: hamming ≤ 6 over 32 bits
-    usually leaves one byte intact); verified with exact ``bit_count(xor)``.
-    Input: DataFrame(id_col, simhash) from ``text.simhash32``.
+    Splits the fingerprint into ``n_bands`` slices of ``band_bits`` bits;
+    pairs sharing any slice value at the same position are candidates
+    (pigeonhole: hamming ≤ n_bands-1 guarantees one intact slice, and small
+    hamming usually leaves one intact); verified with exact
+    ``bit_count(xor)``.  Input: DataFrame(id_col, simhash) from
+    ``text.simhash``.
+
+    Scale note: candidate volume for unrelated docs ≈ n²·n_bands/2^band_bits,
+    so band_bits sizes the bucket space.  8-bit bands (256 buckets) only
+    work for small corpora; at 100 TB use a 60-bit fingerprint with 15-bit
+    bands (32k buckets) or wider.
     """
+    mask = (1 << band_bits) - 1
     bands = simhashes.select(
         F.col(id_col),
         F.col("simhash"),
@@ -235,11 +279,11 @@ def simhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("byte_idx"),
-                        F.shiftright(F.col("simhash"), i * 8)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("byte_val"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("band"),

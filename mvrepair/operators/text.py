@@ -113,29 +113,47 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over the token multiset.
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    units: Column | None = None,
+) -> DataFrame:
+    """SimHash over a multiset of text units (tokens by default).
 
-    Classic scheme: each token hashes to 32 bits; bit j contributes +1/-1
-    per occurrence; the fingerprint sets bit j where the sum is positive.
-    Implemented as explode → groupBy(doc) with 32 conditional sums — one
-    shuffle on the doc id, fully JVM-side.  At 100 TB the explode keeps
-    memory flat (no giant per-row arrays) and the aggregation is map-side
-    combined.
+    Classic scheme: each unit hashes to ``bits`` bits; bit j contributes
+    +1/-1 per occurrence; the fingerprint sets bit j where the sum is
+    positive.  Implemented as explode → groupBy(doc) with ``bits``
+    conditional sums — one shuffle on the doc id, fully JVM-side.  At
+    100 TB the explode keeps memory flat (no giant per-row arrays) and the
+    aggregation is map-side combined.
+
+    ``units`` overrides the unit array (e.g. ``dedup.shingles(...)`` —
+    shingles keep unrelated documents' fingerprints far apart when the
+    vocabulary is small).  ``bits`` ≤ 60 (stable_hash64 is a 60-bit space;
+    bit 63 would overflow signed int64 anyway).
     """
-    h = stable_hash64(F.col("__token")) % F.lit(2**32)
+    assert 1 <= bits <= 60
+    arr = units if units is not None else tokenize(F.col(text_col))
+    h = stable_hash64(F.col("__unit")) % F.lit(2**bits) if bits < 60 else stable_hash64(F.col("__unit"))
     tok = df.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__token")
+        F.col(id_col), F.explode(arr).alias("__unit")
     ).withColumn("__h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"__b{j}")
-        for j in range(32)
+        for j in range(bits)
     ]
     agg = tok.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for j in range(32):
+    for j in range(bits):
         term = F.when(F.col(f"__b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
     return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash over the token multiset (see ``simhash``)."""
+    return simhash(df, text_col, id_col, bits=32)
