@@ -611,9 +611,58 @@ SELECT id_a, id_b, bit_count(xor(sim_a, sim_b))::INTEGER AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 10"""
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id,
+  len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{X.BPE_SPLIT_RE}'))::BIGINT AS n_re_tokens,
+  list_sum(list_transform(regexp_extract_all(text, '{X.BPE_SPLIT_RE}'),
+           t -> CAST(ceil(len(t) / {X.SUBWORD_LEN}.0) AS BIGINT)))::BIGINT AS n_subword_units
+FROM documents"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+_ORACLE_ROLLING_FP = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+    (acc, x) -> (acc * {X.ROLL_BASE} + x) % {X.ROLL_P}) AS fp_roll,
+  CASE WHEN length(text) >= {X.KGRAM} THEN
+    list_min(list_transform(range(1, length(text) - {X.KGRAM - 2}),
+      i -> CAST(concat('0x', substr(md5(substr(text, i, {X.KGRAM})), 1, 15)) AS BIGINT)))
+  ELSE CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) END AS fp_min_kgram
+FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # similarity-search family
 # ---------------------------------------------------------------------------
+
+def _lsh_bucket_sql(qv: str = "qv") -> str:
+    """DuckDB twin of similarity.lsh_bucket on a quantized int64 list col."""
+    terms = []
+    for p in range(S._N_PLANES):
+        signs = ", ".join(str(S._plane_sign(p, d)) for d in range(64))
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65),"
+            f" i -> {qv}[i] * (list_value({signs}))[i])) > 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_QUANT_SQL = (
+    "list_transform(embedding, x ->"
+    " CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+)
+
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -645,6 +694,119 @@ scored AS (
 SELECT query_id, neighbor_id, rank::INTEGER AS rank,
        CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
 FROM ranked WHERE rank <= 5"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucket join instead of cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_bucketed_topk(emb, queries, dim=64, k=5)
+
+
+def _oracle_ann_lsh_topk() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, qv, {_lsh_bucket_sql()} AS bucket
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings)
+),
+q AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST({dot('q', 'c')} AS DOUBLE)
+      / (sqrt(CAST({dot('q', 'q')} AS DOUBLE)) * sqrt(CAST({dot('c', 'c')} AS DOUBLE))) AS sim
+  FROM q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM ranked WHERE rank <= 5"""
+
+
+def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (first component negated, id+1e6).
+
+    Negation is exact in IEEE float, so both engines see bit-identical
+    vectors; cosine(original, variant) ≈ 1 - 2·v₀²/‖v‖² — a true near-dup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    variant = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at("embedding", 1)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(variant)
+
+
+_NEARDUP_EMB_SQL = (
+    "SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 1000000,"
+    " list_concat(list_value(-embedding[1]), embedding[2:])"
+    " FROM embeddings"
+)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup on the perturbed corpus."""
+    return S.cosine_neardup_pairs(
+        _neardup_embeddings(spark, sf_dir), dim=64, threshold=0.9
+    )
+
+
+def _oracle_embedding_neardup() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        )
+
+    return f"""
+WITH corpus AS ({_NEARDUP_EMB_SQL}),
+b AS (
+  SELECT vec_id, qv, {_lsh_bucket_sql()} AS bucket
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM corpus)
+),
+scored AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+    CAST({dot('l', 'r')} AS DOUBLE)
+      / (sqrt(CAST({dot('l', 'l')} AS DOUBLE)) * sqrt(CAST({dot('r', 'r')} AS DOUBLE))) AS sim
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM scored WHERE sim >= 0.9"""
+
+
+# ---------------------------------------------------------------------------
+# streaming family (Structured Streaming; availableNow over the same parquet)
+# ---------------------------------------------------------------------------
+
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hourly: readStream → watermark → window agg.
+
+    availableNow + complete mode drains the directory in one run, so the
+    result equals the batch query and shares its DuckDB oracle.
+    """
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_events_hourly
+
+    sdf = streaming_events_hourly(load_stream(spark, sf_dir, "events"))
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName("__events_hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("__events_hourly_stream")
 
 
 # ---------------------------------------------------------------------------
@@ -693,6 +855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
         "doc_fingerprint": q_fingerprint,
+        "token_counts": q_token_counts,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "simhash": q_simhash,
         # dedup
         "dedup_exact": q_dedup_exact,
@@ -701,6 +865,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         # similarity search
         "ann_cosine_topk": q_ann_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_neardup": q_embedding_neardup,
+        # streaming
+        "events_hourly_stream": q_events_hourly_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
     }
@@ -722,11 +890,16 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _ORACLE_TEXT_QUALITY,
         "lang_scores": _oracle_lang_scores(),
         "doc_fingerprint": _ORACLE_FINGERPRINT,
+        "token_counts": _ORACLE_TOKEN_COUNTS,
+        "rolling_fingerprint": _ORACLE_ROLLING_FP,
         "simhash": _oracle_simhash(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "minhash_signatures": _oracle_minhash_signatures(),
         "neardup_minhash": _oracle_neardup_minhash(),
         "simhash_neardup": _oracle_simhash_neardup(),
         "ann_cosine_topk": _oracle_ann_topk(),
+        "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "embedding_neardup": _oracle_embedding_neardup(),
+        "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "multimodal_meta": _ORACLE_MULTIMODAL,
     }

@@ -120,6 +120,50 @@ def lsh_bucket(vec: Column, dim: int) -> Column:
     return bucket
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+
+    Candidates share an 8-bit hyperplane bucket (nearly-parallel vectors
+    land in the same bucket with high probability); exact quantized cosine
+    ≥ threshold verifies.  The self-join is an equi-join on the bucket id —
+    one shuffle by bucket, never a cross product.  Output:
+    (id_a < id_b, cosine_micro).
+    """
+    b = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
+    )
+    lhs, rhs = b.alias("l"), b.alias("r")
+    sim = cosine_similarity(F.col("l.__v"), F.col("r.__v"))
+    return (
+        lhs.join(
+            rhs,
+            on=[
+                F.col("l.__bucket") == F.col("r.__bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("__sim"),
+        )
+        .filter(F.col("__sim") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("__sim") * 1_000_000).cast("long").alias("cosine_micro"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

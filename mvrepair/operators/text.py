@@ -113,6 +113,72 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+ROLL_P = 1_000_000_007  # Rabin-Karp modulus: acc*131+255 stays < 2^63
+ROLL_BASE = 131
+KGRAM = 8
+
+# "BPE-ish" regex tokenizer: letter runs, digit runs, single punctuation —
+# the word-splitting pass every byte-pair tokenizer starts from.
+BPE_SPLIT_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+SUBWORD_LEN = 4
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex, subword units.
+
+    ``n_subword_units`` = Σ ceil(len(tok)/4) over regex tokens — the
+    fixed-stride upper bound on a BPE vocabulary's token count, computable
+    without a learned vocab.  Pure column algebra, codegen-friendly.
+    """
+    ws = tokenize(F.col(text_col))
+    re_toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), F.lit(0))
+    subword = F.aggregate(
+        re_toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(SUBWORD_LEN)).cast("long"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_ws_tokens"),
+        F.size(re_toks).cast("long").alias("n_re_tokens"),
+        subword.alias("n_subword_units"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rolling-hash document fingerprints.
+
+    - ``fp_roll``: Rabin-Karp polynomial hash over the full character
+      stream (base 131, mod 1e9+7) — order-sensitive, one pass, exact in
+      any 64-bit engine.
+    - ``fp_min_kgram``: winnowing-style fingerprint — minimum stable hash
+      over all 8-char grams, robust to local edits (an edit perturbs ≤ 8
+      grams, the min usually survives).  Docs shorter than 8 chars fall
+      back to the whole-doc hash.
+    """
+    chars = F.transform(F.split(F.col(text_col), ""), lambda c: F.ascii(c))
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_P,
+    )
+    n_grams = F.length(text_col) - (KGRAM - 1)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: stable_hash64(F.substring(F.col(text_col), i, KGRAM)),
+    )
+    min_kgram = F.when(n_grams >= 1, F.array_min(gram_hashes)).otherwise(
+        stable_hash64(F.col(text_col))
+    )
+    return df.select(
+        F.col(id_col),
+        roll.alias("fp_roll"),
+        min_kgram.alias("fp_min_kgram"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -69,6 +69,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(spark.read.parquet(path), nanos)
 
 
+def load_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming twin of ``load_table``: readStream over the same parquet
+    with identical nanos/NTZ normalization.  readStream requires an
+    explicit schema — taken from a batch read of the same path (cheap:
+    footer only)."""
+    path = f"{sf_dir}/{name}.parquet"
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema
+    # file-source streams need a directory; glob-filter down to this table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize(stream, nanos)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql access."""
     for name in TABLES:

