@@ -43,15 +43,35 @@ _DEC18 = "decimal(18,2)"
 _DEC12 = "decimal(12,10)"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to all cores when the source has fewer
+    input splits than the cluster has slots.
+
+    The fixture tables are a few MB — one or two parquet splits — so
+    without this every per-row-heavy operator runs on ≤2 of 32 cores.  On
+    a real 100 TB table the scan yields thousands of splits and this is a
+    no-op (guarded), so it costs nothing at scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) spread across cores — shared by the text/dedup family."""
+    return _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 def _docs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (doc_id + 1_000_000) — exact-dedup demo."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir)
     return d.unionByName(d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
 
 
 def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ near-duplicates (first token dropped, doc_id + 1_000_000)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs(spark, sf_dir)
     variant = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
@@ -375,7 +395,7 @@ FROM (
 # ---------------------------------------------------------------------------
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.text_stats(load_table(spark, sf_dir, "documents"))
+    return X.text_stats(_docs(spark, sf_dir))
 
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in X.EN_STOPWORDS) + "]"
@@ -393,7 +413,7 @@ FROM documents"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.quality_score(load_table(spark, sf_dir, "documents"))
+    return X.quality_score(_docs(spark, sf_dir))
 
 
 _ORACLE_TEXT_QUALITY = f"""
@@ -418,7 +438,7 @@ FROM m"""
 
 
 def q_lang_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.lang_scores(load_table(spark, sf_dir, "documents"))
+    return X.lang_scores(_docs(spark, sf_dir))
 
 
 def _oracle_lang_scores() -> str:
@@ -441,7 +461,7 @@ SELECT *, {guess} AS lang_guess FROM h"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.fingerprint(load_table(spark, sf_dir, "documents"))
+    return X.fingerprint(_docs(spark, sf_dir))
 
 
 _ORACLE_FINGERPRINT = """
@@ -451,7 +471,7 @@ FROM documents"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.simhash32(load_table(spark, sf_dir, "documents"))
+    return X.simhash32(_docs(spark, sf_dir))
 
 
 # DuckDB n=3 shingle list from a text column (1-indexed lists; range() is
@@ -510,7 +530,7 @@ FROM corpus GROUP BY 1"""
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    return D.minhash_signatures(_docs(spark, sf_dir))
 
 
 def _minhash_sig_exprs() -> str:
@@ -612,7 +632,7 @@ FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 10"""
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.token_counts(load_table(spark, sf_dir, "documents"))
+    return X.token_counts(_docs(spark, sf_dir))
 
 
 _ORACLE_TOKEN_COUNTS = f"""
@@ -625,7 +645,7 @@ FROM documents"""
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+    return X.rolling_fingerprint(_docs(spark, sf_dir))
 
 
 _ORACLE_ROLLING_FP = f"""
@@ -665,7 +685,7 @@ _QUANT_SQL = (
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.cosine_topk(emb, queries, k=5)
 
@@ -698,7 +718,7 @@ FROM ranked WHERE rank <= 5"""
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: hyperplane-LSH bucket join instead of cross join."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.lsh_bucketed_topk(emb, queries, dim=64, k=5)
 
@@ -736,7 +756,7 @@ def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Negation is exact in IEEE float, so both engines see bit-identical
     vectors; cosine(original, variant) ≈ 1 - 2·v₀²/‖v‖² — a true near-dup.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = _spread(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
     variant = emb.select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.concat(

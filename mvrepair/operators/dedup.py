@@ -137,14 +137,14 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as 16 columns ``sig_0..sig_15``.
 
-    The signature array is computed in a single projection and forced
-    through a tiny round-robin exchange before the 16-column unpack —
-    otherwise Catalyst's projection collapse would inline (and recompute)
-    the whole aggregate per output column.
+    The signature array is computed in its own projection; the 16-column
+    unpack references it 16 times, which blocks CollapseProject from
+    inlining (and recomputing) the aggregate per output column — no
+    exchange needed.
     """
     sigs = df.select(
         F.col(id_col), minhash_sig_array(text_col, n).alias("__sigs")
-    ).repartition(F.col(id_col))
+    )
     return sigs.select(
         F.col(id_col),
         *[F.element_at("__sigs", i + 1).alias(f"sig_{i}") for i in range(N_HASHES)],
@@ -159,12 +159,12 @@ def minhash_candidate_pairs(
     Bands the 16-signature into 4 bands of 4; docs sharing any band bucket
     become a candidate pair.  The self-join key is (band_idx, band_sig) —
     at 100 TB this is the bucket-join, never a cross join.  Both join
-    sides derive from the same exchange, so Spark's ReusedExchange computes
-    the signatures once.
+    sides share the identical pre-shuffle subplan, so Spark's
+    ReusedExchange computes the signatures once.
     """
     sigs = df.select(
         F.col(id_col), minhash_sig_array(text_col, n).alias("__sigs")
-    ).repartition(F.col(id_col))
+    )
     bands = sigs.select(
         F.col(id_col),
         F.explode(

@@ -45,6 +45,46 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     )
 
 
+def _prepare(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-side precompute for vector joins: quantized ints + norm (+ LSH
+    bucket when ``dim`` is given).
+
+    Norms and buckets are per-VECTOR quantities; computing them here means
+    each join candidate pair later costs ONE dot product instead of three
+    (the naive per-pair cosine recomputes both self-dots).  The projections
+    stay separate (CollapseProject keeps multiply-referenced non-cheap
+    aliases un-inlined), and the join's shuffle materializes them once per
+    input row.
+    """
+    out = df.select(
+        F.col(id_col).alias(out_id), _quant(F.col(vec_col)).alias("__qv")
+    )
+    out = out.withColumn(
+        "__norm", F.sqrt(_dot(F.col("__qv"), F.col("__qv")).cast("double"))
+    )
+    if dim is not None:
+        out = out.withColumn("__bucket", _bucket_from_qv(F.col("__qv"), dim))
+    return out
+
+
+def _pair_sim(left_prefix: str, right_prefix: str) -> Column:
+    """Cosine from prepared sides: one dot over the quantized vectors,
+    divided by the precomputed norm product — numerically identical to
+    ``cosine_similarity`` (same integer dot, same sqrt inputs, same
+    operation order)."""
+    return _dot(
+        F.col(f"{left_prefix}.__qv"), F.col(f"{right_prefix}.__qv")
+    ).cast("double") / (
+        F.col(f"{left_prefix}.__norm") * F.col(f"{right_prefix}.__norm")
+    )
+
+
 def _ranked(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id").asc()
@@ -76,18 +116,13 @@ def cosine_topk(
     (similarity desc, neighbor id) — deterministic because the similarity
     doubles are bit-identical.  Self-matches are excluded.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    q = _prepare(queries, id_col, vec_col, "query_id").alias("l")
+    c = _prepare(corpus, id_col, vec_col, "neighbor_id").alias("r")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("__sim"))
+        .select("query_id", "neighbor_id", _pair_sim("l", "r").alias("__sim"))
     )
     return _ranked(scored, k)
 
@@ -103,21 +138,32 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if (v >> 16) & 1 else -1
 
 
+def _bucket_from_qv(qv: Column, dim: int) -> Column:
+    """8-bit hyperplane bucket from an already-quantized int64 array.
+
+    Signs live in one array literal per plane and the projection is a
+    zip_with + fold — a ~40-node expression tree instead of ~2000 explicit
+    ``element_at`` terms, which keeps Catalyst analysis + codegen time flat
+    (the explicit form costs seconds of driver-side compile per query).
+    The left-to-right fold sums in the same order as the unrolled chain, so
+    bucket ids are unchanged.
+    """
+    bucket = F.lit(0)
+    for p in range(_N_PLANES):
+        signs = F.lit([_plane_sign(p, d) for d in range(dim)])
+        prods = F.zip_with(qv, signs, lambda x, s: x * s)
+        proj = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
 def lsh_bucket(vec: Column, dim: int) -> Column:
     """8-bit random-hyperplane bucket id for a float-array column.
 
     Projections run on the quantized int64 elements, so the bucket id is
     exact and portable too.
     """
-    qv = _quant(vec)
-    bucket = F.lit(0)
-    for p in range(_N_PLANES):
-        proj = None
-        for d in range(dim):
-            term = F.element_at(qv, d + 1) * F.lit(_plane_sign(p, d))
-            proj = term if proj is None else proj + term
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    return _bucket_from_qv(_quant(vec), dim)
 
 
 def cosine_neardup_pairs(
@@ -135,13 +181,8 @@ def cosine_neardup_pairs(
     one shuffle by bucket, never a cross product.  Output:
     (id_a < id_b, cosine_micro).
     """
-    b = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).alias("__v"),
-        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
-    )
+    b = _prepare(corpus, id_col, vec_col, id_col, dim=dim)
     lhs, rhs = b.alias("l"), b.alias("r")
-    sim = cosine_similarity(F.col("l.__v"), F.col("r.__v"))
     return (
         lhs.join(
             rhs,
@@ -153,7 +194,7 @@ def cosine_neardup_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-            sim.alias("__sim"),
+            _pair_sim("l", "r").alias("__sim"),
         )
         .filter(F.col("__sim") >= threshold)
         .select(
@@ -179,20 +220,11 @@ def lsh_bucketed_topk(
     equi-join on the bucket id, so Catalyst shuffles each side once by
     bucket instead of building a cross product.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        lsh_bucket(F.col(vec_col), dim).alias("__bucket"),
-    )
-    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    q = _prepare(queries, id_col, vec_col, "query_id", dim=dim).alias("l")
+    c = _prepare(corpus, id_col, vec_col, "neighbor_id", dim=dim).alias("r")
     scored = (
-        q.join(c, on="__bucket")
+        q.join(c, on=[F.col("l.__bucket") == F.col("r.__bucket")])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("__sim"))
+        .select("query_id", "neighbor_id", _pair_sim("l", "r").alias("__sim"))
     )
     return _ranked(scored, k)
