@@ -158,9 +158,14 @@ def minhash_candidate_pairs(
 
     Bands the 16-signature into 4 bands of 4; docs sharing any band bucket
     become a candidate pair.  The self-join key is (band_idx, band_sig) —
-    at 100 TB this is the bucket-join, never a cross join.  Both join
-    sides share the identical pre-shuffle subplan, so Spark's
-    ReusedExchange computes the signatures once.
+    at 100 TB this is a bucket grouping, never a cross join.  Pairs are
+    generated WITHIN each bucket (groupBy band → sorted id set → ordered
+    2-combinations) instead of a self-join: a self-join's two sides defeat
+    ReusedExchange once one side broadcasts, recomputing every signature —
+    the groupBy shape computes signatures exactly once and shuffles only
+    (band, id) rows.  Hot buckets (a band value shared by b docs) emit
+    b·(b-1)/2 pairs either way; production pipelines cap bucket size to
+    bound that — here unbounded for oracle-exact semantics.
     """
     sigs = df.select(
         F.col(id_col), minhash_sig_array(text_col, n).alias("__sigs")
@@ -185,21 +190,23 @@ def minhash_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, F.size(F.col("__ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_idx") == F.col("b.band_idx"),
-                F.col("a.band_sig") == F.col("b.band_sig"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -288,22 +295,34 @@ def simhash_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "simhash", "band.byte_idx", "band.byte_val")
-    a, b = bands.alias("a"), bands.alias("b")
+    # in-bucket pair generation (not a self-join) — computes the upstream
+    # simhash aggregation once; see minhash_candidate_pairs for rationale
+    buckets = (
+        bands.groupBy("byte_idx", "byte_val")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            ).alias("__m")
+        )
+        .filter(F.size("__m") >= 2)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("__m"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__m"), i + 2, F.size(F.col("__m"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["simhash"].alias("sim_a"),
+                    y["simhash"].alias("sim_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.byte_idx") == F.col("b.byte_idx"),
-                F.col("a.byte_val") == F.col("b.byte_val"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.sim_a", "p.sim_b")
         .distinct()
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
