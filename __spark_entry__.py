@@ -750,6 +750,61 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank,
 FROM ranked WHERE rank <= 5"""
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: centroid inverted lists (16 centroids, probe 4)."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+
+
+def _oracle_ann_ivf_topk(n_centroids: int = 16, n_probe: int = 4) -> str:
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, qv, sqrt(CAST({dot('qv', 'qv')} AS DOUBLE)) AS norm
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS cid, qv AS cqv, norm AS cnorm FROM b
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+csims AS (
+  SELECT b.vec_id, c.cid,
+         CAST({dot('b.qv', 'c.cqv')} AS DOUBLE) / (b.norm * c.cnorm) AS sim
+  FROM b, cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS cent FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM csims) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cid AS cent FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM csims WHERE vec_id % 50 = 0) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST({dot('q.qv', 'c.qv')} AS DOUBLE) / (q.norm * c.norm) AS sim
+  FROM probes p
+  JOIN assigned a ON p.cent = a.cent AND p.vec_id <> a.vec_id
+  JOIN b q ON q.vec_id = p.vec_id
+  JOIN b c ON c.vec_id = a.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM ranked WHERE rank <= 5"""
+
+
 def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (first component negated, id+1e6).
 
@@ -829,6 +884,53 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("__events_hourly_stream")
 
 
+def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming twin of dedup_exact: applyInPandasWithState.
+
+    The doc stream is doubled in-flight (id, id+1e6 — same corpus as the
+    batch dedup demo); availableNow drains the single-file source in one
+    microbatch, so the update-mode output equals the batch oracle.  The
+    defensive min/max re-agg collapses per-key update rows if the source
+    ever splits into multiple batches.
+    """
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.stateful import streaming_dedup
+
+    docs = load_stream(spark, sf_dir, "documents").select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id"), F.col("text")),
+                F.struct(
+                    (F.col("doc_id") + 1_000_000).alias("doc_id"), F.col("text")
+                ),
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
+    query = (
+        streaming_dedup(docs)
+        .writeStream.format("memory")
+        .queryName("__dedup_exact_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("__dedup_exact_stream")
+        .groupBy("text_hash")
+        .agg(
+            F.min("keep_id").alias("keep_id"),
+            F.max("n_copies").alias("n_copies"),
+        )
+    )
+
+
+_ORACLE_DEDUP_STREAM = f"""
+WITH corpus AS ({_DOCS_CORPUS_SQL})
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM corpus GROUP BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal family (binary columns + Pandas-UDF plumbing)
 # ---------------------------------------------------------------------------
@@ -844,6 +946,25 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_MULTIMODAL = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes, 'raw' AS format
 FROM documents"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mvrepair.operators.multimodal import attach_binary, nibble_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return nibble_histogram(attach_binary(docs, text_col="text"))
+
+
+def _oracle_multimodal_features() -> str:
+    # hex-digit frequency of the payload == nibble histogram of its bytes
+    digits = "0123456789ABCDEF"
+    cols = ", ".join(
+        f"(length(hx) - length(replace(hx, '{d}', '')))::BIGINT AS h{i}"
+        for i, d in enumerate(digits)
+    )
+    return f"""
+SELECT doc_id, {cols}
+FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)"""
 
 
 # ---------------------------------------------------------------------------
@@ -886,11 +1007,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         # streaming
         "events_hourly_stream": q_events_hourly_stream,
+        "dedup_exact_stream": q_dedup_exact_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -919,7 +1043,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup": _oracle_simhash_neardup(),
         "ann_cosine_topk": _oracle_ann_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
+        "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
+        "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
         "multimodal_meta": _ORACLE_MULTIMODAL,
+        "multimodal_features": _oracle_multimodal_features(),
     }

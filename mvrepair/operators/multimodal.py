@@ -54,6 +54,66 @@ def extract_metadata(
     return df.select(id_col, payload_col).mapInPandas(meta_batches, METADATA_SCHEMA)
 
 
+N_FEATURES = 16
+FEATURE_SCHEMA = "doc_id long, " + ", ".join(
+    f"h{i} long" for i in range(N_FEATURES)
+)
+
+
+def nibble_histogram(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature extraction over binary payloads: 16-bin nibble histogram.
+
+    The codec-free stand-in for "decode bytes → feature vector": numpy
+    reads each payload zero-copy from the Arrow batch, splits bytes into
+    high/low nibbles, and bincounts — the exact compute shape of a real
+    featurizer (bytes in, fixed-width numeric vector out), vectorized
+    per batch.  Counts are integers, so any engine reproduces them
+    bit-exactly (oracle: hex-digit frequencies of the payload).
+    """
+    import numpy as np
+
+    def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": list(pdf[id_col])}
+            cols: list[list[int]] = [[] for _ in range(N_FEATURES)]
+            for payload in pdf[payload_col]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(
+                    np.concatenate([b >> 4, b & 15]), minlength=N_FEATURES
+                )
+                for i in range(N_FEATURES):
+                    cols[i].append(int(counts[i]))
+            for i in range(N_FEATURES):
+                out[f"h{i}"] = cols[i]
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        hist_batches, FEATURE_SCHEMA
+    )
+
+
+def resize_image(
+    df: DataFrame, payload_col: str = "payload", width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize image payloads — STUB (no codec in this container).
+
+    Fails fast like ``decode_image``; the batch plumbing a real resizer
+    would use (binary in → binary out over mapInPandas) is the same shape
+    as ``nibble_histogram``.
+    """
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires an image codec (PIL/opencv), not "
+            "available in this environment; see nibble_histogram for the "
+            "exercised mapInPandas batch shape"
+        ) from exc
+    raise NotImplementedError("codec integration not implemented")
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Decode image payloads to (height, width, channels) — STUB.
 

@@ -205,6 +205,105 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: centroid-partitioned inverted lists, probe-then-score.
+
+    Build: the ``n_centroids`` lowest-id corpus vectors act as centroids
+    (deterministic, seedless "training"); every corpus vector is assigned to
+    its highest-cosine centroid by a pure map-side projection against a
+    broadcast centroid literal — no shuffle, no join.  Probe: each query
+    ranks the same centroid list and searches only its ``n_probe`` best
+    inverted lists; the candidate join is an equi-join on centroid id.
+
+    At 100 TB this is the textbook IVF layout: centroids are a tiny model
+    artifact on the driver, assignment is embarrassingly parallel, and the
+    corpus can be written bucketed by ``__cent`` so probes prune partitions.
+    Recall < 1 by design (the ANN trade); scoring on the shortlist is the
+    same exact quantized cosine as ``cosine_topk``.
+    """
+    import math
+
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cqv"))
+        .collect()
+    )
+    # (cid, quantized vector, norm) literals; norms precomputed driver-side
+    # with the same int64 self-dot → IEEE sqrt every engine reproduces.
+    cent_lits = F.array(
+        *[
+            F.struct(
+                F.lit(r["cid"]).alias("cid"),
+                F.array(*[F.lit(int(x)) for x in r["cqv"]]).alias("cqv"),
+                F.lit(math.sqrt(float(sum(x * x for x in r["cqv"])))).alias(
+                    "cnorm"
+                ),
+            )
+            for r in cents
+        ]
+    )
+
+    def cent_sims(prefix: str) -> Column:
+        """array<struct(sim, cid)> — cosine of this row's vector to every
+        centroid, one dot per centroid against the broadcast literal."""
+        return F.transform(
+            cent_lits,
+            lambda c: F.struct(
+                (
+                    _dot(F.col(f"{prefix}.__qv"), c["cqv"]).cast("double")
+                    / (F.col(f"{prefix}.__norm") * c["cnorm"])
+                ).alias("sim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    c = _prepare(corpus, id_col, vec_col, "neighbor_id").alias("r")
+    # argmax by (sim, then lowest cid): max of struct(sim, -cid) compares
+    # lexicographically — deterministic even on exact-tie doubles
+    best = F.array_max(
+        F.transform(
+            cent_sims("r"),
+            lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("ncid")),
+        )
+    )
+    assigned = c.withColumn("__cent", -best["ncid"])
+
+    q = _prepare(queries, id_col, vec_col, "query_id").alias("l")
+    # top-n_probe centroids: sort by (-sim, cid) ascending, slice, unpack
+    probes = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(
+                    cent_sims("l"),
+                    lambda s: F.struct(
+                        (-s["sim"]).alias("nsim"), s["cid"].alias("cid")
+                    ),
+                )
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["cid"],
+    )
+    probed = q.withColumn("__cent", F.explode(probes))
+    scored = (
+        probed.join(assigned, on="__cent")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_sim("l", "r").alias("__sim"))
+    )
+    return _ranked(scored, k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

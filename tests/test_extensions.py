@@ -200,3 +200,148 @@ def test_streaming_events_hourly_equals_batch(spark, sf_dir, tmp_path):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_equals_batch(spark, tmp_path):
+    from mvrepair.streaming.stateful import streaming_dedup
+
+    rows = [(1, "aa bb"), (2, "aa bb"), (3, "cc dd"), (4, "ee ff"), (5, "cc dd")]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.text_hash: (r.keep_id, r.n_copies)
+        for r in spark.table("t_stream_dedup")
+        .groupBy("text_hash")
+        .agg(F.min("keep_id").alias("keep_id"), F.max("n_copies").alias("n_copies"))
+        .collect()
+    }
+    want = {
+        r.text_hash: (r.keep_id, r.n_copies)
+        for r in D.exact_dedup(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_state_carries_across_batches(spark, tmp_path):
+    """Two microbatches (maxFilesPerTrigger=1): the second batch's output
+    must fold the first batch's state (min id, cumulative count)."""
+    from mvrepair.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "docs2"
+    spark.createDataFrame([(5, "xx yy")], ["doc_id", "text"]).coalesce(1).write.parquet(str(src))
+    spark.createDataFrame([(2, "xx yy")], ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_dedup2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table("t_stream_dedup2")
+        .groupBy("text_hash")
+        .agg(F.min("keep_id").alias("keep_id"), F.max("n_copies").alias("n_copies"))
+        .collect()
+    )
+    assert len(final) == 1
+    assert (final[0].keep_id, final[0].n_copies) == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every centroid searches the whole corpus, so IVF must return
+    exactly the brute-force top-k."""
+    import random
+
+    rng = random.Random(11)
+    dim = 8
+    rows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(dim)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    queries = df.filter(F.col("vec_id") % 10 == 0)
+    brute = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_micro)
+        for r in S.cosine_topk(df, queries, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine_micro)
+        for r in S.ivf_topk(
+            df, queries, dim=dim, k=3, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert ivf == brute
+
+
+def test_ivf_partial_probe_subset_of_brute_force(spark):
+    """With fewer probes, results are a subset of per-query brute-force
+    candidates and ranks stay dense from 1."""
+    import random
+
+    rng = random.Random(13)
+    dim = 8
+    rows = [
+        (i, [float(rng.uniform(-1, 1)) for _ in range(dim)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    queries = df.filter(F.col("vec_id") == 0)
+    out = S.ivf_topk(df, queries, dim=dim, k=5, n_centroids=8, n_probe=2).collect()
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(out) + 1))
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# multimodal features
+# ---------------------------------------------------------------------------
+
+def test_nibble_histogram_known_value(spark):
+    from mvrepair.operators.multimodal import attach_binary, nibble_histogram
+
+    df = spark.createDataFrame([(1, "ab")], ["doc_id", "text"])
+    row = nibble_histogram(attach_binary(df)).collect()[0]
+    # "ab" = 0x61 0x62 → nibbles 6,1,6,2
+    want = {f"h{i}": 0 for i in range(16)} | {"h1": 1, "h2": 1, "h6": 2}
+    assert {f"h{i}": row[f"h{i}"] for i in range(16)} == want
+    assert sum(row[f"h{i}"] for i in range(16)) == 4
+
+
+def test_image_stubs_fail_fast(spark):
+    from mvrepair.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    blobs = M.attach_binary(df)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(blobs)
+    with pytest.raises(NotImplementedError):
+        M.resize_image(blobs)
