@@ -863,6 +863,26 @@ FROM scored WHERE sim >= 0.9"""
 # streaming family (Structured Streaming; availableNow over the same parquet)
 # ---------------------------------------------------------------------------
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` down for a streaming query.
+
+    A stateful query pins one state store + Python state worker per shuffle
+    partition for the life of the run; at fixture scale (≤5k groups) 32 of
+    them are pure constant overhead.  The partition count is locked into
+    the checkpoint at query start, so this is a per-stream sizing decision,
+    not an engine default — a 100 TB stream sets it high once and keeps it.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_hourly: readStream → watermark → window agg.
 
@@ -873,14 +893,15 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrepair.streaming.incremental import streaming_events_hourly
 
     sdf = streaming_events_hourly(load_stream(spark, sf_dir, "events"))
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName("__events_hourly_stream")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__events_hourly_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table("__events_hourly_stream")
 
 
@@ -906,15 +927,16 @@ def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.doc_id", "r.text")
-    query = (
-        streaming_dedup(docs)
-        .writeStream.format("memory")
-        .queryName("__dedup_exact_stream")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with _state_partitions(spark, 8):
+        query = (
+            streaming_dedup(docs)
+            .writeStream.format("memory")
+            .queryName("__dedup_exact_stream")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return (
         spark.table("__dedup_exact_stream")
         .groupBy("text_hash")

@@ -36,13 +36,18 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        # 26 queries × multi-stage codegen ≈ hundreds of Janino classes; the
-        # default 240 MB JIT code cache fills mid-run, the JIT shuts off, and
-        # late queries run interpreted (measured: 83 s vs 12 s for the same
-        # query). A bigger cache keeps compiled code compiled.
+        # 29 queries × multi-stage codegen ≈ hundreds of Janino classes.
+        # Two JVM fits for a compile-dominated small-data run: (a) the
+        # default 240 MB code cache fills mid-run and shuts the JIT off
+        # (measured: 83 s vs 12 s for the same query) — reserve 1 GB;
+        # (b) C2 spends whole seconds per giant generated method and steals
+        # cores from the 32 task threads (measured: 33 s JIT for one query)
+        # — stop tiering at C1, which compiles ~50× faster and costs little
+        # at fixture scale.  A long-lived 100 TB job amortizes C2 and wants
+        # it back on.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:TieredStopAtLevel=1",
         )
         .getOrCreate()
     )
