@@ -390,6 +390,46 @@ FROM (
 ) WHERE rnk <= 5"""
 
 
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (absent in the reference, free in Spark —
+    SURVEY §2 'grouping sets / cube / rollup' row)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC18)).alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price"
+        )
+    )
+
+
+_ORACLE_ORDERS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority)::INTEGER AS gid,
+       count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
+
+
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op query: customers who ordered in 2000 but not in 2001
+    (EXCEPT — absent in the reference, built-in in Spark)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    return a.subtract(b).select(F.col("o_custkey").alias("custkey"))
+
+
+_ORACLE_LAPSED = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 2000
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001"""
+
+
 # ---------------------------------------------------------------------------
 # text-analysis family
 # ---------------------------------------------------------------------------
@@ -1013,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "events_hourly": q_events_hourly,
         "top_users_per_event": q_top_users_per_event,
+        "orders_rollup": q_orders_rollup,
+        "lapsed_customers": q_lapsed_customers,
         # text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
@@ -1052,6 +1094,8 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue": _ORACLE_REGIONAL,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "top_users_per_event": _ORACLE_TOP_USERS,
+        "orders_rollup": _ORACLE_ORDERS_ROLLUP,
+        "lapsed_customers": _ORACLE_LAPSED,
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "lang_scores": _oracle_lang_scores(),

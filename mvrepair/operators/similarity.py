@@ -276,7 +276,10 @@ def ivf_topk(
             lambda s: F.struct(s["sim"].alias("sim"), (-s["cid"]).alias("ncid")),
         )
     )
-    assigned = c.withColumn("__cent", -best["ncid"])
+    # coalesce makes __cent non-nullable, so the join's inferred
+    # isnotnull(__cent) filter constant-folds instead of re-evaluating the
+    # whole centroid-scoring expression a second time below the join
+    assigned = c.withColumn("__cent", F.coalesce(-best["ncid"], F.lit(-1)))
 
     q = _prepare(queries, id_col, vec_col, "query_id").alias("l")
     # top-n_probe centroids: sort by (-sim, cid) ascending, slice, unpack
