@@ -206,16 +206,34 @@ def simhash(
     tok = df.select(
         F.col(id_col), F.explode(arr).alias("__unit")
     ).withColumn("__h", h)
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"__b{j}")
-        for j in range(bits)
-    ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
+    # Bit-count packing: bit j set ⟺ #set(j) > n/2, so per bit we only need
+    # the SET count plus one shared n.  Four 16-bit lanes per int64 pack 4
+    # bit-counters into one sum-aggregate: ceil(bits/4)+1 agg buffer slots
+    # instead of `bits` — 3.75× less partial-agg state on the map-side
+    # combine shuffle, and far smaller generated agg code.  Safe to 32 767
+    # units/doc (the top lane's headroom in a signed-64 sum); for larger
+    # docs use 2 lanes of 32 bits.
+    G = (bits + 3) // 4  # bit j lives in group j % G, lane j // G
+    def packed(g: int) -> Column:
+        lanes = F.shiftright(F.col("__h"), g).bitwiseAND(F.lit(1))
+        for lane in range(1, 4):
+            j = g + lane * G
+            if j < bits:
+                lanes = lanes + F.shiftleft(
+                    F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)), 16 * lane
+                )
+        return lanes
+    agg = tok.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(packed(g)).alias(f"__p{g}") for g in range(G)],
+    )
     sim = None
     for j in range(bits):
-        term = F.when(F.col(f"__b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        g, lane = j % G, j // G
+        cnt = F.shiftright(F.col(f"__p{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        term = F.when(cnt * 2 > F.col("__n"), F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sim = term if sim is None else sim + term
     return agg.select(id_col, sim.alias("simhash"))
 
