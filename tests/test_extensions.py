@@ -345,3 +345,108 @@ def test_image_stubs_fail_fast(spark):
         M.decode_image(blobs)
     with pytest.raises(NotImplementedError):
         M.resize_image(blobs)
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation
+# ---------------------------------------------------------------------------
+
+def test_salted_agg_equals_plain_agg(spark):
+    from mvrepair.operators.skew import salted_agg
+
+    rows = [("hot", float(i)) for i in range(500)] + [
+        (f"k{i}", float(i)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: (r.n, r.tot, r.mx)
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "tot": (F.sum("v"), F.sum("tot")),
+                "mx": (F.max("v"), F.max("mx")),
+            },
+            salt=8,
+        ).collect()
+    }
+    want = {
+        r.k: (r.n, r.tot, r.mx)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot"), F.max("v").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from mvrepair.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(300)] + [("cold", 1), ("miss", 2)],
+        ["k", "v"],
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("other", "O")], ["k", "name"]
+    )
+    got = sorted(
+        (r.k, r.v, r.name) for r in salted_join(left, right, ["k"], salt=4).collect()
+    )
+    want = sorted((r.k, r.v, r.name) for r in left.join(right, "k").collect())
+    assert got == want
+    # left join keeps unmatched left rows exactly once
+    got_l = sorted(
+        (r.k, r.v, r.name)
+        for r in salted_join(left, right, ["k"], salt=4, how="left").collect()
+    )
+    want_l = sorted(
+        (r.k, r.v, r.name) for r in left.join(right, "k", "left").collect()
+    )
+    assert got_l == want_l
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    from mvrepair.operators.skew import salted_join
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="full_outer")
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join
+# ---------------------------------------------------------------------------
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from mvrepair.sources.bucketed import (
+        assert_no_shuffle_join,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    base = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    mv = spark.range(0, 900).withColumn("v", F.col("id") * 2)
+    write_bucketed(
+        base, "t_bucket_base", ["id"], n_buckets=4, sort_cols=["id"],
+        path=str(tmp_path / "base"),
+    )
+    write_bucketed(
+        mv, "t_bucket_mv", ["id"], n_buckets=4, sort_cols=["id"],
+        path=str(tmp_path / "mv"),
+    )
+    # disable broadcast so the planner must pick SMJ — the point is that
+    # bucket co-location removes the SMJ's shuffles, not that tiny tables
+    # broadcast anyway
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(
+            spark, "t_bucket_base", "t_bucket_mv", ["id"], how="inner"
+        )
+        assert_no_shuffle_join(joined)
+        assert joined.count() == 900
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    spark.sql("DROP TABLE IF EXISTS t_bucket_base")
+    spark.sql("DROP TABLE IF EXISTS t_bucket_mv")
