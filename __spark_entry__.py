@@ -53,7 +53,10 @@ def _spread(df: DataFrame) -> DataFrame:
     no-op (guarded), so it costs nothing at scale.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # inputFiles() is driver-side file-index metadata — unlike df.rdd, it
+    # doesn't force a full physical plan + RDD conversion per call.  The
+    # fixture files are single-row-group, so files ≈ input splits.
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
 
@@ -498,6 +501,48 @@ def _oracle_lang_scores() -> str:
     return f"""
 WITH h AS (SELECT doc_id, {hits} FROM documents)
 SELECT *, {guess} AS lang_guess FROM h"""
+
+
+def q_doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split counts per language: hash-bucket
+    assignment (reproducible on any cluster/partitioning), then a
+    two-column rollup-style count."""
+    from mvrepair.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        hash_split(docs)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_ORACLE_DOC_SPLITS = """
+SELECT lang,
+  CASE
+    WHEN b < 98 THEN 'train'
+    WHEN b < 99 THEN 'val'
+    ELSE 'test'
+  END AS split,
+  count(*) AS n_docs
+FROM (
+  SELECT lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+  FROM documents)
+GROUP BY 1, 2"""
+
+
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% stratified sample of documents (hash threshold)."""
+    from mvrepair.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, fraction=0.1)
+
+
+_ORACLE_DOC_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100"""
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
+        "doc_splits": q_doc_splits,
+        "doc_sample": q_doc_sample,
         "doc_fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -1099,6 +1146,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "lang_scores": _oracle_lang_scores(),
+        "doc_splits": _ORACLE_DOC_SPLITS,
+        "doc_sample": _ORACLE_DOC_SAMPLE,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,
         "rolling_fingerprint": _ORACLE_ROLLING_FP,

@@ -137,17 +137,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature as 16 columns ``sig_0..sig_15``.
 
-    The signature array is computed in its own projection; the 16-column
-    unpack references it 16 times, which blocks CollapseProject from
-    inlining (and recomputing) the aggregate per output column — no
-    exchange needed.
+    Shape: explode distinct shingles → hash once → groupBy(doc) with 16
+    ``min`` aggregates.  Everything codegens (no higher-order functions in
+    the hot path), and map-side partial aggregation collapses each doc to
+    one 16-long row per input partition before the shuffle — at 100 TB the
+    wire carries ~one signature per doc, not the token stream.
+    ``explode_outer`` keeps docs with fewer than ``n`` tokens (their hash
+    is NULL → all-NULL signature, matching ``list_min([]) = NULL``).
+
+    (``minhash_sig_array`` remains the shuffle-free per-row alternative:
+    same signatures via one interpreted array-aggregate — useful when a
+    downstream op needs the signature inline without a shuffle.)
     """
-    sigs = df.select(
-        F.col(id_col), minhash_sig_array(text_col, n).alias("__sigs")
+    sh = F.explode_outer(F.array_distinct(shingles(F.col(text_col), n)))
+    tok = df.select(F.col(id_col), sh.alias("__sh")).withColumn(
+        "__h", stable_hash64(F.col("__sh")) % F.lit(MINHASH_P)
     )
-    return sigs.select(
-        F.col(id_col),
-        *[F.element_at("__sigs", i + 1).alias(f"sig_{i}") for i in range(N_HASHES)],
+    return tok.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("__h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
+                f"sig_{i}"
+            )
+            for i in range(N_HASHES)
+        ]
     )
 
 
@@ -167,9 +179,7 @@ def minhash_candidate_pairs(
     b·(b-1)/2 pairs either way; production pipelines cap bucket size to
     bound that — here unbounded for oracle-exact semantics.
     """
-    sigs = df.select(
-        F.col(id_col), minhash_sig_array(text_col, n).alias("__sigs")
-    )
+    sigs = minhash_signatures(df, text_col, id_col, n)
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -180,7 +190,7 @@ def minhash_candidate_pairs(
                         F.concat_ws(
                             "_",
                             *[
-                                F.element_at("__sigs", b * ROWS_PER_BAND + r + 1)
+                                F.col(f"sig_{b * ROWS_PER_BAND + r}")
                                 for r in range(ROWS_PER_BAND)
                             ],
                         ).alias("band_sig"),

@@ -1,0 +1,66 @@
+"""Deterministic sampling & split-assignment for training-data pipelines.
+
+``df.sample`` is seed-dependent per partition layout, which makes results
+unstable under repartitioning — unacceptable for a reproducible 100 TB
+pipeline.  These operators derive membership from a content hash instead
+(``stable_hash64``: md5-based, engine-portable), so the same row lands in
+the same split on any cluster, any partitioning, any engine:
+
+- ``hash_split``: train/val/test assignment from ``hash(id) mod 100``
+  ranges.  Pure projection — no shuffle, no state.
+- ``stratified_sample``: keep ``fraction`` of rows per key by hash
+  threshold; deterministic twin of ``sampleBy`` with exact replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mvrepair.functions import stable_hash64
+
+DEFAULT_SPLITS: list[tuple[str, int, int]] = [
+    ("train", 0, 98),
+    ("val", 98, 99),
+    ("test", 99, 100),
+]
+
+
+def _bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Deterministic bucket 0..buckets-1 from the id's decimal rendering."""
+    return stable_hash64(id_col.cast("string")) % F.lit(buckets)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: list[tuple[str, int, int]] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label from hash-bucket ranges.
+
+    ``splits`` is a list of (label, lo, hi) half-open percent ranges over
+    ``hash(id) mod 100``; defaults to 98/1/1 train/val/test.
+    """
+    splits = splits or DEFAULT_SPLITS
+    b = _bucket(F.col(id_col))
+    expr = None
+    for label, lo, hi in splits:
+        cond = (b >= lo) & (b < hi)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    fraction: float = 0.1,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership decided by id hash.
+
+    Exactly reproducible: re-running (or re-reading on another cluster)
+    selects the same rows.  Use a per-stratum fraction by filtering the
+    strata first — the hash threshold composes with any predicate.
+    """
+    thresh = int(fraction * buckets)
+    return df.filter(_bucket(F.col(id_col), buckets) < thresh)

@@ -450,3 +450,33 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     spark.sql("DROP TABLE IF EXISTS t_bucket_base")
     spark.sql("DROP TABLE IF EXISTS t_bucket_mv")
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits
+# ---------------------------------------------------------------------------
+
+def test_hash_split_covers_all_rows_and_is_stable(spark):
+    from mvrepair.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    out = hash_split(df)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == 500
+    assert counts["train"] > counts.get("val", 0)
+    # repartitioning must not change any assignment
+    again = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert again == first
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    from mvrepair.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    s1 = {r.doc_id for r in stratified_sample(df, fraction=0.1).collect()}
+    s2 = {r.doc_id for r in stratified_sample(df.repartition(13), fraction=0.1).collect()}
+    assert s1 == s2
+    assert 100 < len(s1) < 320  # ~10% of 2000, hash-binomial spread
+    s_half = {r.doc_id for r in stratified_sample(df, fraction=0.05).collect()}
+    assert s_half <= s1  # threshold nesting: smaller fraction is a subset
