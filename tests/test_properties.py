@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none).
+
+Each property pins an algebraic invariant of an operator against a plain
+Python model on randomized inputs.  Examples are kept small and the Spark
+session is reused, so the suite stays fast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.sampled_from("ab cdef"), min_size=0, max_size=40
+)
+
+
+def _py_stable_hash64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+class TestStableHash:
+    @SETTINGS
+    @given(st.lists(texts, min_size=1, max_size=8, unique=True))
+    def test_matches_python_md5_model(self, spark, vals):
+        from mvrepair.functions import stable_hash64
+
+        df = spark.createDataFrame([(v,) for v in vals], ["t"])
+        got = {r.t: r.h for r in df.select("t", stable_hash64(F.col("t")).alias("h")).collect()}
+        assert got == {v: _py_stable_hash64(v) for v in vals}
+
+
+class TestShingles:
+    @SETTINGS
+    @given(texts)
+    def test_matches_python_model(self, spark, text):
+        from mvrepair.operators.dedup import SHINGLE_N, shingles
+
+        df = spark.createDataFrame([(text,)], ["t"])
+        [row] = df.select(shingles(F.col("t")).alias("s")).collect()
+        toks = text.split(" ")
+        want = (
+            [" ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)]
+            if len(toks) >= SHINGLE_N
+            else []
+        )
+        assert row.s == want
+
+
+class TestMinHash:
+    @SETTINGS
+    @given(st.lists(texts, min_size=1, max_size=6))
+    def test_signature_matches_python_model(self, spark, docs):
+        from mvrepair.operators import dedup as D
+
+        rows = [(i, t) for i, t in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            r.doc_id: tuple(r[f"sig_{i}"] for i in range(D.N_HASHES))
+            for r in D.minhash_signatures(df).collect()
+        }
+        for i, t in rows:
+            toks = t.split(" ")
+            sh = (
+                {" ".join(toks[j : j + D.SHINGLE_N]) for j in range(len(toks) - D.SHINGLE_N + 1)}
+                if len(toks) >= D.SHINGLE_N
+                else set()
+            )
+            hs = [_py_stable_hash64(s) % D.MINHASH_P for s in sh]
+            want = tuple(
+                min(((a * h + b) % D.MINHASH_P for h in hs), default=None)
+                for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+            )
+            assert got[i] == want
+
+    @SETTINGS
+    @given(texts.filter(lambda t: len(t.split(" ")) >= 3))
+    def test_identical_docs_always_pair(self, spark, text):
+        from mvrepair.operators import dedup as D
+
+        df = spark.createDataFrame([(0, text), (1, text)], ["doc_id", "text"])
+        pairs = {(r.id_a, r.id_b) for r in D.minhash_candidate_pairs(df).collect()}
+        assert (0, 1) in pairs
+
+
+class TestSampling:
+    @SETTINGS
+    @given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=30, unique=True))
+    def test_split_is_partition_of_input(self, spark, ids):
+        from mvrepair.operators.sampling import hash_split
+
+        df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+        rows = hash_split(df).collect()
+        assert len(rows) == len(ids)
+        assert all(r.split in ("train", "val", "test") for r in rows)
+        # model: bucket from the same md5 arithmetic
+        for r in rows:
+            b = _py_stable_hash64(str(r.doc_id)) % 100
+            want = "train" if b < 98 else ("val" if b < 99 else "test")
+            assert r.split == want
+
+
+class TestSaltedAgg:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("abc"), st.integers(-1000, 1000)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_equals_plain_agg(self, spark, rows):
+        from mvrepair.operators.skew import salted_agg
+
+        df = spark.createDataFrame(rows, ["k", "v"])
+        got = {
+            r.k: (r.n, r.tot)
+            for r in salted_agg(
+                df,
+                ["k"],
+                {"n": (F.count(F.lit(1)), F.sum("n")), "tot": (F.sum("v"), F.sum("tot"))},
+                salt=4,
+            ).collect()
+        }
+        want = {
+            r.k: (r.n, r.tot)
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot"))
+            .collect()
+        }
+        assert got == want
