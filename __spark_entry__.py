@@ -1038,6 +1038,42 @@ SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
 FROM corpus GROUP BY 1"""
 
 
+def q_mv_classify_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental reconcile: a STREAM of base rows left-joined against the
+    static MV snapshot (SURVEY §7's lambda split).  Per arriving base row
+    it reports the detectable classes — MISSING_IN_MV_TABLE and
+    INCONSISTENT — with batch-identical first-mismatch semantics; orphans
+    stay the batch job's responsibility.  No window filter: an incremental
+    pipeline classifies each change as it arrives."""
+    from mvrepair.streaming.incremental import streaming_reconcile_against_static
+
+    out = streaming_reconcile_against_static(
+        P.base_stream_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec()
+    )
+    query = (
+        out.writeStream.format("memory")
+        .queryName("__mv_classify_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("__mv_classify_stream")
+
+
+def _oracle_mv_classify_stream() -> str:
+    any_diff = (
+        "b_date IS DISTINCT FROM m_date OR b_prio IS DISTINCT FROM m_prio"
+        " OR b_status IS DISTINCT FROM m_status OR b_price IS DISTINCT FROM m_price"
+    )
+    return f"""WITH {P.oracle_classified_cte()}
+SELECT o_custkey, o_orderkey,
+  CASE WHEN NOT mp THEN 'MISSING_IN_MV_TABLE' ELSE 'INCONSISTENT' END AS problem,
+  diff_column, diff_type, base_value, mv_value
+FROM cls
+WHERE bp AND (NOT mp OR {any_diff})"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal family (binary columns + Pandas-UDF plumbing)
 # ---------------------------------------------------------------------------
@@ -1072,6 +1108,21 @@ def _oracle_multimodal_features() -> str:
     return f"""
 SELECT doc_id, {cols}
 FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling over binary payloads (the video-frame shape)."""
+    from mvrepair.operators.multimodal import attach_binary, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_binary(docs, text_col="text"))
+
+
+_ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST(least(64, n - 64 * i) AS INTEGER) AS frame_bytes
+FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+     LATERAL unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS t(i)"""
 
 
 # ---------------------------------------------------------------------------
@@ -1123,9 +1174,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming
         "events_hourly_stream": q_events_hourly_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
+        "mv_classify_stream": q_mv_classify_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
     }
 
 
@@ -1162,6 +1215,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _oracle_embedding_neardup(),
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
+        "mv_classify_stream": _oracle_mv_classify_stream(),
         "multimodal_meta": _ORACLE_MULTIMODAL,
         "multimodal_features": _oracle_multimodal_features(),
+        "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
     }

@@ -73,6 +73,25 @@ def base_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def base_stream_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``base_df``: the same projection over a
+    readStream source (pure projection — valid on a streaming plan)."""
+    from mvrepair.sources.parquet import load_stream
+
+    orders = load_stream(spark, sf_dir, "orders")
+    wt = F.unix_micros(F.col("o_orderdate"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+        *[wt.alias(f"{c}__writetime") for c in NON_PK],
+        *[F.lit(None).cast("int").alias(f"{c}__ttl") for c in NON_PK],
+    )
+
+
 def mv_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = base_df(spark, sf_dir)
     k = F.col("o_orderkey")
