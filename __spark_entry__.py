@@ -545,6 +545,42 @@ SELECT doc_id, lang FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100"""
 
 
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a corpus with injected emails/URLs (deterministic
+    concat injection so both engines see identical inputs)."""
+    docs = _docs(spark, sf_dir)
+    k = F.col("doc_id")
+    dirty = docs.select(
+        "doc_id",
+        F.when(
+            k % 7 == 0,
+            F.concat(F.col("text"), F.lit(" user"), k, F.lit("@example.com")),
+        )
+        .when(k % 11 == 0, F.concat(F.col("text"), F.lit(" see https://ex.com/d/"), k))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.scrub_text(dirty)
+
+
+_ORACLE_TEXT_SCRUB = """
+WITH dirty AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN concat(text, ' user', doc_id, '@example.com')
+         WHEN doc_id % 11 = 0 THEN concat(text, ' see https://ex.com/d/', doc_id)
+         ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}', '<EMAIL>', 'g'),
+    'https?://[^ ]+', '<URL>', 'g'),
+    '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_url,
+  len(regexp_extract_all(text, '[0-9]{6,}'))::BIGINT AS n_longnum
+FROM dirty"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(_docs(spark, sf_dir))
 
@@ -1157,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_scores": q_lang_scores,
         "doc_splits": q_doc_splits,
         "doc_sample": q_doc_sample,
+        "text_scrub": q_text_scrub,
         "doc_fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -1201,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_scores": _oracle_lang_scores(),
         "doc_splits": _ORACLE_DOC_SPLITS,
         "doc_sample": _ORACLE_DOC_SAMPLE,
+        "text_scrub": _ORACLE_TEXT_SCRUB,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,
         "rolling_fingerprint": _ORACLE_ROLLING_FP,

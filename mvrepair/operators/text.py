@@ -179,6 +179,38 @@ def rolling_fingerprint(
     )
 
 
+# Scrub patterns: RE2/Java-compatible (no backslash classes, so the same
+# string works in Spark, DuckDB, and any POSIX-ish engine).
+SCRUB_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("longnum", "[0-9]{6,}", "<NUM>"),
+]
+
+
+def scrub_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII-style scrubbing: replace emails / URLs / long digit runs with
+    placeholder tokens; report per-pattern match counts.
+
+    Counts are taken on the original text, replacements applied
+    sequentially in ``SCRUB_PATTERNS`` order.  Pure ``regexp_replace`` /
+    ``regexp_extract_all`` column algebra — codegen-friendly, linear scan
+    at any scale.
+    """
+    out = F.col(text_col)
+    counts = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(F.col(id_col), out.alias("clean_text"), *counts)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -480,3 +480,67 @@ def test_stratified_sample_deterministic_subset(spark):
     assert 100 < len(s1) < 320  # ~10% of 2000, hash-binomial spread
     s_half = {r.doc_id for r in stratified_sample(df, fraction=0.05).collect()}
     assert s_half <= s1  # threshold nesting: smaller fraction is a subset
+
+
+# ---------------------------------------------------------------------------
+# rate limiting (reference O4: Guava limiter parity)
+# ---------------------------------------------------------------------------
+
+def test_token_bucket_rate_with_fake_clock():
+    from mvrepair.sources.cassandra import TokenBucket
+
+    t = [0.0]
+    slept = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        slept.append(s)
+        t[0] += s
+
+    tb = TokenBucket(rate=5, clock=clock, sleep=sleep)
+    # burst capacity = rate: first 5 permits are free
+    for _ in range(5):
+        assert tb.acquire() == 0.0
+    # 6th permit must wait 1/5 s
+    w = tb.acquire()
+    assert abs(w - 0.2) < 1e-9
+    # after 1 simulated second the bucket refills to full burst
+    t[0] += 1.0
+    assert tb.acquire() == 0.0
+
+
+def test_token_bucket_rejects_nonpositive_rate():
+    from mvrepair.sources.cassandra import TokenBucket
+
+    with pytest.raises(ValueError):
+        TokenBucket(rate=0)
+
+
+def test_cassandra_executor_unavailable_without_driver(spark):
+    from mvrepair.config import SyncSettings
+    from mvrepair.sources.cassandra import _get_session
+
+    with pytest.raises(NotImplementedError):
+        _get_session(SyncSettings({}))
+
+
+# ---------------------------------------------------------------------------
+# text scrubbing
+# ---------------------------------------------------------------------------
+
+def test_scrub_text_known_values(spark):
+    rows = [
+        (1, "contact bob@x.org or see https://a.b/c now"),
+        (2, "id 1234567 and 42"),
+        (3, "clean"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in X.scrub_text(df).collect()}
+    assert out[1].clean_text == "contact <EMAIL> or see <URL> now"
+    assert (out[1].n_email, out[1].n_url) == (1, 1)
+    assert out[2].clean_text == "id <NUM> and 42"
+    assert out[2].n_longnum == 1
+    assert out[3].clean_text == "clean"
+    assert (out[3].n_email, out[3].n_url, out[3].n_longnum) == (0, 0, 0)
