@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 from mvrepair.config import SyncSettings
 from mvrepair.operators import dedup as D
 from mvrepair.operators import similarity as S
+from mvrepair.operators import temporal as T
 from mvrepair.operators import text as X
 from mvrepair.operators.reconcile import classify, reconcile_report, stats_df
 from mvrepair.operators.repair import (
@@ -366,6 +367,91 @@ SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
   count(*) AS n_events,
   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase attributed to the latest
+    prior-or-equal click/view by the same user (union+window formulation —
+    one shuffle, no join explosion; see operators/temporal.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = T.asof_join(
+        purchases,
+        touches,
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "event_type", "ts"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_event_id"),
+        F.col("asof_event_type"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+    )
+
+
+# Oracle replicates the union+window semantics (deterministic under
+# duplicate timestamps), rather than DuckDB's native ASOF JOIN whose tie
+# handling is unspecified.
+_ORACLE_PURCHASE_ATTRIBUTION = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+u AS (
+  SELECT event_id, user_id, ts, 1 AS side,
+         NULL::BIGINT AS r_id, NULL::VARCHAR AS r_type, NULL::TIMESTAMP AS r_ts
+  FROM l
+  UNION ALL
+  SELECT event_id, user_id, ts, 0, event_id, event_type, ts FROM r
+),
+m AS (
+  SELECT *,
+    last_value(r_id IGNORE NULLS) OVER w AS a_id,
+    last_value(r_type IGNORE NULLS) OVER w AS a_type,
+    last_value(r_ts IGNORE NULLS) OVER w AS a_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, r_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  a_id AS asof_event_id, a_type AS asof_event_type,
+  epoch_us(ts) - epoch_us(a_ts) AS gap_us
+FROM m WHERE side = 1"""
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via native session_window."""
+    ev = load_table(spark, sf_dir, "events")
+    return T.sessionize(ev, "user_id", "ts", gap="30 minutes", value_col="value")
+
+
+# Spark session semantics: sessions merge while the gap is <= the window
+# (an event exactly at the previous session's end extends it — boundary is
+# inclusive, verified in tests); end = last event + gap.
+_ORACLE_EVENT_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g)
+SELECT user_id,
+  epoch_us(min(ts)) AS session_start_us,
+  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY user_id, sess"""
 
 
 def q_top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "regional_revenue": q_regional_revenue,
         "events_hourly": q_events_hourly,
+        "purchase_attribution": q_purchase_attribution,
+        "event_sessions": q_event_sessions,
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
         "lapsed_customers": q_lapsed_customers,
@@ -1230,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _ORACLE_TOP_REVENUE,
         "regional_revenue": _ORACLE_REGIONAL,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
+        "event_sessions": _ORACLE_EVENT_SESSIONS,
         "top_users_per_event": _ORACLE_TOP_USERS,
         "orders_rollup": _ORACLE_ORDERS_ROLLUP,
         "lapsed_customers": _ORACLE_LAPSED,

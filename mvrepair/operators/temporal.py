@@ -1,0 +1,115 @@
+"""Temporal operators: as-of join and sessionization.
+
+The reference engine has no temporal operators (SURVEY.md §2 "absent"
+rows); these are part of the added analytics surface a training-data /
+event pipeline needs.
+
+Scale design:
+
+- ``asof_join`` is the union+window formulation, not join-then-rank.  A
+  naive ``left JOIN right ON key AND r.ts <= l.ts`` materializes every
+  (left, earlier-right) pair before the rank filter — quadratic blowup per
+  key at 100 TB.  Union+window shuffles each input row exactly once on the
+  key, sorts within the partition, and carries the latest right payload
+  forward with ``last(ignorenulls)`` — linear in rows, one shuffle, and
+  whole-stage-codegen throughout (window frame UNBOUNDED PRECEDING →
+  CURRENT ROW is the running-frame fast path).
+- ``sessionize`` uses Spark's native ``session_window`` aggregation —
+  map-side partial merge of [start, end) intervals, so the shuffle carries
+  per-(key, open-session) state rather than raw events, and the same code
+  works under Structured Streaming with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Backward inclusive as-of join: for every left row, attach the right
+    row with the greatest ``ts_col`` ≤ the left row's ``ts_col`` for the
+    same key (or nulls if no such row).
+
+    ``payload_cols`` are the right-side columns to carry; they appear on
+    the output prefixed ``asof_``.  Ties inside the right side at the same
+    (key, ts) are broken by ``tiebreak_col`` (greatest wins) so the result
+    is deterministic; right rows sort before left rows at an equal
+    timestamp, making the match inclusive.
+    """
+    order: list[Column] = [F.col(ts_col).asc(), F.col("__side").asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(f"__p.{tiebreak_col}").asc_nulls_first())
+
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    l_cols = [c for c in left.columns]
+    tagged_l = left.select(
+        *l_cols,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("__p"),
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c) if c in (key_cols + [ts_col]) else F.lit(None).alias(c)
+            for c in l_cols
+        ],
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = tagged_l.unionByName(tagged_r).withColumn(
+        "__match", F.last("__p", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("__side") == 1).select(
+        *l_cols,
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization via native ``session_window``.
+
+    A session is a maximal run of events per key where consecutive gaps
+    are <= ``gap`` (Spark's boundary is inclusive: an event exactly at the
+    previous session's end extends it).  Emits one row per (key, session):
+    start = first event
+    time, end = last event time + gap (Spark's session-window convention),
+    event count, and (optionally) an exact decimal sum of ``value_col``.
+    """
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value")
+        )
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), key_col)
+        .agg(*aggs)
+        .select(
+            key_col,
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            *([F.col("total_value")] if value_col is not None else []),
+        )
+    )

@@ -51,9 +51,11 @@ def _normalize(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
             casts[f.name] = F.col(f.name).cast("timestamp")
         elif f.name in nanos_cols and isinstance(f.dataType, T.LongType):
             # nanosAsLong read: ns since epoch → µs timestamp (truncating,
-            # matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast)
+            # matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast).  Must be
+            # integral `div`: `/` is double division, and ns epoch values
+            # exceed a double's 53-bit exact range (≈ ±1 µs error).
             casts[f.name] = F.timestamp_micros(
-                (F.col(f.name) / 1000).cast("long")
+                F.expr(f"`{f.name}` div 1000")
             )
     return df.withColumns(casts) if casts else df
 

@@ -544,3 +544,91 @@ def test_scrub_text_known_values(spark):
     assert out[2].n_longnum == 1
     assert out[3].clean_text == "clean"
     assert (out[3].n_email, out[3].n_url, out[3].n_longnum) == (0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# temporal: as-of join + sessionization
+# ---------------------------------------------------------------------------
+
+def _ts(s):
+    from datetime import datetime
+
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive_and_nulls(spark):
+    from mvrepair.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:10:00")),  # matches r2 (latest <=)
+            (2, 10, _ts("2024-01-01 00:02:00")),  # equal-ts match (inclusive)
+            (3, 20, _ts("2024-01-01 00:01:00")),  # no right row for key 20
+            (4, 30, _ts("2024-01-01 00:00:30")),  # before any right row
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:02:00"), "click"),
+            (101, 10, _ts("2024-01-01 00:05:00"), "view"),
+            (102, 30, _ts("2024-01-01 00:01:00"), "click"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["event_id", "event_type"], "event_id"
+        ).collect()
+    }
+    assert out[1].asof_event_id == 101
+    assert out[2].asof_event_id == 100  # ts == right ts: inclusive
+    assert out[3].asof_event_id is None
+    assert out[4].asof_event_id is None  # right row is later, not matched
+
+
+def test_asof_join_tie_on_equal_right_ts_is_deterministic(spark):
+    from mvrepair.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01 01:00:00"))], ["event_id", "user_id", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (7, 5, _ts("2024-01-01 00:30:00"), "a"),
+            (9, 5, _ts("2024-01-01 00:30:00"), "b"),
+            (8, 5, _ts("2024-01-01 00:30:00"), "c"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    [row] = asof_join(
+        left, right, ["user_id"], "ts", ["event_id", "event_type"], "event_id"
+    ).collect()
+    assert row.asof_event_id == 9  # greatest tiebreak wins
+
+
+def test_sessionize_gap_boundary(spark):
+    from mvrepair.operators.temporal import sessionize
+
+    # Spark merges at gap == window (inclusive boundary): 30:00 exactly
+    # extends the session; 30:00.000001 starts a new one.
+    df = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1.0),
+            (1, _ts("2024-01-01 00:30:00"), 2.0),  # exact gap → same session
+            (1, _ts("2024-01-01 01:00:00.000001"), 4.0),  # 1 µs over → new
+            (2, _ts("2024-01-01 00:00:00"), 8.0),
+        ],
+        ["user_id", "ts", "value"],
+    )
+    rows = sessionize(df, "user_id", "ts", "30 minutes", "value").collect()
+    by_key = sorted(
+        [(r.user_id, r.n_events, r.total_value) for r in rows]
+    )
+    assert by_key == [(1, 1, 4.0), (1, 2, 3.0), (2, 1, 8.0)]
+    s1 = min(
+        (r for r in rows if r.user_id == 1), key=lambda r: r.session_start_us
+    )
+    # end = last event + gap
+    assert s1.session_end_us - s1.session_start_us == (30 * 60 + 1800) * 1_000_000
