@@ -519,6 +519,21 @@ EXCEPT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001"""
 
 
+def q_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op query: customers who ordered in both 2000 and 2001
+    (INTERSECT, distinct semantics — the EXCEPT twin of lapsed_customers)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 2000).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") == 2001).select("o_custkey")
+    return a.intersect(b).select(F.col("o_custkey").alias("custkey"))
+
+
+_ORACLE_RETAINED = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 2000
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001"""
+
+
 # ---------------------------------------------------------------------------
 # text-analysis family
 # ---------------------------------------------------------------------------
@@ -629,6 +644,44 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DOC_SAMPLE = """
 SELECT doc_id, lang FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100"""
+
+
+def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination check on the duplicated corpus: eval docs
+    whose exact text also appears (under another doc_id) in train."""
+    from mvrepair.operators.sampling import split_contamination
+
+    return split_contamination(_docs_corpus(spark, sf_dir))
+
+
+_ORACLE_CONTAMINATION = f"""
+WITH corpus AS ({_DOCS_CORPUS_SQL}),
+s AS (
+  SELECT doc_id, md5(text) AS text_hash,
+    CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id, text,
+      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+    FROM corpus))
+SELECT doc_id, split, text_hash FROM s
+WHERE split <> 'train'
+  AND text_hash IN (SELECT text_hash FROM s WHERE split = 'train')"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report per (lang, source) — the dataset card."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source", "text")
+    return X.corpus_profile(docs)
+
+
+_ORACLE_CORPUS_PROFILE = """
+SELECT lang, source, count(*) AS n_docs,
+  sum(len(string_split(text, ' ')))::BIGINT AS total_tokens,
+  sum(length(text))::BIGINT AS total_chars,
+  min(length(text))::BIGINT AS min_chars,
+  max(length(text))::BIGINT AS max_chars,
+  sum(length(text))::DOUBLE / count(*) AS avg_chars
+FROM documents GROUP BY 1, 2"""
 
 
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1275,12 +1328,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
         "lapsed_customers": q_lapsed_customers,
+        "retained_customers": q_retained_customers,
         # text analysis
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "lang_scores": q_lang_scores,
         "doc_splits": q_doc_splits,
         "doc_sample": q_doc_sample,
+        "split_contamination": q_split_contamination,
+        "corpus_profile": q_corpus_profile,
         "text_scrub": q_text_scrub,
         "doc_fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
@@ -1323,11 +1379,14 @@ def oracle_sql() -> dict[str, str]:
         "top_users_per_event": _ORACLE_TOP_USERS,
         "orders_rollup": _ORACLE_ORDERS_ROLLUP,
         "lapsed_customers": _ORACLE_LAPSED,
+        "retained_customers": _ORACLE_RETAINED,
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "lang_scores": _oracle_lang_scores(),
         "doc_splits": _ORACLE_DOC_SPLITS,
         "doc_sample": _ORACLE_DOC_SAMPLE,
+        "split_contamination": _ORACLE_CONTAMINATION,
+        "corpus_profile": _ORACLE_CORPUS_PROFILE,
         "text_scrub": _ORACLE_TEXT_SCRUB,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,

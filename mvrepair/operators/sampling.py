@@ -50,6 +50,35 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def split_contamination(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: list[tuple[str, int, int]] | None = None,
+) -> DataFrame:
+    """Eval-set docs whose exact text also appears in the train split.
+
+    The train/test contamination check every training pipeline needs before
+    shipping a split: assign splits (hash-bucket, reproducible), digest the
+    text, and left-semi join the val/test side against the distinct train
+    digests.  Output: (doc_id, split, text_hash) of contaminated eval docs.
+
+    Scale shape: both sides reduce to (digest) / (digest, id, split) rows
+    before the join — the wire never carries document text.  The train side
+    is distinct-aggregated (map-side combine), and the join is a semi join
+    on the digest, so Catalyst/AQE can broadcast the (tiny) eval side or
+    shuffle both on the digest; either plan is one shuffle of digests.
+    """
+    s = hash_split(df, id_col, splits).select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"), F.col("split")
+    )
+    train = s.filter(F.col("split") == "train").select("text_hash").distinct()
+    evals = s.filter(F.col("split") != "train")
+    return evals.join(train, "text_hash", "left_semi").select(
+        id_col, "split", "text_hash"
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     id_col: str = "doc_id",

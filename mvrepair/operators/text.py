@@ -104,6 +104,38 @@ def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return out.withColumn("lang_guess", F.when(best > 0, guess).otherwise(F.lit("und")))
 
 
+def corpus_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Corpus composition report: per-(lang, source) doc/token/char totals.
+
+    The dataset card every training run starts from — how much data, in
+    what language, from which source, and how long the documents run.
+    One hash aggregation; token counts come from per-row array sizes so the
+    shuffle carries a handful of longs per group, never text.  The average
+    is IEEE double division of two exact integers — bit-identical on any
+    engine (decimal division scale rules differ between engines).
+    """
+    group_cols = group_cols or ["lang", "source"]
+    n_tokens = F.size(tokenize(F.col(text_col))).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).alias("total_tokens"),
+            F.sum(n_chars).alias("total_chars"),
+            F.min(n_chars).alias("min_chars"),
+            F.max(n_chars).alias("max_chars"),
+        )
+        .withColumn(
+            "avg_chars", F.col("total_chars").cast("double") / F.col("n_docs")
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprints: md5 hex + engine-portable 60-bit hash."""
     return df.select(

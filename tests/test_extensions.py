@@ -482,6 +482,44 @@ def test_stratified_sample_deterministic_subset(spark):
     assert s_half <= s1  # threshold nesting: smaller fraction is a subset
 
 
+def test_split_contamination_finds_cross_split_copies(spark):
+    from mvrepair.operators.sampling import hash_split, split_contamination
+
+    base = [(i, f"unique document body number {i}") for i in range(300)]
+    # copy every doc under a shifted id — copies land in whatever split
+    # their own id hashes to, so some cross the train/eval boundary
+    df = spark.createDataFrame(
+        base + [(i + 10_000, t) for i, t in base], ["doc_id", "text"]
+    )
+    out = split_contamination(df).collect()
+    assert all(r.split in ("val", "test") for r in out)
+    # every flagged doc's text really does exist in train
+    splits = {r.doc_id: r.split for r in hash_split(df).collect()}
+    texts = dict(df.collect())
+    train_texts = {t for i, t in texts.items() if splits[i] == "train"}
+    flagged = {r.doc_id for r in out}
+    for i, t in texts.items():
+        if splits[i] != "train":
+            assert (i in flagged) == (t in train_texts)
+
+
+def test_corpus_profile_totals(spark):
+    df = spark.createDataFrame(
+        [
+            ("en", "s1", "a b c"),
+            ("en", "s1", "d e"),
+            ("fr", "s2", "x"),
+        ],
+        ["lang", "source", "text"],
+    )
+    rows = {(r.lang, r.source): r for r in X.corpus_profile(df).collect()}
+    en = rows[("en", "s1")]
+    assert (en.n_docs, en.total_tokens, en.total_chars) == (2, 5, 8)
+    assert (en.min_chars, en.max_chars) == (3, 5)
+    assert en.avg_chars == 4.0
+    assert rows[("fr", "s2")].n_docs == 1
+
+
 # ---------------------------------------------------------------------------
 # rate limiting (reference O4: Guava limiter parity)
 # ---------------------------------------------------------------------------
