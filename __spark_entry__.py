@@ -684,6 +684,37 @@ SELECT lang, source, count(*) AS n_docs,
 FROM documents GROUP BY 1, 2"""
 
 
+def q_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: quality gate → exact dedup
+    (keep lowest doc_id per distinct text) → deterministic split
+    assignment.  One map-side filter, one digest groupBy, one projection —
+    the whole pipeline is a single shuffle at any scale."""
+    from mvrepair.operators.sampling import hash_split
+
+    docs = _docs_corpus(spark, sf_dir)
+    clean = X.quality_filter(docs)
+    kept = D.exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    return hash_split(kept)
+
+
+_ORACLE_PRETRAIN = f"""
+WITH corpus AS ({_DOCS_CORPUS_SQL}),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM corpus),
+q AS (
+  SELECT doc_id, text,
+    (CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+     + CASE WHEN len(list_filter(ts, x -> list_contains({_STOP_SQL}, x))) > 0 THEN 1 ELSE 0 END
+     + CASE WHEN len(list_distinct(ts))::DOUBLE / len(ts) > 0.2 THEN 1 ELSE 0 END) AS score
+  FROM t),
+d AS (SELECT min(doc_id) AS doc_id FROM q WHERE score >= 2 GROUP BY md5(text))
+SELECT doc_id,
+  CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+  FROM d)"""
+
+
 def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over a corpus with injected emails/URLs (deterministic
     concat injection so both engines see identical inputs)."""
@@ -1337,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample": q_doc_sample,
         "split_contamination": q_split_contamination,
         "corpus_profile": q_corpus_profile,
+        "pretrain_corpus": q_pretrain_corpus,
         "text_scrub": q_text_scrub,
         "doc_fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
@@ -1387,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": _ORACLE_DOC_SAMPLE,
         "split_contamination": _ORACLE_CONTAMINATION,
         "corpus_profile": _ORACLE_CORPUS_PROFILE,
+        "pretrain_corpus": _ORACLE_PRETRAIN,
         "text_scrub": _ORACLE_TEXT_SCRUB,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,

@@ -59,6 +59,21 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
+def _quality_score_expr(text_col: str) -> Column:
+    """0–3 composite quality score from the raw text column: length band +
+    stopword presence + repetition (distinct-token ratio)."""
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    dr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    return (
+        F.when((n_tokens >= 5) & (n_tokens <= 100000), 1).otherwise(0)
+        + F.when(stop_cnt > 0, 1).otherwise(0)
+        + F.when(dr > 0.2, 1).otherwise(0)
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality heuristic: length band + stopword presence +
     repetition (distinct-token ratio).  Flags docs a pretraining pipeline
@@ -78,6 +93,17 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         score.cast("int").alias("quality_score"),
         (score >= 2).alias("is_quality"),
     )
+
+
+def quality_filter(df: DataFrame, text_col: str = "text", min_score: int = 2) -> DataFrame:
+    """Rows passing the quality gate, all input columns retained.
+
+    Join-free twin of ``quality_score``: the score expressions run inline
+    as a pure filter, so the gate costs one map-side pass — recovering the
+    text by self-joining ``quality_score`` output back would double-scan
+    the corpus at 100 TB.
+    """
+    return df.filter(_quality_score_expr(text_col) >= min_score)
 
 
 def lang_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
