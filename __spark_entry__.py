@@ -269,10 +269,15 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("__rev"))
     )
+    # Top-k via orderBy+limit -> TakeOrderedAndProject (parallel partial
+    # top-k on every partition, k rows to the driver) instead of a global
+    # row_number window, which would funnel the whole aggregate through ONE
+    # task. rnk is derived afterwards on the 10 surviving rows, where the
+    # global window is free.
+    top = agg.orderBy(F.col("__rev").desc(), F.col("o_orderkey").asc()).limit(10)
     w = Window.orderBy(F.col("__rev").desc(), F.col("o_orderkey").asc())
     return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w))
         .select(
             "o_orderkey",
             F.col("__rev").cast("decimal(28,4)").cast("double").alias("revenue"),
@@ -488,7 +493,10 @@ def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC18)).alias("sum_price"),
+            F.sum(F.col("o_totalprice").cast(_DEC18))
+            .cast("decimal(28,4)")
+            .cast("double")
+            .alias("sum_price"),
         )
         .select(
             "o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price"
@@ -500,7 +508,7 @@ _ORACLE_ORDERS_ROLLUP = """
 SELECT o_orderstatus, o_orderpriority,
        GROUPING(o_orderstatus, o_orderpriority)::INTEGER AS gid,
        count(*) AS n_orders,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"""
 
 

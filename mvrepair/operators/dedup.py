@@ -26,10 +26,45 @@ engine with 64-bit integers.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 
 from mvrepair.functions import stable_hash64
 from mvrepair.operators.text import tokenize
+
+# observe() metric names must be unique per query; module counter keeps
+# repeated LSH stages in one plan distinct (deterministic, driver-side).
+_OBS_SEQ = [0]
+
+
+def _obs_name(prefix: str) -> str:
+    _OBS_SEQ[0] += 1
+    return f"{prefix}_{_OBS_SEQ[0]}"
+
+
+def _cap_buckets(buckets: DataFrame, ids_col: str, max_bucket: int | None,
+                 metric_prefix: str) -> DataFrame:
+    """Drop degenerate LSH buckets larger than ``max_bucket``.
+
+    A band value shared by b docs emits b·(b-1)/2 pairs; one degenerate
+    band (e.g. every empty-shingle doc hashing alike) would collect the
+    whole corpus into a single executor array — the classic 100 TB OOM.
+    Dropping oversized buckets is the standard production trade: such
+    buckets carry no discriminative signal anyway.  The dropped count is
+    published via ``observe`` (metrics ``n_buckets``/``n_dropped``) so the
+    loss is visible, not silent.  ``max_bucket=None`` keeps exact
+    (oracle-comparable) semantics.
+    """
+    if max_bucket is None:
+        return buckets
+    observed = buckets.observe(
+        _obs_name(metric_prefix),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            (F.size(ids_col) > max_bucket).cast("long")
+        ).alias("n_dropped"),
+    )
+    return observed.filter(F.size(ids_col) <= max_bucket)
 
 MINHASH_P = 2_147_483_647  # 2^31 - 1
 
@@ -123,17 +158,40 @@ def minhash_sig_array(text_col: str, n: int = SHINGLE_N) -> Column:
     hs = _token_hashes(text_col, n)
     ab = _ab_array()
     init = F.array_repeat(F.lit(MINHASH_P).cast("bigint"), N_HASHES)
-    return F.aggregate(
+    agg = F.aggregate(
         hs,
         init,
         lambda acc, x: F.zip_with(
             acc, ab, lambda m, ab_i: F.least(m, (ab_i["a"] * x + ab_i["b"]) % F.lit(MINHASH_P))
         ),
     )
+    # Docs with no shingles get all-NULL signatures, matching both the
+    # groupBy variant (min over explode_outer's NULL) and list_min([]) in
+    # SQL engines — not the MINHASH_P init sentinel.
+    return F.when(F.size(hs) > 0, agg).otherwise(
+        F.array_repeat(F.lit(None).cast("bigint"), N_HASHES)
+    )
+
+
+def shingle_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
+) -> DataFrame:
+    """(id, __toks) — the distinct n-shingle array per doc.
+
+    The one expensive text pass of the near-dup pipeline; compute it once
+    and feed both signature generation and Jaccard verification from it
+    (persisted by ``ngram_jaccard_pairs``) instead of re-shingling the
+    corpus per stage.
+    """
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("__toks"),
+    )
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as 16 columns ``sig_0..sig_15``.
 
@@ -149,10 +207,11 @@ def minhash_signatures(
     same signatures via one interpreted array-aggregate — useful when a
     downstream op needs the signature inline without a shuffle.)
     """
-    sh = F.explode_outer(F.array_distinct(shingles(F.col(text_col), n)))
-    tok = df.select(F.col(id_col), sh.alias("__sh")).withColumn(
-        "__h", stable_hash64(F.col("__sh")) % F.lit(MINHASH_P)
-    )
+    if toks is None:
+        toks = shingle_tokens(df, text_col, id_col, n)
+    tok = toks.select(
+        F.col(id_col), F.explode_outer("__toks").alias("__sh")
+    ).withColumn("__h", stable_hash64(F.col("__sh")) % F.lit(MINHASH_P))
     return tok.groupBy(id_col).agg(
         *[
             F.min((F.lit(MINHASH_A[i]) * F.col("__h") + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(
@@ -164,7 +223,8 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N,
+    toks: DataFrame | None = None, max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH-banded candidate pairs ``(id_a < id_b)``.
 
@@ -176,10 +236,11 @@ def minhash_candidate_pairs(
     ReusedExchange once one side broadcasts, recomputing every signature —
     the groupBy shape computes signatures exactly once and shuffles only
     (band, id) rows.  Hot buckets (a band value shared by b docs) emit
-    b·(b-1)/2 pairs either way; production pipelines cap bucket size to
-    bound that — here unbounded for oracle-exact semantics.
+    b·(b-1)/2 pairs either way; ``max_bucket`` drops degenerate buckets
+    (with an observed dropped count — see ``_cap_buckets``); ``None``
+    keeps exact, oracle-comparable semantics.
     """
-    sigs = minhash_signatures(df, text_col, id_col, n)
+    sigs = minhash_signatures(df, text_col, id_col, n, toks=toks)
     bands = sigs.select(
         F.col(id_col),
         F.explode(
@@ -205,6 +266,7 @@ def minhash_candidate_pairs(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    buckets = _cap_buckets(buckets, "__ids", max_bucket, "minhash_lsh")
     pair_structs = F.flatten(
         F.transform(
             F.col("__ids"),
@@ -228,16 +290,18 @@ def jaccard_verify(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = SHINGLE_N,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact distinct-shingle-set Jaccard on candidate pairs only.
 
     ``pairs`` has (id_a, id_b); output adds ``jaccard`` and filters by
     threshold.  Joins the (small) candidate set against the token arrays —
-    at scale the pair side is tiny, so both joins broadcast.
+    at scale the pair side is tiny, so both joins broadcast.  Pass ``toks``
+    (from ``shingle_tokens``, ideally persisted) to avoid re-shingling the
+    corpus a second time.
     """
-    toks = df.select(
-        F.col(id_col), F.array_distinct(shingles(F.col(text_col), n)).alias("__toks")
-    )
+    if toks is None:
+        toks = shingle_tokens(df, text_col, id_col, n)
     out = (
         pairs.join(toks.withColumnRenamed(id_col, "id_a").withColumnRenamed("__toks", "__ta"), "id_a")
         .join(toks.withColumnRenamed(id_col, "id_b").withColumnRenamed("__toks", "__tb"), "id_b")
@@ -256,14 +320,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     n: int = SHINGLE_N,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates verified by exact Jaccard.
 
     The composition a 100 TB pipeline actually runs: sub-quadratic candidate
-    generation + exact verification on the candidate set only.
+    generation + exact verification on the candidate set only.  The shingle
+    pass is the expensive text scan; it runs ONCE (``shingle_tokens``,
+    persisted MEMORY_AND_DISK) and feeds both the signature pipeline and
+    the verification joins — without the persist, Spark's two plan branches
+    would re-tokenize the whole corpus.
     """
-    cands = minhash_candidate_pairs(df, text_col, id_col, n)
-    return jaccard_verify(cands, df, text_col, id_col, threshold, n)
+    toks = shingle_tokens(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, n, toks=toks, max_bucket=max_bucket
+    )
+    return jaccard_verify(cands, df, text_col, id_col, threshold, n, toks=toks)
 
 
 def simhash_candidate_pairs(
@@ -272,6 +346,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 6,
     n_bands: int = 4,
     band_bits: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from SimHashes via bit-slice banding.
 
@@ -316,6 +391,7 @@ def simhash_candidate_pairs(
         )
         .filter(F.size("__m") >= 2)
     )
+    buckets = _cap_buckets(buckets, "__m", max_bucket, "simhash_lsh")
     pair_structs = F.flatten(
         F.transform(
             F.col("__m"),

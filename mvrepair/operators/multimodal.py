@@ -21,7 +21,11 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
-METADATA_SCHEMA = "doc_id long, n_bytes long, format string"
+def metadata_schema(id_col: str = "doc_id") -> str:
+    return f"{id_col} long, n_bytes long, format string"
+
+
+METADATA_SCHEMA = metadata_schema()
 
 
 def attach_binary(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
@@ -45,19 +49,25 @@ def extract_metadata(
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": pdf[payload_col].map(len).astype("int64"),
                     "format": "raw",
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(meta_batches, METADATA_SCHEMA)
+    return df.select(id_col, payload_col).mapInPandas(
+        meta_batches, metadata_schema(id_col)
+    )
 
 
 N_FEATURES = 16
-FEATURE_SCHEMA = "doc_id long, " + ", ".join(
-    f"h{i} long" for i in range(N_FEATURES)
-)
+
+
+def feature_schema(id_col: str = "doc_id") -> str:
+    return f"{id_col} long, " + ", ".join(f"h{i} long" for i in range(N_FEATURES))
+
+
+FEATURE_SCHEMA = feature_schema()
 
 
 def nibble_histogram(
@@ -76,7 +86,7 @@ def nibble_histogram(
 
     def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"doc_id": list(pdf[id_col])}
+            out: dict[str, list] = {id_col: list(pdf[id_col])}
             cols: list[list[int]] = [[] for _ in range(N_FEATURES)]
             for payload in pdf[payload_col]:
                 b = np.frombuffer(bytes(payload), dtype=np.uint8)
@@ -90,7 +100,7 @@ def nibble_histogram(
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
-        hist_batches, FEATURE_SCHEMA
+        hist_batches, feature_schema(id_col)
     )
 
 
@@ -145,20 +155,32 @@ def frame_sample(
     from one payload) without needing a codec.
     """
 
+    import numpy as np
+
     def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, sizes = [], [], []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
-                n = len(payload)
-                for i, off in enumerate(range(0, n, every_n_bytes)):
-                    ids.append(row[id_col])
-                    idxs.append(i)
-                    sizes.append(min(every_n_bytes, n - off))
+            # Vectorized 1→N fan-out: per-payload frame counts via numpy,
+            # then repeat/arange — no per-row Python loop inside the batch.
+            lens = pdf[payload_col].map(len).to_numpy(dtype=np.int64)
+            n_frames = -(-lens // every_n_bytes)  # ceil-div; 0 for empty
+            ids = np.repeat(pdf[id_col].to_numpy(), n_frames)
+            total = int(n_frames.sum())
+            # frame_idx restarts at 0 for each payload: global arange minus
+            # each payload's start offset, broadcast via repeat.
+            starts = np.repeat(
+                np.concatenate(([0], np.cumsum(n_frames)[:-1])), n_frames
+            )
+            idxs = np.arange(total, dtype=np.int64) - starts
+            rem = np.repeat(lens, n_frames) - idxs * every_n_bytes
+            sizes = np.minimum(rem, every_n_bytes)
             yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes}
+                {
+                    id_col: ids,
+                    "frame_idx": idxs.astype("int32"),
+                    "frame_bytes": sizes.astype("int32"),
+                }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        sample_batches, "doc_id long, frame_idx int, frame_bytes int"
+        sample_batches, f"{id_col} long, frame_idx int, frame_bytes int"
     )

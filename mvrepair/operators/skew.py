@@ -46,7 +46,9 @@ def salted_agg(
     The salt is hashed from ``salt_source`` columns (default: all non-key
     columns) so it is deterministic yet spreads a hot key's rows.
     """
-    src = salt_source or [c for c in df.columns if c not in keys]
+    # A key-only DataFrame would leave F.hash() with zero args (analysis
+    # error) — fall back to hashing the keys themselves, same as salted_join.
+    src = salt_source or [c for c in df.columns if c not in keys] or keys
     salted = df.withColumn(
         "__salt", F.pmod(F.hash(*[F.col(c) for c in src]), F.lit(salt))
     )

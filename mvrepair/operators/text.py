@@ -325,6 +325,16 @@ def simhash(
             F.lit(0).cast("long")
         )
         sim = term if sim is None else sim + term
+    # Runtime guard, not just a comment: beyond 32 767 units a lower lane
+    # carries into its neighbour and the top lane's sum can exceed the
+    # 16-bit headroom — silently corrupting fingerprints.  Long documents
+    # at 100 TB scale WILL hit this, so fail loudly (caller splits the doc
+    # or switches to 2×32-bit lanes) instead of emitting garbage.
+    guard = F.assert_true(
+        F.col("__n") <= F.lit(32767),
+        F.lit("simhash: document exceeds 32767 units; 16-bit lane counters would overflow"),
+    )
+    sim = F.when(guard.isNull(), sim)
     return agg.select(id_col, sim.alias("simhash"))
 
 

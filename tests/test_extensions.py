@@ -670,3 +670,102 @@ def test_sessionize_gap_boundary(spark):
     )
     # end = last event + gap
     assert s1.session_end_us - s1.session_start_us == (30 * 60 + 1800) * 1_000_000
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket(spark):
+    from mvrepair.operators import dedup as D
+
+    # 4 identical docs share every band bucket (bucket size 4); two other
+    # docs are unrelated.  Cap at 3 → degenerate bucket dropped, no pairs.
+    rows = [(i, "aa bb cc dd ee") for i in range(4)]
+    rows += [(10, "xx yy zz ww vv"), (11, "one two three four five")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = D.minhash_candidate_pairs(df)
+    assert uncapped.count() == 6  # C(4,2) all-identical pairs
+    capped = D.minhash_candidate_pairs(df, max_bucket=3)
+    assert capped.count() == 0
+
+
+def test_simhash_bucket_cap(spark):
+    from mvrepair.operators import dedup as D
+    from mvrepair.operators.text import simhash
+
+    rows = [(i, "aa bb cc dd ee") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sims = simhash(df)
+    assert D.simhash_candidate_pairs(sims).count() == 6
+    assert D.simhash_candidate_pairs(sims, max_bucket=3).count() == 0
+
+
+def test_minhash_sig_array_empty_doc_is_null(spark):
+    from pyspark.sql import functions as F
+    from mvrepair.operators import dedup as D
+
+    # A doc with fewer tokens than the shingle width has an empty shingle
+    # set: BOTH signature paths must yield NULLs (list_min([]) semantics),
+    # not the MINHASH_P init sentinel.
+    df = spark.createDataFrame([(1, "ab"), (2, "aa bb cc dd")], ["doc_id", "text"])
+    arr = df.select(
+        "doc_id", D.minhash_sig_array("text").alias("sig")
+    ).collect()
+    by_id = {r.doc_id: r.sig for r in arr}
+    assert all(v is None for v in by_id[1])
+    assert all(v is not None for v in by_id[2])
+    grp = D.minhash_signatures(df).filter(F.col("doc_id") == 1).collect()[0]
+    assert all(grp[f"sig_{i}"] is None for i in range(D.N_HASHES))
+    # and the two paths agree on the non-empty doc
+    grp2 = D.minhash_signatures(df).filter(F.col("doc_id") == 2).collect()[0]
+    assert by_id[2] == [grp2[f"sig_{i}"] for i in range(D.N_HASHES)]
+
+
+def test_salted_agg_key_only_frame(spark):
+    from pyspark.sql import functions as F
+    from mvrepair.operators.skew import salted_agg
+
+    df = spark.createDataFrame([(1,), (1,), (2,)], ["k"])
+    rows = salted_agg(
+        df, ["k"], {"n": (F.count(F.lit(1)), F.sum("n"))}
+    ).collect()
+    assert sorted((r.k, r.n) for r in rows) == [(1, 2), (2, 1)]
+
+
+def test_simhash_overflow_guard_raises(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from mvrepair.operators.text import simhash
+
+    big = " ".join(f"t{i}" for i in range(33000))
+    df = spark.createDataFrame([(1, big)], ["doc_id", "text"])
+    with _pytest.raises(Exception, match="32767"):
+        simhash(df, units=F.split(F.col("text"), " ")).collect()
+
+
+def test_frame_sample_vectorized_fanout(spark):
+    from pyspark.sql import functions as F
+    from mvrepair.operators.multimodal import attach_binary, frame_sample
+
+    df = spark.createDataFrame(
+        [(1, "x" * 130), (2, "y" * 64), (3, "z")], ["doc_id", "text"]
+    )
+    rows = frame_sample(attach_binary(df)).collect()
+    got = sorted((r.doc_id, r.frame_idx, r.frame_bytes) for r in rows)
+    assert got == [
+        (1, 0, 64), (1, 1, 64), (1, 2, 2),
+        (2, 0, 64),
+        (3, 0, 1),
+    ]
+
+
+def test_multimodal_custom_id_col(spark):
+    from mvrepair.operators.multimodal import (
+        attach_binary, extract_metadata, nibble_histogram,
+    )
+
+    df = spark.createDataFrame([(7, "ab")], ["item_id", "text"])
+    payload = attach_binary(df)
+    meta = extract_metadata(payload, id_col="item_id")
+    assert meta.columns[0] == "item_id"
+    assert meta.collect()[0].item_id == 7
+    hist = nibble_histogram(payload, id_col="item_id")
+    assert hist.columns[0] == "item_id"
+    assert hist.collect()[0].item_id == 7

@@ -26,7 +26,11 @@ def canon(v):
             return "NaN"
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # Preserve scale: the driver's hash is sensitive to the exact
+        # decimal type (decimal(28,2) vs decimal(38,2) hash differently
+        # even when numerically equal), so the local gate must not
+        # collapse decimals through float.
+        return f"dec:{v}"
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, bytes):
@@ -89,6 +93,15 @@ def main():
             print(f"FAIL  {name}: duckdb error: {str(ex)[:300]}")
             continue
         problems = []
+        # Policy gate: the driver's value hash is sensitive to exact decimal
+        # precision (Spark sum -> decimal(28,2), DuckDB sum -> decimal(38,2)),
+        # which Python Decimals can't expose. House style: never emit a
+        # decimal column — cast through double.
+        dec_cols = [f.name for f in sdf.schema.fields
+                    if f.dataType.typeName().startswith("decimal")]
+        if dec_cols:
+            problems.append(f"decimal-typed output cols {dec_cols} "
+                            "(driver hash is precision-sensitive; cast to double)")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
