@@ -38,6 +38,10 @@ from mvrepair.schema import MVSpec, TTL_SUFFIX, WRITETIME_SUFFIX
 
 SEPARATOR = "=" * 30
 
+# MVJobOutputStreamer.java:43-48 — the two repair-error report categories.
+ERR_DELETING = "ERR_DELETING"
+ERR_UPSERTING = "ERR_UPSERTING"
+
 
 def _render_or_null(col: Column, typ: str) -> Column:
     return F.coalesce(render_value(col, typ), F.lit("null"))
@@ -82,10 +86,8 @@ def _row_render_expr(wide_cols: list[str], spec: MVSpec, prefix: str, side) -> C
     return F.when(present, F.concat(*parts)).otherwise(F.lit("null"))
 
 
-def format_report(wide: DataFrame, spec: MVSpec) -> DataFrame:
-    """Wide classified DataFrame → (problem, record) golden-text rows for
-    all problem keys (CONSISTENT/SKIPPED emit nothing)."""
-    cols = wide.columns
+def _record_expr(cols: list[str], spec: MVSpec) -> Column:
+    """The full golden record text (MVInconsistentRow.toString parity)."""
     diff_name_type = F.concat(F.col("diff_column"), F.lit(":"), F.col("diff_type"))
     base_cell = F.when(
         F.col("base_value").isNotNull(),
@@ -96,7 +98,7 @@ def format_report(wide: DataFrame, spec: MVSpec) -> DataFrame:
         F.concat(diff_name_type, F.lit(":"), F.col("mv_value")),
     ).otherwise(diff_name_type)
 
-    record = F.concat(
+    return F.concat(
         F.lit("Problem: "),
         F.col("problem"),
         F.lit("\nRowKey: "),
@@ -112,8 +114,91 @@ def format_report(wide: DataFrame, spec: MVSpec) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
+
+
+def format_report(wide: DataFrame, spec: MVSpec) -> DataFrame:
+    """Wide classified DataFrame → (problem, record) golden-text rows for
+    all problem keys (CONSISTENT/SKIPPED emit nothing)."""
+    record = _record_expr(wide.columns, spec)
     return wide.filter(~F.col("problem").isin(CONSISTENT, SKIPPED)).select(
         F.col("problem"), record.alias("record")
+    )
+
+
+def _default_upsert_err(wide: DataFrame, spec: MVSpec, settings) -> Column:
+    """File-mode upsert failure surface: the reference refuses (and reports)
+    upserts whose MV-PK has a null column (DBOperations.java:296-309,
+    ``Primary key column %s is null``) — the one mutation error that exists
+    without a live database."""
+    from mvrepair.operators.reconcile import MISSING_IN_MV_TABLE
+
+    p = F.col("problem")
+    attempted = ((p == INCONSISTENT) & F.lit(settings.fix_inconsistent_mv)) | (
+        (p == MISSING_IN_MV_TABLE) & F.lit(settings.fix_missing_mv)
+    )
+    first_null = F.coalesce(
+        *[F.when(F.col(c).isNull(), F.lit(c)) for c in spec.mv_pk],
+        F.lit(None).cast("string"),
+    )
+    return F.when(
+        attempted & first_null.isNotNull(),
+        F.concat(F.lit("Primary key column "), first_null, F.lit(" is null")),
+    )
+
+
+def format_report_categorized(
+    wide: DataFrame,
+    spec: MVSpec,
+    settings=None,
+    upsert_err: Column | None = None,
+    delete_err: Column | None = None,
+) -> DataFrame:
+    """(category, record) with repair-error fan-out, in ONE scan.
+
+    Routing parity with ``MVJobOutputStreamer.streamOutput``
+    (MVJobOutputStreamer.java:64-101): every problem row goes to its
+    problem category; a row whose repair mutation failed ADDITIONALLY goes
+    to ERR_DELETING / ERR_UPSERTING with the error message appended.
+    ``upsert_err`` / ``delete_err`` are string expressions (null = no
+    error); the default upsert error reproduces the reference's null-PK
+    refusal.  Fan-out is an explode over a per-row category array, so the
+    classified frame is scanned once — no per-category re-scan.
+    """
+    from mvrepair.config import SyncSettings
+
+    settings = settings or SyncSettings()
+    if upsert_err is None:
+        upsert_err = _default_upsert_err(wide, spec, settings)
+    if delete_err is None:
+        delete_err = F.lit(None).cast("string")
+
+    record = _record_expr(wide.columns, spec)
+    p = F.col("problem")
+    targets = F.array_compact(
+        F.array(
+            F.when(
+                ~p.isin(CONSISTENT, SKIPPED),
+                F.struct(p.alias("category"), record.alias("record")),
+            ),
+            F.when(
+                delete_err.isNotNull(),
+                F.struct(
+                    F.lit(ERR_DELETING).alias("category"),
+                    F.concat(record, F.lit("\n"), delete_err).alias("record"),
+                ),
+            ),
+            F.when(
+                upsert_err.isNotNull(),
+                F.struct(
+                    F.lit(ERR_UPSERTING).alias("category"),
+                    F.concat(record, F.lit("\n"), upsert_err).alias("record"),
+                ),
+            ),
+        )
+    )
+    return (
+        wide.select(F.explode(targets).alias("t"))
+        .select("t.category", "t.record")
     )
 
 

@@ -66,6 +66,42 @@ _SPARK_TYPE = {
 }
 
 
+# Reverse mapping for runtime discovery: Spark DataType → logical type.
+# Ambiguous Spark types resolve to the canonical logical name (StringType →
+# TEXT, LongType → BIGINT, DecimalType(38,0) → VARINT, other decimals →
+# DECIMAL, ArrayType → LIST, MapType → MAP).
+def logical_type_of(dt: T.DataType) -> str:
+    if isinstance(dt, T.StringType):
+        return "TEXT"
+    if isinstance(dt, T.IntegerType):
+        return "INT"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, T.ShortType):
+        return "SMALLINT"
+    if isinstance(dt, T.ByteType):
+        return "TINYINT"
+    if isinstance(dt, T.FloatType):
+        return "FLOAT"
+    if isinstance(dt, T.DoubleType):
+        return "DOUBLE"
+    if isinstance(dt, T.DecimalType):
+        return "VARINT" if dt.scale == 0 else "DECIMAL"
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, T.BinaryType):
+        return "BLOB"
+    if isinstance(dt, T.DateType):
+        return "DATE"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "TIMESTAMP"
+    if isinstance(dt, T.ArrayType):
+        return "LIST"
+    if isinstance(dt, T.MapType):
+        return "MAP"
+    raise ValueError(f"no logical type mapping for Spark type {dt}")
+
+
 def normalize_type(type_name: str) -> str:
     """``LIST(TEXT)`` → ``LIST``; ``int`` → ``INT`` (MvSync.java:158-169)."""
     t = type_name.strip().upper()
@@ -99,6 +135,10 @@ class UnsupportedTypeError(ValueError):
     """Raised in repair mode for DURATION/TUPLE columns (MvSync.java:92-106)."""
 
 
+class MetadataError(ValueError):
+    """Missing keyspace/table/view at discovery time (MvSync.java:176-189)."""
+
+
 @dataclass
 class TableSchema:
     """PK vs non-PK name→type maps, iterated in sorted order.
@@ -111,6 +151,18 @@ class TableSchema:
 
     pk: list[str]
     columns: dict[str, str]
+
+    @classmethod
+    def from_df(cls, df, pk: list[str]) -> "TableSchema":
+        """Infer the logical schema from a DataFrame's Spark schema
+        (companion ``__writetime``/``__ttl`` columns are scan artifacts,
+        not table columns — excluded)."""
+        cols = {
+            f.name: logical_type_of(f.dataType)
+            for f in df.schema.fields
+            if not f.name.endswith((WRITETIME_SUFFIX, TTL_SUFFIX))
+        }
+        return cls(pk=list(pk), columns=cols)
 
     def __post_init__(self) -> None:
         self.columns = {c: normalize_type(t) for c, t in self.columns.items()}
@@ -157,6 +209,76 @@ class MVSpec:
     base: TableSchema
     mv: TableSchema
     _common: list[tuple[str, str]] = field(init=False, repr=False)
+
+    PK_PROPERTY = "mvrepair.pk"
+
+    @classmethod
+    def from_dataframes(
+        cls, base_df, mv_df, base_pk: list[str], mv_pk: list[str]
+    ) -> "MVSpec":
+        """Build a spec from two live DataFrames (schemas inferred)."""
+        return cls(
+            base=TableSchema.from_df(base_df, base_pk),
+            mv=TableSchema.from_df(mv_df, mv_pk),
+        )
+
+    @classmethod
+    def from_catalog(
+        cls,
+        spark,
+        keyspace: str,
+        base_table: str,
+        mv_name: str,
+        base_pk: list[str] | None = None,
+        mv_pk: list[str] | None = None,
+        metrics=None,
+    ) -> "MVSpec":
+        """Runtime schema discovery against the Spark catalog.
+
+        Parity with ``getBaseAndMvTableColumns`` (MvSync.java:171-195):
+        the keyspace maps to a Spark database, the base table and MV to
+        tables/views within it, and the three missing-metadata cases fail
+        with the reference's error text (and bump the matching lifecycle
+        counters, MvSyncJobMetrics.java:10-11).  Primary keys — which the
+        Spark catalog has no native notion of — come from the table
+        property ``mvrepair.pk`` (comma-separated, partition+clustering
+        order) or the explicit ``base_pk``/``mv_pk`` arguments.
+        """
+        from mvrepair.metrics import GLOBAL_METRICS
+
+        metrics = metrics if metrics is not None else GLOBAL_METRICS
+        if not spark.catalog.databaseExists(keyspace):
+            metrics.inc("KeyspaceMetadataError")
+            raise MetadataError("The keyspace does not exist")
+        if not spark.catalog.tableExists(f"{keyspace}.{base_table}"):
+            metrics.inc("KeyspaceMetadataError")
+            raise MetadataError("The table does not exist")
+        if not spark.catalog.tableExists(f"{keyspace}.{mv_name}"):
+            metrics.inc("MVDoesNotExist")
+            raise MetadataError("The MV does not exist")
+
+        def discover(name: str, pk: list[str] | None) -> TableSchema:
+            df = spark.table(f"{keyspace}.{name}")
+            if pk is None:
+                pk = cls._pk_from_properties(spark, keyspace, name)
+            return TableSchema.from_df(df, pk)
+
+        return cls(
+            base=discover(base_table, base_pk), mv=discover(mv_name, mv_pk)
+        )
+
+    @classmethod
+    def _pk_from_properties(cls, spark, keyspace: str, name: str) -> list[str]:
+        rows = spark.sql(
+            f"SHOW TBLPROPERTIES {keyspace}.{name}"
+        ).collect()
+        props = {r["key"]: r["value"] for r in rows}
+        if cls.PK_PROPERTY not in props:
+            raise MetadataError(
+                f"table {keyspace}.{name} has no {cls.PK_PROPERTY!r} property "
+                "and no explicit primary key was given"
+            )
+        return [c.strip() for c in props[cls.PK_PROPERTY].split(",") if c.strip()]
 
     def __post_init__(self) -> None:
         missing = [c for c in self.mv.pk if c not in self.base.columns]
