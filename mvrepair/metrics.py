@@ -34,11 +34,14 @@ COUNTER_NAMES = [
     "ReadRows",
 ]
 
-# JobStats observe-metric name → lifecycle counter it feeds
+# JobStats observe-metric name → lifecycle counter(s) it feeds
 # (increment sites: MvSync.java:250 readRows; :315 processRecord;
-# :350-378 classification; :384-412 repair).
+# :350-378 classification; :384-412 repair).  ``totRecords`` feeds BOTH
+# ProcessRecord and ReadRows: the reference bumps readRows once per scanned
+# row pre-join (MvSync.java:250) while our observe runs post-join, so
+# distinct-key count is the closest single-pass approximation.
 _FROM_JOB_STATS = {
-    "totRecords": "ProcessRecord",
+    "totRecords": ("ProcessRecord", "ReadRows"),
     "skippedRecords": "RecordNotInScope",
     "consistentRecords": "ConsistentRecord",
     "inConsistentRecords": "InconsistentRecord",
@@ -68,13 +71,15 @@ class JobMetrics:
 
     def absorb_job_stats(self, stats: Mapping[str, int]) -> None:
         """Feed the 15 JobStats counters (from ``df.observe``) into the
-        lifecycle registry.  ReadRows = rows scanned on both sides =
-        present-side count per key side; approximated as totRecords here
-        since the observe runs post-join (the reference counts per scanned
-        row pre-join, MvSync.java:250)."""
-        for src, dst in _FROM_JOB_STATS.items():
+        lifecycle registry.  ReadRows is approximated as totRecords (the
+        reference counts per scanned row pre-join, MvSync.java:250; the
+        observe runs post-join, so the distinct-key count is the
+        single-pass stand-in — see _FROM_JOB_STATS)."""
+        for src, dsts in _FROM_JOB_STATS.items():
             if src in stats:
-                self._counters[dst] += int(stats[src])
+                targets = dsts if isinstance(dsts, tuple) else (dsts,)
+                for dst in targets:
+                    self._counters[dst] += int(stats[src])
 
     def as_dict(self) -> dict[str, int]:
         return dict(self._counters)

@@ -321,6 +321,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     n: int = SHINGLE_N,
     max_bucket: int | None = None,
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: MinHash-LSH candidates verified by exact Jaccard.
 
@@ -330,14 +331,41 @@ def ngram_jaccard_pairs(
     persisted MEMORY_AND_DISK) and feeds both the signature pipeline and
     the verification joins — without the persist, Spark's two plan branches
     would re-tokenize the whole corpus.
+
+    Cache lifecycle: when ``toks`` is caller-owned, nothing is persisted
+    here (the caller manages its own cache) and the result stays lazy.
+    When the shingle frame is created internally, this function is EAGER:
+    the (small) pair result is computed and cached while the shingle cache
+    is hot, then the corpus-sized shingle cache is released before
+    returning.  The only cache that survives is the returned pair frame
+    itself — the caller holds its handle and can ``.unpersist()`` it —
+    so repeated invocations in a long-lived session never accumulate
+    corpus-sized state.
     """
-    toks = shingle_tokens(df, text_col, id_col, n).persist(
+    if toks is not None:
+        cands = minhash_candidate_pairs(
+            df, text_col, id_col, n, toks=toks, max_bucket=max_bucket
+        )
+        return jaccard_verify(cands, df, text_col, id_col, threshold, n, toks=toks)
+
+    owned = shingle_tokens(df, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    cands = minhash_candidate_pairs(
-        df, text_col, id_col, n, toks=toks, max_bucket=max_bucket
-    )
-    return jaccard_verify(cands, df, text_col, id_col, threshold, n, toks=toks)
+    try:
+        cands = minhash_candidate_pairs(
+            df, text_col, id_col, n, toks=owned, max_bucket=max_bucket
+        )
+        out = jaccard_verify(
+            cands, df, text_col, id_col, threshold, n, toks=owned
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out.count()  # materialize pairs while the shingle cache is hot
+        except Exception:
+            out.unpersist()
+            raise
+    finally:
+        owned.unpersist()
+    return out
 
 
 def simhash_candidate_pairs(

@@ -86,17 +86,27 @@ def nibble_histogram(
 
     def hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {id_col: list(pdf[id_col])}
-            cols: list[list[int]] = [[] for _ in range(N_FEATURES)]
-            for payload in pdf[payload_col]:
-                b = np.frombuffer(bytes(payload), dtype=np.uint8)
-                counts = np.bincount(
-                    np.concatenate([b >> 4, b & 15]), minlength=N_FEATURES
-                )
-                for i in range(N_FEATURES):
-                    cols[i].append(int(counts[i]))
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            # One concatenation + one bincount for the WHOLE batch: tag each
+            # byte's nibbles with its row index (row*16 + nibble) and count
+            # into an (n_rows, 16) matrix — no per-row Python loop.
+            lens = pdf[payload_col].map(len).to_numpy(dtype=np.int64)
+            all_bytes = np.frombuffer(
+                b"".join(pdf[payload_col]), dtype=np.uint8
+            ).astype(np.int64)
+            row_ids = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+            keys = np.concatenate(
+                [row_ids * N_FEATURES + (all_bytes >> 4),
+                 row_ids * N_FEATURES + (all_bytes & 15)]
+            )
+            counts = np.bincount(keys, minlength=n_rows * N_FEATURES).reshape(
+                n_rows, N_FEATURES
+            )
+            out = {id_col: pdf[id_col].to_numpy()}
             for i in range(N_FEATURES):
-                out[f"h{i}"] = cols[i]
+                out[f"h{i}"] = counts[:, i]
             yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(
@@ -166,10 +176,11 @@ def frame_sample(
             ids = np.repeat(pdf[id_col].to_numpy(), n_frames)
             total = int(n_frames.sum())
             # frame_idx restarts at 0 for each payload: global arange minus
-            # each payload's start offset, broadcast via repeat.
-            starts = np.repeat(
-                np.concatenate(([0], np.cumsum(n_frames)[:-1])), n_frames
-            )
+            # each payload's start offset, broadcast via repeat.  cumsum -
+            # n_frames is the exclusive prefix sum, length-matched with
+            # n_frames so an empty batch yields an empty result instead of
+            # the shape-(1,)-vs-(0,) broadcast error of concatenate([0],…).
+            starts = np.repeat(np.cumsum(n_frames) - n_frames, n_frames)
             idxs = np.arange(total, dtype=np.int64) - starts
             rem = np.repeat(lens, n_frames) - idxs * every_n_bytes
             sizes = np.minimum(rem, every_n_bytes)

@@ -272,12 +272,22 @@ class JobStatsResult:
         )
 
 
-def stats_agg_exprs(settings: SyncSettings | None = None) -> list[Column]:
+def stats_agg_exprs(
+    settings: SyncSettings | None = None,
+    upsert_err: Column | None = None,
+    delete_err: Column | None = None,
+) -> list[Column]:
     """Aggregate expressions computing the 15 JobStats counters from a
     classified wide DataFrame in ONE pass (increments mirrored from
-    MvSync.java:315, :350-378, :384-412).  Repair-execution counters
-    (del*/upsert*) assume the success path; error counts come from the
-    repair applier when one runs."""
+    MvSync.java:315, :350-378, :384-412).
+
+    ``upsert_err`` / ``delete_err`` are per-row error-message expressions
+    (null = the mutation would succeed) — pass the same expressions given
+    to ``format_report_categorized`` so err/success counters agree with the
+    ERR_* report categories (MvSync.java:399-412 counts err vs success off
+    the mutation result the same way).  When omitted, the success path is
+    assumed; error counts then come from the repair applier when one runs.
+    """
     settings = settings or SyncSettings()
     p = F.col("problem")
 
@@ -298,6 +308,12 @@ def stats_agg_exprs(settings: SyncSettings | None = None) -> list[Column]:
     upsert_attempted = ((p == INCONSISTENT) & F.lit(fix_inc)) | (
         (p == MISSING_IN_MV_TABLE) & F.lit(fix_missing)
     )
+    del_err = (
+        F.lit(False) if delete_err is None else del_attempted & delete_err.isNotNull()
+    )
+    ups_err = (
+        F.lit(False) if upsert_err is None else upsert_attempted & upsert_err.isNotNull()
+    )
 
     return [
         F.count(F.lit(1)).alias("totRecords"),
@@ -309,12 +325,12 @@ def stats_agg_exprs(settings: SyncSettings | None = None) -> list[Column]:
         cnt(repairable).alias("repairRecords"),
         cnt(not_repaired).alias("notRepairRecords"),
         cnt(del_attempted).alias("delAttemptedRecords"),
-        F.lit(0).cast("long").alias("delErrRecords"),
-        cnt(del_attempted).alias("delSuccessRecords"),
+        cnt(del_err).alias("delErrRecords"),
+        cnt(del_attempted & ~del_err).alias("delSuccessRecords"),
         F.lit(0).cast("long").alias("notDelRecords"),
         cnt(upsert_attempted).alias("upsertAttemptedRecords"),
-        F.lit(0).cast("long").alias("upsertErrRecords"),
-        cnt(upsert_attempted).alias("upsertSuccessRecords"),
+        cnt(ups_err).alias("upsertErrRecords"),
+        cnt(upsert_attempted & ~ups_err).alias("upsertSuccessRecords"),
     ]
 
 

@@ -129,7 +129,16 @@ def _default_upsert_err(wide: DataFrame, spec: MVSpec, settings) -> Column:
     """File-mode upsert failure surface: the reference refuses (and reports)
     upserts whose MV-PK has a null column (DBOperations.java:296-309,
     ``Primary key column %s is null``) — the one mutation error that exists
-    without a live database."""
+    without a live database.
+
+    When this fires: the wide frame's PK columns are using-join coalesced,
+    so a null only survives when NEITHER side had a value — i.e. a
+    base-only row whose *promoted* MV-PK column is null (such rows never
+    joined, classify as MISSING_IN_MV_TABLE, and are exactly the rows the
+    reference's pre-mutation check rejects: the base row can't be inserted
+    into the MV without a full PK).  For INCONSISTENT rows both sides
+    matched on non-null keys, so — as in the reference, where Cassandra
+    PKs are non-null — the check cannot fire there."""
     from mvrepair.operators.reconcile import MISSING_IN_MV_TABLE
 
     p = F.col("problem")

@@ -1,0 +1,136 @@
+"""Job driver: the ``run()`` lifecycle gluing every component together.
+
+Parity with ``MvSync.main``/``run()``/``buildAndRunSparkJob``
+(/root/reference/src/main/java/mvsync/MvSync.java:43-61, :108-156):
+
+    settings → schema discovery (``MVSpec.from_catalog``) → repair-type
+    validation → classify → categorized report sinks → ``stats.txt``,
+
+with the 15 JobStats counters collected via ``df.observe`` ON THE REPORT
+WRITE ACTION — one pass over the data, exactly-once per action (better
+than the reference's at-least-once accumulators under task retries,
+JobStats.java:26-41) — and fed into the lifecycle metrics registry
+(``JobMetrics.absorb_job_stats``, MvSyncJobMetrics.java:6-23).
+
+Output layout mirrors ``MVJobOutputStreamer`` (output/MVJobOutputStreamer.
+java:28-61): ``<outdir>/<CATEGORY>/part-*.txt`` — one directory per
+problem/error category, one file per Spark partition, records separated by
+``"="*30`` — plus ``<outdir>/stats.txt`` (MvSync.java:148-152, golden
+format in README.md:73).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+
+from mvrepair.config import SyncSettings
+from mvrepair.metrics import GLOBAL_METRICS, JobMetrics
+from mvrepair.operators.reconcile import (
+    JobStatsResult,
+    classify,
+    stats_agg_exprs,
+)
+from mvrepair.report import (
+    SEPARATOR,
+    _default_upsert_err,
+    format_report_categorized,
+    write_stats,
+)
+from mvrepair.schema import MVSpec
+
+
+def _flatten_category_dirs(outdir: str) -> None:
+    """``category=X`` partition dirs → reference-layout ``X`` dirs.
+
+    Driver-side rename only — constant work per category (5 dirs), no data
+    movement on a local/HDFS filesystem.  On object stores where rename is
+    copy, keep the native ``partitionBy`` layout instead (pass
+    ``reference_layout=False`` to ``run``).
+    """
+    for name in os.listdir(outdir):
+        if name.startswith("category="):
+            src = os.path.join(outdir, name)
+            dst = os.path.join(outdir, name[len("category="):])
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            os.rename(src, dst)
+
+
+def run(
+    spark: SparkSession,
+    settings: SyncSettings | None = None,
+    base_df: DataFrame | None = None,
+    mv_df: DataFrame | None = None,
+    spec: MVSpec | None = None,
+    metrics: JobMetrics | None = None,
+    outdir: str | None = None,
+    native_unbounded_window: bool = False,
+    reference_layout: bool = True,
+) -> JobStatsResult:
+    """Execute the full reconcile job; returns the 15-counter stats.
+
+    Seams mirror the reference's overridable test seams
+    (MvSyncRDDTest.java:63-128): ``spec`` overrides catalog discovery,
+    ``base_df``/``mv_df`` override the table scans, ``metrics`` overrides
+    the global registry.  With no overrides the tables come from
+    ``settings.keyspace / basetablename / mvname`` via the Spark catalog
+    (primary keys from the ``mvrepair.pk`` table property).
+
+    The report write is the ONE action: window filter, join, classify,
+    diff, category fan-out, and the 15 stats counters (via ``observe``)
+    all ride it.  ``stats.txt`` is then written driver-side from the
+    observed values — no second aggregation job (JobStats.java:44-76).
+    """
+    settings = settings or SyncSettings()
+    metrics = metrics if metrics is not None else GLOBAL_METRICS
+    outdir = outdir or settings.output_dir
+
+    metrics.inc("JobStarted")
+    try:
+        if spec is None:
+            spec = MVSpec.from_catalog(
+                spark,
+                settings.keyspace,
+                settings.base_table_name,
+                settings.mv_name,
+                metrics=metrics,
+            )
+        # MvSync.java:92-106 — repair mode fails early on DURATION/TUPLE.
+        if settings.repair_enabled:
+            spec.validate_repairable()
+
+        if base_df is None:
+            base_df = spark.table(f"{settings.keyspace}.{settings.base_table_name}")
+        if mv_df is None:
+            mv_df = spark.table(f"{settings.keyspace}.{settings.mv_name}")
+
+        window = settings.window_micros(native_unbounded=native_unbounded_window)
+        wide = classify(base_df, mv_df, spec, window=window)
+
+        # One-pass stats: observe rides the report write action below.
+        upsert_err = _default_upsert_err(wide, spec, settings)
+        observation = Observation("job_stats")
+        wide = wide.observe(
+            observation, *stats_agg_exprs(settings, upsert_err=upsert_err)
+        )
+
+        formatted = format_report_categorized(
+            wide, spec, settings, upsert_err=upsert_err
+        ).withColumn("record", F.concat(F.col("record"), F.lit("\n" + SEPARATOR)))
+        formatted.write.partitionBy("category").mode("overwrite").text(outdir)
+        if reference_layout:
+            _flatten_category_dirs(outdir)
+
+        stats = JobStatsResult(
+            counters={k: int(v) for k, v in observation.get.items()}
+        )
+        write_stats(stats, outdir)
+        metrics.absorb_job_stats(stats.counters)
+        metrics.inc("JobCompleted")
+        return stats
+    except Exception:
+        metrics.inc("JobError")
+        raise

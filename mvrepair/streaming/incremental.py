@@ -61,6 +61,35 @@ def streaming_events_hourly(
     )
 
 
+def streaming_dedup_native(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Online exact dedup as a NATIVE streaming aggregation.
+
+    State per content digest = (min id, count), which is exactly
+    ``groupBy(md5(text)).agg(min(id), count(*))`` — Structured Streaming
+    keeps that state in the JVM state store (RocksDB at scale) with no
+    per-group Python worker round-trip.  This is the shipping dedup path;
+    ``stateful.streaming_dedup`` remains the documented
+    ``applyInPandasWithState`` demo of *arbitrary*-state plumbing for
+    state shapes an aggregate can't express.
+
+    Run in update or complete mode; on a fully drained stream the final
+    state equals the batch ``operators.dedup.exact_dedup`` answer.
+    """
+    return (
+        stream.select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def streaming_reconcile_against_static(
     base_stream: DataFrame,
     mv_static: DataFrame,
