@@ -143,6 +143,63 @@ def q_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_report_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O17 golden-text report surface as a hash-checked query: the
+    (problem, record) rows ``format_report`` renders for every problem key
+    (MVInconsistentRow.toString / RecordPrimaryKey.toString parity —
+    MVInconsistentRow.java:32-53, RecordPrimaryKey.java:63-76)."""
+    from mvrepair.report import format_report
+
+    wide = classify(
+        P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), window=P.WINDOW
+    )
+    return format_report(wide, P.spec())
+
+
+def _oracle_row_entry(prefix: str) -> str:
+    """DuckDB twin of report._row_render_expr for the orders pair: sorted
+    column order, value then writetime/ttl companions per non-PK column."""
+    wt = f"{prefix}_wt"
+    return (
+        "concat('CassandraRow{o_custkey: ', o_custkey"
+        f", ', o_orderdate: ', epoch_ms({prefix}_date)"
+        f", ', writetime(o_orderdate): ', {wt}"
+        ", ', ttl(o_orderdate): null, o_orderkey: ', o_orderkey"
+        f", ', o_orderpriority: ', {prefix}_prio"
+        f", ', writetime(o_orderpriority): ', {wt}"
+        f", ', ttl(o_orderpriority): null, o_orderstatus: ', {prefix}_status"
+        f", ', writetime(o_orderstatus): ', {wt}"
+        ", ', ttl(o_orderstatus): null, o_totalprice: ', "
+        f"CAST({prefix}_price AS VARCHAR)"
+        f", ', writetime(o_totalprice): ', {wt}"
+        ", ', ttl(o_totalprice): null}')"
+    )
+
+
+def _oracle_mv_report_text() -> str:
+    diff_block = (
+        "CASE WHEN problem = 'INCONSISTENT' AND diff_column IS NOT NULL THEN "
+        "concat(chr(10), 'BaseColumn: ', diff_column, ':', diff_type, "
+        "CASE WHEN base_value IS NOT NULL THEN concat(':', base_value) ELSE '' END, "
+        "chr(10), 'MvColumn: ', diff_column, ':', diff_type, "
+        "CASE WHEN mv_value IS NOT NULL THEN concat(':', mv_value) ELSE '' END) "
+        "ELSE '' END"
+    )
+    return f"""WITH {P.oracle_classified_cte()}
+SELECT problem,
+  concat(
+    'Problem: ', problem,
+    chr(10), 'RowKey: o_custkey:BIGINT:', o_custkey,
+    ',o_orderkey:BIGINT:', o_orderkey,
+    chr(10), 'MainTableEntry: ',
+    CASE WHEN bp THEN {_oracle_row_entry('b')} ELSE 'null' END,
+    chr(10), 'MVTableEntry: ',
+    CASE WHEN mp THEN {_oracle_row_entry('m')} ELSE 'null' END,
+    {diff_block}
+  ) AS record
+FROM cls WHERE problem NOT IN ('CONSISTENT', 'SKIPPED')"""
+
+
 def _oracle_mv_classify() -> str:
     return f"""WITH {P.oracle_classified_cte()}
 SELECT o_custkey, o_orderkey, problem, diff_column, diff_type, base_value, mv_value
@@ -898,6 +955,91 @@ WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
     / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5"""
 
 
+NEARDUP_CAP = 2  # max ids per LSH bucket in the capped query
+
+
+def _capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup variant v1 (first token dropped, id+1e6) ∪ —
+    for every third doc — second-level variant v2 (two tokens dropped,
+    id+2e6).  Triplet groups {doc, v1, v2} land in LSH buckets of size 3,
+    which a ``max_bucket=2`` cap drops; pair groups survive — so the cap's
+    effect is visible in the output, not just in metrics."""
+    d = _docs(spark, sf_dir)
+    v1 = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    v2 = v1.filter((F.col("doc_id") - 1_000_000) % 3 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionByName(v1).unionByName(v2)
+
+
+_CAPPED_CORPUS_SQL = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, substr(text, instr(text, ' ') + 1)
+  FROM documents
+  UNION ALL SELECT doc_id + 2000000,
+    substr(substr(text, instr(text, ' ') + 1),
+           instr(substr(text, instr(text, ' ') + 1), ' ') + 1)
+  FROM documents WHERE doc_id % 3 = 0"""
+
+
+def q_neardup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of MinHash-LSH near-dup: degenerate buckets larger
+    than ``max_bucket`` are dropped (with an observed drop count) before
+    pair generation — the production trade that keeps candidate volume
+    bounded at 100 TB (see dedup._cap_buckets)."""
+    return D.ngram_jaccard_pairs(
+        _capped_corpus(spark, sf_dir), threshold=0.5, max_bucket=NEARDUP_CAP
+    )
+
+
+def _oracle_neardup_minhash_capped() -> str:
+    p = D.MINHASH_P
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_idx,
+               concat_ws('_', {", ".join(f"sig_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND))}) AS band_sig
+        FROM sigs"""
+        for b in range(D.N_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_CAPPED_CORPUS_SQL}),
+tokens AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_SHINGLE_SQL}),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus)
+),
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs()} FROM tokens
+),
+bands AS ({band_selects}),
+kept AS (
+  SELECT band_idx, band_sig FROM bands
+  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) BETWEEN 2 AND {NEARDUP_CAP}
+),
+fbands AS (SELECT b.* FROM bands b JOIN kept USING (band_idx, band_sig)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fbands a JOIN fbands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS tk
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM ({_CAPPED_CORPUS_SQL}))
+)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+    / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) AS jaccard
+FROM cand
+JOIN toks ta ON cand.id_a = ta.doc_id
+JOIN toks tb ON cand.id_b = tb.doc_id
+WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+    / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5"""
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 60-bit shingle SimHash with 15-bit bands: 32k LSH buckets, so random
     # collisions stay ~n²/2^15 per band instead of the 256-bucket byte
@@ -1348,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
         "mv_classify": q_mv_classify,
         "mv_stats": q_mv_stats,
+        "mv_report_text": q_mv_report_text,
         # repair planning/apply (O13-O15)
         "mv_repair_upserts": q_mv_upserts,
         "mv_repair_deletes": q_mv_deletes,
@@ -1381,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "neardup_minhash": q_neardup_minhash,
+        "neardup_minhash_capped": q_neardup_minhash_capped,
         "simhash_neardup": q_simhash_neardup,
         # similarity search
         "ann_cosine_topk": q_ann_topk,
@@ -1402,6 +1546,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "mv_classify": _oracle_mv_classify(),
         "mv_stats": _oracle_mv_stats(),
+        "mv_report_text": _oracle_mv_report_text(),
         "mv_repair_upserts": _oracle_mv_upserts(),
         "mv_repair_deletes": _oracle_mv_deletes(),
         "mv_repair_apply": _oracle_mv_apply(),
@@ -1431,6 +1576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "minhash_signatures": _oracle_minhash_signatures(),
         "neardup_minhash": _oracle_neardup_minhash(),
+        "neardup_minhash_capped": _oracle_neardup_minhash_capped(),
         "simhash_neardup": _oracle_simhash_neardup(),
         "ann_cosine_topk": _oracle_ann_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),

@@ -64,6 +64,12 @@ def main() -> None:
         load_table(spark, sf_dir, t).limit(1).write.format("noop").mode(
             "overwrite"
         ).save()
+    # Spawn the Python/Arrow worker pool up front: the first mapInPandas
+    # query otherwise absorbs ~4 s of interpreter startup (32 workers),
+    # misattributing session cost to whichever operator runs first.
+    spark.range(256).repartition(int(cpus) * 2).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in e.queries().items():
@@ -72,6 +78,9 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # Methodology is pinned (PERF.md): n_runs=1 per query, queries in
+    # declaration order, one shared session, per-table warmup — so rounds
+    # are directly comparable run-to-run.
     print(
         json.dumps(
             {
@@ -80,6 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_runs": 1,
+                "cpus": int(cpus),
             }
         )
     )

@@ -348,6 +348,16 @@ def ngram_jaccard_pairs(
         )
         return jaccard_verify(cands, df, text_col, id_col, threshold, n, toks=toks)
 
+    # Cached plans compile with AQE restricted unless this conf is on
+    # (Spark keeps a cached plan's output partitioning stable by default).
+    # The materializing count() below IS the pipeline's one heavy action —
+    # without AQE it loses runtime partition coalescing and skew handling
+    # (measured at sf0.1: 25.6 s restricted vs 11.7 s adaptive).  Scope the
+    # conf to this operator and restore on exit.
+    spark = df.sparkSession
+    _AQE_CACHE_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    old = spark.conf.get(_AQE_CACHE_KEY, None)
+    spark.conf.set(_AQE_CACHE_KEY, "true")
     owned = shingle_tokens(df, text_col, id_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -365,6 +375,10 @@ def ngram_jaccard_pairs(
             raise
     finally:
         owned.unpersist()
+        if old is None:
+            spark.conf.unset(_AQE_CACHE_KEY)
+        else:
+            spark.conf.set(_AQE_CACHE_KEY, old)
     return out
 
 

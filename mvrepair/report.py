@@ -211,13 +211,26 @@ def format_report_categorized(
     )
 
 
-def write_reports(wide: DataFrame, spec: MVSpec, outdir: str) -> None:
-    """O16 multi-sink fan-out: ``<outdir>/problem=<CATEGORY>/part-*.txt``
-    with ``"="*30`` separators appended per record (FileStreamer parity)."""
-    formatted = format_report(wide, spec).withColumn(
-        "record", F.concat(F.col("record"), F.lit("\n" + SEPARATOR))
-    )
-    formatted.write.partitionBy("problem").mode("overwrite").text(outdir)
+def write_reports(
+    wide: DataFrame,
+    spec: MVSpec,
+    outdir: str,
+    settings=None,
+    upsert_err: Column | None = None,
+    delete_err: Column | None = None,
+) -> None:
+    """O16 multi-sink fan-out: ``<outdir>/category=<CATEGORY>/part-*.txt``
+    with ``"="*30`` separators appended per record (FileStreamer parity).
+
+    Routes through ``format_report_categorized``, so repair-error rows
+    additionally land in ``ERR_DELETING``/``ERR_UPSERTING`` — the full
+    MVJobOutputStreamer category set.  ``runner.run`` wraps this with the
+    reference's exact directory names (category= prefix stripped) plus
+    stats.txt."""
+    formatted = format_report_categorized(
+        wide, spec, settings, upsert_err=upsert_err, delete_err=delete_err
+    ).withColumn("record", F.concat(F.col("record"), F.lit("\n" + SEPARATOR)))
+    formatted.write.partitionBy("category").mode("overwrite").text(outdir)
 
 
 def write_stats(stats: JobStatsResult, outdir: str) -> None:

@@ -24,7 +24,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from mvrepair.config import SyncSettings
 from mvrepair.metrics import GLOBAL_METRICS, JobMetrics
@@ -33,12 +33,7 @@ from mvrepair.operators.reconcile import (
     classify,
     stats_agg_exprs,
 )
-from mvrepair.report import (
-    SEPARATOR,
-    _default_upsert_err,
-    format_report_categorized,
-    write_stats,
-)
+from mvrepair.report import _default_upsert_err, write_reports, write_stats
 from mvrepair.schema import MVSpec
 
 
@@ -98,8 +93,10 @@ def run(
                 settings.mv_name,
                 metrics=metrics,
             )
-        # MvSync.java:92-106 — repair mode fails early on DURATION/TUPLE.
-        if settings.repair_enabled:
+        # MvSync.java:92-106 — upsert-repair mode fails early on
+        # DURATION/TUPLE (the guard is gated on the two upsert flags only,
+        # :98: deletes bind no non-PK values).
+        if settings.fix_missing_mv or settings.fix_inconsistent_mv:
             spec.validate_repairable()
 
         if base_df is None:
@@ -117,10 +114,7 @@ def run(
             observation, *stats_agg_exprs(settings, upsert_err=upsert_err)
         )
 
-        formatted = format_report_categorized(
-            wide, spec, settings, upsert_err=upsert_err
-        ).withColumn("record", F.concat(F.col("record"), F.lit("\n" + SEPARATOR)))
-        formatted.write.partitionBy("category").mode("overwrite").text(outdir)
+        write_reports(wide, spec, outdir, settings, upsert_err=upsert_err)
         if reference_layout:
             _flatten_category_dirs(outdir)
 

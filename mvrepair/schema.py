@@ -180,11 +180,14 @@ class TableSchema:
         return {c: t for c, t in sorted(self.columns.items()) if c not in self.pk}
 
     def validate_repairable(self) -> None:
-        bad = {c: t for c, t in self.columns.items() if t in REPAIR_UNSUPPORTED_TYPES}
-        if bad:
-            raise UnsupportedTypeError(
-                f"columns not supported for automated repair: {bad}"
-            )
+        """Fail early on repair-unsupported column types, with the
+        reference's error text (MvSync.java:92-106)."""
+        for t in self.columns.values():
+            if t in REPAIR_UNSUPPORTED_TYPES:
+                raise UnsupportedTypeError(
+                    "Cannot do an automated fixing of inconsistencies for "
+                    f"the unsupported type: {t}"
+                )
 
     def select_columns(self) -> list[str]:
         """Scan projection: all columns + writetime/ttl companions for
@@ -317,5 +320,14 @@ class MVSpec:
         ]
 
     def validate_repairable(self) -> None:
-        self.base.validate_repairable()
-        self.mv.validate_repairable()
+        """Repair-mode early fail, checkForUnsupportedTypesForAutomatic-
+        FixingInconsistencies parity (MvSync.java:92-106): only the MV's
+        NON-PK columns matter — those are the ones upserts bind values for
+        (detection-only mode still works on any type; deletes bind only
+        PK values, which Cassandra forbids to be DURATION/TUPLE anyway)."""
+        for t in self.mv.non_pk.values():
+            if t in REPAIR_UNSUPPORTED_TYPES:
+                raise UnsupportedTypeError(
+                    "Cannot do an automated fixing of inconsistencies for "
+                    f"the unsupported type: {t}"
+                )

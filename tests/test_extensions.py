@@ -769,3 +769,85 @@ def test_multimodal_custom_id_col(spark):
     hist = nibble_histogram(payload, id_col="item_id")
     assert hist.columns[0] == "item_id"
     assert hist.collect()[0].item_id == 7
+
+
+def test_ngram_jaccard_pairs_releases_shingle_cache(spark):
+    """Cache lifecycle: the corpus-sized shingle cache must not outlive the
+    operator; the only surviving cache is the returned (small) pair frame,
+    whose handle the caller owns and can release.
+
+    Uses a corpus distinct from every other test's: Spark's CacheManager
+    dedupes same-plan persists, so reusing the shared ``docs`` fixture
+    would alias an earlier test's cached pair frame."""
+    from mvrepair.operators import dedup as D
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    rows = [
+        (0, "unique cache lifecycle corpus row one two three four five"),
+        (1, "unique cache lifecycle corpus row one two three four five"),
+        (2, "totally unrelated text about executors and block managers"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    base = n_persisted()
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    assert out.count() > 0
+    # exactly one new cached frame: the returned pairs, never the shingles
+    assert n_persisted() == base + 1
+    out.unpersist(blocking=True)
+    assert n_persisted() == base
+
+
+def test_ngram_jaccard_pairs_caller_owned_toks_not_persisted(spark, docs):
+    """With caller-owned shingles nothing is persisted internally and the
+    result stays lazy (the caller manages its own cache)."""
+    from mvrepair.operators import dedup as D
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    base = n_persisted()
+    toks = D.shingle_tokens(docs)
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5, toks=toks)
+    assert n_persisted() == base  # nothing cached before any action
+    assert out.count() > 0
+    assert n_persisted() == base
+
+
+def test_ngram_jaccard_capped_drops_triplet_buckets(spark):
+    """max_bucket drops pair-PRODUCING buckets, not just degenerate ones:
+    a triplet near-dup group (bucket size 3) vanishes under cap 2 while
+    pair groups survive — the semantics the neardup_minhash_capped oracle
+    query hash-checks at scale."""
+    from mvrepair.operators import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base), (1, base), (2, base),          # triplet group
+        (10, "spark shuffles partition data across the cluster every stage"),
+        (11, "spark shuffles partition data across the cluster every single stage"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {(r.id_a, r.id_b) for r in
+                D.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    assert {(0, 1), (0, 2), (1, 2), (10, 11)} <= uncapped
+    capped_df = D.ngram_jaccard_pairs(df, threshold=0.5, max_bucket=2)
+    capped = {(r.id_a, r.id_b) for r in capped_df.collect()}
+    assert capped == {(10, 11)}
+    capped_df.unpersist()
+
+
+def test_multimodal_empty_input_no_crash(spark):
+    """Empty relations (and therefore empty Arrow batches) flow through the
+    mapInPandas operators without the shape-(1,)-vs-(0,) broadcast crash the
+    per-row prefix-sum formulation had."""
+    from mvrepair.operators.multimodal import (
+        attach_binary, extract_metadata, frame_sample, nibble_histogram,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    payload = attach_binary(empty)
+    assert frame_sample(payload).count() == 0
+    assert nibble_histogram(payload).count() == 0
+    assert extract_metadata(payload).count() == 0

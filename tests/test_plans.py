@@ -1,0 +1,129 @@
+"""Physical-plan regression tests: pin the plan SHAPES that make the
+engine scale, so a refactor that silently degrades them fails CI.
+
+These are the plan properties the 100 TB design depends on (SURVEY §4):
+- predicate pushdown of the reconcile time-window BELOW the full-outer
+  join (a strict improvement over the reference, which filters post-shuffle
+  inside mapPartitions — MvSync.java:325-347);
+- top-k as ``TakeOrderedAndProject`` (parallel partial top-k), never a
+  global-window row_number funnel;
+- small dimensions broadcast, not shuffled;
+- the whole reconcile compare staying inside WholeStageCodegen (no Python
+  UDF in the hot path);
+- parquet scans pruning columns to what the query needs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def mv_pair(spark, sf_dir):
+    from mvrepair.plans import mv_pair as P
+
+    return P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), P.WINDOW
+
+
+def test_window_filter_pushed_below_join(spark, mv_pair):
+    """The in-window flag is computed per side BEFORE the join (so Catalyst
+    evaluates it map-side, pre-shuffle); no Filter sits above the Join in
+    the optimized plan of classify()."""
+    from mvrepair.operators.reconcile import classify
+
+    base, mv, spec, window = mv_pair
+    plan = _optimized(classify(base, mv, spec, window=window))
+    join_pos = plan.find("Join FullOuter")
+    assert join_pos != -1
+    # the window arithmetic (µs → sec division) appears only below the join
+    head = plan[:join_pos]
+    assert "1000000" not in head, (
+        "window-bound arithmetic floated above the join:\n" + plan
+    )
+
+
+def test_classify_has_no_python_udf(spark, mv_pair):
+    """The whole compare is JVM-side column algebra (SURVEY §4:
+    'vectorization/codegen built-in as long as we avoid Python UDFs')."""
+    from mvrepair.operators.reconcile import classify
+
+    base, mv, spec, window = mv_pair
+    df = classify(base, mv, spec, window=window)
+    # collect() executes the DataFrame's OWN QueryExecution, finalizing its
+    # AdaptiveSparkPlan so codegen spans become visible (a write wraps the
+    # plan in a separate command execution and leaves this one unfinalized)
+    df.collect()
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen'd operators carry the `*(stageId)` prefix in the final plan
+    assert "*(" in plan, "no WholeStageCodegen stage in:\n" + plan
+
+
+def test_top_revenue_orders_uses_take_ordered(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject (per-partition partial
+    top-k, k rows to the driver) — not a single-partition global sort or a
+    global-window row_number."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_top_revenue_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_regional_revenue_broadcasts_small_dims(spark, sf_dir):
+    """nation/region are tiny dimensions: they must broadcast, never
+    shuffle (SURVEY §4 join-strategy row)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_regional_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A 2-column projection must reach the parquet scan as a 2-column
+    ReadSchema — scanning all 9 lineitem columns for it is wrong."""
+    from mvrepair.sources import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    scan_line = next(
+        ln for ln in _plan(df).splitlines() if "FileScan parquet" in ln
+    )
+    assert "l_orderkey" in scan_line and "l_quantity" in scan_line
+    assert "l_shipdate" not in scan_line and "l_extendedprice" not in scan_line
+
+
+def test_filter_pushed_to_parquet(spark, sf_dir):
+    """An equality filter must reach the scan as a PushedFilters entry."""
+    from mvrepair.sources import load_table
+
+    df = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan.replace(" ", "")
+
+
+def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
+    """The digest groupBy must map-side combine (partial_ aggregate before
+    the exchange), so the shuffle carries ~one row per distinct digest."""
+    from mvrepair.operators.dedup import exact_dedup
+    from mvrepair.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(exact_dedup(docs))
+    ex_pos = plan.find("Exchange hashpartitioning")
+    assert ex_pos != -1
+    assert "partial_min" in plan[ex_pos:] or "partial_first" in plan[ex_pos:], (
+        "no map-side partial aggregation below the shuffle:\n" + plan
+    )

@@ -234,13 +234,13 @@ def test_write_reports_layout_and_separator(spark, golden_frames, tmp_path):
     outdir = str(tmp_path / "reports")
     write_reports(wide, spec, outdir)
     cats = {
-        d.split("=", 1)[1] for d in os.listdir(outdir) if d.startswith("problem=")
+        d.split("=", 1)[1] for d in os.listdir(outdir) if d.startswith("category=")
     }
     assert cats == {"MISSING_IN_BASE_TABLE", "INCONSISTENT"}
     for cat in cats:
         txt = "".join(
-            open(os.path.join(outdir, f"problem={cat}", f)).read()
-            for f in sorted(os.listdir(os.path.join(outdir, f"problem={cat}")))
+            open(os.path.join(outdir, f"category={cat}", f)).read()
+            for f in sorted(os.listdir(os.path.join(outdir, f"category={cat}")))
             if f.startswith("part-")
         )
         # every record block closed by the separator line

@@ -1,0 +1,333 @@
+"""End-to-end driver (``run()``) and schema-discovery (``from_catalog``)
+tests.
+
+Parity targets:
+- lifecycle wiring: MvSync.java:43-61 (``run``), :108-156
+  (``buildAndRunSparkJob``);
+- categorized output layout ``<outdir>/<CATEGORY>/part-*.txt`` + stats.txt:
+  MVJobOutputStreamer.java:28-61, MvSync.java:148-152;
+- one-pass counters via observe: JobStats.java:26-41 accumulators;
+- metadata-failure cases with the reference's error texts:
+  MvSync.java:176-189 (and counter bumps, MvSyncJobMetrics.java:10-11);
+- repair-mode early fail on unsupported types: MvSync.java:92-106.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from mvrepair.config import SyncSettings
+from mvrepair.metrics import JobMetrics
+from mvrepair.report import SEPARATOR
+from mvrepair.runner import run
+from mvrepair.schema import (
+    MetadataError,
+    MVSpec,
+    TableSchema,
+    UnsupportedTypeError,
+)
+
+WT = 1_704_153_600_000_000  # in-window writetime (µs)
+WT_LATE = 2_000_000_000_000_000  # out-of-window writetime
+
+_FIELDS = [
+    ("pk", T.StringType()),
+    ("ck1", T.StringType()),
+    ("ck2", T.IntegerType()),
+    ("c1", T.IntegerType()),
+    ("c2", T.IntegerType()),
+    ("c3", T.IntegerType()),
+    ("c2__writetime", T.LongType()),
+    ("c2__ttl", T.IntegerType()),
+    ("c3__writetime", T.LongType()),
+    ("c3__ttl", T.IntegerType()),
+]
+
+
+def _spec() -> MVSpec:
+    cols = {
+        "pk": "ASCII",
+        "ck1": "ASCII",
+        "ck2": "INT",
+        "c1": "INT",
+        "c2": "INT",
+        "c3": "INT",
+    }
+    return MVSpec(
+        base=TableSchema(pk=["pk", "ck1", "ck2"], columns=dict(cols)),
+        mv=TableSchema(pk=["c1", "ck1", "ck2", "pk"], columns=dict(cols)),
+    )
+
+
+def _df(spark, rows):
+    schema = T.StructType([T.StructField(n, t) for n, t in _FIELDS])
+    return spark.createDataFrame(rows, schema)
+
+
+def _row(pk, ck1, ck2, c1, c2, c3, wt=WT, ttl=None):
+    return (pk, ck1, ck2, c1, c2, c3, wt, ttl, wt, ttl)
+
+
+GOLDEN_STATS = (
+    "totRecords: 6, skippedRecords: 1, consistentRecords: 1, "
+    "inConsistentRecords: 1, missingBaseTableRecords: 1, missingMvRecords: 2, "
+    "repairRecords: 4, notRepairRecords: 0, delAttemptedRecords: 1, "
+    "delErrRecords: 0, delSuccessRecords: 1, notDelRecords: 0, "
+    "upsertAttemptedRecords: 3, upsertErrRecords: 1, upsertSuccessRecords: 2"
+)
+
+
+@pytest.fixture()
+def e2e_frames(spark):
+    # one key per lifecycle outcome:
+    #   A consistent; B MV-only orphan (delete); C c2 mismatch (upsert);
+    #   X base-only with NULL promoted PK c1 (upsert REFUSED → ERR_UPSERTING);
+    #   Y base-only valid (upsert); Z out-of-window (skipped).
+    base = _df(
+        spark,
+        [
+            _row("A", "NY", 1, 10, 20, 30),
+            _row("C", "SF", 2, 12, 25, 35),
+            _row("X", "LA", 3, None, 5, 6),
+            _row("Y", "TX", 4, 14, 7, 8),
+            _row("Z", "WA", 5, 15, 9, 1, wt=WT_LATE),
+        ],
+    )
+    mv = _df(
+        spark,
+        [
+            _row("A", "NY", 1, 10, 20, 30),
+            _row("B", "NY", 1, 11, 22, 33),
+            _row("C", "SF", 2, 12, 99, 35),
+            _row("Z", "WA", 5, 15, 9, 1, wt=WT_LATE),
+        ],
+    )
+    return base, mv
+
+
+def _settings(outdir: str) -> SyncSettings:
+    return SyncSettings(
+        {
+            "cass.mv.starttsinsec": "0",
+            "cass.mv.endtsinsec": str(WT // 1_000_000),
+            "cass.mv.fixmissingmv": "true",
+            "cass.mv.fixorphanmv": "true",
+            "cass.mv.fixinconsistentmv": "true",
+            "cass.mv.output.dir": outdir,
+        }
+    )
+
+
+def test_run_e2e_layout_stats_and_metrics(spark, e2e_frames, tmp_path):
+    base, mv = e2e_frames
+    outdir = str(tmp_path / "out")
+    metrics = JobMetrics()
+
+    stats = run(
+        spark,
+        _settings(outdir),
+        base_df=base,
+        mv_df=mv,
+        spec=_spec(),
+        metrics=metrics,
+    )
+
+    # categorized reference layout: <outdir>/<CATEGORY>/part-*.txt
+    dirs = {d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d))}
+    assert dirs == {
+        "MISSING_IN_BASE_TABLE",
+        "MISSING_IN_MV_TABLE",
+        "INCONSISTENT",
+        "ERR_UPSERTING",
+    }
+    # ERR_UPSERTING holds exactly the null-PK refusal, error text appended
+    err_txt = "".join(
+        open(os.path.join(outdir, "ERR_UPSERTING", f)).read()
+        for f in sorted(os.listdir(os.path.join(outdir, "ERR_UPSERTING")))
+        if f.startswith("part-")
+    )
+    blocks = [b for b in err_txt.split(SEPARATOR + "\n") if b.strip()]
+    assert len(blocks) == 1
+    assert "Primary key column c1 is null" in blocks[0]
+    assert "pk:ASCII:X" in blocks[0]
+    # MISSING_IN_MV_TABLE carries both base-only keys (X and Y)
+    mm_txt = "".join(
+        open(os.path.join(outdir, "MISSING_IN_MV_TABLE", f)).read()
+        for f in sorted(os.listdir(os.path.join(outdir, "MISSING_IN_MV_TABLE")))
+        if f.startswith("part-")
+    )
+    assert mm_txt.count("Problem: MISSING_IN_MV_TABLE") == 2
+
+    # one-pass stats, JobStats.toString golden (README.md:73 format)
+    assert stats.render() == GOLDEN_STATS
+    with open(os.path.join(outdir, "stats.txt")) as fh:
+        assert fh.read() == GOLDEN_STATS
+
+    # lifecycle metrics fed from the SAME observe pass
+    m = metrics.as_dict()
+    assert m["JobStarted"] == 1 and m["JobCompleted"] == 1 and m["JobError"] == 0
+    assert m["ProcessRecord"] == 6 and m["ReadRows"] == 6
+    assert m["ConsistentRecord"] == 1 and m["InconsistentRecord"] == 1
+    assert m["MissingBaseTable"] == 1 and m["MissingMV"] == 2
+    assert m["RecordNotInScope"] == 1
+    assert m["RecordRepairOn"] == 4 and m["RecordRepairOff"] == 0
+    assert m["DeleteRecord"] == 1 and m["UpsertRecord"] == 3
+
+
+def test_run_detection_only_counts_not_repaired(spark, e2e_frames, tmp_path):
+    """With all fix flags off (defaults) every problem key counts as
+    notRepairRecords and no ERR_* category appears (MvSync.java:362-372)."""
+    base, mv = e2e_frames
+    outdir = str(tmp_path / "out")
+    settings = SyncSettings(
+        {
+            "cass.mv.starttsinsec": "0",
+            "cass.mv.endtsinsec": str(WT // 1_000_000),
+            "cass.mv.output.dir": outdir,
+        }
+    )
+    stats = run(spark, settings, base_df=base, mv_df=mv, spec=_spec())
+    c = stats.counters
+    assert c["repairRecords"] == 0 and c["notRepairRecords"] == 4
+    assert c["delAttemptedRecords"] == 0 and c["upsertAttemptedRecords"] == 0
+    dirs = {d for d in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, d))}
+    assert dirs == {
+        "MISSING_IN_BASE_TABLE",
+        "MISSING_IN_MV_TABLE",
+        "INCONSISTENT",
+    }
+
+
+def test_run_repair_mode_fails_early_on_unsupported_type(spark, tmp_path):
+    """MvSync.java:92-106: DURATION/TUPLE MV non-PK columns abort repair
+    mode before any scan; detection-only still works."""
+    cols = {"pk": "ASCII", "c1": "DURATION"}
+    spec = MVSpec(
+        base=TableSchema(pk=["pk"], columns=dict(cols)),
+        mv=TableSchema(pk=["pk"], columns=dict(cols)),
+    )
+    metrics = JobMetrics()
+    with pytest.raises(
+        UnsupportedTypeError,
+        match="Cannot do an automated fixing of inconsistencies for the "
+        "unsupported type: DURATION",
+    ):
+        run(
+            spark,
+            SyncSettings({"cass.mv.fixmissingmv": "true"}),
+            spec=spec,
+            metrics=metrics,
+            outdir=str(tmp_path / "never"),
+        )
+    assert metrics.count("JobError") == 1
+
+
+# ---------------------------------------------------------------------------
+# from_catalog discovery (O5)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    """A keyspace-like database with a base table and an 'MV' table, PKs
+    declared via the ``mvrepair.pk`` table property."""
+    db = "mvrepair_testks"
+    loc = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{loc}'")
+    spark.sql(
+        f"CREATE TABLE {db}.base_t (pk STRING, ck1 STRING, c1 INT, c2 INT) "
+        "USING PARQUET TBLPROPERTIES ('mvrepair.pk'='pk,ck1')"
+    )
+    spark.sql(
+        f"CREATE TABLE {db}.mv_t (pk STRING, ck1 STRING, c1 INT, c2 INT) "
+        "USING PARQUET TBLPROPERTIES ('mvrepair.pk'='c1,ck1,pk')"
+    )
+    spark.sql(f"CREATE TABLE {db}.noprop_t (pk STRING, c1 INT) USING PARQUET")
+    yield db
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_from_catalog_discovers_schemas_and_pks(spark, catalog):
+    spec = MVSpec.from_catalog(spark, catalog, "base_t", "mv_t")
+    assert spec.base.pk == ["pk", "ck1"]
+    assert spec.mv.pk == ["c1", "ck1", "pk"]
+    assert spec.base.columns == {
+        "pk": "TEXT", "ck1": "TEXT", "c1": "INT", "c2": "INT"
+    }
+    # compare set: non-PK columns common to both with equal type
+    assert spec.compare_columns == [("c2", "INT")]
+
+
+def test_from_catalog_explicit_pk_overrides_property(spark, catalog):
+    spec = MVSpec.from_catalog(
+        spark, catalog, "base_t", "mv_t", base_pk=["pk"], mv_pk=["c1", "pk"]
+    )
+    assert spec.base.pk == ["pk"] and spec.mv.pk == ["c1", "pk"]
+
+
+def test_from_catalog_missing_keyspace(spark, catalog):
+    """MvSync.java:176-179 error text + KeyspaceMetadataError counter."""
+    metrics = JobMetrics()
+    with pytest.raises(MetadataError, match="The keyspace does not exist"):
+        MVSpec.from_catalog(spark, "no_such_ks", "base_t", "mv_t", metrics=metrics)
+    assert metrics.count("KeyspaceMetadataError") == 1
+
+
+def test_from_catalog_missing_table(spark, catalog):
+    """MvSync.java:180-184 error text."""
+    metrics = JobMetrics()
+    with pytest.raises(MetadataError, match="The table does not exist"):
+        MVSpec.from_catalog(spark, catalog, "no_such_t", "mv_t", metrics=metrics)
+    assert metrics.count("KeyspaceMetadataError") == 1
+
+
+def test_from_catalog_missing_mv(spark, catalog):
+    """MvSync.java:185-189 error text + MVDoesNotExist counter."""
+    metrics = JobMetrics()
+    with pytest.raises(MetadataError, match="The MV does not exist"):
+        MVSpec.from_catalog(spark, catalog, "base_t", "no_such_mv", metrics=metrics)
+    assert metrics.count("MVDoesNotExist") == 1
+    assert metrics.count("KeyspaceMetadataError") == 0
+
+
+def test_from_catalog_missing_pk_property(spark, catalog):
+    with pytest.raises(MetadataError, match="mvrepair.pk"):
+        MVSpec.from_catalog(spark, catalog, "noprop_t", "mv_t")
+
+
+def test_run_via_catalog_end_to_end(spark, catalog, tmp_path):
+    """Full discovery → classify → report flow with tables resolved from
+    the catalog (no explicit frames/spec)."""
+    spark.sql(
+        f"INSERT OVERWRITE {catalog}.base_t VALUES "
+        "('a', 'x', 1, 10), ('b', 'y', 2, 20)"
+    )
+    spark.sql(
+        f"INSERT OVERWRITE {catalog}.mv_t VALUES "
+        "('a', 'x', 1, 10), ('b', 'y', 2, 99)"
+    )
+    outdir = str(tmp_path / "out")
+    settings = SyncSettings(
+        {
+            "cass.mv.keyspace": catalog,
+            "cass.mv.basetablename": "base_t",
+            "cass.mv.mvname": "mv_t",
+            "cass.mv.output.dir": outdir,
+        }
+    )
+    # no writetime companions in these tables → native unbounded window
+    stats = run(spark, settings, native_unbounded_window=True)
+    c = stats.counters
+    assert c["totRecords"] == 2
+    assert c["consistentRecords"] == 1 and c["inConsistentRecords"] == 1
+    inc_dir = os.path.join(outdir, "INCONSISTENT")
+    assert os.path.isdir(inc_dir)
+    txt = "".join(
+        open(os.path.join(inc_dir, f)).read()
+        for f in sorted(os.listdir(inc_dir))
+        if f.startswith("part-")
+    )
+    assert "BaseColumn: c2:INT:20" in txt and "MvColumn: c2:INT:99" in txt
