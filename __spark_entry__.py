@@ -224,7 +224,9 @@ SELECT
 FROM cls"""
 
 
-def _oracle_mv_upserts() -> str:
+def _oracle_upsert_cells(src: str) -> str:
+    """UNION ALL of per-column upsert-cell selects over a classified CTE
+    (``cls`` for batch, ``scls`` for the stream-static twin)."""
     cells = []
     for col, typ, bval, bdiff in [
         ("o_orderdate", "TIMESTAMP", "CAST(epoch_ms(b_date) AS VARCHAR)",
@@ -238,10 +240,14 @@ def _oracle_mv_upserts() -> str:
 SELECT o_custkey, o_orderkey, '{col}' AS "column", '{typ}' AS column_type,
        {bval} AS value, b_wt AS writetime, NULL::INTEGER AS ttl,
        'TIMESTAMP' AS flavor
-FROM cls
+FROM {src}
 WHERE problem IN ('INCONSISTENT','MISSING_IN_MV_TABLE')
   AND (problem = 'MISSING_IN_MV_TABLE' OR {bdiff})""")
-    return f"WITH {P.oracle_classified_cte()}" + " UNION ALL ".join(cells)
+    return " UNION ALL ".join(cells)
+
+
+def _oracle_mv_upserts() -> str:
+    return f"WITH {P.oracle_classified_cte()}" + _oracle_upsert_cells("cls")
 
 
 def _oracle_mv_deletes() -> str:
@@ -1412,6 +1418,33 @@ def q_mv_classify_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("__mv_classify_stream")
 
 
+def q_mv_upserts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental REPAIR: the base-change stream joined against the static
+    MV snapshot, pushed through the UNCHANGED batch ``plan_upserts`` —
+    column-granular repair cells emitted per microbatch (streaming/repair.py).
+    At 100 TB this replaces the nightly full-scan cogroup with per-batch
+    delta-vs-snapshot joins; a drained stream equals the batch plan minus
+    window filtering, which is what the oracle hash-checks."""
+    from mvrepair.streaming.repair import streaming_repair_upserts
+
+    cells = streaming_repair_upserts(
+        P.base_stream_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec()
+    )
+    query = (
+        cells.writeStream.format("memory")
+        .queryName("__mv_upserts_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("__mv_upserts_stream")
+
+
+def _oracle_mv_upserts_stream() -> str:
+    return f"WITH {P.oracle_stream_classified_cte()}" + _oracle_upsert_cells("scls")
+
+
 def _oracle_mv_classify_stream() -> str:
     any_diff = (
         "b_date IS DISTINCT FROM m_date OR b_prio IS DISTINCT FROM m_prio"
@@ -1535,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_stream": q_events_hourly_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
         "mv_classify_stream": q_mv_classify_stream,
+        "mv_upserts_stream": q_mv_upserts_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -1585,6 +1619,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
         "mv_classify_stream": _oracle_mv_classify_stream(),
+        "mv_upserts_stream": _oracle_mv_upserts_stream(),
         "multimodal_meta": _ORACLE_MULTIMODAL,
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,

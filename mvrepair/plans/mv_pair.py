@@ -199,3 +199,35 @@ cls AS (
   FULL OUTER JOIN om m
     ON b.o_custkey = m.o_custkey AND b.o_orderkey = m.o_orderkey
 )"""
+
+
+def oracle_stream_classified_cte() -> str:
+    """CTE ``scls``: the stream-static twin of ``cls`` — base LEFT JOIN mv,
+    no window skip (incremental mode classifies every arriving change), so
+    only the stream-detectable classes appear: MISSING_IN_MV_TABLE,
+    INCONSISTENT, CONSISTENT."""
+    diffs = [
+        ("o_orderdate", "b.o_orderdate IS DISTINCT FROM m.o_orderdate"),
+        ("o_orderpriority", "b.o_orderpriority IS DISTINCT FROM m.o_orderpriority"),
+        ("o_orderstatus", "b.o_orderstatus IS DISTINCT FROM m.o_orderstatus"),
+        ("o_totalprice", "b.o_totalprice IS DISTINCT FROM m.o_totalprice"),
+    ]
+    any_diff = " OR ".join(d[1] for d in diffs)
+    return f"""{oracle_pair_cte()},
+scls AS (
+  SELECT
+    b.o_custkey, b.o_orderkey,
+    m.o_orderkey IS NOT NULL AS mp,
+    CASE
+      WHEN m.o_orderkey IS NULL THEN 'MISSING_IN_MV_TABLE'
+      WHEN {any_diff} THEN 'INCONSISTENT'
+      ELSE 'CONSISTENT'
+    END AS problem,
+    b.o_orderstatus AS b_status, b.o_totalprice AS b_price,
+    b.o_orderdate AS b_date, b.o_orderpriority AS b_prio, b.wt AS b_wt,
+    m.o_orderstatus AS m_status, m.o_totalprice AS m_price,
+    m.o_orderdate AS m_date, m.o_orderpriority AS m_prio, m.wt AS m_wt
+  FROM ob b
+  LEFT JOIN om m
+    ON b.o_custkey = m.o_custkey AND b.o_orderkey = m.o_orderkey
+)"""

@@ -90,17 +90,28 @@ def streaming_dedup_native(
     )
 
 
-def streaming_reconcile_against_static(
+def streaming_classify_against_static(
     base_stream: DataFrame,
     mv_static: DataFrame,
     spec: MVSpec,
 ) -> DataFrame:
-    """Stream-static incremental reconcile.
+    """Wide stream-static classify: the streaming twin of batch
+    ``classify``'s output contract, restricted to the classes a base-side
+    stream can detect.
 
     Each arriving base row is left-joined against the MV snapshot on the
     MV PK; absent → MISSING_IN_MV_TABLE, present-but-different →
-    INCONSISTENT (alphabetical first-mismatch, identical to batch O10).
-    Consistent rows are dropped (report semantics).
+    INCONSISTENT (alphabetical first-mismatch, identical to batch O10),
+    else CONSISTENT.  MISSING_IN_BASE_TABLE is unknowable from a base-side
+    stream (the batch job keeps orphan duty) and no window filter applies —
+    an incremental pipeline classifies each change as it arrives.
+
+    The output keeps the batch wide-frame column contract — ``base__``/
+    ``mv__`` prefixed non-key columns (with writetime/ttl companions),
+    present markers, ``problem``/diff columns — so the downstream batch
+    consumers (``plan_upserts``, ``format_report``) work unchanged on the
+    streaming plan: they are pure projections/filters, which Structured
+    Streaming supports in append mode.
     """
     pk = spec.mv_pk
     mv_p = mv_static.select(
@@ -122,6 +133,7 @@ def streaming_reconcile_against_static(
             for c in base_stream.columns
             if c not in pk
         ],
+        F.lit(True).alias(BASE_PREFIX + "present"),
     )
     joined = base_p.join(mv_p, on=pk, how="left")
     diff_name, diff_type, base_val, mv_val = _diff_exprs(spec)
@@ -131,16 +143,29 @@ def streaming_reconcile_against_static(
         .when(diff_name.isNotNull(), F.lit(INCONSISTENT))
         .otherwise(F.lit("CONSISTENT"))
     )
-    return (
-        joined.withColumns(
-            {
-                "problem": problem,
-                "diff_column": F.when(mv_present, diff_name),
-                "diff_type": F.when(mv_present, diff_type),
-                "base_value": F.when(mv_present, base_val),
-                "mv_value": F.when(mv_present, mv_val),
-            }
-        )
-        .filter(F.col("problem") != "CONSISTENT")
-        .select(*pk, "problem", "diff_column", "diff_type", "base_value", "mv_value")
+    return joined.withColumns(
+        {
+            "problem": problem,
+            "diff_column": F.when(mv_present, diff_name),
+            "diff_type": F.when(mv_present, diff_type),
+            "base_value": F.when(mv_present, base_val),
+            "mv_value": F.when(mv_present, mv_val),
+        }
+    )
+
+
+def streaming_reconcile_against_static(
+    base_stream: DataFrame,
+    mv_static: DataFrame,
+    spec: MVSpec,
+) -> DataFrame:
+    """Stream-static incremental reconcile (report projection).
+
+    ``streaming_classify_against_static`` narrowed to the report columns;
+    consistent rows are dropped (report semantics, MvSync.java:374-378).
+    """
+    pk = spec.mv_pk
+    wide = streaming_classify_against_static(base_stream, mv_static, spec)
+    return wide.filter(F.col("problem") != "CONSISTENT").select(
+        *pk, "problem", "diff_column", "diff_type", "base_value", "mv_value"
     )

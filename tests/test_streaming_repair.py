@@ -1,0 +1,139 @@
+"""Streaming repair leg: incremental upsert planning + sinks + CLI main.
+
+The invariant under test: the streaming repair path reuses the BATCH
+``plan_upserts`` on a stream-static classified frame, so a fully drained
+stream must produce exactly the batch repair plan for the same inputs
+(minus window filtering, which incremental mode doesn't have).
+"""
+
+from __future__ import annotations
+
+import os
+
+from mvrepair.plans import mv_pair as P
+from mvrepair.operators.reconcile import classify
+from mvrepair.operators.repair import plan_upserts
+from mvrepair.streaming.repair import (
+    repair_cells_foreach_batch,
+    repair_cells_to_files,
+    streaming_repair_upserts,
+)
+
+CELL_COLS = [
+    "o_custkey", "o_orderkey", "column", "column_type",
+    "value", "writetime", "ttl", "flavor",
+]
+
+
+def _cells_set(rows):
+    return {tuple(r[c] for c in CELL_COLS) for r in rows}
+
+
+def _batch_plan_rows(spark, sf_dir):
+    # batch twin WITHOUT a window — incremental mode classifies every change
+    wide = classify(
+        P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), window=None
+    )
+    return plan_upserts(wide, P.spec()).collect()
+
+
+def test_streaming_repair_upserts_equals_batch_plan(spark, sf_dir):
+    cells = streaming_repair_upserts(
+        P.base_stream_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec()
+    )
+    assert cells.isStreaming
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("__t_stream_upserts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("__t_stream_upserts").collect()
+    batch = _batch_plan_rows(spark, sf_dir)
+    assert _cells_set(streamed) == _cells_set(batch)
+    assert len(streamed) == len(batch)
+
+
+def test_repair_cells_to_files_durable_log(spark, sf_dir, tmp_path):
+    cells = streaming_repair_upserts(
+        P.base_stream_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec()
+    )
+    out = str(tmp_path / "cells")
+    q = repair_cells_to_files(cells, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    logged = spark.read.parquet(out).collect()
+    assert _cells_set(logged) == _cells_set(_batch_plan_rows(spark, sf_dir))
+
+
+def test_repair_cells_foreach_batch_applier_seam(spark, sf_dir, tmp_path):
+    """The imperative edge: every microbatch reaches apply_fn; the union of
+    batches is the full plan (at-least-once per batch, exactly-once here
+    because availableNow drains without failures)."""
+    cells = streaming_repair_upserts(
+        P.base_stream_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec()
+    )
+    seen: list[tuple] = []
+    batch_ids: list[int] = []
+
+    def apply_fn(batch_df, batch_id):
+        batch_ids.append(batch_id)
+        seen.extend(_cells_set(batch_df.collect()))
+
+    q = repair_cells_foreach_batch(
+        cells, apply_fn, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    assert batch_ids  # at least one microbatch fired
+    assert set(seen) == _cells_set(_batch_plan_rows(spark, sf_dir))
+
+
+def test_cli_main_runs_job_and_prints_stats(spark, tmp_path, capsys):
+    """``python -m mvrepair`` parity (MvSync.java:43-45): settings from the
+    Spark conf + key=value overrides, stats line on stdout, exit 0."""
+    from mvrepair.__main__ import main
+
+    db = "mvrepair_cli_ks"
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{tmp_path / 'wh'}'"
+    )
+    try:
+        spark.sql(
+            f"CREATE TABLE {db}.b (pk STRING, c1 INT) USING PARQUET "
+            "TBLPROPERTIES ('mvrepair.pk'='pk')"
+        )
+        spark.sql(
+            f"CREATE TABLE {db}.m (pk STRING, c1 INT) USING PARQUET "
+            "TBLPROPERTIES ('mvrepair.pk'='pk')"
+        )
+        spark.sql(f"INSERT INTO {db}.b VALUES ('a', 1), ('b', 2)")
+        spark.sql(f"INSERT INTO {db}.m VALUES ('a', 1), ('b', 99)")
+        outdir = str(tmp_path / "out")
+        rc = main(
+            [
+                f"cass.mv.keyspace={db}",
+                "cass.mv.basetablename=b",
+                "cass.mv.mvname=m",
+                f"cass.mv.output.dir={outdir}",
+                # no writetime companions → reference window would skip
+                # nothing (no writetimes at all ⇒ sentinel ⇒ in-window)
+            ]
+        )
+        assert rc == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        assert "totRecords: 2" in line and "inConsistentRecords: 1" in line
+        assert os.path.isdir(os.path.join(outdir, "INCONSISTENT"))
+        with open(os.path.join(outdir, "stats.txt")) as fh:
+            assert fh.read() == line
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_cli_main_failure_exit_code(spark, capsys):
+    from mvrepair.__main__ import main
+
+    rc = main(["cass.mv.keyspace=__no_such_ks__",
+               "cass.mv.basetablename=b", "cass.mv.mvname=m"])
+    assert rc == 1
+    assert "failed" in capsys.readouterr().err
