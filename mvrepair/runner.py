@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from typing import Callable
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 
@@ -35,6 +36,12 @@ from mvrepair.operators.reconcile import (
 )
 from mvrepair.report import _default_upsert_err, write_reports, write_stats
 from mvrepair.schema import MVSpec
+
+# An applier receives (upserts_df, deletes_df) — the column-granular upsert
+# cells (operators.repair.plan_upserts schema) and the guarded delete keys —
+# and performs the side effect.  ``sources.cassandra.apply_repairs_cassandra``
+# is the live-database implementation; tests pass a recorder.
+RepairApplier = Callable[[DataFrame, DataFrame], None]
 
 
 def _flatten_category_dirs(outdir: str) -> None:
@@ -64,6 +71,7 @@ def run(
     outdir: str | None = None,
     native_unbounded_window: bool = False,
     reference_layout: bool = True,
+    repair_applier: RepairApplier | None = None,
 ) -> JobStatsResult:
     """Execute the full reconcile job; returns the 15-counter stats.
 
@@ -117,6 +125,24 @@ def run(
         write_reports(wide, spec, outdir, settings, upsert_err=upsert_err)
         if reference_layout:
             _flatten_category_dirs(outdir)
+
+        # Repair execution (MvSync.java:384-412 performs mutations inline
+        # when fix flags are on).  The applier is a seam like the
+        # reference's overridable getRDD/streamers (MvSyncRDDTest.java:
+        # 63-128): sources.cassandra.apply_repairs_cassandra for a live
+        # cluster, a recorder in tests, None = detection/report-only.
+        if repair_applier is not None and settings.repair_enabled:
+            from mvrepair.operators.repair import plan_deletes, plan_upserts
+
+            upserts = plan_upserts(wide, spec, settings, respect_flags=True)
+            if settings.fix_orphan_mv:
+                # file-mode guard re-checks against the same snapshot (the
+                # batch equivalent of the point-lookup probe,
+                # DBOperations.java:196-228)
+                deletes = plan_deletes(wide, spec, base_df)
+            else:
+                deletes = wide.select(*spec.mv_pk).limit(0)
+            repair_applier(upserts, deletes)
 
         stats = JobStatsResult(
             counters={k: int(v) for k, v in observation.get.items()}

@@ -225,6 +225,49 @@ def test_run_repair_mode_fails_early_on_unsupported_type(spark, tmp_path):
     assert metrics.count("JobError") == 1
 
 
+def test_run_invokes_repair_applier_with_plans(spark, e2e_frames, tmp_path):
+    """With fix flags on and an applier seam provided, run() hands it the
+    column-granular upsert cells and the guarded delete keys (MvSync.java:
+    384-412 inline mutation parity; applier = the live-executor seam)."""
+    base, mv = e2e_frames
+    applied: dict[str, list] = {}
+
+    def applier(upserts, deletes):
+        applied["upserts"] = upserts.collect()
+        applied["deletes"] = deletes.collect()
+
+    stats = run(
+        spark,
+        _settings(str(tmp_path / "out")),
+        base_df=base,
+        mv_df=mv,
+        spec=_spec(),
+        repair_applier=applier,
+    )
+    # delete plan: the single MV-only orphan key B (guard passes — B is
+    # absent from the same base snapshot)
+    assert [tuple(r) for r in applied["deletes"]] == [(11, "NY", 1, "B")]
+    # upsert plan: keys C (c2 mismatch) and Y (missing in MV), every MV
+    # non-PK column per key, null-PK key X excluded (ERR_UPSERTING instead)
+    ups = applied["upserts"]
+    assert {tuple(r)[:4] for r in ups} == {
+        (12, "SF", 2, "C"), (14, "TX", 4, "Y")
+    }
+    assert {r.column for r in ups} == {"c2", "c3"}
+    assert stats.counters["upsertAttemptedRecords"] == 3  # X counted, refused
+
+
+def test_run_no_applier_is_report_only(spark, e2e_frames, tmp_path):
+    """Without an applier the job is detection/report-only even with fix
+    flags on — no side-effect path runs (the default file-mode contract)."""
+    base, mv = e2e_frames
+    stats = run(
+        spark, _settings(str(tmp_path / "out")),
+        base_df=base, mv_df=mv, spec=_spec(),
+    )
+    assert stats.counters["repairRecords"] == 4
+
+
 # ---------------------------------------------------------------------------
 # from_catalog discovery (O5)
 # ---------------------------------------------------------------------------
