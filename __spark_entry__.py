@@ -1284,6 +1284,68 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K, KMEANS_ITERS = 8, 3
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index BUILD: distributed Lloyd's k-means over the embedding
+    corpus (similarity.train_kmeans), then the final map-side assignment.
+    Exact quantized-integer math makes every iteration bit-reproducible,
+    so this ITERATIVE algorithm is hash-checked against a DuckDB twin that
+    replays the same {KMEANS_ITERS} iterations as generated CTEs."""
+    emb = _spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    cents = S.train_kmeans(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    return S.kmeans_assign(emb, cents)
+
+
+def _oracle_kmeans_clusters() -> str:
+    k, iters = KMEANS_K, KMEANS_ITERS
+    lip = "list_inner_product"
+    sim = (
+        f"{lip}(e.qv, c.cqv) / (sqrt({lip}(e.qv, e.qv)) * "
+        f"sqrt({lip}(c.cqv, c.cqv)))"
+    )
+    parts = [
+        "emb AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv "
+        "FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"qv AS cqv FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT e.vec_id, e.qv, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN c{i} c
+  ) WHERE rn = 1
+)""")
+        parts.append(f"""n{i} AS (
+  SELECT cid, list(m ORDER BY pos) AS cqv FROM (
+    SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+    FROM (SELECT cid, unnest(qv) AS v, unnest(range(len(qv))) AS pos FROM a{i})
+    GROUP BY cid, pos
+  ) GROUP BY cid
+)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT cid, cqv FROM n{i}
+  UNION ALL
+  SELECT cid, cqv FROM c{i} WHERE cid NOT IN (SELECT cid FROM n{i})
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+  CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM (
+  SELECT e.vec_id, c.cid, {sim} AS sim,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.cid) AS rn
+  FROM emb e CROSS JOIN c{iters} c
+) WHERE rn = 1"""
+    )
+
+
 def _oracle_embedding_neardup() -> str:
     def dot(a: str, b: str) -> str:
         return (
@@ -1564,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "kmeans_clusters": q_kmeans_clusters,
         # streaming
         "events_hourly_stream": q_events_hourly_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
@@ -1616,6 +1679,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "embedding_neardup": _oracle_embedding_neardup(),
+        "kmeans_clusters": _oracle_kmeans_clusters(),
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
         "mv_classify_stream": _oracle_mv_classify_stream(),

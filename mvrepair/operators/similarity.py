@@ -330,3 +330,147 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id", _pair_sim("l", "r").alias("__sim"))
     )
     return _ranked(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF index BUILD: distributed k-means (Lloyd's) over the embedding column
+# ---------------------------------------------------------------------------
+
+def _centroid_lits(centroids: list[list[int]]) -> Column:
+    """array<struct(cid, cqv, cnorm)> literal from driver-side quantized
+    centroids — the tiny model artifact broadcast into every task.
+
+    Rendered as ONE SQL text parsed JVM-side: building it from ``F.lit``
+    per element costs k·dim py4j round-trips PER PLAN (measured: the
+    dominant cost of the k-means loop, not the data), while one ``expr``
+    call is a single round-trip regardless of k·dim.  ``repr(float)``
+    round-trips exactly, so the norms are bit-identical either way."""
+    import math
+
+    structs = ", ".join(
+        "named_struct('cid', {cid}, 'cqv', array({vals}), 'cnorm', {norm}D)".format(
+            cid=cid,
+            vals=", ".join(f"{int(x)}L" for x in cqv),
+            norm=repr(math.sqrt(float(sum(x * x for x in cqv)))),
+        )
+        for cid, cqv in enumerate(centroids)
+    )
+    return F.expr(f"array({structs})")
+
+
+def _best_cluster(prefix: str, cent_lits: Column) -> Column:
+    """argmax-cosine centroid id for a prepared row (ties → lowest cid),
+    as a single map-side expression — the same no-join assignment shape as
+    ``ivf_topk``."""
+    best = F.array_max(
+        F.transform(
+            cent_lits,
+            lambda c: F.struct(
+                (
+                    _dot(F.col(f"{prefix}.__qv"), c["cqv"]).cast("double")
+                    / (F.col(f"{prefix}.__norm") * c["cnorm"])
+                ).alias("sim"),
+                (-c["cid"]).alias("ncid"),
+            ),
+        )
+    )
+    return -best["ncid"]
+
+
+def train_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[int]]:
+    """Distributed Lloyd's k-means over an ``array<float>`` column — the
+    IVF index-BUILD step (``ivf_topk`` consumes the result as its centroid
+    artifact).
+
+    Engine-portable exact math end to end: vectors are micro-unit
+    quantized int64 (module invariant), per-cluster sums are exact integer
+    aggregates, and the centroid update is ``floor(sum / count)`` per
+    element — so a DuckDB twin reproduces every iteration bit-for-bit and
+    the driver hash-checks an ITERATIVE algorithm, not just one pass.
+
+    Scale shape per iteration (driver loop, ``iters`` × 2 jobs):
+      * assignment — a pure map-side projection against the broadcast
+        centroid literal (no join, no shuffle), identical to ``ivf_topk``;
+      * update — ``posexplode`` + ``groupBy(cluster, pos).sum`` with
+        map-side partial aggregation: the shuffle carries at most
+        ``partitions × k × dim`` partial rows, never the corpus; the
+        driver collects ``k × dim`` longs (the model artifact).
+    Deterministic init (k lowest-id vectors), deterministic ties (lowest
+    cid), empty clusters keep their previous centroid.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    # The quantized projection is scanned once per iteration (+ init): cache
+    # it for the loop, release before returning (PERF.md cache-lifecycle
+    # rule (b) — the returned model is driver-side, so nothing cached
+    # outlives the operator).  At 100 TB this is the standard iterative-ML
+    # trade: persist the (narrow) feature projection, never the raw table.
+    prepared = (
+        _prepare(df, id_col, vec_col, "__id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .alias("t")
+    )
+    try:
+        rows = prepared.orderBy(F.col("__id")).limit(k).select("__qv").collect()
+        centroids: list[list[int]] = [[int(x) for x in r["__qv"]] for r in rows]
+
+        for _ in range(iters):
+            assigned = prepared.withColumn(
+                "__cluster", _best_cluster("t", _centroid_lits(centroids))
+            )
+            sums = (
+                assigned.select(
+                    "__cluster", F.posexplode("__qv").alias("pos", "v")
+                )
+                .groupBy("__cluster", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new = {
+                int(r["__cluster"]): centroids[int(r["__cluster"])][:]
+                for r in sums
+            }
+            for r in sums:
+                # exact: s fits a double (|element| ≤ 1e6 · corpus), floor
+                # of one IEEE division — reproduced verbatim by the oracle
+                new[int(r["__cluster"])][int(r["pos"])] = int(
+                    math.floor(float(r["s"]) / float(r["n"]))
+                )
+            centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
+    finally:
+        prepared.unpersist()
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final cluster assignment against trained centroids: one map-side
+    projection, no shuffle — columns (``id_col``, cluster, cosine_micro)."""
+    cent_lits = _centroid_lits(centroids)
+    prepared = _prepare(df, id_col, vec_col, id_col).alias("t")
+    cluster = _best_cluster("t", cent_lits)
+    sim = F.element_at(
+        F.transform(
+            cent_lits,
+            lambda c: _dot(F.col("t.__qv"), c["cqv"]).cast("double")
+            / (F.col("t.__norm") * c["cnorm"]),
+        ),
+        cluster + 1,
+    )
+    return prepared.select(
+        F.col(id_col),
+        cluster.cast("int").alias("cluster"),
+        F.floor(sim * 1_000_000).cast("long").alias("cosine_micro"),
+    )

@@ -851,3 +851,56 @@ def test_multimodal_empty_input_no_crash(spark):
     assert frame_sample(payload).count() == 0
     assert nibble_histogram(payload).count() == 0
     assert extract_metadata(payload).count() == 0
+
+
+def test_train_kmeans_recovers_separated_clusters(spark):
+    """Lloyd's iterations move the (deliberately bad) lowest-id init onto
+    well-separated clusters: every member lands with its own group and the
+    two centroids converge to the per-cluster means."""
+    from mvrepair.operators.similarity import kmeans_assign, train_kmeans
+
+    # two orthogonal bundles of 4 vectors each; ids interleaved so the
+    # k=2 lowest-id init starts with BOTH centroids near cluster A's axis
+    rows = [
+        (0, [1.0, 0.02, 0.0, 0.0]),
+        (1, [1.0, -0.02, 0.0, 0.0]),
+        (2, [0.98, 0.01, 0.0, 0.0]),
+        (3, [1.02, 0.0, 0.0, 0.0]),
+        (10, [0.0, 0.0, 1.0, 0.03]),
+        (11, [0.0, 0.0, 0.97, 0.0]),
+        (12, [0.0, 0.0, 1.01, -0.02]),
+        (13, [0.0, 0.0, 1.0, 0.01]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_kmeans(df, k=2, iters=4)
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+    got = {
+        r.vec_id: r.cluster
+        for r in kmeans_assign(df, cents).collect()
+    }
+    a = {got[i] for i in (0, 1, 2, 3)}
+    b = {got[i] for i in (10, 11, 12, 13)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    # converged centroids point along each bundle's axis (micro-units)
+    by_axis = sorted(cents, key=lambda c: -c[0])
+    assert by_axis[0][0] > 900_000 and abs(by_axis[0][2]) < 50_000
+    assert by_axis[1][2] > 900_000 and abs(by_axis[1][0]) < 50_000
+
+
+def test_train_kmeans_empty_cluster_keeps_centroid(spark):
+    """A centroid that attracts no vectors keeps its previous position
+    instead of collapsing to zeros (the empty-cluster rule the oracle twin
+    replays)."""
+    from mvrepair.operators.similarity import train_kmeans
+
+    # k=3 but only two real directions: one init centroid ends up empty
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.99, 0.01]),
+        (2, [0.0, 1.0]),
+        (3, [0.01, 0.99]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_kmeans(df, k=3, iters=3)
+    assert len(cents) == 3
+    assert all(any(x != 0 for x in c) for c in cents)
