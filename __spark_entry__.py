@@ -1091,6 +1091,50 @@ SELECT doc_id,
 FROM documents"""
 
 
+BM25_TERMS = ["spark", "join", "filter", "vector", "shuffle"]
+BM25_K = 25
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval over the documents corpus — the scoring
+    pass a curation pipeline uses to mine topical training data.  The
+    per-term contributions are floor-quantized to int64 micro-units before
+    the per-doc sum (order-independent exact aggregation), and the scoring
+    expression is ONE SQL template both engines parse (text.BM25_CONTRIB_
+    TEMPLATE), so the ranking hash-checks bit-exactly."""
+    return X.bm25_rank(_docs(spark, sf_dir), BM25_TERMS, k=BM25_K)
+
+
+def _oracle_bm25_rank() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    contrib = X.BM25_CONTRIB_TEMPLATE.format(
+        idf="ln((n - df + 0.5) / (df + 0.5) + 1)",
+        k1p1=repr(1.2 + 1), k1=repr(1.2),
+        omb=repr(1 - 0.75), b=repr(0.75), avgdl="avgdl",
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avgdl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS cnt FROM toks
+  WHERE term IN ({terms}) GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, sum(c) AS score_micro FROM (
+  SELECT doc_id, {contrib} AS c
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+) GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_K}"""
+
+
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.rolling_fingerprint(_docs(spark, sf_dir))
 
@@ -1613,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_scrub": q_text_scrub,
         "doc_fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
+        "bm25_rank": q_bm25_rank,
         "rolling_fingerprint": q_rolling_fingerprint,
         "simhash": q_simhash,
         # dedup
@@ -1668,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "text_scrub": _ORACLE_TEXT_SCRUB,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,
+        "bm25_rank": _oracle_bm25_rank(),
         "rolling_fingerprint": _ORACLE_ROLLING_FP,
         "simhash": _oracle_simhash(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,

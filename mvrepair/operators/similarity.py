@@ -214,10 +214,12 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: centroid-partitioned inverted lists, probe-then-score.
 
-    Build: the ``n_centroids`` lowest-id corpus vectors act as centroids
+    Build: ``centroids`` (a ``train_kmeans`` artifact) when given;
+    otherwise the ``n_centroids`` lowest-id corpus vectors act as centroids
     (deterministic, seedless "training"); every corpus vector is assigned to
     its highest-cosine centroid by a pure map-side projection against a
     broadcast centroid literal — no shuffle, no join.  Probe: each query
@@ -230,28 +232,22 @@ def ivf_topk(
     Recall < 1 by design (the ANN trade); scoring on the shortlist is the
     same exact quantized cosine as ``cosine_topk``.
     """
-    import math
-
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cqv"))
-        .collect()
-    )
+    if centroids is None:
+        rows = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cqv")
+            )
+            .collect()
+        )
+        pairs = [(int(r["cid"]), [int(x) for x in r["cqv"]]) for r in rows]
+    else:
+        # a trained artifact (train_kmeans output): cid = list index
+        pairs = list(enumerate(centroids))
     # (cid, quantized vector, norm) literals; norms precomputed driver-side
     # with the same int64 self-dot → IEEE sqrt every engine reproduces.
-    cent_lits = F.array(
-        *[
-            F.struct(
-                F.lit(r["cid"]).alias("cid"),
-                F.array(*[F.lit(int(x)) for x in r["cqv"]]).alias("cqv"),
-                F.lit(math.sqrt(float(sum(x * x for x in r["cqv"])))).alias(
-                    "cnorm"
-                ),
-            )
-            for r in cents
-        ]
-    )
+    cent_lits = _centroid_lits_pairs(pairs)
 
     def cent_sims(prefix: str) -> Column:
         """array<struct(sim, cid)> — cosine of this row's vector to every
@@ -336,9 +332,10 @@ def lsh_bucketed_topk(
 # IVF index BUILD: distributed k-means (Lloyd's) over the embedding column
 # ---------------------------------------------------------------------------
 
-def _centroid_lits(centroids: list[list[int]]) -> Column:
-    """array<struct(cid, cqv, cnorm)> literal from driver-side quantized
-    centroids — the tiny model artifact broadcast into every task.
+def _centroid_lits_pairs(pairs: list[tuple[int, list[int]]]) -> Column:
+    """array<struct(cid, cqv, cnorm)> literal from driver-side (cid,
+    quantized vector) pairs — the tiny model artifact broadcast into every
+    task.
 
     Rendered as ONE SQL text parsed JVM-side: building it from ``F.lit``
     per element costs k·dim py4j round-trips PER PLAN (measured: the
@@ -348,14 +345,19 @@ def _centroid_lits(centroids: list[list[int]]) -> Column:
     import math
 
     structs = ", ".join(
-        "named_struct('cid', {cid}, 'cqv', array({vals}), 'cnorm', {norm}D)".format(
-            cid=cid,
+        "named_struct('cid', {cid}L, 'cqv', array({vals}), 'cnorm', {norm}D)".format(
+            cid=int(cid),
             vals=", ".join(f"{int(x)}L" for x in cqv),
             norm=repr(math.sqrt(float(sum(x * x for x in cqv)))),
         )
-        for cid, cqv in enumerate(centroids)
+        for cid, cqv in pairs
     )
     return F.expr(f"array({structs})")
+
+
+def _centroid_lits(centroids: list[list[int]]) -> Column:
+    """Literal for a trained-centroid list (cid = list index)."""
+    return _centroid_lits_pairs(list(enumerate(centroids)))
 
 
 def _best_cluster(prefix: str, cent_lits: Column) -> Column:
@@ -460,7 +462,7 @@ def kmeans_assign(
     projection, no shuffle — columns (``id_col``, cluster, cosine_micro)."""
     cent_lits = _centroid_lits(centroids)
     prepared = _prepare(df, id_col, vec_col, id_col).alias("t")
-    cluster = _best_cluster("t", cent_lits)
+    cluster = _best_cluster("t", cent_lits).cast("int")
     sim = F.element_at(
         F.transform(
             cent_lits,

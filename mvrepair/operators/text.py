@@ -341,3 +341,101 @@ def simhash(
 def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """32-bit SimHash over the token multiset (see ``simhash``)."""
     return simhash(df, text_col, id_col, bits=32)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (retrieval scoring for training-data curation)
+# ---------------------------------------------------------------------------
+
+# One shared SQL template evaluated by BOTH engines (Spark via F.expr, the
+# DuckDB oracle verbatim): identical parse → identical IEEE evaluation
+# order.  Each per-term contribution is floor-quantized to int64
+# micro-units BEFORE the per-doc sum, making the aggregation
+# order-independent (exact integer addition) — a float sum across shuffle
+# partitions would not be deterministic.
+#
+# {idf} is the one engine-divergent slot: the JVM's Math.log disagrees
+# with libm by 1 ulp on some inputs (observed: ±1 micro-unit score drift
+# at sf0.1), so Spark gets the idf as driver-computed Python literals
+# (CPython calls the platform libm — bit-identical to DuckDB's ln) while
+# the oracle computes ln in-engine.
+# Every constant is wrapped CAST(... AS DOUBLE): a bare literal like
+# 54.1408 parses as DECIMAL in BOTH engines, and their decimal/double
+# promotion paths differ (observed: ±1 micro-unit score drift at sf0.1
+# from `dl / 54.1408` going through decimal division in one engine).
+BM25_CONTRIB_TEMPLATE = (
+    "CAST(floor({idf} * "
+    "(cnt * CAST({k1p1} AS DOUBLE) / (cnt + CAST({k1} AS DOUBLE) * "
+    "(CAST({omb} AS DOUBLE) + CAST({b} AS DOUBLE) * dl / "
+    "CAST({avgdl} AS DOUBLE)))) "
+    "* 1000000) AS BIGINT)"
+)
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 top-k document ranking for a bag of query terms.
+
+    Scale shape: the token explode is filtered to the query terms BEFORE
+    any shuffle (only matching (doc, term) rows move); corpus size, average
+    doc length, and per-term document frequencies are tiny aggregates
+    collected as driver-side artifacts (like the k-means centroids), so the
+    scoring pass is a pure map-side expression over the per-(doc, term)
+    counts — no join at all; the final top-k plans as
+    TakeOrderedAndProject.
+
+    Output: (``id_col``, score_micro) — BM25 score in int64 micro-units,
+    descending, ties broken by id.
+    """
+    import math
+
+    toks = F.split(F.col(text_col), " ")
+    exploded = df.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    n, sumdl = df.select(
+        F.count(F.lit(1)), F.sum(F.size(toks)).cast("long")
+    ).first()
+    avgdl = float(sumdl) / float(n)
+
+    tf = (
+        exploded.filter(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dfreq = {
+        r["term"]: int(r["df"])
+        for r in tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
+    }
+    # idf per term, computed with the platform libm (see template comment);
+    # the same (N - df + 0.5)/(df + 0.5) + 1 integer→double chain the
+    # oracle evaluates, so the ln INPUT is bit-identical too
+    idf_case = (
+        "CASE term "
+        + " ".join(
+            f"WHEN '{t}' THEN {repr(math.log((n - df + 0.5) / (df + 0.5) + 1))}D"
+            for t, df in sorted(dfreq.items())
+        )
+        + " END"
+    )
+    contrib = BM25_CONTRIB_TEMPLATE.format(
+        idf=idf_case, k1p1=repr(k1 + 1), k1=repr(k1),
+        omb=repr(1 - b), b=repr(b), avgdl=repr(avgdl),
+    )
+    scored = (
+        tf.withColumn("c", F.expr(contrib))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    return scored.orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    ).limit(k)

@@ -904,3 +904,28 @@ def test_train_kmeans_empty_cluster_keeps_centroid(spark):
     cents = train_kmeans(df, k=3, iters=3)
     assert len(cents) == 3
     assert all(any(x != 0 for x in c) for c in cents)
+
+
+def test_ivf_topk_accepts_trained_centroids(spark):
+    """The train_kmeans artifact plugs into ivf_topk as its centroid set —
+    the full IVF build→probe story — and returns ranked neighbors."""
+    from mvrepair.operators.similarity import ivf_topk, train_kmeans
+
+    import random
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        axis = i % 3
+        v = [rng.uniform(-0.05, 0.05) for _ in range(8)]
+        v[axis] += 1.0
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_kmeans(df, k=3, iters=3)
+    out = ivf_topk(
+        df, df.filter("vec_id < 3"), dim=8, k=5, n_probe=1, centroids=cents
+    ).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
+    # with one probe per query, every neighbor shares the query's axis
+    # cluster (cosine to an on-axis neighbor ≈ 1, cross-axis ≈ 0)
+    assert all(r.cosine_micro > 900_000 for r in out)
+    assert all(r.neighbor_id % 3 == r.query_id % 3 for r in out)
