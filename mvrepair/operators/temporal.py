@@ -79,6 +79,54 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bin_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval (range) join: every left point-in-time row paired with
+    every right interval row of the same key where ``right_start <=
+    left_ts <= right_end`` (both bounds inclusive).
+
+    Scale design — bin-bucketed equi-join, not a theta join.  The naive
+    formulation ``left JOIN right ON key AND ts BETWEEN start AND end``
+    has a non-equi predicate, which Spark plans as a per-key nested loop
+    inside the SMJ partitions (or worse, BroadcastNestedLoopJoin when no
+    equi keys exist) — quadratic per key.  Instead: the left point maps to
+    time bin ``floor(ts / bin_width)``; each right interval explodes to
+    the (few) bins it overlaps; the join is a plain hash/SMJ equi-join on
+    (key…, bin) followed by the exact range filter.  Each matching pair
+    appears exactly once — the pair can only meet in the single bin the
+    left timestamp falls into.  ``bin_width_us`` trades interval
+    replication (≈ span/bin_width + 1 copies of each right row) against
+    bucket selectivity; set it near the typical interval span.
+
+    Column contract: apart from ``key_cols``, the two inputs must have
+    disjoint column names (alias before calling).  Output: all left
+    columns + all non-key right columns.
+    """
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(bin_width_us))
+    l = left.withColumn("__bin", lb)
+    r = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(right_start)) / F.lit(bin_width_us)),
+                F.floor(F.unix_micros(F.col(right_end)) / F.lit(bin_width_us)),
+            )
+        ),
+    )
+    out = l.join(r, on=key_cols + ["__bin"], how="inner").filter(
+        (F.col(left_ts) >= F.col(right_start))
+        & (F.col(left_ts) <= F.col(right_end))
+    )
+    return out.drop("__bin")
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,
