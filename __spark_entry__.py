@@ -5,6 +5,26 @@
 the LLM-data-pipeline extensions).  ``oracle_sql()`` — DuckDB-equivalent
 SQL for every query (all hash-matchable: numeric outputs go through
 exact decimal arithmetic or engine-portable md5-based hashing).
+
+ORACLE TYPE CONVENTION (pinned after three one-class bugs: the decimal-
+precision lesson r2, the bare-literal-DECIMAL lesson r3, the HUGEINT
+``sum(BIGINT)`` lesson r3→r4).  The driver's value hash is sensitive to
+the engines' native RESULT TYPES, not just values, so every oracle
+SELECT must produce columns whose DuckDB Arrow type equals the Spark
+result type exactly:
+
+  * integer aggregates: ``CAST(sum(x) AS BIGINT)`` — DuckDB widens
+    sum(BIGINT) to HUGEINT (int128) while Spark stays BIGINT;
+  * no decimal-typed output columns anywhere (Spark sum(decimal) and
+    DuckDB sum(decimal) widen to different precisions) — cast money
+    math through exact int64 micro-units or DOUBLE;
+  * numeric literals in double expressions: ``CAST(1.5 AS DOUBLE)`` —
+    bare ``1.5`` parses as DECIMAL in both engines and their promotion
+    paths differ.
+
+``tools/check_oracle.py`` enforces this mechanically (Spark schema vs
+DuckDB Arrow schema in one canonical domain); run it before shipping
+any new oracle.
 """
 
 from __future__ import annotations
@@ -1128,7 +1148,7 @@ tf AS (
   WHERE term IN ({terms}) GROUP BY 1, 2, 3
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-SELECT doc_id, sum(c) AS score_micro FROM (
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM (
   SELECT doc_id, {contrib} AS c
   FROM tf JOIN dfreq USING (term) CROSS JOIN stats
 ) GROUP BY doc_id

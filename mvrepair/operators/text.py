@@ -396,6 +396,22 @@ def bm25_rank(
     """
     import math
 
+    empty = df.select(
+        F.col(id_col), F.lit(0).cast("long").alias("score_micro")
+    ).limit(0)
+    # Terms are interpolated into ONE SQL template both engines parse, so
+    # they must be literal-safe: double any single quote (standard SQL
+    # escaping, identical in Spark and DuckDB) and refuse control chars.
+    query_terms = [str(t) for t in query_terms]
+    for t in query_terms:
+        if any(ord(ch) < 0x20 for ch in t):
+            raise ValueError(f"bm25 query term contains control chars: {t!r}")
+    if not query_terms:
+        return empty
+
+    def q(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
     toks = F.split(F.col(text_col), " ")
     exploded = df.select(
         F.col(id_col),
@@ -405,6 +421,8 @@ def bm25_rank(
     n, sumdl = df.select(
         F.count(F.lit(1)), F.sum(F.size(toks)).cast("long")
     ).first()
+    if not n:
+        return empty
     avgdl = float(sumdl) / float(n)
 
     tf = (
@@ -416,13 +434,15 @@ def bm25_rank(
         r["term"]: int(r["df"])
         for r in tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()
     }
+    if not dfreq:  # no term occurs anywhere: an empty CASE won't parse
+        return empty
     # idf per term, computed with the platform libm (see template comment);
     # the same (N - df + 0.5)/(df + 0.5) + 1 integer→double chain the
     # oracle evaluates, so the ln INPUT is bit-identical too
     idf_case = (
         "CASE term "
         + " ".join(
-            f"WHEN '{t}' THEN {repr(math.log((n - df + 0.5) / (df + 0.5) + 1))}D"
+            f"WHEN {q(t)} THEN {repr(math.log((n - df + 0.5) / (df + 0.5) + 1))}D"
             for t, df in sorted(dfreq.items())
         )
         + " END"

@@ -929,3 +929,95 @@ def test_ivf_topk_accepts_trained_centroids(spark):
     # cluster (cosine to an on-axis neighbor ≈ 1, cross-axis ≈ 0)
     assert all(r.cosine_micro > 900_000 for r in out)
     assert all(r.neighbor_id % 3 == r.query_id % 3 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k ranking
+# ---------------------------------------------------------------------------
+
+def _bm25_expected(corpus, terms, k1=1.2, b=0.75):
+    """Reference BM25 in plain Python, floor-quantized to micro-units the
+    way text.bm25_rank defines its exact int64 score."""
+    import math
+
+    docs = {i: t.split(" ") for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    dfreq = {t: sum(1 for v in docs.values() if t in v) for t in terms}
+    scores = {}
+    for i, toks in docs.items():
+        s = 0
+        for t in terms:
+            cnt = toks.count(t)
+            if not cnt or not dfreq[t]:
+                continue
+            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+            s += math.floor(
+                idf * (cnt * (k1 + 1) / (cnt + k1 * (1 - b + b * len(toks) / avgdl)))
+                * 1_000_000
+            )
+        if s:
+            scores[i] = s
+    return scores
+
+
+@pytest.fixture(scope="module")
+def bm25_corpus(spark):
+    rows = [
+        (0, "spark shuffles data between stages during a join"),
+        (1, "a join is a join is a join"),
+        (2, "filters prune partitions before the scan even starts"),
+        (3, "spark spark spark everywhere and also one join"),
+        (4, "nothing relevant in this one at all"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]), rows
+
+
+def test_bm25_rank_matches_reference_math(spark, bm25_corpus):
+    df, rows = bm25_corpus
+    terms = ["spark", "join"]
+    got = {r.doc_id: r.score_micro for r in X.bm25_rank(df, terms, k=10).collect()}
+    assert got == _bm25_expected(rows, terms)
+
+
+def test_bm25_rank_order_and_tiebreak(spark, bm25_corpus):
+    df, rows = bm25_corpus
+    out = X.bm25_rank(df, ["join"], k=10).collect()
+    scores = [r.score_micro for r in out]
+    assert scores == sorted(scores, reverse=True)
+    exp = _bm25_expected(rows, ["join"])
+    assert [r.doc_id for r in out] == sorted(
+        exp, key=lambda i: (-exp[i], i)
+    )
+
+
+def test_bm25_rank_empty_terms_returns_empty(spark, bm25_corpus):
+    df, _ = bm25_corpus
+    out = X.bm25_rank(df, [], k=10)
+    assert out.columns == ["doc_id", "score_micro"]
+    assert out.count() == 0
+
+
+def test_bm25_rank_no_matching_terms_returns_empty(spark, bm25_corpus):
+    df, _ = bm25_corpus
+    assert X.bm25_rank(df, ["zzzzz"], k=10).count() == 0
+
+
+def test_bm25_rank_quoted_term_is_escaped(spark):
+    df = spark.createDataFrame(
+        [(0, "o'brien wrote code"), (1, "someone else wrote prose")],
+        ["doc_id", "text"],
+    )
+    out = X.bm25_rank(df, ["o'brien"], k=5).collect()
+    assert [r.doc_id for r in out] == [0]
+
+
+def test_bm25_rank_rejects_control_chars(spark, bm25_corpus):
+    df, _ = bm25_corpus
+    with pytest.raises(ValueError, match="control chars"):
+        X.bm25_rank(df, ["a\nb"], k=5)
+
+
+def test_bm25_rank_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert X.bm25_rank(df, ["spark"], k=5).count() == 0

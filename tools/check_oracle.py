@@ -2,7 +2,17 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same sf fixtures, then compares row count, sorted column
-names, and an order-insensitive canonicalized value multiset.
+names, per-column RESULT TYPES, and an order-insensitive canonicalized
+value multiset.
+
+The type check is the round-4 lesson: the driver's value hash is
+type-representation-sensitive (it hashes through the engines' native
+result frames), so a Spark BIGINT vs a DuckDB HUGEINT — e.g. an uncast
+``sum(BIGINT)``, which DuckDB widens to int128 — hash-mismatch even when
+every value is numerically identical.  Python ``fetchall()`` collapses
+both to ``int``, so a value-level compare can NOT see this; we instead
+map Spark's declared schema and DuckDB's Arrow result schema into one
+canonical type domain and require equality per column.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -14,6 +24,7 @@ import sys
 from decimal import Decimal
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, "/root/repo")
 
@@ -41,6 +52,53 @@ def canon(v):
 def df_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def arrow_canon_type(t) -> str:
+    """Map a pyarrow type into Spark's simpleString() type domain."""
+    if pa.types.is_int64(t):
+        return "bigint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{arrow_canon_type(t.value_type)}>"
+    if pa.types.is_map(t):
+        return (f"map<{arrow_canon_type(t.key_type)},"
+                f"{arrow_canon_type(t.item_type)}>")
+    return str(t)
+
+
+def type_mismatches(spark_schema, arrow_schema):
+    """Per-column canonical-type diffs between a Spark result schema and
+    the DuckDB Arrow result schema (columns matched by name)."""
+    stypes = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    diffs = []
+    for field in arrow_schema:
+        otype = arrow_canon_type(field.type)
+        stype = stypes.get(field.name)
+        if stype is not None and stype != otype:
+            diffs.append(f"{field.name}: spark {stype} vs oracle {otype}")
+    return diffs
 
 
 def main():
@@ -85,6 +143,7 @@ def main():
             print(f"rows  {name}: {len(srows)} (no oracle)")
             continue
         try:
+            otbl = con.execute(oracles[name]).arrow()
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
@@ -106,6 +165,10 @@ def main():
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        tdiffs = type_mismatches(sdf.schema, otbl.schema)
+        if tdiffs:
+            problems.append(f"result types differ (driver hash is "
+                            f"type-sensitive): {tdiffs}")
         if not problems:
             sm = df_to_multiset(scols, [tuple(r) for r in srows])
             om = df_to_multiset(ocols, orows)
