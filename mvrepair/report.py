@@ -233,6 +233,55 @@ def write_reports(
     formatted.write.partitionBy("category").mode("overwrite").text(outdir)
 
 
+def write_error_reports(
+    wide: DataFrame,
+    spec: MVSpec,
+    outdir: str,
+    upsert_errors: DataFrame | None = None,
+    delete_errors: DataFrame | None = None,
+) -> None:
+    """Append ERR_UPSERTING / ERR_DELETING records for keys whose LIVE
+    repair mutation failed.
+
+    The reference streams the failed record plus the exception text while
+    mutating (MVJobOutputStreamer.java:64-101, fed from the catch blocks in
+    DBOperations.java:58-94 / :240-387); batch-side, the error frames come
+    back from ``sources.cassandra.apply_repairs_cassandra`` AFTER the
+    report write, so the error categories are a second, append-mode write
+    into the same categorized layout.  Errors are aggregated per key
+    (sorted distinct messages, ``"; ``"-joined) so a key with several
+    failed column upserts emits one record — bounded output per key.
+    """
+    frames = [
+        (ERR_UPSERTING, upsert_errors),
+        (ERR_DELETING, delete_errors),
+    ]
+    record = _record_expr(wide.columns, spec)
+    out = None
+    for category, errors in frames:
+        if errors is None:
+            continue
+        per_key = errors.groupBy(*spec.mv_pk).agg(
+            F.array_join(
+                F.sort_array(F.collect_set("error")), "; "
+            ).alias("__err")
+        )
+        part = (
+            wide.join(per_key, on=list(spec.mv_pk), how="inner")
+            .select(
+                F.lit(category).alias("category"),
+                F.concat(record, F.lit("\n"), F.col("__err")).alias("record"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        return
+    formatted = out.withColumn(
+        "record", F.concat(F.col("record"), F.lit("\n" + SEPARATOR))
+    )
+    formatted.write.partitionBy("category").mode("append").text(outdir)
+
+
 def write_stats(stats: JobStatsResult, outdir: str) -> None:
     """O18: single-line ``stats.txt`` in exact JobStats.toString format."""
     os.makedirs(outdir, exist_ok=True)

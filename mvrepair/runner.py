@@ -22,7 +22,6 @@ format in README.md:73).
 from __future__ import annotations
 
 import os
-import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -34,31 +33,44 @@ from mvrepair.operators.reconcile import (
     classify,
     stats_agg_exprs,
 )
-from mvrepair.report import _default_upsert_err, write_reports, write_stats
+from mvrepair.report import (
+    _default_upsert_err,
+    write_error_reports,
+    write_reports,
+    write_stats,
+)
 from mvrepair.schema import MVSpec
 
 # An applier receives (upserts_df, deletes_df) — the column-granular upsert
 # cells (operators.repair.plan_upserts schema) and the guarded delete keys —
 # and performs the side effect.  ``sources.cassandra.apply_repairs_cassandra``
-# is the live-database implementation; tests pass a recorder.
-RepairApplier = Callable[[DataFrame, DataFrame], None]
+# is the live-database implementation (returns the two per-key error
+# frames, which ``run`` routes into ERR_UPSERTING / ERR_DELETING); tests
+# pass a recorder.  A ``None`` return means "no live failure surface".
+RepairApplier = Callable[
+    [DataFrame, DataFrame], "tuple[DataFrame, DataFrame] | None"
+]
 
 
 def _flatten_category_dirs(outdir: str) -> None:
     """``category=X`` partition dirs → reference-layout ``X`` dirs.
 
-    Driver-side rename only — constant work per category (5 dirs), no data
-    movement on a local/HDFS filesystem.  On object stores where rename is
-    copy, keep the native ``partitionBy`` layout instead (pass
-    ``reference_layout=False`` to ``run``).
+    Driver-side ``os`` renames only — this REQUIRES ``outdir`` to be a
+    driver-local filesystem path (``run`` fails fast on URI-scheme paths;
+    on HDFS/object stores keep the native ``partitionBy`` layout via
+    ``reference_layout=False``).  Files are MERGED into an existing
+    category dir (part-file names are task-unique) so a later append
+    write — e.g. the live repair-error categories — never clobbers an
+    earlier flatten.
     """
     for name in os.listdir(outdir):
         if name.startswith("category="):
             src = os.path.join(outdir, name)
             dst = os.path.join(outdir, name[len("category="):])
-            if os.path.isdir(dst):
-                shutil.rmtree(dst)
-            os.rename(src, dst)
+            os.makedirs(dst, exist_ok=True)
+            for entry in os.listdir(src):
+                os.replace(os.path.join(src, entry), os.path.join(dst, entry))
+            os.rmdir(src)
 
 
 def run(
@@ -90,6 +102,13 @@ def run(
     settings = settings or SyncSettings()
     metrics = metrics if metrics is not None else GLOBAL_METRICS
     outdir = outdir or settings.output_dir
+    if reference_layout and "://" in outdir:
+        raise ValueError(
+            f"reference_layout=True flattens category dirs with driver-side "
+            f"os renames, which need a driver-local path; got {outdir!r}. "
+            f"Pass reference_layout=False to keep the native "
+            f"category=<CATEGORY> partition layout on remote filesystems."
+        )
 
     metrics.inc("JobStarted")
     try:
@@ -131,6 +150,7 @@ def run(
         # reference's overridable getRDD/streamers (MvSyncRDDTest.java:
         # 63-128): sources.cassandra.apply_repairs_cassandra for a live
         # cluster, a recorder in tests, None = detection/report-only.
+        live_upsert_err = live_delete_err = 0
         if repair_applier is not None and settings.repair_enabled:
             from mvrepair.operators.repair import plan_deletes, plan_upserts
 
@@ -142,11 +162,42 @@ def run(
                 deletes = plan_deletes(wide, spec, base_df)
             else:
                 deletes = wide.select(*spec.mv_pk).limit(0)
-            repair_applier(upserts, deletes)
+            result = repair_applier(upserts, deletes)
+            # A live applier (apply_repairs_cassandra) hands back per-key
+            # error frames; route them into the ERR_UPSERTING/ERR_DELETING
+            # report categories (MVJobOutputStreamer.java:64-101) and fold
+            # the counts into the delErr/upsertErr stats counters
+            # (JobStats increments at MvSync.java:384-412).
+            if isinstance(result, tuple):
+                uerr, derr = result
+                write_error_reports(
+                    wide, spec, outdir,
+                    upsert_errors=uerr, delete_errors=derr,
+                )
+                if reference_layout:
+                    _flatten_category_dirs(outdir)
+                live_upsert_err = (
+                    uerr.select(*spec.mv_pk).distinct().count()
+                )
+                live_delete_err = (
+                    derr.select(*spec.mv_pk).distinct().count()
+                )
 
         stats = JobStatsResult(
             counters={k: int(v) for k, v in observation.get.items()}
         )
+        if live_upsert_err or live_delete_err:
+            # per-key counts (a key with several failed column upserts is
+            # one errored record, matching the per-record report row)
+            c = stats.counters
+            c["upsertErrRecords"] += live_upsert_err
+            c["upsertSuccessRecords"] = max(
+                0, c["upsertSuccessRecords"] - live_upsert_err
+            )
+            c["delErrRecords"] += live_delete_err
+            c["delSuccessRecords"] = max(
+                0, c["delSuccessRecords"] - live_delete_err
+            )
         write_stats(stats, outdir)
         metrics.absorb_job_stats(stats.counters)
         metrics.inc("JobCompleted")

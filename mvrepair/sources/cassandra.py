@@ -12,20 +12,27 @@ Live-cluster counterpart of the parquet fixture harness:
 - ``TokenBucket``: the mutation-side rate limiter (O4/O14/O15,
   reference 5 rows/s/worker default, MVSyncSettings.java:92-94).  Plain
   deterministic token bucket, unit-tested.
-- ``apply_repairs_cassandra``: ``foreachPartition`` executor issuing the
-  planned upserts/deletes over the DataStax python driver with a per-JVM
-  (here per-executor-process) session singleton and per-partition
-  prepared-statement cache — mirroring CassandraClient.java:15-33 and
-  PreparedStatementHelper.java:36-78.  Gated behind an import-try: absent
-  driver → NotImplementedError (detection/planning never needs it).
+- ``apply_repairs_cassandra``: executor issuing the planned upserts/
+  deletes over the DataStax python driver with a per-executor-process
+  session singleton and per-partition prepared-statement cache — mirroring
+  CassandraClient.java:15-33 and PreparedStatementHelper.java:36-78.
+  Runs as ``mapInPandas`` (not ``foreachPartition``) so each failed
+  mutation yields a per-key ERROR ROW instead of vanishing into a log:
+  the returned (upsert_errors, delete_errors) frames feed the
+  ERR_UPSERTING / ERR_DELETING report categories, reproducing the
+  reference's live-failure surface (MVJobOutputStreamer.java:43-48,
+  DBOperations.java:58-94 catch-and-stream).  Gated behind an import-try:
+  absent driver → NotImplementedError (detection/planning never needs it);
+  tests inject a ``session_factory``.
 """
 
 from __future__ import annotations
 
 import time
-from typing import Iterable
+from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
 
 from mvrepair.config import SyncSettings
 
@@ -103,60 +110,110 @@ def _get_session(settings: SyncSettings):
     return _SESSION
 
 
+def _error_schema(plan: DataFrame, mv_pk: list[str]) -> StructType:
+    """PK columns (input types preserved) + one ``error`` string."""
+    pk_fields = [f for f in plan.schema.fields if f.name in mv_pk]
+    return StructType(pk_fields + [StructField("error", StringType(), True)])
+
+
 def apply_repairs_cassandra(
     upserts: DataFrame,
     deletes: DataFrame,
     spec,
     settings: SyncSettings,
-) -> None:
-    """Execute a repair plan against a live cluster (rate-limited).
+    session_factory: Callable[[], object] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Execute a repair plan against a live cluster (rate-limited) and
+    return ``(upsert_errors, delete_errors)`` — per-key failure rows.
 
-    One ``foreachPartition`` pass per plan; per-partition statement cache;
+    One ``mapInPandas`` pass per plan; per-partition statement cache;
     ``mutation.ratelimiter`` rows/sec per executor.  Statement shapes are
     the reference's 4 upsert flavors (PreparedStatementHelper.java:36-78)
-    and the full-PK delete (:94-108).
+    and the full-PK delete (:94-108).  A mutation that raises is caught
+    per row (DBOperations.java:58-94 / :240-387 catch-and-continue parity)
+    and emitted as ``(<mv_pk…>, error)``; the error frames are EAGERLY
+    materialized (persist + count) here so the mutations run exactly once
+    regardless of how many actions the caller later runs on them — the
+    caller owns the two small cache handles.  Feed them to
+    ``report.write_error_reports`` for the ERR_DELETING / ERR_UPSERTING
+    categories (MVJobOutputStreamer.java:43-48).
+
+    ``session_factory`` is the test seam (a per-executor callable
+    returning a driver session); default is the module singleton.
     """
     mv_pk = list(spec.mv_pk)
     ks, mv = settings.keyspace, settings.mv_name
     rate = settings.mutation_rate_limit
-    consistency = settings.mv_write_consistency
+    factory = session_factory or (lambda: _get_session(settings))
 
-    def run_upserts(rows: Iterable) -> None:
-        session = _get_session(settings)
+    up_schema = _error_schema(upserts, mv_pk)
+    del_schema = _error_schema(deletes, mv_pk)
+
+    def run_upserts(batches: Iterable) -> Iterable:
+        import pandas as pd
+
+        session = factory()
         limiter = TokenBucket(rate)
         stmt_cache: dict[tuple[str, str], object] = {}
-        for row in rows:
-            limiter.acquire()
-            col, flavor = row["column"], row["flavor"]
-            key = (col, flavor)
-            if key not in stmt_cache:
-                pk_binds = ", ".join(["?"] * (len(mv_pk) + 1))
-                using = {
-                    "NO_TIMESTAMP_TTL": "",
-                    "TIMESTAMP": " USING TIMESTAMP ?",
-                    "TTL": " USING TTL ?",
-                    "TIMESTAMP_TTL": " USING TIMESTAMP ? AND TTL ?",
-                }[flavor]
-                cql = (
-                    f"INSERT INTO {ks}.{mv} ({', '.join(mv_pk)}, {col}) "
-                    f"VALUES ({pk_binds}){using}"
-                )
-                stmt_cache[key] = session.prepare(cql)
-            binds = [row[c] for c in mv_pk] + [row["value"]]
-            if flavor in ("TIMESTAMP", "TIMESTAMP_TTL"):
-                binds.append(row["writetime"])
-            if flavor in ("TTL", "TIMESTAMP_TTL"):
-                binds.append(row["ttl"])
-            session.execute(stmt_cache[key].bind(binds))
+        for pdf in batches:
+            errs: list[dict] = []
+            for row in pdf.to_dict("records"):
+                limiter.acquire()
+                col, flavor = row["column"], row["flavor"]
+                key = (col, flavor)
+                try:
+                    if key not in stmt_cache:
+                        pk_binds = ", ".join(["?"] * (len(mv_pk) + 1))
+                        using = {
+                            "NO_TIMESTAMP_TTL": "",
+                            "TIMESTAMP": " USING TIMESTAMP ?",
+                            "TTL": " USING TTL ?",
+                            "TIMESTAMP_TTL": " USING TIMESTAMP ? AND TTL ?",
+                        }[flavor]
+                        cql = (
+                            f"INSERT INTO {ks}.{mv} ({', '.join(mv_pk)}, {col}) "
+                            f"VALUES ({pk_binds}){using}"
+                        )
+                        stmt_cache[key] = session.prepare(cql)
+                    binds = [row[c] for c in mv_pk] + [row["value"]]
+                    if flavor in ("TIMESTAMP", "TIMESTAMP_TTL"):
+                        binds.append(row["writetime"])
+                    if flavor in ("TTL", "TIMESTAMP_TTL"):
+                        binds.append(row["ttl"])
+                    session.execute(stmt_cache[key].bind(binds))
+                except Exception as exc:  # noqa: BLE001 — stream, don't die
+                    errs.append(
+                        {**{c: row[c] for c in mv_pk},
+                         "error": f"Error while upserting {col}: {exc}"}
+                    )
+            yield pd.DataFrame(errs, columns=[f.name for f in up_schema])
 
-    def run_deletes(rows: Iterable) -> None:
-        session = _get_session(settings)
+    def run_deletes(batches: Iterable) -> Iterable:
+        import pandas as pd
+
+        session = factory()
         limiter = TokenBucket(rate)
         where = " AND ".join(f"{c} = ?" for c in mv_pk)
-        stmt = session.prepare(f"DELETE FROM {ks}.{mv} WHERE {where}")
-        for row in rows:
-            limiter.acquire()
-            session.execute(stmt.bind([row[c] for c in mv_pk]))
+        stmt = None
+        for pdf in batches:
+            errs = []
+            for row in pdf.to_dict("records"):
+                limiter.acquire()
+                try:
+                    if stmt is None:
+                        stmt = session.prepare(
+                            f"DELETE FROM {ks}.{mv} WHERE {where}"
+                        )
+                    session.execute(stmt.bind([row[c] for c in mv_pk]))
+                except Exception as exc:  # noqa: BLE001
+                    errs.append(
+                        {**{c: row[c] for c in mv_pk},
+                         "error": f"Error while deleting: {exc}"}
+                    )
+            yield pd.DataFrame(errs, columns=[f.name for f in del_schema])
 
-    upserts.foreachPartition(run_upserts)
-    deletes.foreachPartition(run_deletes)
+    upsert_errors = upserts.mapInPandas(run_upserts, up_schema).persist()
+    delete_errors = deletes.mapInPandas(run_deletes, del_schema).persist()
+    upsert_errors.count()  # THE upsert action — mutations happen here
+    delete_errors.count()  # THE delete action
+    return upsert_errors, delete_errors
