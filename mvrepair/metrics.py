@@ -11,8 +11,11 @@ never from a second aggregation job.
 
 from __future__ import annotations
 
+import logging
 from collections import Counter
-from typing import Mapping
+from typing import Callable, Mapping
+
+_LOG = logging.getLogger("mvrepair.metrics")
 
 # MvSyncJobMetrics.java:8-23 — counter registry names.
 COUNTER_NAMES = [
@@ -36,12 +39,18 @@ COUNTER_NAMES = [
 
 # JobStats observe-metric name → lifecycle counter(s) it feeds
 # (increment sites: MvSync.java:250 readRows; :315 processRecord;
-# :350-378 classification; :384-412 repair).  ``totRecords`` feeds BOTH
-# ProcessRecord and ReadRows: the reference bumps readRows once per scanned
-# row pre-join (MvSync.java:250) while our observe runs post-join, so
-# distinct-key count is the closest single-pass approximation.
+# :350-378 classification; :384-412 repair).  ``readRows`` is the per-side
+# present-row sum observed by ``reconcile.read_rows_exprs`` — one read per
+# scanned row per side, matching the reference's pre-join bump
+# (MvSync.java:250) except for duplicate keys dropped pre-join (the
+# reference reads those too; we count each key once per side, so ReadRows
+# UNDERCOUNTS by exactly the number of dropped duplicate-key rows).  When
+# ``readRows`` is absent from the stats mapping (older callers), ReadRows
+# falls back to ``totRecords`` — a further ~2× undercount since one key
+# then counts once, not once per present side.
 _FROM_JOB_STATS = {
-    "totRecords": ("ProcessRecord", "ReadRows"),
+    "readRows": "ReadRows",
+    "totRecords": "ProcessRecord",
     "skippedRecords": "RecordNotInScope",
     "consistentRecords": "ConsistentRecord",
     "inConsistentRecords": "InconsistentRecord",
@@ -70,19 +79,37 @@ class JobMetrics:
         return self._counters[name]
 
     def absorb_job_stats(self, stats: Mapping[str, int]) -> None:
-        """Feed the 15 JobStats counters (from ``df.observe``) into the
-        lifecycle registry.  ReadRows is approximated as totRecords (the
-        reference counts per scanned row pre-join, MvSync.java:250; the
-        observe runs post-join, so the distinct-key count is the
-        single-pass stand-in — see _FROM_JOB_STATS)."""
+        """Feed the JobStats counters (from ``df.observe``) into the
+        lifecycle registry.  ``readRows`` (per-side present sums, see
+        ``reconcile.read_rows_exprs``) feeds ReadRows when present;
+        otherwise ReadRows falls back to totRecords (documented ~2×
+        undercount — see _FROM_JOB_STATS)."""
         for src, dsts in _FROM_JOB_STATS.items():
             if src in stats:
                 targets = dsts if isinstance(dsts, tuple) else (dsts,)
                 for dst in targets:
                     self._counters[dst] += int(stats[src])
+        if "readRows" not in stats and "totRecords" in stats:
+            self._counters["ReadRows"] += int(stats["totRecords"])
 
     def as_dict(self) -> dict[str, int]:
         return dict(self._counters)
+
+    def render(self) -> str:
+        """One deterministic log line, the scraper surface standing in for
+        the reference's codahale registry (MvSyncJobMetrics.java:6-23):
+        every counter in registry order as ``Name=value`` pairs."""
+        return "mvsync.metrics " + " ".join(
+            f"{n}={self._counters[n]}" for n in COUNTER_NAMES
+        )
+
+    def publish(self, sink: Callable[[str], None] | None = None) -> str:
+        """Render and push the registry to a sink (default: the module
+        logger at INFO — the log-scraper equivalent of a metrics reporter
+        attached to the codahale registry).  Returns the rendered line."""
+        line = self.render()
+        (sink or _LOG.info)(line)
+        return line
 
 
 # Module-level default registry, mirroring the reference's static usage.

@@ -334,6 +334,24 @@ def stats_agg_exprs(
     ]
 
 
+def read_rows_exprs() -> list[Column]:
+    """ReadRows parity aggregate (rides the same one action via a second
+    ``observe``): the reference bumps readRows once per scanned row on EACH
+    side pre-join (MvSync.java:250); post-join, a key contributes one read
+    per present side, so the per-side present sums reproduce the pre-join
+    scan count (modulo dropped duplicate keys — the one residual
+    approximation, documented in metrics.py).  Kept out of
+    ``stats_agg_exprs`` so the 15-counter JobStats contract (and the
+    ``mv_stats`` oracle schema) stays exact."""
+    base_present = F.coalesce(F.col(BASE_PREFIX + _PRESENT), F.lit(False))
+    mv_present = F.coalesce(F.col(MV_PREFIX + _PRESENT), F.lit(False))
+
+    def cnt(cond: Column) -> Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return [(cnt(base_present) + cnt(mv_present)).alias("readRows")]
+
+
 def job_stats(
     wide: DataFrame, settings: SyncSettings | None = None
 ) -> JobStatsResult:

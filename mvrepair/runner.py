@@ -31,6 +31,7 @@ from mvrepair.metrics import GLOBAL_METRICS, JobMetrics
 from mvrepair.operators.reconcile import (
     JobStatsResult,
     classify,
+    read_rows_exprs,
     stats_agg_exprs,
 )
 from mvrepair.report import (
@@ -84,6 +85,7 @@ def run(
     native_unbounded_window: bool = False,
     reference_layout: bool = True,
     repair_applier: RepairApplier | None = None,
+    metrics_sink: Callable[[str], None] | None = None,
 ) -> JobStatsResult:
     """Execute the full reconcile job; returns the 15-counter stats.
 
@@ -134,12 +136,15 @@ def run(
         window = settings.window_micros(native_unbounded=native_unbounded_window)
         wide = classify(base_df, mv_df, spec, window=window)
 
-        # One-pass stats: observe rides the report write action below.
+        # One-pass stats: both observations ride the report write action
+        # below (readRows is a second observe on the same frame — still
+        # zero extra jobs).
         upsert_err = _default_upsert_err(wide, spec, settings)
         observation = Observation("job_stats")
+        read_obs = Observation("read_rows")
         wide = wide.observe(
             observation, *stats_agg_exprs(settings, upsert_err=upsert_err)
-        )
+        ).observe(read_obs, *read_rows_exprs())
 
         write_reports(wide, spec, outdir, settings, upsert_err=upsert_err)
         if reference_layout:
@@ -186,6 +191,9 @@ def run(
         stats = JobStatsResult(
             counters={k: int(v) for k, v in observation.get.items()}
         )
+        # extra key beyond the 15 — render()/stats.txt ignore it; it feeds
+        # the ReadRows lifecycle counter (MvSync.java:250 parity)
+        stats.counters["readRows"] = int(read_obs.get["readRows"])
         if live_upsert_err or live_delete_err:
             # per-key counts (a key with several failed column upserts is
             # one errored record, matching the per-record report row)
@@ -201,6 +209,9 @@ def run(
         write_stats(stats, outdir)
         metrics.absorb_job_stats(stats.counters)
         metrics.inc("JobCompleted")
+        # the reference's codahale registry is always scrapeable; the
+        # log-line publish is our equivalent end-of-job reporter flush
+        metrics.publish(metrics_sink)
         return stats
     except Exception:
         metrics.inc("JobError")

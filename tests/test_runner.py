@@ -125,6 +125,7 @@ def test_run_e2e_layout_stats_and_metrics(spark, e2e_frames, tmp_path):
     base, mv = e2e_frames
     outdir = str(tmp_path / "out")
     metrics = JobMetrics()
+    sink_lines: list[str] = []
 
     stats = run(
         spark,
@@ -133,6 +134,7 @@ def test_run_e2e_layout_stats_and_metrics(spark, e2e_frames, tmp_path):
         mv_df=mv,
         spec=_spec(),
         metrics=metrics,
+        metrics_sink=sink_lines.append,
     )
 
     # categorized reference layout: <outdir>/<CATEGORY>/part-*.txt
@@ -166,15 +168,26 @@ def test_run_e2e_layout_stats_and_metrics(spark, e2e_frames, tmp_path):
     with open(os.path.join(outdir, "stats.txt")) as fh:
         assert fh.read() == GOLDEN_STATS
 
-    # lifecycle metrics fed from the SAME observe pass
+    # lifecycle metrics fed from the SAME observe pass.  ReadRows counts
+    # one read per present side per key (MvSync.java:250 pre-join parity):
+    # 5 base rows + 4 mv rows = 9, not the 6 distinct keys.
     m = metrics.as_dict()
     assert m["JobStarted"] == 1 and m["JobCompleted"] == 1 and m["JobError"] == 0
-    assert m["ProcessRecord"] == 6 and m["ReadRows"] == 6
+    assert m["ProcessRecord"] == 6 and m["ReadRows"] == 9
     assert m["ConsistentRecord"] == 1 and m["InconsistentRecord"] == 1
     assert m["MissingBaseTable"] == 1 and m["MissingMV"] == 2
     assert m["RecordNotInScope"] == 1
     assert m["RecordRepairOn"] == 4 and m["RecordRepairOff"] == 0
     assert m["DeleteRecord"] == 1 and m["UpsertRecord"] == 3
+
+    # the metrics sink got ONE scrape line with every registry counter in
+    # order (MvSyncJobMetrics.java:6-23 names)
+    assert len(sink_lines) == 1
+    line = sink_lines[0]
+    assert line == metrics.render()
+    assert line.startswith("mvsync.metrics JobStarted=1 JobCompleted=1 ")
+    assert "ReadRows=9" in line and "ProcessRecord=6" in line
+    assert "MVDoesNotExist=0" in line
 
 
 def test_run_detection_only_counts_not_repaired(spark, e2e_frames, tmp_path):
