@@ -338,9 +338,18 @@ def ngram_jaccard_pairs(
     the (small) pair result is computed and cached while the shingle cache
     is hot, then the corpus-sized shingle cache is released before
     returning.  The only cache that survives is the returned pair frame
-    itself — the caller holds its handle and can ``.unpersist()`` it —
-    so repeated invocations in a long-lived session never accumulate
-    corpus-sized state.
+    itself — the caller holds its handle and MUST ``.unpersist()`` it
+    when done — so repeated invocations in a long-lived session never
+    accumulate corpus-sized state.
+
+    Concurrency caveat (internal-toks path only): the AQE-under-cache
+    conf below is SESSION-scoped — it is set before the materializing
+    action and restored after, so another job sharing this SparkSession
+    concurrently can observe the temporary value (or, racing a
+    set/restore of the same conf, clobber it).  Run this path on its own
+    session (``spark.newSession()`` shares the cluster but isolates
+    conf/temp state) when scheduling near-dup jobs next to other work;
+    the caller-owned ``toks`` path touches no session state at all.
     """
     if toks is not None:
         cands = minhash_candidate_pairs(

@@ -379,6 +379,20 @@ def _best_cluster(prefix: str, cent_lits: Column) -> Column:
     return -best["ncid"]
 
 
+def _exact_mean_floor(s: int, n: int) -> int:
+    """``floor(s / n)`` in exact integer arithmetic.
+
+    The centroid-update fold previously went through ``float(s)``, which
+    is only exact while the cluster sum stays under 2^53 — a 10B-row
+    cluster at micro-unit scale can exceed that and silently round.
+    Python's ``//`` floors toward -inf on arbitrary-precision ints, which
+    is exactly ``math.floor`` of the true rational for any sign, at any
+    magnitude.  (Below 2^53 this is bit-identical to the old float path,
+    so the oracle hash is unchanged at fixture scale.)
+    """
+    return s // n
+
+
 def train_kmeans(
     df: DataFrame,
     k: int = 8,
@@ -406,8 +420,6 @@ def train_kmeans(
     Deterministic init (k lowest-id vectors), deterministic ties (lowest
     cid), empty clusters keep their previous centroid.
     """
-    import math
-
     from pyspark import StorageLevel
 
     # The quantized projection is scanned once per iteration (+ init): cache
@@ -441,10 +453,8 @@ def train_kmeans(
                 for r in sums
             }
             for r in sums:
-                # exact: s fits a double (|element| ≤ 1e6 · corpus), floor
-                # of one IEEE division — reproduced verbatim by the oracle
-                new[int(r["__cluster"])][int(r["pos"])] = int(
-                    math.floor(float(r["s"]) / float(r["n"]))
+                new[int(r["__cluster"])][int(r["pos"])] = _exact_mean_floor(
+                    int(r["s"]), int(r["n"])
                 )
             centroids = [new.get(cid, centroids[cid]) for cid in range(k)]
     finally:

@@ -906,6 +906,24 @@ def test_train_kmeans_empty_cluster_keeps_centroid(spark):
     assert all(any(x != 0 for x in c) for c in cents)
 
 
+def test_exact_mean_floor_past_2_53():
+    """The centroid-update fold stays exact past 2^53, where the old
+    ``math.floor(float(s)/float(n))`` path silently rounds (a 10B-row
+    cluster at micro-unit scale reaches such sums)."""
+    import math
+
+    from mvrepair.operators.similarity import _exact_mean_floor
+
+    s, n = 2**60 + 3, 2
+    assert _exact_mean_floor(s, n) == 2**59 + 1
+    # the float path demonstrably loses the +1 at this magnitude
+    assert int(math.floor(float(s) / float(n))) == 2**59
+    # below 2^53 the two paths agree bit-for-bit (oracle hash unchanged),
+    # including the negative-sum flooring direction
+    for s, n in [(7, 2), (-7, 2), (10**15 + 7, 3), (-(10**15) - 7, 3), (0, 5)]:
+        assert _exact_mean_floor(s, n) == int(math.floor(s / n))
+
+
 def test_ivf_topk_accepts_trained_centroids(spark):
     """The train_kmeans artifact plugs into ivf_topk as its centroid set —
     the full IVF build→probe story — and returns ranked neighbors."""
