@@ -1639,6 +1639,197 @@ FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
 # contract surface
 # ---------------------------------------------------------------------------
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-40 vocabulary heavy hitters (map-side combined
+    token counts; TakeOrderedAndProject top-k — no global sort)."""
+    return X.heavy_hitters(_docs(spark, sf_dir), k=40)
+
+
+_ORACLE_HEAVY_HITTERS = """
+SELECT token, count(*)::BIGINT AS n, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 40"""
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms, linear-idf tf-idf (all-integer
+    scoring — see operators/text.py for the cross-engine rationale)."""
+    return X.tfidf_topterms(_docs(spark, sf_dir), top_n=3)
+
+
+_ORACLE_TFIDF = """
+WITH tf AS (
+  SELECT doc_id, token AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    ((tf.tf * n.n_docs * 1000000) // dfreq.df)::BIGINT AS score_micro
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY score_micro DESC, term ASC
+    )::INTEGER AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, score_micro, rank FROM ranked WHERE rank <= 3"""
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-length quantiles (discrete type-1,
+    integer positions — no cross-engine float hazard)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return X.token_quantiles(_spread(docs))
+
+
+_ORACLE_TOKEN_QUANTILES = """
+WITH base AS (
+  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT lang, n_tokens,
+    row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM base
+)
+SELECT lang, q.pct, n_tokens
+FROM ranked,
+  (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4), ('p90', 9, 10))
+  AS q(pct, num, den)
+WHERE rn = (n * q.num + (q.den - 1)) // q.den"""
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (status, priority) — the grouping-sets twin
+    of ``orders_rollup`` (SURVEY §2 'grouping sets / cube / rollup')."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC18))
+            .cast("decimal(28,4)")
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price"
+        )
+    )
+
+
+_ORACLE_ORDERS_CUBE = """
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus, o_orderpriority)::INTEGER AS gid,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
+
+
+def q_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join: per purchase, how many click/view
+    touches the same user made in the hour before it (zero-filled).
+
+    Runs through ``operators.temporal.range_join`` — the bin-bucketed
+    equi-join, not a theta join (see its docstring for the 100 TB
+    rationale).  The [ts-1h, ts) window's exclusive end maps onto the
+    operator's inclusive bounds as ``w_end = ts - 1µs`` (event timestamps
+    are µs-resolution)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    windows = purchases.select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        (F.col("ts") - F.expr("INTERVAL 1 MICROSECOND")).alias("w_end"),
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        "ts",
+        F.col("event_type").alias("t_type"),
+    )
+    pairs = T.range_join(touches, windows, ["user_id"], "ts", "w_start", "w_end")
+    agg = pairs.groupBy(F.col("p_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum((F.col("t_type") == "click").cast("long")).alias("n_clicks"),
+        F.sum((F.col("t_type") == "view").cast("long")).alias("n_views"),
+    )
+    return (
+        purchases.select(
+            "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+        )
+        .join(agg, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce("n_touches", F.lit(0).cast("long")).alias("n_touches"),
+            F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
+            F.coalesce("n_views", F.lit(0).cast("long")).alias("n_views"),
+        )
+    )
+
+
+_ORACLE_PURCHASE_CONTEXT = """
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+  count(t.event_id)::BIGINT AS n_touches,
+  sum(CASE WHEN t.event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_clicks,
+  sum(CASE WHEN t.event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_views
+FROM events p LEFT JOIN events t
+  ON t.user_id = p.user_id AND t.event_type IN ('click', 'view')
+  AND t.ts >= p.ts - INTERVAL 1 HOUR AND t.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3"""
+
+
+def q_events_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest-per-key compaction (CDC/log dedup): the latest event
+    per (user, event_type), ties to the highest event_id.
+
+    Scale shape: one shuffle on the key, then a per-partition sort +
+    row_number — the standard log-compaction plan.  At 100 TB the same
+    result shape comes cheaper via ``max_by`` struct aggregation (single
+    agg, no full sort); the window form is kept because it generalizes to
+    top-N-per-key unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+
+_ORACLE_EVENTS_LATEST = """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+  ) AS rn
+  FROM events
+) WHERE rn = 1"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -1663,6 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
+        "orders_cube": q_orders_cube,
+        "purchase_context": q_purchase_context,
+        "events_latest": q_events_latest,
         "lapsed_customers": q_lapsed_customers,
         "retained_customers": q_retained_customers,
         # text analysis
@@ -1678,6 +1872,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "token_counts": q_token_counts,
         "bm25_rank": q_bm25_rank,
+        "heavy_hitters": q_heavy_hitters,
+        "tfidf_topterms": q_tfidf_topterms,
+        "token_quantiles": q_token_quantiles,
         "rolling_fingerprint": q_rolling_fingerprint,
         "simhash": q_simhash,
         # dedup
@@ -1720,6 +1917,9 @@ def oracle_sql() -> dict[str, str]:
         "event_sessions": _ORACLE_EVENT_SESSIONS,
         "top_users_per_event": _ORACLE_TOP_USERS,
         "orders_rollup": _ORACLE_ORDERS_ROLLUP,
+        "orders_cube": _ORACLE_ORDERS_CUBE,
+        "purchase_context": _ORACLE_PURCHASE_CONTEXT,
+        "events_latest": _ORACLE_EVENTS_LATEST,
         "lapsed_customers": _ORACLE_LAPSED,
         "retained_customers": _ORACLE_RETAINED,
         "text_stats": _ORACLE_TEXT_STATS,
@@ -1734,6 +1934,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,
         "bm25_rank": _oracle_bm25_rank(),
+        "heavy_hitters": _ORACLE_HEAVY_HITTERS,
+        "tfidf_topterms": _ORACLE_TFIDF,
+        "token_quantiles": _ORACLE_TOKEN_QUANTILES,
         "rolling_fingerprint": _ORACLE_ROLLING_FP,
         "simhash": _oracle_simhash(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,

@@ -14,6 +14,10 @@ Operators:
                         heuristic language ID; argmax = guessed language)
 - ``fingerprint``       md5 + 60-bit stable hash document fingerprints
 - ``simhash32``         32-bit SimHash over token multiset
+- ``bm25_rank``         Okapi BM25 top-k (driver-side idf artifacts)
+- ``heavy_hitters``     corpus-wide frequent-token top-k
+- ``tfidf_topterms``    per-doc characteristic terms (integer linear-idf)
+- ``token_quantiles``   exact per-group discrete quantiles (integer positions)
 """
 
 from __future__ import annotations
@@ -459,3 +463,132 @@ def bm25_rank(
     return scored.orderBy(
         F.col("score_micro").desc(), F.col(id_col).asc()
     ).limit(k)
+
+
+def heavy_hitters(
+    df: DataFrame, k: int = 40, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-wide frequent-token top-k (vocabulary heavy hitters).
+
+    Scale shape: explode → groupBy(token) with map-side partial
+    aggregation, so the shuffle carries one partial (token, count,
+    doc-count) row per token per input partition — never the token
+    stream — and the final top-k plans as TakeOrderedAndProject (no
+    global sort).  ``n_docs`` uses count(distinct ``id_col``), which adds
+    one Expand pass; at 100 TB swap in approx_count_distinct if exact doc
+    frequencies aren't required.  Deterministic total order: occurrences
+    desc, then token asc — the top-k cut is stable across engines.
+
+    Output: (token, n bigint, n_docs bigint).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    counts = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def tfidf_topterms(
+    df: DataFrame,
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-N characteristic terms by tf-idf (LINEAR idf).
+
+    The idf factor is the exact rational N/df rather than log(N/df):
+    score_micro = floor(tf · N · 1e6 / df) in pure int64 arithmetic, so
+    every engine reproduces the ranking bit-for-bit (the BM25 lesson:
+    cross-engine libm log differs by 1 ulp; a linear idf keeps the whole
+    score integer).  The log damping only changes relative weights, not
+    the "rare terms rank high" ordering this surfaces.
+
+    Scale shape: one explode → per-(doc, term) counts with map-side
+    combine; per-term document frequencies are a second aggregate over
+    that (vocabulary-sized, NOT corpus-sized); the df join is a plain
+    equi-join on term — the vocabulary side is orders of magnitude
+    smaller than the corpus but too big to broadcast at 100 TB, so it
+    stays a shuffle join on the token key.  The per-doc top-N is a
+    row_number window over per-doc term lists (tiny partitions).
+
+    Output: (``id_col``, term, tf bigint, score_micro bigint, rank int).
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.select(F.count(F.lit(1))).first()[0]
+    exploded = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.col("tf"),
+        F.expr(f"(tf * {int(n_docs)}L * 1000000L) DIV df").alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "term", "tf", "score_micro", "rank")
+    )
+
+
+def token_quantiles(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact per-group token-length quantiles (p25/p50/p75/p90), DISCRETE
+    (type-1) semantics: the value at position ceil(q·n) of the sorted
+    group.
+
+    Positions are computed in pure integer arithmetic —
+    ``ceil(q·n) = (q_num·n + q_den - 1) div q_den`` — because the float
+    route (``ceil(0.9 * n)``) hangs the answer on one double rounding,
+    and interpolating quantiles (percentile_cont) adds a second
+    cross-engine float hazard.  Integer positions make the result an
+    actual data value, hash-stable everywhere.
+
+    Scale shape: one shuffle on ``group_col`` for the row_number window;
+    group cardinality = languages (tiny), so per-partition sort dominates
+    — the same cost profile as any per-group exact quantile.  At 100 TB
+    prefer approx_percentile unless exactness is the point.
+
+    Output: (``group_col``, pct string, n_tokens bigint) — one row per
+    (group, quantile), ties to the LOWEST doc id.
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(tokenize(F.col(text_col))).cast("long")
+    base = df.select(
+        F.col(group_col), F.col(id_col), n_tokens.alias("n_tokens")
+    )
+    w = Window.partitionBy(group_col).orderBy("n_tokens", id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = base.select(
+        group_col,
+        "n_tokens",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    quantiles = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10)]
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("pct"),
+                F.expr(f"(__n * {num} + {den - 1}) DIV {den}").alias("pos"),
+            )
+            for label, num, den in quantiles
+        ]
+    )
+    return (
+        ranked.withColumn("__q", F.explode(picks))
+        .filter(F.col("__rn") == F.col("__q.pos"))
+        .select(group_col, F.col("__q.pct").alias("pct"), "n_tokens")
+    )

@@ -1039,3 +1039,97 @@ def test_bm25_rank_rejects_control_chars(spark, bm25_corpus):
 def test_bm25_rank_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert X.bm25_rank(df, ["spark"], k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters / tf-idf / quantiles / range-join context (round-4 surface)
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_counts_and_cut(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a c"),
+            (2, "a b"),
+            (3, "c c c"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = X.heavy_hitters(df, k=2).collect()
+    # totals: a=3 (2 docs), c=4 (2 docs), b=2 (2 docs); top-2 = c, a
+    assert [(r["token"], r["n"], r["n_docs"]) for r in rows] == [
+        ("c", 4, 2),
+        ("a", 3, 2),
+    ]
+
+
+def test_heavy_hitters_tie_breaks_by_token(spark):
+    df = spark.createDataFrame([(1, "b a"), (2, "a b")], ["doc_id", "text"])
+    rows = X.heavy_hitters(df, k=1).collect()
+    assert rows[0]["token"] == "a"  # equal counts -> lexicographic
+
+
+def test_tfidf_topterms_linear_idf_math(spark):
+    # 2 docs; 'x' only in doc 1 (df=1), 'y' in both (df=2)
+    df = spark.createDataFrame(
+        [(1, "x y y"), (2, "y y y")], ["doc_id", "text"]
+    )
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["score_micro"], r["rank"])
+        for r in X.tfidf_topterms(df, top_n=2).collect()
+    }
+    # doc1/x: tf=1, score = 1*2*1e6 // 1 = 2_000_000 -> rank 1 (rare wins)
+    # doc1/y: tf=2, score = 2*2*1e6 // 2 = 2_000_000 -> tie, 'x' < 'y'
+    assert out[(1, "x")] == (1, 2_000_000, 1)
+    assert out[(1, "y")] == (2, 2_000_000, 2)
+    # doc2/y: tf=3, score = 3*2*1e6 // 2 = 3_000_000
+    assert out[(2, "y")] == (3, 3_000_000, 1)
+
+
+def test_token_quantiles_discrete_positions(spark):
+    # one group of 4 docs with token counts 1,2,3,10:
+    # p25 -> pos ceil(1)=1 -> 1; p50 -> pos 2 -> 2; p75 -> pos 3 -> 3;
+    # p90 -> pos ceil(3.6)=4 -> 10
+    rows = [(i, "en", " ".join(["t"] * n)) for i, n in enumerate([1, 2, 3, 10])]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {
+        (r["lang"], r["pct"]): r["n_tokens"]
+        for r in X.token_quantiles(df).collect()
+    }
+    assert out == {
+        ("en", "p25"): 1,
+        ("en", "p50"): 2,
+        ("en", "p75"): 3,
+        ("en", "p90"): 10,
+    }
+
+
+def test_range_join_window_bounds(spark):
+    """range_join pairs each point with intervals of the same key only
+    when the point falls inside [start, end] — across bin boundaries."""
+    from datetime import datetime
+
+    from mvrepair.operators import temporal as T
+
+    def ts(minute, second=0, micro=0):
+        return datetime(2024, 1, 1, 12, minute, second, micro)
+
+    points = spark.createDataFrame(
+        [
+            (1, "u", ts(0)),           # exactly at start -> in
+            (2, "u", ts(59, 59)),      # just inside end -> in
+            (3, "u", ts(59, 59, 1)),   # 1 us past end -> out
+            (4, "v", ts(30)),          # wrong key -> out
+        ],
+        ["point_id", "key", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(10, "u", ts(0), ts(59, 59))], ["iv_id", "key", "w_start", "w_end"]
+    )
+    got = sorted(
+        r["point_id"]
+        for r in T.range_join(
+            points, intervals, ["key"], "ts", "w_start", "w_end"
+        ).collect()
+    )
+    assert got == [1, 2]
