@@ -1830,6 +1830,33 @@ FROM (
 ) WHERE rn = 1"""
 
 
+def q_events_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_latest``: keep-newest-per-key as a
+    native ``max_by`` streaming aggregation (JVM state store; no window —
+    the agg shape is the streaming formulation of top-1-per-key)."""
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_latest_per_key
+
+    ev = load_stream(spark, sf_dir, "events")
+    with _state_partitions(spark, 8):
+        query = (
+            streaming_latest_per_key(ev)
+            .writeStream.format("memory")
+            .queryName("__events_latest_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("__events_latest_stream").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -1894,6 +1921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stream": q_dedup_exact_stream,
         "mv_classify_stream": q_mv_classify_stream,
         "mv_upserts_stream": q_mv_upserts_stream,
+        "events_latest_stream": q_events_latest_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -1953,6 +1981,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
         "mv_classify_stream": _oracle_mv_classify_stream(),
         "mv_upserts_stream": _oracle_mv_upserts_stream(),
+        "events_latest_stream": _ORACLE_EVENTS_LATEST,
         "multimodal_meta": _ORACLE_MULTIMODAL,
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,

@@ -90,6 +90,39 @@ def streaming_dedup_native(
     )
 
 
+def streaming_latest_per_key(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    payload_cols: tuple[str, ...] = ("event_id", "ts", "value"),
+) -> DataFrame:
+    """Online keep-newest-per-key compaction (CDC materialization) as a
+    NATIVE streaming aggregation — the streaming twin of the batch
+    ``events_latest`` window query.
+
+    State per key is one payload struct: ``max_by(payload, (ts,
+    tiebreak))`` — a declarative aggregate, so Structured Streaming keeps
+    it in the JVM state store (RocksDB at scale) and merges map-side;
+    no per-group Python round-trip and no row_number window (windows
+    aren't supported on streams anyway — the agg shape IS the streaming
+    formulation of top-1-per-key).  Ties resolve by the tiebreak column,
+    matching the batch query's (ts desc, id desc) order.
+
+    Run in update/complete mode; on a fully drained stream the final
+    state equals the batch answer.
+    """
+    latest = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]),
+        F.struct(F.col(ts_col), F.col(tiebreak_col)),
+    )
+    return (
+        stream.groupBy(*[F.col(c) for c in key_cols])
+        .agg(latest.alias("__latest"))
+        .select(*key_cols, "__latest.*")
+    )
+
+
 def streaming_classify_against_static(
     base_stream: DataFrame,
     mv_static: DataFrame,

@@ -1133,3 +1133,47 @@ def test_range_join_window_bounds(spark):
         ).collect()
     )
     assert got == [1, 2]
+
+
+def test_streaming_latest_per_key_equals_batch(spark, tmp_path):
+    """Drained keep-newest stream state equals the batch window answer,
+    including the tiebreak on duplicate timestamps."""
+    from datetime import datetime
+
+    from mvrepair.streaming.incremental import streaming_latest_per_key
+
+    def ts(m):
+        return datetime(2024, 1, 1, 12, m)
+
+    rows = [
+        (1, ts(0), 7, "click", 1.0),
+        (2, ts(5), 7, "click", 2.0),   # newest for (7, click)
+        (3, ts(5), 7, "view", 3.0),
+        (4, ts(5), 7, "view", 4.0),    # same ts -> higher event_id wins
+        (5, ts(1), 8, "click", 5.0),
+    ]
+    src = tmp_path / "events"
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    spark.createDataFrame(rows, cols).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).parquet(str(src))
+    q = (
+        streaming_latest_per_key(stream)
+        .writeStream.format("memory")
+        .queryName("t_stream_latest")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_type): (r.event_id, r.value)
+        for r in spark.table("t_stream_latest").collect()
+    }
+    assert got == {
+        (7, "click"): (2, 2.0),
+        (7, "view"): (4, 4.0),
+        (8, "click"): (5, 5.0),
+    }
