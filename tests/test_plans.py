@@ -127,3 +127,36 @@ def test_exact_dedup_has_partial_aggregation(spark, sf_dir):
     assert "partial_min" in plan[ex_pos:] or "partial_first" in plan[ex_pos:], (
         "no map-side partial aggregation below the shuffle:\n" + plan
     )
+
+
+def test_heavy_hitters_uses_take_ordered(spark, sf_dir):
+    """Corpus top-k tokens plans as TakeOrderedAndProject (parallel
+    partial top-k), never a global sort + limit."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_heavy_hitters(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [n" not in plan  # no global Sort feeding the limit
+
+
+def test_purchase_context_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The binned range join plans as a hash/SMJ equi-join on
+    (key, bin) — BroadcastNestedLoopJoin (the theta-join fallback that
+    goes quadratic at scale) must not appear."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_purchase_context(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_tfidf_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Per-(doc, term) counts partial-aggregate map-side: the shuffle
+    carries term-count partials, not the exploded token stream."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_tfidf_topterms(spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate(keys=" in plan
+    assert "PythonUDF" not in plan
