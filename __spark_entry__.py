@@ -1857,6 +1857,98 @@ def q_events_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_next_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase paired with the next-or-equal
+    click/view by the same user — the same union+window single-shuffle
+    plan as ``purchase_attribution``, on reversed time."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = T.asof_join(
+        purchases,
+        touches,
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "event_type", "ts"],
+        tiebreak_col="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("asof_event_id"),
+        F.col("asof_event_type"),
+        (F.unix_micros("asof_ts") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+# the purchase_attribution oracle on reversed time (ORDER BY ts DESC)
+_ORACLE_NEXT_TOUCH = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+r AS (SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')),
+u AS (
+  SELECT event_id, user_id, ts, 1 AS side,
+         NULL::BIGINT AS r_id, NULL::VARCHAR AS r_type, NULL::TIMESTAMP AS r_ts
+  FROM l
+  UNION ALL
+  SELECT event_id, user_id, ts, 0, event_id, event_type, ts FROM r
+),
+m AS (
+  SELECT *,
+    last_value(r_id IGNORE NULLS) OVER w AS a_id,
+    last_value(r_type IGNORE NULLS) OVER w AS a_type,
+    last_value(r_ts IGNORE NULLS) OVER w AS a_ts
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, side, r_id NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  a_id AS asof_event_id, a_type AS asof_event_type,
+  epoch_us(a_ts) - epoch_us(ts) AS gap_us
+FROM m WHERE side = 1"""
+
+
+def q_events_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation through ``skew.salted_agg`` —
+    hash-checked against the plain GROUP BY, proving the salted path is
+    semantics-preserving (the hot-key case AQE's skew-join split can't
+    cover: a skewed AGGREGATION key)."""
+    from mvrepair.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "sum_value": (
+                F.sum(F.col("value").cast("decimal(18,6)")),
+                F.sum("sum_value"),
+            ),
+            "max_value": (F.max("value"), F.max("max_value")),
+        },
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+_ORACLE_EVENTS_SALTED = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+  max(value) AS max_value
+FROM events GROUP BY 1"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -1878,7 +1970,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "events_hourly": q_events_hourly,
         "purchase_attribution": q_purchase_attribution,
+        "next_touch": q_next_touch,
         "event_sessions": q_event_sessions,
+        "events_by_type_salted": q_events_by_type_salted,
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
         "orders_cube": q_orders_cube,
@@ -1942,7 +2036,9 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue": _ORACLE_REGIONAL,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
         "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
+        "next_touch": _ORACLE_NEXT_TOUCH,
         "event_sessions": _ORACLE_EVENT_SESSIONS,
+        "events_by_type_salted": _ORACLE_EVENTS_SALTED,
         "top_users_per_event": _ORACLE_TOP_USERS,
         "orders_rollup": _ORACLE_ORDERS_ROLLUP,
         "orders_cube": _ORACLE_ORDERS_CUBE,

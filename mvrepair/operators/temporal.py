@@ -33,18 +33,27 @@ def asof_join(
     ts_col: str,
     payload_cols: list[str],
     tiebreak_col: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join: for every left row, attach the right
-    row with the greatest ``ts_col`` ≤ the left row's ``ts_col`` for the
-    same key (or nulls if no such row).
+    """Inclusive as-of join: for every left row, attach the right row with
+    the greatest ``ts_col`` ≤ the left row's ``ts_col`` (``backward``,
+    default) or the smallest ``ts_col`` ≥ it (``forward``) for the same
+    key (or nulls if no such row).
 
     ``payload_cols`` are the right-side columns to carry; they appear on
     the output prefixed ``asof_``.  Ties inside the right side at the same
-    (key, ts) are broken by ``tiebreak_col`` (greatest wins) so the result
-    is deterministic; right rows sort before left rows at an equal
-    timestamp, making the match inclusive.
+    (key, ts) are broken by ``tiebreak_col`` (greatest wins, both
+    directions) so the result is deterministic; right rows sort before
+    left rows at an equal timestamp, making the match inclusive.
+    ``forward`` is the identical union+window plan on reversed time —
+    same single shuffle, same running-frame fast path.
     """
-    order: list[Column] = [F.col(ts_col).asc(), F.col("__side").asc()]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
+    order: list[Column] = [ts_order, F.col("__side").asc()]
     if tiebreak_col is not None:
         order.append(F.col(f"__p.{tiebreak_col}").asc_nulls_first())
 

@@ -1177,3 +1177,47 @@ def test_streaming_latest_per_key_equals_batch(spark, tmp_path):
         (7, "view"): (4, 4.0),
         (8, "click"): (5, 5.0),
     }
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of: smallest right ts >= left ts, inclusive at equality,
+    null when every right row is earlier."""
+    from mvrepair.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:01:00")),  # next is r100 at 00:02
+            (2, 10, _ts("2024-01-01 00:02:00")),  # equal ts -> inclusive
+            (3, 10, _ts("2024-01-01 00:06:00")),  # after all rights -> null
+            (4, 20, _ts("2024-01-01 00:01:00")),  # no rights for key
+        ],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 00:02:00"), "click"),
+            (101, 10, _ts("2024-01-01 00:05:00"), "view"),
+        ],
+        ["event_id", "user_id", "ts", "event_type"],
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, ["user_id"], "ts", ["event_id", "event_type"],
+            "event_id", direction="forward",
+        ).collect()
+    }
+    assert out[1].asof_event_id == 100
+    assert out[2].asof_event_id == 100
+    assert out[3].asof_event_id is None
+    assert out[4].asof_event_id is None
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    from mvrepair.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 1, _ts("2024-01-01 00:00:00"))],
+                                 ["event_id", "user_id", "ts"])
+    with pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, left, ["user_id"], "ts", ["event_id"],
+                  direction="sideways")
