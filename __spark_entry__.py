@@ -1949,6 +1949,30 @@ SELECT event_type, count(*)::BIGINT AS n_events,
 FROM events GROUP BY 1"""
 
 
+def q_distinct_docs_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch over document texts — a
+    DETERMINISTIC cardinality sketch (md5-hash bottom-k), unlike HLL whose
+    registers no oracle can replay.  O(k) state, TakeOrderedAndProject."""
+    from mvrepair.operators.sketch import kmv_distinct
+
+    return kmv_distinct(_docs(spark, sf_dir), "text", k=64)
+
+
+_ORACLE_KMV = """
+WITH h AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(text AS VARCHAR)), 1, 15) AS BIGINT) AS h
+  FROM documents WHERE text IS NOT NULL
+),
+bottom AS (SELECT h FROM h ORDER BY h LIMIT 64)
+SELECT 64::INTEGER AS k, count(*)::BIGINT AS n_seen,
+  max(h)::BIGINT AS kth_min,
+  CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+       ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+  END AS est_distinct
+FROM bottom"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2000,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         # dedup
         "dedup_exact": q_dedup_exact,
+        "distinct_docs_kmv": q_distinct_docs_kmv,
         "minhash_signatures": q_minhash_signatures,
         "neardup_minhash": q_neardup_minhash,
         "neardup_minhash_capped": q_neardup_minhash_capped,
@@ -2064,6 +2089,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _ORACLE_ROLLING_FP,
         "simhash": _oracle_simhash(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
+        "distinct_docs_kmv": _ORACLE_KMV,
         "minhash_signatures": _oracle_minhash_signatures(),
         "neardup_minhash": _oracle_neardup_minhash(),
         "neardup_minhash_capped": _oracle_neardup_minhash_capped(),

@@ -1221,3 +1221,37 @@ def test_asof_join_rejects_bad_direction(spark):
     with pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, left, ["user_id"], "ts", ["event_id"],
                   direction="sideways")
+
+
+def test_kmv_distinct_exact_and_estimator_branches(spark):
+    import hashlib
+
+    from mvrepair.operators.sketch import kmv_distinct
+
+    def h(s):
+        return int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16)
+
+    vals = [f"value-{i}" for i in range(40)]
+    rows = [(v,) for v in vals] * 3  # duplicates must not affect the sketch
+    df = spark.createDataFrame(rows, ["text"])
+
+    # exact branch: fewer distincts than k
+    [r] = kmv_distinct(df, "text", k=64).collect()
+    assert (r["k"], r["n_seen"]) == (64, 40)
+    assert r["est_distinct"] == 40.0
+
+    # estimator branch: k=8 << 40 distincts; matches the python model
+    [r] = kmv_distinct(df, "text", k=8).collect()
+    kth = sorted(h(v) for v in vals)[7]
+    assert r["kth_min"] == kth
+    assert r["est_distinct"] == 7.0 * float(2**60) / float(kth)
+    # sanity: the estimate is in the right ballpark
+    assert 10 < r["est_distinct"] < 200
+
+
+def test_kmv_rejects_tiny_k(spark):
+    from mvrepair.operators.sketch import kmv_distinct
+
+    df = spark.createDataFrame([("a",)], ["text"])
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "text", k=2)
