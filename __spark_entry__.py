@@ -1973,6 +1973,46 @@ SELECT 64::INTEGER AS k, count(*)::BIGINT AS n_seen,
 FROM bottom"""
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake decode (payload → grid dims + pixel sum): the
+    documented fake-codec path, hash-checked end-to-end (integer grid
+    math; the oracle rebuilds byte sums from the hex trick and the
+    ceil-sqrt width from floor(sqrt)+fixup — exact at payload sizes)."""
+    from mvrepair.operators.multimodal import attach_binary, decode_fake
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_fake(attach_binary(docs, text_col="text"))
+
+
+_ORACLE_MULTIMODAL_DECODE = """
+WITH p AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS n,
+         hex(encode(text)) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+    CASE WHEN n = 0 THEN 0 ELSE list_sum(list_transform(
+      range(1, CAST(n AS INTEGER) + 1), i ->
+        16 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+           + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)
+    )) END::BIGINT AS sum_pixels,
+    CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w0
+  FROM p
+),
+d AS (
+  SELECT doc_id, n, sum_pixels,
+    w0 + CASE WHEN w0 * w0 < n THEN 1 ELSE 0 END AS w
+  FROM s
+)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 0 ELSE (n + w - 1) // w END::INTEGER AS height,
+  CASE WHEN n = 0 THEN 0 ELSE w END::INTEGER AS width,
+  1::INTEGER AS channels,
+  sum_pixels
+FROM d"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2043,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_latest_stream": q_events_latest_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
     }
@@ -2105,6 +2146,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_upserts_stream": _oracle_mv_upserts_stream(),
         "events_latest_stream": _ORACLE_EVENTS_LATEST,
         "multimodal_meta": _ORACLE_MULTIMODAL,
+        "multimodal_decode": _ORACLE_MULTIMODAL_DECODE,
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
     }

@@ -6,11 +6,14 @@ resize / frame-sample run as Arrow-batched Pandas functions over
 ``mapInPandas`` so payload bytes stay columnar end-to-end and never pass
 through row-at-a-time Python.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-``decode_image`` raises ``NotImplementedError`` unless a codec is
-available, and ``extract_metadata`` uses a deterministic header parse
-(byte length + a fake format tag) — the Spark-side plumbing (schema,
-partitioning, UDF signature, Arrow batch shape) is real and tested.
+The container has no image/audio codecs, so decoding comes in two
+clearly-marked forms: ``decode_image``/``resize_image`` fail fast with
+``NotImplementedError`` (the real-codec seam), while ``decode_fake``/
+``resize_fake`` are DETERMINISTIC FAKES — the payload bytes viewed as a
+zero-padded grayscale grid with real integer nearest-neighbor resampling
+— so the full decode→resize plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) is exercised end-to-end and pinned against
+a Python model in tests.
 """
 
 from __future__ import annotations
@@ -111,6 +114,114 @@ def nibble_histogram(
 
     return df.select(id_col, payload_col).mapInPandas(
         hist_batches, feature_schema(id_col)
+    )
+
+
+def _fake_grid_dims(n: int) -> tuple[int, int]:
+    """Deterministic (height, width) for an n-byte payload viewed as a
+    square-ish grayscale pixel grid: width = ceil(isqrt-based root),
+    height = ceil(n / width).  Pure integer math (no float sqrt)."""
+    if n <= 0:
+        return 0, 0
+    import math
+
+    w = math.isqrt(n)
+    if w * w < n:
+        w += 1
+    h = -(-n // w)
+    return h, w
+
+
+def decode_fake(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic FAKE decode: bytes → (height, width, channels=1,
+    sum_pixels) treating the payload as a zero-padded square-ish grayscale
+    grid.
+
+    This is the documented "deterministic fake" alternative to the
+    fail-fast codec stubs (``decode_image``): the batch loop, output
+    schema, and column-pruned payload input are exactly what a real
+    decoder uses — swap the grid math for ``PIL.Image.open`` and nothing
+    else changes.  All outputs are integers, reproducible anywhere.
+    """
+
+    import numpy as np
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf[payload_col].map(len).to_numpy(dtype=np.int64)
+            # per-payload byte sums via one prefix sum over the whole batch
+            # (cumsum-difference handles empty payloads and empty batches;
+            # reduceat would mis-handle zero-length segments)
+            blob = np.frombuffer(b"".join(pdf[payload_col]), dtype=np.uint8)
+            csum = np.concatenate(
+                [np.zeros(1, dtype=np.int64), np.cumsum(blob, dtype=np.int64)]
+            )
+            ends = np.cumsum(lens)
+            sums = csum[ends] - csum[ends - lens]
+            dims = [_fake_grid_dims(int(n)) for n in lens]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "height": np.array([d[0] for d in dims], dtype=np.int32),
+                    "width": np.array([d[1] for d in dims], dtype=np.int32),
+                    "channels": np.full(len(pdf), 1, dtype=np.int32),
+                    "sum_pixels": sums,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches,
+        f"{id_col} long, height int, width int, channels int, sum_pixels long",
+    )
+
+
+def resize_fake(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    out_h: int = 8,
+    out_w: int = 8,
+) -> DataFrame:
+    """Deterministic FAKE resize: nearest-neighbor resample of the fake
+    pixel grid to (out_h, out_w), emitting the resized grid's checksum.
+
+    REAL resampling math — source index ``(r·src_h) div out_h`` /
+    ``(c·src_w) div out_w``, all integer — over the same zero-padded grid
+    as ``decode_fake``; only the pixel source is fake.  Per-payload numpy
+    gather inside the Arrow batch (ragged dims make cross-row
+    vectorization meaningless here; the per-row work is one fancy-index).
+    Empty payloads produce a 0×0 result with checksum 0.
+    """
+    import numpy as np
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {id_col: [], "out_h": [], "out_w": [],
+                                    "checksum": []}
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                h, w = _fake_grid_dims(len(payload))
+                if h == 0:
+                    out[id_col].append(i)
+                    out["out_h"].append(0)
+                    out["out_w"].append(0)
+                    out["checksum"].append(0)
+                    continue
+                grid = np.zeros(h * w, dtype=np.int64)
+                grid[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+                grid = grid.reshape(h, w)
+                rr = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                cc = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                resized = grid[np.ix_(rr, cc)]
+                out[id_col].append(i)
+                out["out_h"].append(out_h)
+                out["out_w"].append(out_w)
+                out["checksum"].append(int(resized.sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, f"{id_col} long, out_h int, out_w int, checksum long"
     )
 
 

@@ -1255,3 +1255,121 @@ def test_kmv_rejects_tiny_k(spark):
     df = spark.createDataFrame([("a",)], ["text"])
     with pytest.raises(ValueError):
         kmv_distinct(df, "text", k=2)
+
+
+def test_decode_fake_matches_python_model(spark):
+    from mvrepair.operators.multimodal import (
+        _fake_grid_dims,
+        attach_binary,
+        decode_fake,
+    )
+
+    texts = ["hello world", "x", "", "a" * 17]  # 17 -> 5x4 grid (ceil sqrt)
+    df = attach_binary(
+        spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    )
+    got = {r.doc_id: r for r in decode_fake(df).collect()}
+    for i, t in enumerate(texts):
+        payload = t.encode()
+        h, w = _fake_grid_dims(len(payload))
+        r = got[i]
+        assert (r.height, r.width, r.channels) == (h, w, 1)
+        assert r.sum_pixels == sum(payload)
+    assert (got[2].height, got[2].width, got[2].sum_pixels) == (0, 0, 0)
+    assert (got[3].height, got[3].width) == (4, 5)  # ceil(17/5)=4 rows
+
+
+def test_resize_fake_nearest_neighbor_model(spark):
+    import numpy as np
+
+    from mvrepair.operators.multimodal import (
+        _fake_grid_dims,
+        attach_binary,
+        resize_fake,
+    )
+
+    texts = ["the quick brown fox jumps over the lazy dog", "", "ab"]
+    df = attach_binary(
+        spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    )
+    got = {r.doc_id: r for r in resize_fake(df, out_h=3, out_w=4).collect()}
+    for i, t in enumerate(texts):
+        payload = t.encode()
+        h, w = _fake_grid_dims(len(payload))
+        r = got[i]
+        if h == 0:
+            assert (r.out_h, r.out_w, r.checksum) == (0, 0, 0)
+            continue
+        grid = np.zeros(h * w, dtype=np.int64)
+        grid[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+        grid = grid.reshape(h, w)
+        want = sum(
+            int(grid[(rr * h) // 3][(cc * w) // 4])
+            for rr in range(3)
+            for cc in range(4)
+        )
+        assert (r.out_h, r.out_w, r.checksum) == (3, 4, want)
+
+
+def test_fake_grid_dims_exact_any_size():
+    from mvrepair.operators.multimodal import _fake_grid_dims
+
+    for n in [0, 1, 2, 3, 4, 5, 15, 16, 17, 99, 100, 101, 10**6, 10**6 + 1]:
+        h, w = _fake_grid_dims(n)
+        if n == 0:
+            assert (h, w) == (0, 0)
+        else:
+            assert h * w >= n, (n, h, w)  # grid covers the payload
+            assert (h - 1) * w < n, (n, h, w)  # no wasted full row
+            assert w * w >= n and (w - 1) * (w - 1) < n  # w = ceil(sqrt(n))
+
+
+def test_sessionize_runs_under_streaming_and_matches_batch(spark, tmp_path):
+    """The identical sessionize() code runs under Structured Streaming
+    (SURVEY §2 claim): complete mode on a drained stream emits the same
+    final sessions a batch run computes (session windows reject update
+    mode; append would additionally need the watermark to pass the last
+    session's end)."""
+    from datetime import datetime
+
+    from mvrepair.operators.temporal import sessionize
+
+    def ts(h, m):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, 7, ts(10, 0), 1.0),
+        (2, 7, ts(10, 10), 1.0),   # same session (gap 30m)
+        (3, 7, ts(12, 0), 1.0),    # new session
+        (4, 8, ts(10, 5), 1.0),
+    ]
+    cols = ["event_id", "user_id", "ts", "value"]
+    src = tmp_path / "events"
+    spark.createDataFrame(rows, cols).write.parquet(str(src))
+
+    batch = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in sessionize(
+            spark.createDataFrame(rows, cols), "user_id", "ts"
+        ).collect()
+    }
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).parquet(str(src))
+    q = (
+        sessionize(stream.withWatermark("ts", "0 seconds"), "user_id", "ts")
+        .writeStream.format("memory")
+        .queryName("t_stream_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+        for r in spark.table("t_stream_sessions").collect()
+    }
+    assert got == batch
+    assert len(got) == 3

@@ -140,3 +140,68 @@ class TestSaltedAgg:
             .collect()
         }
         assert got == want
+
+
+class TestHeavyHitters:
+    @SETTINGS
+    @given(st.lists(texts, min_size=1, max_size=12))
+    def test_matches_counter_model(self, spark, docs):
+        from collections import Counter
+
+        from mvrepair.operators.text import heavy_hitters
+
+        df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+        got = [(r.token, r.n, r.n_docs) for r in heavy_hitters(df, k=5).collect()]
+
+        counts: Counter[str] = Counter()
+        doc_sets: dict[str, set[int]] = {}
+        for i, t in enumerate(docs):
+            for tok in t.split(" "):
+                counts[tok] += 1
+                doc_sets.setdefault(tok, set()).add(i)
+        want = sorted(
+            ((tok, n, len(doc_sets[tok])) for tok, n in counts.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        assert got == want
+
+
+class TestTokenQuantiles:
+    @SETTINGS
+    @given(st.lists(st.integers(0, 30), min_size=1, max_size=20))
+    def test_matches_sorted_position_model(self, spark, lens):
+        import math
+
+        from mvrepair.operators.text import token_quantiles
+
+        rows = [(i, "g", " ".join(["t"] * n) if n else "") for i, n in enumerate(lens)]
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        got = {
+            r.pct: r.n_tokens for r in token_quantiles(df).collect()
+        }
+        # model: "" splits to [''] (1 token) — same as Spark's split
+        sizes = sorted(max(n, 1) for n in lens)
+        n = len(sizes)
+        want = {
+            pct: sizes[math.ceil(q * n) - 1]
+            for pct, q in [("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)]
+        }
+        assert got == want
+
+
+class TestKMV:
+    @SETTINGS
+    @given(st.lists(texts, min_size=1, max_size=30))
+    def test_matches_bottom_k_model(self, spark, vals):
+        from mvrepair.operators.sketch import kmv_distinct
+
+        df = spark.createDataFrame([(v,) for v in vals], ["text"])
+        [r] = kmv_distinct(df, "text", k=4).collect()
+        hashes = sorted({_py_stable_hash64(v) for v in vals})
+        bottom = hashes[:4]
+        assert r.n_seen == len(bottom)
+        assert r.kth_min == bottom[-1]
+        if len(hashes) < 4:
+            assert r.est_distinct == float(len(hashes))
+        else:
+            assert r.est_distinct == 3.0 * float(2**60) / float(bottom[-1])
