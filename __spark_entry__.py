@@ -2013,6 +2013,70 @@ SELECT doc_id,
 FROM d"""
 
 
+# 2024-01-01 03:00:00 UTC in µs — the first daily maintenance window.
+_MAINT_BASE_US = 1_704_078_000_000_000
+_MAINT_DAYS = 30
+_MAINT_LEN_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+def q_sessions_in_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: user sessions intersecting the
+    daily 03:00–04:00 UTC maintenance window, with overlap length.
+
+    Runs through ``temporal.interval_overlap_join`` — time-bin equi-join
+    with the meet rule, never a nested-loop theta join (the oracle uses
+    the plain theta join, proving the binned plan is semantics-exact)."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = T.sessionize(ev, "user_id", "ts", gap="30 minutes").select(
+        "user_id", "session_start_us", "session_end_us"
+    )
+    windows = spark.range(_MAINT_DAYS).select(
+        F.col("id").cast("int").alias("day"),
+        (F.lit(_MAINT_BASE_US) + F.col("id") * _DAY_US).alias("w_start_us"),
+        (
+            F.lit(_MAINT_BASE_US) + F.col("id") * _DAY_US + _MAINT_LEN_US
+        ).alias("w_end_us"),
+    )
+    out = T.interval_overlap_join(
+        sessions,
+        windows,
+        key_cols=[],
+        l_start="session_start_us",
+        l_end="session_end_us",
+        r_start="w_start_us",
+        r_end="w_end_us",
+    )
+    return out.select("user_id", "session_start_us", "day", "overlap_us")
+
+
+_ORACLE_SESSIONS_MAINT = f"""
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g),
+sess AS (
+  SELECT user_id,
+    epoch_us(min(ts)) AS session_start_us,
+    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us
+  FROM s GROUP BY user_id, sess),
+win AS (
+  SELECT d::INTEGER AS day,
+    {_MAINT_BASE_US} + d * {_DAY_US} AS w_start_us,
+    {_MAINT_BASE_US} + d * {_DAY_US} + {_MAINT_LEN_US} AS w_end_us
+  FROM range(0, {_MAINT_DAYS}) AS t(d))
+SELECT user_id, session_start_us, day,
+  (least(session_end_us, w_end_us)
+   - greatest(session_start_us, w_start_us))::BIGINT AS overlap_us
+FROM sess JOIN win
+  ON session_start_us < w_end_us AND w_start_us < session_end_us"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2036,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution": q_purchase_attribution,
         "next_touch": q_next_touch,
         "event_sessions": q_event_sessions,
+        "sessions_in_maintenance": q_sessions_in_maintenance,
         "events_by_type_salted": q_events_by_type_salted,
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
@@ -2104,6 +2169,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
         "next_touch": _ORACLE_NEXT_TOUCH,
         "event_sessions": _ORACLE_EVENT_SESSIONS,
+        "sessions_in_maintenance": _ORACLE_SESSIONS_MAINT,
         "events_by_type_salted": _ORACLE_EVENTS_SALTED,
         "top_users_per_event": _ORACLE_TOP_USERS,
         "orders_rollup": _ORACLE_ORDERS_ROLLUP,

@@ -136,6 +136,66 @@ def range_join(
     return out.drop("__bin")
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval × interval OVERLAP join on half-open µs ranges: pairs
+    where ``[l_start, l_end)`` and ``[r_start, r_end)`` intersect (same
+    key, or every key when ``key_cols`` is empty), with the overlap
+    length appended as ``overlap_us``.
+
+    Scale design — the interval generalization of ``range_join``: both
+    sides explode to the time bins their interval covers, the join is a
+    plain equi-join on (key…, bin), and each overlapping pair is kept
+    exactly once by the MEET RULE: only in the bin containing the
+    overlap's start, ``greatest(l_start, r_start) div bin_width`` (both
+    intervals cover that bin by construction, and any other shared bin
+    fails the rule).  Replication per row ≈ span/bin_width + 1; with no
+    key columns the bin IS the distribution key — time-partitioned
+    parallelism instead of a cross join.  All bin arithmetic is integer
+    ``DIV`` (float division drifts near bin edges at µs magnitudes).
+
+    Inputs are int64 µs columns (``unix_micros`` upstream); apart from
+    ``key_cols`` the two inputs must have disjoint column names.  Empty
+    intervals (end ≤ start) never match.
+    """
+    B = int(bin_width_us)
+
+    def with_bins(df: DataFrame, start: str, end: str) -> DataFrame:
+        seq = F.sequence(
+            F.expr(f"{start} DIV {B}"), F.expr(f"({end} - 1) DIV {B}")
+        )
+        guarded = F.when(F.col(end) > F.col(start), seq).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        return df.withColumn("__bin", F.explode(guarded))
+
+    l = with_bins(left, l_start, l_end)
+    r = with_bins(right, r_start, r_end)
+    on = key_cols + ["__bin"]
+    meet = F.expr(f"greatest({l_start}, {r_start}) DIV {B}")
+    out = (
+        l.join(r, on=on, how="inner")
+        .filter(
+            (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+        .filter(F.col("__bin") == meet)
+        .withColumn(
+            "overlap_us",
+            F.least(F.col(l_end), F.col(r_end))
+            - F.greatest(F.col(l_start), F.col(r_start)),
+        )
+    )
+    return out.drop("__bin")
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -1373,3 +1373,60 @@ def test_sessionize_runs_under_streaming_and_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) == 3
+
+
+def test_interval_overlap_join_semantics(spark):
+    """Half-open overlap, exact-once across bin boundaries (meet rule),
+    empty intervals never match, keys partition the match space."""
+    from mvrepair.operators.temporal import interval_overlap_join
+
+    H = 3_600_000_000  # 1h in us (the bin width)
+    left = spark.createDataFrame(
+        [
+            # spans 3 bins: [0.5h, 2.5h)
+            ("a", 1, H // 2, H * 5 // 2),
+            # touching end-to-start: [3h, 4h) vs right [4h, 5h) -> no match
+            ("a", 2, 3 * H, 4 * H),
+            # empty interval at 9h
+            ("a", 3, 9 * H, 9 * H),
+            # wrong key
+            ("b", 4, H // 2, H * 5 // 2),
+        ],
+        ["k", "l_id", "l_start_us", "l_end_us"],
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", 10, 0, 3 * H),      # covers bins 0-2: overlaps l1 fully
+            ("a", 11, 4 * H, 5 * H),  # adjacent to l2 (half-open: no match)
+            ("a", 12, 9 * H, 10 * H), # would contain l3 if non-empty
+        ],
+        ["k", "r_id", "r_start_us", "r_end_us"],
+    )
+    rows = interval_overlap_join(
+        left, right, ["k"], "l_start_us", "l_end_us", "r_start_us", "r_end_us"
+    ).collect()
+    # exactly ONE row despite l1/r10 sharing three bins
+    assert [(r.l_id, r.r_id, r.overlap_us) for r in rows] == [(1, 10, 2 * H)]
+
+
+def test_interval_overlap_join_no_keys_is_time_partitioned(spark):
+    """key_cols=[] joins on the bin alone — cross-key overlaps match and
+    the plan stays an equi-join on the bin, not a nested loop."""
+    from mvrepair.operators.temporal import interval_overlap_join
+
+    H = 3_600_000_000
+    left = spark.createDataFrame(
+        [(1, 0, 2 * H)], ["l_id", "l_start_us", "l_end_us"]
+    )
+    right = spark.createDataFrame(
+        [(20, H, 3 * H), (21, 5 * H, 6 * H)],
+        ["r_id", "r_start_us", "r_end_us"],
+    )
+    out = interval_overlap_join(
+        left, right, [], "l_start_us", "l_end_us", "r_start_us", "r_end_us"
+    )
+    assert [(r.l_id, r.r_id, r.overlap_us) for r in out.collect()] == [
+        (1, 20, H)
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
