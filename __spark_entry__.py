@@ -2077,6 +2077,39 @@ FROM sess JOIN win
   ON session_start_us < w_end_us AND w_start_us < session_end_us"""
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS via iterative min-label connected
+    components — the step that turns pairwise similarity into the
+    keep/drop decision.  The fixpoint (min reachable id per node) is
+    schedule-independent, so the distributed propagation loop is
+    hash-checked against DuckDB's recursive transitive closure (which is
+    Σ component² work — viable only as a fixture-scale oracle; the
+    propagation form is the 100 TB path)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+    try:
+        return D.connected_components(pairs, corpus)
+    finally:
+        pairs.unpersist()
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_neardup_minhash()}),
+nodes AS (SELECT doc_id FROM ({_NEARDUP_CORPUS_SQL})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2134,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash": q_neardup_minhash,
         "neardup_minhash_capped": q_neardup_minhash_capped,
         "simhash_neardup": q_simhash_neardup,
+        "dedup_clusters": q_dedup_clusters,
         # similarity search
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2201,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_minhash": _oracle_neardup_minhash(),
         "neardup_minhash_capped": _oracle_neardup_minhash_capped(),
         "simhash_neardup": _oracle_simhash_neardup(),
+        "dedup_clusters": _oracle_dedup_clusters(),
         "ann_cosine_topk": _oracle_ann_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

@@ -466,3 +466,91 @@ def simhash_candidate_pairs(
     return cand.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every node labeled
+    with the MINIMUM id reachable from it — the canonical representative
+    the dedup pipeline keeps.
+
+    ``pairs`` has (id_a, id_b) edges (any orientation); ``nodes`` supplies
+    the full vertex set (``id_col``) so singletons label themselves.  The
+    result is the unique fixpoint min-label assignment, so ANY correct
+    algorithm — this one, or an oracle's recursive closure — agrees
+    bit-for-bit: iterative algorithms are hash-checkable when the answer,
+    not the schedule, is deterministic (same argument as ``train_kmeans``).
+
+    Scale shape: classic min-label propagation.  Per round, each node
+    takes the min of its own label and its neighbors' labels — one
+    groupBy over the (undirected) edge list, O(E) shuffle per round,
+    rounds ≈ component diameter (near-dup clusters are shallow; 20 covers
+    any realistic dup graph, and the loop exits early on convergence via
+    one count per round).  Labels persist per round and the previous
+    round's cache is released (PERF.md cache-lifecycle rule); the
+    terminal state is corpus-sized but one (id, label) row per node —
+    never the closure (the oracle's transitive-closure CTE is
+    Σ component² and only viable at fixture scale; the propagation form
+    is the 100 TB one).
+    """
+    from pyspark.sql import functions as _F
+
+    edges = (
+        pairs.select(_F.col("id_a").alias("src"), _F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                _F.col("id_b").alias("src"), _F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = nodes.select(
+        _F.col(id_col).alias("id"), _F.col(id_col).alias("lbl")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(
+                    labels.withColumnRenamed("id", "dst").withColumnRenamed(
+                        "lbl", "nlbl"
+                    ),
+                    on="dst",
+                )
+                .groupBy(_F.col("src").alias("id"))
+                .agg(_F.min("nlbl").alias("nmin"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, on="id", how="left")
+                .select(
+                    "id",
+                    _F.least(
+                        _F.col("lbl"), _F.coalesce(_F.col("nmin"), _F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="id")
+                .filter(_F.col("n.lbl") != _F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        out = labels.select(
+            _F.col("id").alias(id_col), _F.col("lbl").alias("cluster_id")
+        )
+        # materialize before releasing the loop caches
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    finally:
+        edges.unpersist()
+        labels.unpersist()

@@ -1430,3 +1430,20 @@ def test_interval_overlap_join_no_keys_is_time_partitioned(spark):
     ]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A transitively-linked chain collapses to one cluster (min id label)
+    even though no single pair spans it; untouched nodes label themselves."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7), (20, 21)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [3, 5, 7, 9, 20, 21, 42]], ["doc_id"]
+    )
+    out = D.connected_components(pairs, nodes)
+    try:
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+    finally:
+        out.unpersist()
+    assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20, 42: 42}
