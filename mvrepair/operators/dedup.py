@@ -489,13 +489,15 @@ def connected_components(
     takes the min of its own label and its neighbors' labels — one
     groupBy over the (undirected) edge list, O(E) shuffle per round,
     rounds ≈ component diameter (near-dup clusters are shallow; 20 covers
-    any realistic dup graph, and the loop exits early on convergence via
-    one count per round).  Labels persist per round and the previous
-    round's cache is released (PERF.md cache-lifecycle rule); the
-    terminal state is corpus-sized but one (id, label) row per node —
-    never the closure (the oracle's transitive-closure CTE is
-    Σ component² and only viable at fixture scale; the propagation form
-    is the 100 TB one).
+    any realistic dup graph; the loop exits early on convergence and
+    RAISES if the diameter exceeds ``max_iters`` — a non-fixpoint result
+    would be silently wrong).  Each round is ``localCheckpoint``-ed: the
+    round's plan references the previous labels twice, so without lineage
+    truncation the logical plan doubles per round (2^rounds nodes —
+    analyzer OOM by ~10 rounds even on tiny graphs).  The state is one
+    (id, label) row per node — never the closure (the oracle's
+    transitive-closure CTE is Σ component² and only viable at fixture
+    scale; the propagation form is the 100 TB one).
     """
     from pyspark.sql import functions as _F
 
@@ -525,6 +527,7 @@ def connected_components(
     try:
         from pyspark.sql import Observation
 
+        converged = False
         for it in range(max_iters):
             neighbor_min = (
                 edges.join(
@@ -539,7 +542,7 @@ def connected_components(
             # the changed-count rides the materializing action via observe
             # — one job per round, no second labels-vs-labels join
             obs = Observation(f"cc_round_{_obs_name('cc')}_{it}")
-            new_labels = (
+            candidate = (
                 labels.join(neighbor_min, on="id", how="left")
                 .select(
                     "id",
@@ -551,20 +554,34 @@ def connected_components(
                 )
                 .observe(obs, _F.sum("__chg").alias("changed"))
                 .drop("__chg")
-                .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            new_labels.count()
+            # LINEAGE TRUNCATION, not just caching: ``labels`` appears
+            # TWICE in each round's plan (its own join side and inside
+            # neighbor_min), so an un-truncated logical plan DOUBLES per
+            # round — 2^rounds nodes, analyzer OOM by round ~10 even on a
+            # 10-row graph.  localCheckpoint materializes the round (the
+            # observe metrics ride this job) and re-roots the plan at the
+            # stored partitions — the standard iterative-graph pattern
+            # (use checkpoint() with a checkpoint dir for fault tolerance
+            # on a real cluster).
+            new_labels = candidate.localCheckpoint(eager=True)
             labels.unpersist()
             labels = new_labels
             if int(obs.get["changed"] or 0) == 0:
+                converged = True
                 break
-        out = labels.select(
+        if not converged:
+            # a non-fixpoint labeling is silently WRONG (some nodes still
+            # carry a non-minimal label) — fail loudly instead
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} "
+                f"rounds; the graph has a component with diameter > "
+                f"{max_iters} — raise max_iters"
+            )
+        # already materialized by the final checkpoint; plain projection
+        return labels.select(
             _F.col("id").alias(id_col), _F.col("lbl").alias("cluster_id")
         )
-        # materialize before releasing the loop caches
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        return out
     finally:
         edges.unpersist()
         labels.unpersist()

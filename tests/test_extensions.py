@@ -1447,3 +1447,20 @@ def test_connected_components_chain_and_singletons(spark):
     finally:
         out.unpersist()
     assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20, 42: 42}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A max_iters smaller than the component diameter must fail loudly —
+    a non-fixpoint labeling would be silently wrong."""
+    # path 9-8-7-6-5-4-3-2-1-0: min label needs ~9 rounds to reach node 9
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, nodes, max_iters=2)
+    out = D.connected_components(pairs, nodes, max_iters=20)
+    try:
+        assert {r.cluster_id for r in out.collect()} == {0}
+    finally:
+        out.unpersist()
