@@ -2110,6 +2110,40 @@ reach AS (
 SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id"""
 
 
+def q_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup: a stream of variant docs (first token dropped,
+    doc_id + 1e6) checked against the static original-corpus LSH index.
+    On the drained stream the pairs equal the batch ``neardup_minhash``
+    result restricted to (original, variant) cross-side pairs — which is
+    exactly what the oracle selects."""
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_neardup_against_static
+
+    variants = load_stream(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    static = _docs(spark, sf_dir)
+    with _state_partitions(spark, 8):
+        query = (
+            streaming_neardup_against_static(variants, static, threshold=0.5)
+            .writeStream.format("memory")
+            .queryName("__neardup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("__neardup_stream")
+
+
+def _oracle_neardup_stream() -> str:
+    return f"""
+WITH pairs AS ({_oracle_neardup_minhash()})
+SELECT id_b AS doc_id, id_a AS match_id, jaccard
+FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2180,6 +2214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_classify_stream": q_mv_classify_stream,
         "mv_upserts_stream": q_mv_upserts_stream,
         "events_latest_stream": q_events_latest_stream,
+        "neardup_stream": q_neardup_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -2246,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_classify_stream": _oracle_mv_classify_stream(),
         "mv_upserts_stream": _oracle_mv_upserts_stream(),
         "events_latest_stream": _ORACLE_EVENTS_LATEST,
+        "neardup_stream": _oracle_neardup_stream(),
         "multimodal_meta": _ORACLE_MULTIMODAL,
         "multimodal_decode": _ORACLE_MULTIMODAL_DECODE,
         "multimodal_features": _oracle_multimodal_features(),

@@ -222,26 +222,12 @@ def minhash_signatures(
     )
 
 
-def minhash_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N,
-    toks: DataFrame | None = None, max_bucket: int | None = None,
-) -> DataFrame:
-    """LSH-banded candidate pairs ``(id_a < id_b)``.
-
-    Bands the 16-signature into 4 bands of 4; docs sharing any band bucket
-    become a candidate pair.  The self-join key is (band_idx, band_sig) —
-    at 100 TB this is a bucket grouping, never a cross join.  Pairs are
-    generated WITHIN each bucket (groupBy band → sorted id set → ordered
-    2-combinations) instead of a self-join: a self-join's two sides defeat
-    ReusedExchange once one side broadcasts, recomputing every signature —
-    the groupBy shape computes signatures exactly once and shuffles only
-    (band, id) rows.  Hot buckets (a band value shared by b docs) emit
-    b·(b-1)/2 pairs either way; ``max_bucket`` drops degenerate buckets
-    (with an observed dropped count — see ``_cap_buckets``); ``None``
-    keeps exact, oracle-comparable semantics.
-    """
-    sigs = minhash_signatures(df, text_col, id_col, n, toks=toks)
-    bands = sigs.select(
+def signature_bands(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_idx, band_sig) from a ``minhash_signatures`` frame —
+    the LSH index rows.  ``band_sig`` is the "_"-joined band slice; an
+    all-NULL signature (empty doc) collapses to "" in every band, and
+    the Jaccard verify stage filters those degenerate matches out."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -261,6 +247,51 @@ def minhash_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_sig")
+
+
+def sig_array_bands(sig_col: Column) -> Column:
+    """The same banding over a signature ARRAY column (the per-row,
+    shuffle-free ``minhash_sig_array`` form — streaming-safe): an
+    array<struct(band_idx, band_sig)> to explode.  Band strings are
+    identical to ``signature_bands``'s, so array-side rows join the
+    column-side index directly."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at(sig_col, b * ROWS_PER_BAND + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_sig"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N,
+    toks: DataFrame | None = None, max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH-banded candidate pairs ``(id_a < id_b)``.
+
+    Bands the 16-signature into 4 bands of 4; docs sharing any band bucket
+    become a candidate pair.  The self-join key is (band_idx, band_sig) —
+    at 100 TB this is a bucket grouping, never a cross join.  Pairs are
+    generated WITHIN each bucket (groupBy band → sorted id set → ordered
+    2-combinations) instead of a self-join: a self-join's two sides defeat
+    ReusedExchange once one side broadcasts, recomputing every signature —
+    the groupBy shape computes signatures exactly once and shuffles only
+    (band, id) rows.  Hot buckets (a band value shared by b docs) emit
+    b·(b-1)/2 pairs either way; ``max_bucket`` drops degenerate buckets
+    (with an observed dropped count — see ``_cap_buckets``); ``None``
+    keeps exact, oracle-comparable semantics.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, n, toks=toks)
+    bands = signature_bands(sigs, id_col)
     buckets = (
         bands.groupBy("band_idx", "band_sig")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))

@@ -123,6 +123,75 @@ def streaming_latest_per_key(
     )
 
 
+def streaming_neardup_against_static(
+    stream: DataFrame,
+    static_docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Online near-dup detection: each ARRIVING document checked against a
+    static corpus MinHash-LSH index — the streaming twin of the batch
+    ``ngram_jaccard_pairs`` restricted to (new doc, indexed doc) pairs.
+
+    Stream side stays shuffle-free per row: the 16-hash signature comes
+    from the array-aggregate form (``minhash_sig_array``) and explodes
+    into its 4 LSH bands; the static side is the batch signature/band
+    index plus the shingle-token table (build once, reuse across
+    microbatches).  Candidates = band equi-join (stream-static inner
+    joins are append-safe), deduped per (doc, match) with the stateful
+    ``dropDuplicates`` operator, then exact-Jaccard verified against the
+    static token sets.  Everything downstream of the band join touches
+    candidate rows only — per microbatch the work is
+    O(new docs × collisions), never a corpus rescan.
+
+    Output (append mode): (``id_col``, match_id, jaccard) with
+    jaccard ≥ threshold.  On a fully drained stream the result equals
+    the batch pair set between the two sides.
+    """
+    from mvrepair.operators.dedup import (
+        minhash_sig_array,
+        minhash_signatures,
+        shingle_tokens,
+        shingles,
+        sig_array_bands,
+        signature_bands,
+    )
+
+    s = stream.select(
+        F.col(id_col),
+        F.array_distinct(shingles(F.col(text_col))).alias("__stoks"),
+        F.explode(sig_array_bands(minhash_sig_array(text_col))).alias("band"),
+    ).select(id_col, "__stoks", "band.band_idx", "band.band_sig")
+
+    static_bands = (
+        signature_bands(minhash_signatures(static_docs, text_col, id_col))
+        .withColumnRenamed(id_col, "match_id")
+    )
+    static_toks = (
+        shingle_tokens(static_docs, text_col, id_col)
+        .withColumnRenamed(id_col, "match_id")
+        .withColumnRenamed("__toks", "__mtoks")
+    )
+
+    cand = (
+        s.join(static_bands, on=["band_idx", "band_sig"])
+        .select(id_col, "__stoks", "match_id")
+        .dropDuplicates([id_col, "match_id"])
+    )
+    inter = F.size(F.array_intersect(F.col("__stoks"), F.col("__mtoks")))
+    union = F.size(F.array_union(F.col("__stoks"), F.col("__mtoks")))
+    return (
+        cand.join(static_toks, on="match_id")
+        .select(
+            F.col(id_col),
+            F.col("match_id"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def streaming_classify_against_static(
     base_stream: DataFrame,
     mv_static: DataFrame,

@@ -1464,3 +1464,51 @@ def test_connected_components_raises_on_non_convergence(spark):
         assert {r.cluster_id for r in out.collect()} == {0}
     finally:
         out.unpersist()
+
+
+def test_streaming_neardup_matches_batch_cross_pairs(spark, tmp_path):
+    """Drained stream-vs-static near-dup equals the batch pair set
+    restricted to (static, streamed) cross pairs."""
+    from mvrepair.streaming.incremental import streaming_neardup_against_static
+
+    static_rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "completely different content about spark dataframes and shuffles here"),
+    ]
+    stream_rows = [
+        # near-dup of static 0 (one token appended: shingle jaccard 10/11,
+        # high enough that an LSH band collides with near-certainty)
+        (100, "the quick brown fox jumps over the lazy dog again and again extra"),
+        # unrelated
+        (101, "unrelated text with nothing shared at all whatsoever truly"),
+    ]
+    static = spark.createDataFrame(static_rows, ["doc_id", "text"])
+    src = tmp_path / "stream_docs"
+    spark.createDataFrame(stream_rows, ["doc_id", "text"]).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    q = (
+        streaming_neardup_against_static(stream, static, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("t_neardup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.match_id): r.jaccard
+        for r in spark.table("t_neardup_stream").collect()
+    }
+
+    combined = static.unionByName(
+        spark.createDataFrame(stream_rows, ["doc_id", "text"])
+    )
+    batch = {
+        (r.id_b, r.id_a): r.jaccard
+        for r in D.ngram_jaccard_pairs(combined, threshold=0.5).collect()
+        if r.id_a < 100 <= r.id_b
+    }
+    assert got == batch
+    assert (100, 0) in got  # the planted near-dup was found
