@@ -2124,16 +2124,18 @@ def q_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
     )
     static = _docs(spark, sf_dir)
-    with _state_partitions(spark, 8):
-        query = (
-            streaming_neardup_against_static(variants, static, threshold=0.5)
-            .writeStream.format("memory")
-            .queryName("__neardup_stream")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+    # no _state_partitions clamp here: the shuffle-partition count also
+    # sizes the repartition that spreads the per-row signature pass, and
+    # the only state (pair dedup) is cheap at any partition count
+    query = (
+        streaming_neardup_against_static(variants, static, threshold=0.5)
+        .writeStream.format("memory")
+        .queryName("__neardup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
     return spark.table("__neardup_stream")
 
 

@@ -158,7 +158,13 @@ def streaming_neardup_against_static(
         signature_bands,
     )
 
-    s = stream.select(
+    # The streaming equivalent of the batch harness's _spread: a file
+    # stream delivers one partition per FILE, so without this exchange
+    # the interpreted per-row signature pass runs on a single core
+    # (measured at sf0.1: 263 s one-core vs ~9 s spread — the whole
+    # query was the one task).  Hash-repartition on the id is
+    # append-safe and sizes to spark.sql.shuffle.partitions.
+    s = stream.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.array_distinct(shingles(F.col(text_col))).alias("__stoks"),
         F.explode(sig_array_bands(minhash_sig_array(text_col))).alias("band"),
