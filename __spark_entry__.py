@@ -2112,31 +2112,47 @@ SELECT id AS doc_id, min(r)::BIGINT AS cluster_id FROM reach GROUP BY id"""
 
 def q_neardup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup: a stream of variant docs (first token dropped,
-    doc_id + 1e6) checked against the static original-corpus LSH index.
-    On the drained stream the pairs equal the batch ``neardup_minhash``
+    doc_id + 1e6) checked against the static original-corpus LSH index,
+    via the ``foreachBatch`` production path (the microbatch runs the
+    codegen BATCH signature pipeline; the fully-declarative single-plan
+    operator remains in streaming/incremental.py, pinned by tests).  On
+    the drained stream the pairs equal the batch ``neardup_minhash``
     result restricted to (original, variant) cross-side pairs — which is
     exactly what the oracle selects."""
     from mvrepair.sources.parquet import load_stream
-    from mvrepair.streaming.incremental import streaming_neardup_against_static
+    from mvrepair.streaming.incremental import (
+        build_neardup_index,
+        neardup_microbatch,
+    )
 
     variants = load_stream(spark, sf_dir, "documents").select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
     )
-    static = _docs(spark, sf_dir)
-    # no _state_partitions clamp here: the shuffle-partition count also
-    # sizes the repartition that spreads the per-row signature pass, and
-    # the only state (pair dedup) is cheap at any partition count
-    query = (
-        streaming_neardup_against_static(variants, static, threshold=0.5)
-        .writeStream.format("memory")
-        .queryName("__neardup_stream")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    static_bands, static_toks = build_neardup_index(_docs(spark, sf_dir))
+    static_bands = static_bands.persist()
+    static_toks = static_toks.persist()
+    collected: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = neardup_microbatch(
+            _spread(batch_df), static_bands, static_toks, threshold=0.5
+        )
+        collected.extend(out.collect())
+
+    try:
+        query = (
+            variants.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        static_bands.unpersist()
+        static_toks.unpersist()
+    return spark.createDataFrame(
+        collected, "doc_id long, match_id long, jaccard double"
     )
-    query.awaitTermination()
-    return spark.table("__neardup_stream")
 
 
 def _oracle_neardup_stream() -> str:

@@ -198,6 +198,82 @@ def streaming_neardup_against_static(
     )
 
 
+def neardup_microbatch(
+    batch_df: DataFrame,
+    static_bands: DataFrame,
+    static_toks: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One microbatch of near-dup-vs-static as PURE BATCH dataflow — the
+    ``foreachBatch`` body.
+
+    Inside ``foreachBatch`` the microbatch is an ordinary DataFrame, so
+    the signature pass reuses the batch explode+groupBy pipeline
+    (whole-stage codegen + map-side combine) instead of the interpreted
+    per-row array aggregate the fully-declarative streaming plan is
+    limited to (aggregate-before-join isn't append-expressible).
+    Measured at sf0.1: the declarative form costs ~24 s, this one ~8 s —
+    foreachBatch is the production path; the declarative operator stays
+    as the single-plan alternative.
+
+    ``static_bands``/``static_toks`` are the persisted corpus index
+    ((match_id, band_idx, band_sig) and (match_id, __mtoks)) — build once
+    via ``build_neardup_index`` and reuse across microbatches.
+    """
+    from mvrepair.operators.dedup import (
+        minhash_signatures,
+        shingle_tokens,
+        signature_bands,
+    )
+
+    sigs = minhash_signatures(batch_df, text_col, id_col)
+    bands = signature_bands(sigs, id_col)
+    cand = (
+        bands.join(static_bands, on=["band_idx", "band_sig"])
+        .select(id_col, "match_id")
+        .distinct()
+    )
+    btoks = shingle_tokens(batch_df, text_col, id_col)
+    inter = F.size(F.array_intersect(F.col("__toks"), F.col("__mtoks")))
+    union = F.size(F.array_union(F.col("__toks"), F.col("__mtoks")))
+    return (
+        cand.join(btoks, on=id_col)
+        .join(static_toks, on="match_id")
+        .select(
+            F.col(id_col),
+            F.col("match_id"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def build_neardup_index(
+    static_docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(static_bands, static_toks) for ``neardup_microbatch`` — the
+    caller persists both (they are reused every microbatch) and owns the
+    unpersist.  The shingle pass is shared between the two frames via the
+    ``toks=`` seam so the corpus is tokenized once."""
+    from mvrepair.operators.dedup import (
+        minhash_signatures,
+        shingle_tokens,
+        signature_bands,
+    )
+
+    toks = shingle_tokens(static_docs, text_col, id_col)
+    static_bands = signature_bands(
+        minhash_signatures(static_docs, text_col, id_col, toks=toks),
+        id_col,
+    ).withColumnRenamed(id_col, "match_id")
+    static_toks = toks.withColumnRenamed(id_col, "match_id").withColumnRenamed(
+        "__toks", "__mtoks"
+    )
+    return static_bands, static_toks
+
+
 def streaming_classify_against_static(
     base_stream: DataFrame,
     mv_static: DataFrame,

@@ -1512,3 +1512,36 @@ def test_streaming_neardup_matches_batch_cross_pairs(spark, tmp_path):
     }
     assert got == batch
     assert (100, 0) in got  # the planted near-dup was found
+
+
+def test_neardup_microbatch_equals_declarative_path(spark):
+    """The foreachBatch body (batch codegen pipeline) produces the same
+    pairs as the fully-declarative stream plan's semantics: the batch
+    cross-side restriction."""
+    from mvrepair.streaming.incremental import (
+        build_neardup_index,
+        neardup_microbatch,
+    )
+
+    static_rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "completely different content about spark dataframes and shuffles here"),
+    ]
+    new_rows = [
+        (100, "the quick brown fox jumps over the lazy dog again and again extra"),
+        (101, "unrelated text with nothing shared at all whatsoever truly"),
+    ]
+    static = spark.createDataFrame(static_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    static_bands, static_toks = build_neardup_index(static)
+    got = {
+        (r.doc_id, r.match_id): r.jaccard
+        for r in neardup_microbatch(batch, static_bands, static_toks).collect()
+    }
+    combined = static.unionByName(batch)
+    want = {
+        (r.id_b, r.id_a): r.jaccard
+        for r in D.ngram_jaccard_pairs(combined, threshold=0.5).collect()
+        if r.id_a < 100 <= r.id_b
+    }
+    assert got == want and (100, 0) in got
