@@ -160,3 +160,12 @@ def test_tfidf_partial_aggregation_before_shuffle(spark, sf_dir):
     plan = _plan(e.q_tfidf_topterms(spark, sf_dir))
     assert "partial_count" in plan or "HashAggregate(keys=" in plan
     assert "PythonUDF" not in plan
+
+
+def test_kmv_bottom_k_uses_take_ordered(spark, sf_dir):
+    """The sketch's bottom-k is TakeOrderedAndProject over the distinct
+    hashes — O(k) driver state, no global sort."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_distinct_docs_kmv(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
