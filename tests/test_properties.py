@@ -205,3 +205,86 @@ class TestKMV:
             assert r.est_distinct == float(len(hashes))
         else:
             assert r.est_distinct == 3.0 * float(2**60) / float(bottom[-1])
+
+
+class TestBinnedTemporalJoins:
+    H = 3_600_000_000  # bin width (1h in us)
+
+    @SETTINGS
+    @given(
+        st.lists(  # left intervals: (start, length) in quarter-hours
+            st.tuples(st.integers(0, 40), st.integers(0, 12)),
+            min_size=1, max_size=8,
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 40), st.integers(0, 12)),
+            min_size=1, max_size=8,
+        ),
+    )
+    def test_interval_overlap_matches_quadratic_model(self, spark, ls, rs):
+        from mvrepair.operators.temporal import interval_overlap_join
+
+        Q = self.H // 4  # quarter-hour grid exercises bin boundaries
+        left = spark.createDataFrame(
+            [(i, s * Q, (s + d) * Q) for i, (s, d) in enumerate(ls)],
+            ["l_id", "l_start_us", "l_end_us"],
+        )
+        right = spark.createDataFrame(
+            [(i, s * Q, (s + d) * Q) for i, (s, d) in enumerate(rs)],
+            ["r_id", "r_start_us", "r_end_us"],
+        )
+        got = sorted(
+            (r.l_id, r.r_id, r.overlap_us)
+            for r in interval_overlap_join(
+                left, right, [], "l_start_us", "l_end_us",
+                "r_start_us", "r_end_us", bin_width_us=self.H,
+            ).collect()
+        )
+        want = sorted(
+            (i, j, min((ls_ + ld) * Q, (rs_ + rd) * Q)
+             - max(ls_ * Q, rs_ * Q))
+            for i, (ls_, ld) in enumerate(ls)
+            for j, (rs_, rd) in enumerate(rs)
+            if ls_ * Q < (rs_ + rd) * Q and rs_ * Q < (ls_ + ld) * Q
+            and ld > 0 and rd > 0
+        )
+        assert got == want
+
+    @SETTINGS
+    @given(
+        st.lists(st.integers(0, 50), min_size=1, max_size=10),  # points
+        st.lists(  # intervals
+            st.tuples(st.integers(0, 50), st.integers(0, 10)),
+            min_size=1, max_size=6,
+        ),
+    )
+    def test_range_join_matches_quadratic_model(self, spark, pts, ivs):
+        from datetime import datetime, timedelta
+
+        from mvrepair.operators.temporal import range_join
+
+        base = datetime(2024, 1, 1)
+
+        def ts(q):  # quarter-hours from base
+            return base + timedelta(minutes=15 * q)
+
+        left = spark.createDataFrame(
+            [(i, ts(q)) for i, q in enumerate(pts)], ["p_id", "ts"]
+        )
+        right = spark.createDataFrame(
+            [(i, ts(s), ts(s + d)) for i, (s, d) in enumerate(ivs)],
+            ["iv_id", "w_start", "w_end"],
+        )
+        got = sorted(
+            (r.p_id, r.iv_id)
+            for r in range_join(
+                left, right, [], "ts", "w_start", "w_end"
+            ).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, q in enumerate(pts)
+            for j, (s, d) in enumerate(ivs)
+            if s <= q <= s + d  # both bounds inclusive
+        )
+        assert got == want
