@@ -530,8 +530,6 @@ def connected_components(
     transitive-closure CTE is Σ component² and only viable at fixture
     scale; the propagation form is the 100 TB one).
     """
-    from pyspark.sql import functions as _F
-
     # Same cached-plan rule as ngram_jaccard_pairs: every loop action
     # materializes through persisted frames, and without this conf those
     # plans compile with AQE partition-coalescing disabled — measured
@@ -544,16 +542,16 @@ def connected_components(
     # no distinct(): duplicate edges are harmless under min-aggregation
     # and deduping them would cost an extra shuffle per build
     edges = (
-        pairs.select(_F.col("id_a").alias("src"), _F.col("id_b").alias("dst"))
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(
-                _F.col("id_b").alias("src"), _F.col("id_a").alias("dst")
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(
-        _F.col(id_col).alias("id"), _F.col(id_col).alias("lbl")
+        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         from pyspark.sql import Observation
@@ -567,8 +565,8 @@ def connected_components(
                     ),
                     on="dst",
                 )
-                .groupBy(_F.col("src").alias("id"))
-                .agg(_F.min("nlbl").alias("nmin"))
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("nlbl").alias("nmin"))
             )
             # the changed-count rides the materializing action via observe
             # — one job per round, no second labels-vs-labels join
@@ -577,13 +575,13 @@ def connected_components(
                 labels.join(neighbor_min, on="id", how="left")
                 .select(
                     "id",
-                    _F.least(
-                        _F.col("lbl"), _F.coalesce(_F.col("nmin"), _F.col("lbl"))
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))
                     ).alias("lbl"),
-                    (_F.coalesce(_F.col("nmin"), _F.col("lbl"))
-                     < _F.col("lbl")).cast("long").alias("__chg"),
+                    (F.coalesce(F.col("nmin"), F.col("lbl"))
+                     < F.col("lbl")).cast("long").alias("__chg"),
                 )
-                .observe(obs, _F.sum("__chg").alias("changed"))
+                .observe(obs, F.sum("__chg").alias("changed"))
                 .drop("__chg")
             )
             # LINEAGE TRUNCATION, not just caching: ``labels`` appears
@@ -611,7 +609,7 @@ def connected_components(
             )
         # already materialized by the final checkpoint; plain projection
         return labels.select(
-            _F.col("id").alias(id_col), _F.col("lbl").alias("cluster_id")
+            F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
         )
     finally:
         edges.unpersist()

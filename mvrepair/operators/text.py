@@ -506,6 +506,13 @@ def tfidf_topterms(
     score integer).  The log damping only changes relative weights, not
     the "rare terms rank high" ordering this surfaces.
 
+    Scale bound: the product tf · N · 1e6 must stay under 2^63, i.e.
+    tf · N < ~9.2e12 — fine up to billion-doc corpora with tf in the
+    thousands, but past that switch the score to double (and accept the
+    1-ulp cross-engine tolerance) or rescale the 1e6 factor; Spark with
+    ANSI off would WRAP silently while the DuckDB oracle raises, so the
+    two diverge exactly at the overflow point.
+
     Scale shape: one explode → per-(doc, term) counts with map-side
     combine; per-term document frequencies are a second aggregate over
     that (vocabulary-sized, NOT corpus-sized); the df join is a plain

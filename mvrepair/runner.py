@@ -175,18 +175,28 @@ def run(
             # (JobStats increments at MvSync.java:384-412).
             if isinstance(result, tuple):
                 uerr, derr = result
-                write_error_reports(
-                    wide, spec, outdir,
-                    upsert_errors=uerr, delete_errors=derr,
-                )
-                if reference_layout:
-                    _flatten_category_dirs(outdir)
+                # counts first (cheap — the applier returns the frames
+                # persisted): an all-success run skips the error write
+                # entirely instead of re-running the classify plan to
+                # write zero rows
                 live_upsert_err = (
                     uerr.select(*spec.mv_pk).distinct().count()
                 )
                 live_delete_err = (
                     derr.select(*spec.mv_pk).distinct().count()
                 )
+                if live_upsert_err or live_delete_err:
+                    write_error_reports(
+                        wide, spec, outdir,
+                        upsert_errors=uerr if live_upsert_err else None,
+                        delete_errors=derr if live_delete_err else None,
+                    )
+                    if reference_layout:
+                        _flatten_category_dirs(outdir)
+                # the applier hands ownership of the two cached frames
+                # to run(); release them once consumed
+                uerr.unpersist()
+                derr.unpersist()
 
         stats = JobStatsResult(
             counters={k: int(v) for k, v in observation.get.items()}

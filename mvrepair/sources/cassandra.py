@@ -149,38 +149,58 @@ def apply_repairs_cassandra(
     up_schema = _error_schema(upserts, mv_pk)
     del_schema = _error_schema(deletes, mv_pk)
 
+    def _py(v):
+        """numpy scalar → plain Python (the driver packs binds itself)."""
+        return v.item() if hasattr(v, "item") else v
+
     def run_upserts(batches: Iterable) -> Iterable:
         import pandas as pd
 
         session = factory()
         limiter = TokenBucket(rate)
         stmt_cache: dict[tuple[str, str], object] = {}
+
+        def stmt_for(col: str, flavor: str):
+            # OUTSIDE the per-row catch: a failing prepare is a
+            # configuration error (bad keyspace/table, schema drift) and
+            # must abort the task loudly — the reference prepares its
+            # statements before the row loop for the same reason
+            # (PreparedStatementHelper.java:36-78); only EXECUTION
+            # failures become per-key error rows.
+            key = (col, flavor)
+            if key not in stmt_cache:
+                pk_binds = ", ".join(["?"] * (len(mv_pk) + 1))
+                using = {
+                    "NO_TIMESTAMP_TTL": "",
+                    "TIMESTAMP": " USING TIMESTAMP ?",
+                    "TTL": " USING TTL ?",
+                    "TIMESTAMP_TTL": " USING TIMESTAMP ? AND TTL ?",
+                }[flavor]
+                cql = (
+                    f"INSERT INTO {ks}.{mv} ({', '.join(mv_pk)}, {col}) "
+                    f"VALUES ({pk_binds}){using}"
+                )
+                stmt_cache[key] = session.prepare(cql)
+            return stmt_cache[key]
+
         for pdf in batches:
             errs: list[dict] = []
             for row in pdf.to_dict("records"):
                 limiter.acquire()
                 col, flavor = row["column"], row["flavor"]
-                key = (col, flavor)
+                stmt = stmt_for(col, flavor)
                 try:
-                    if key not in stmt_cache:
-                        pk_binds = ", ".join(["?"] * (len(mv_pk) + 1))
-                        using = {
-                            "NO_TIMESTAMP_TTL": "",
-                            "TIMESTAMP": " USING TIMESTAMP ?",
-                            "TTL": " USING TTL ?",
-                            "TIMESTAMP_TTL": " USING TIMESTAMP ? AND TTL ?",
-                        }[flavor]
-                        cql = (
-                            f"INSERT INTO {ks}.{mv} ({', '.join(mv_pk)}, {col}) "
-                            f"VALUES ({pk_binds}){using}"
-                        )
-                        stmt_cache[key] = session.prepare(cql)
-                    binds = [row[c] for c in mv_pk] + [row["value"]]
+                    binds = [_py(row[c]) for c in mv_pk] + [_py(row["value"])]
+                    # Arrow→pandas turns a NULLABLE long/int column into
+                    # float64 (NaN for nulls), so a mixed-flavor batch
+                    # delivers writetime/ttl as np.float64 even on rows
+                    # where they're set — int() restores the exact value
+                    # (µs epochs < 2^53) before the driver packs int64
                     if flavor in ("TIMESTAMP", "TIMESTAMP_TTL"):
-                        binds.append(row["writetime"])
+                        binds.append(int(row["writetime"]))
                     if flavor in ("TTL", "TIMESTAMP_TTL"):
-                        binds.append(row["ttl"])
-                    session.execute(stmt_cache[key].bind(binds))
+                        binds.append(int(row["ttl"]))
+                    session.execute(stmt.bind(binds))
                 except Exception as exc:  # noqa: BLE001 — stream, don't die
                     errs.append(
                         {**{c: row[c] for c in mv_pk},
@@ -194,17 +214,14 @@ def apply_repairs_cassandra(
         session = factory()
         limiter = TokenBucket(rate)
         where = " AND ".join(f"{c} = ?" for c in mv_pk)
-        stmt = None
+        # prepared once, outside the catch — see stmt_for
+        stmt = session.prepare(f"DELETE FROM {ks}.{mv} WHERE {where}")
         for pdf in batches:
             errs = []
             for row in pdf.to_dict("records"):
                 limiter.acquire()
                 try:
-                    if stmt is None:
-                        stmt = session.prepare(
-                            f"DELETE FROM {ks}.{mv} WHERE {where}"
-                        )
-                    session.execute(stmt.bind([row[c] for c in mv_pk]))
+                    session.execute(stmt.bind([_py(row[c]) for c in mv_pk]))
                 except Exception as exc:  # noqa: BLE001
                     errs.append(
                         {**{c: row[c] for c in mv_pk},

@@ -145,6 +145,15 @@ def streaming_neardup_against_static(
     candidate rows only — per microbatch the work is
     O(new docs × collisions), never a corpus rescan.
 
+    State caveat: ``dropDuplicates`` without a watermark keeps every
+    seen (doc, match) key forever, so on an UNBOUNDED stream the state
+    store grows with stream lifetime.  For long-running deployments use
+    the ``foreachBatch`` path (``neardup_microbatch``) — each doc
+    arrives in exactly one microbatch there, so a per-batch ``distinct``
+    replaces cross-batch state — or add an event-time column and
+    ``dropDuplicatesWithinWatermark``.  This single-plan form is the
+    drain-once / bounded-backfill variant.
+
     Output (append mode): (``id_col``, match_id, jaccard) with
     jaccard ≥ threshold.  On a fully drained stream the result equals
     the batch pair set between the two sides.

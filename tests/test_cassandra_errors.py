@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from mvrepair.report import SEPARATOR
 from mvrepair.runner import run
 from mvrepair.sources.cassandra import apply_repairs_cassandra
@@ -157,3 +159,101 @@ def test_run_with_none_returning_applier_unchanged(spark, e2e_frames, tmp_path):
     assert seen["n_deletes"] == 1 and seen["n_upserts"] >= 1
     assert not os.path.isdir(os.path.join(outdir, "ERR_DELETING"))
     assert stats.counters["delErrRecords"] == 0
+
+
+def _type_checking_factory():
+    """Session double that REJECTS float binds — catches the Arrow→pandas
+    nullable-long→float64 coercion that would make the real driver's
+    int64 pack fail on writetime/ttl binds."""
+
+    class FakeStatement:
+        def __init__(self, cql):
+            self.cql = cql
+
+        def bind(self, values):
+            return (self.cql, list(values))
+
+    class TypeCheckingSession:
+        def prepare(self, cql):
+            return FakeStatement(cql)
+
+        def execute(self, bound):
+            cql, values = bound
+            for v in values:
+                if isinstance(v, float):
+                    raise TypeError(f"float bind {v!r} in {cql}")
+
+    return TypeCheckingSession
+
+
+def test_upsert_binds_stay_integral_in_mixed_flavor_batches(spark):
+    """A batch mixing NO_TIMESTAMP_TTL and TIMESTAMP rows makes the
+    writetime column nullable → pandas float64; the executor must bind
+    exact ints anyway (no error rows from the type-checking session)."""
+    from pyspark.sql import types as T
+
+    from mvrepair.config import SyncSettings
+    from mvrepair.schema import MVSpec, TableSchema
+
+    spec = MVSpec(
+        base=TableSchema(pk=["pk"], columns={"pk": "ASCII", "c1": "INT"}),
+        mv=TableSchema(pk=["pk"], columns={"pk": "ASCII", "c1": "INT"}),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.StringType()),
+            T.StructField("column", T.StringType()),
+            T.StructField("column_type", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("writetime", T.LongType()),
+            T.StructField("ttl", T.IntegerType()),
+            T.StructField("flavor", T.StringType()),
+        ]
+    )
+    upserts = spark.createDataFrame(
+        [
+            ("A", "c1", "INT", "1", None, None, "NO_TIMESTAMP_TTL"),
+            ("B", "c1", "INT", "2", 1_704_153_600_000_000, None, "TIMESTAMP"),
+            ("C", "c1", "INT", "3", 1_704_153_600_000_000, 60, "TIMESTAMP_TTL"),
+        ],
+        schema,
+    )
+    deletes = upserts.select("pk").limit(0)
+    uerr, derr = apply_repairs_cassandra(
+        upserts, deletes, spec, SyncSettings({}),
+        session_factory=_type_checking_factory(),
+    )
+    try:
+        assert uerr.count() == 0 and derr.count() == 0
+    finally:
+        uerr.unpersist()
+        derr.unpersist()
+
+
+def test_prepare_failure_aborts_instead_of_error_rows(spark, e2e_frames, tmp_path):
+    """A failing prepare (bad table / schema drift) is a configuration
+    error and must abort the job loudly, not degrade into N per-key
+    ERR_* rows."""
+    from mvrepair.operators.reconcile import classify
+    from mvrepair.operators.repair import plan_deletes, plan_upserts
+
+    def broken_factory():
+        class BrokenSession:
+            def prepare(self, cql):
+                raise RuntimeError("unconfigured table does not exist")
+
+            def execute(self, bound):
+                pass
+
+        return BrokenSession
+
+    base, mv = e2e_frames
+    spec = _spec()
+    settings = _settings(str(tmp_path / "unused"))
+    wide = classify(base, mv, spec, window=(0, WT))
+    upserts = plan_upserts(wide, spec, settings, respect_flags=True)
+    deletes = plan_deletes(wide, spec, base)
+    with pytest.raises(Exception, match="unconfigured table does not exist"):
+        apply_repairs_cassandra(
+            upserts, deletes, spec, settings, session_factory=broken_factory()
+        )
