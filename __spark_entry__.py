@@ -2162,6 +2162,65 @@ SELECT id_b AS doc_id, id_a AS match_id, jaccard
 FROM pairs WHERE id_a < 1000000 AND id_b >= 1000000"""
 
 
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram containment decontamination: val/test docs whose shingle
+    set is ≥80% contained in some train doc (shingle inverted-index
+    join + exact all-integer score — see ``dedup.containment_pairs`` for
+    why LSH banding is the WRONG candidate generator here).  The corpus
+    is originals ∪ exact copies (+1e6) ∪ near-variants (+2e6, first
+    token dropped), split by id hash — so real contamination exists
+    across the split boundary at both containment 1.0 (copies) and
+    ~0.97 (variants)."""
+    from mvrepair.operators.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    docs = hash_split(corpus)
+    probe = docs.filter(F.col("split") != "train").select("doc_id", "text")
+    source = docs.filter(F.col("split") == "train").select("doc_id", "text")
+    return D.containment_pairs(probe, source, threshold_micro=800_000)
+
+
+def _oracle_contamination_ngram() -> str:
+    def side(name: str, where: str) -> str:
+        return f"""
+{name}_tokens AS (
+  SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS tk
+  FROM (SELECT d.doc_id, string_split(d.text, ' ') AS ts
+        FROM __corpus d JOIN __split s USING (doc_id)
+        WHERE s.split {where}))"""
+
+    return f"""
+WITH __corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+  UNION ALL SELECT doc_id + 2000000, substr(text, instr(text, ' ') + 1)
+    FROM documents),
+__split AS (
+  SELECT doc_id,
+    CASE WHEN b < 98 THEN 'train' WHEN b < 99 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+        FROM __corpus)),
+{side("probe", "!= 'train'")},
+{side("source", "= 'train'")},
+pt AS (SELECT doc_id AS probe_id, len(tk) AS psize, unnest(tk) AS sh
+       FROM probe_tokens WHERE len(tk) > 0),
+st AS (SELECT doc_id AS source_id, unnest(tk) AS sh FROM source_tokens),
+m AS (SELECT probe_id, source_id, psize, count(*) AS inter
+      FROM pt JOIN st USING (sh) GROUP BY 1, 2, 3)
+SELECT probe_id, source_id,
+  CAST((inter * 1000000) // psize AS BIGINT) AS containment_micro
+FROM m WHERE (inter * 1000000) // psize >= 800000"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2220,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_minhash_capped": q_neardup_minhash_capped,
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
+        "contamination_ngram": q_contamination_ngram,
         # similarity search
         "ann_cosine_topk": q_ann_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2289,6 +2349,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_minhash_capped": _oracle_neardup_minhash_capped(),
         "simhash_neardup": _oracle_simhash_neardup(),
         "dedup_clusters": _oracle_dedup_clusters(),
+        "contamination_ngram": _oracle_contamination_ngram(),
         "ann_cosine_topk": _oracle_ann_topk(),
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),

@@ -618,3 +618,72 @@ def connected_components(
             spark.conf.unset(_AQE_CACHE_KEY)
         else:
             spark.conf.set(_AQE_CACHE_KEY, old)
+
+
+def containment_pairs(
+    probe: DataFrame,
+    source: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro: int = 800_000,
+    n: int = SHINGLE_N,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus shingle CONTAINMENT: probe docs whose n-gram set is
+    largely contained in some source doc — the decontamination check a
+    training pipeline runs between eval splits (probe) and the train set
+    (source).
+
+    Containment |P∩S| / |P| is the right asymmetric score here: a short
+    eval doc copied into a long train doc has low Jaccard but containment
+    ~1 — which is also why candidates CANNOT come from MinHash-LSH
+    banding (band collision probability tracks JACCARD; the motivating
+    short-in-long case sits exactly where LSH recall collapses — caught
+    by this operator's own unit test during development).  Instead this
+    is the standard inverted-index shape: explode probe shingles, join
+    the source shingle index, count matches per (probe, source) — the
+    intersection arrives EXACTLY from the join, no separate verify pass.
+    Scored in micro-units (``· 1e6 div |P|``), engine-exact.
+
+    Scale shape: one equi-join on the shingle key + one combine-heavy
+    groupBy — sub-quadratic, but ultra-common shingles fan out (a
+    stop-phrase shared by everything pairs everything).  ``max_shingle_df``
+    drops source shingles indexed by more than that many docs — the
+    standard production cap; such shingles carry no contamination signal.
+    ``None`` keeps exact (oracle-comparable) semantics.  Probes with no
+    shingles can't be scored and are dropped (|P| = 0).
+
+    Output: (probe_id, source_id, containment_micro bigint ≥ threshold).
+    """
+    pt = (
+        shingle_tokens(probe, text_col, id_col, n)
+        .filter(F.size("__toks") > 0)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            F.size("__toks").alias("__psize"),
+            F.explode("__toks").alias("__sh"),
+        )
+    )
+    st = shingle_tokens(source, text_col, id_col, n).select(
+        F.col(id_col).alias("source_id"), F.explode("__toks").alias("__sh")
+    )
+    if max_shingle_df is not None:
+        from pyspark.sql.window import Window
+
+        df_per_sh = Window.partitionBy("__sh")
+        st = (
+            st.withColumn("__df", F.count(F.lit(1)).over(df_per_sh))
+            .filter(F.col("__df") <= max_shingle_df)
+            .drop("__df")
+        )
+    return (
+        pt.join(st, on="__sh")
+        .groupBy("probe_id", "source_id", "__psize")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+        .withColumn(
+            "containment_micro",
+            F.expr("(__inter * 1000000) DIV __psize"),
+        )
+        .filter(F.col("containment_micro") >= threshold_micro)
+        .select("probe_id", "source_id", "containment_micro")
+    )

@@ -1545,3 +1545,32 @@ def test_neardup_microbatch_equals_declarative_path(spark):
         if r.id_a < 100 <= r.id_b
     }
     assert got == want and (100, 0) in got
+
+
+def test_containment_pairs_asymmetric_score(spark):
+    """Containment |P∩S|/|P| finds a short probe copied into a longer
+    source even when Jaccard is low; the score is exact micro-units."""
+    source = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+            (1, "totally unrelated source text about something else entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        # probe 100 = the first 10 tokens of source 0: its 8 shingles are
+        # ALL contained -> containment 1.0, while jaccard is only 8/18
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (101, "nothing in common with anything in the source corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.probe_id, r.source_id): r.containment_micro
+        for r in D.containment_pairs(
+            probe, source, threshold_micro=800_000
+        ).collect()
+    }
+    assert got == {(100, 0): 1_000_000}
