@@ -621,13 +621,15 @@ def connected_components(
 
 
 def containment_pairs(
-    probe: DataFrame,
-    source: DataFrame,
+    probe: DataFrame | None,
+    source: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_micro: int = 800_000,
     n: int = SHINGLE_N,
     max_shingle_df: int | None = None,
+    probe_toks: DataFrame | None = None,
+    source_toks: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus shingle CONTAINMENT: probe docs whose n-gram set is
     largely contained in some source doc — the decontamination check a
@@ -653,10 +655,20 @@ def containment_pairs(
     ``None`` keeps exact (oracle-comparable) semantics.  Probes with no
     shingles can't be scored and are dropped (|P| = 0).
 
+    Pass ``probe_toks`` / ``source_toks`` (``shingle_tokens`` frames,
+    ideally persisted) to skip re-shingling — the shingle pass is the
+    expensive text scan, and when both corpora are projections of ONE
+    frame (the decontamination case — see ``contamination_check``)
+    computing it per side doubles the dominant cost.
+
     Output: (probe_id, source_id, containment_micro bigint ≥ threshold).
     """
+    if probe_toks is None:
+        probe_toks = shingle_tokens(probe, text_col, id_col, n)
+    if source_toks is None:
+        source_toks = shingle_tokens(source, text_col, id_col, n)
     pt = (
-        shingle_tokens(probe, text_col, id_col, n)
+        probe_toks
         .filter(F.size("__toks") > 0)
         .select(
             F.col(id_col).alias("probe_id"),
@@ -664,18 +676,24 @@ def containment_pairs(
             F.explode("__toks").alias("__sh"),
         )
     )
-    st = shingle_tokens(source, text_col, id_col, n).select(
+    st = source_toks.select(
         F.col(id_col).alias("source_id"), F.explode("__toks").alias("__sh")
     )
     if max_shingle_df is not None:
-        from pyspark.sql.window import Window
-
-        df_per_sh = Window.partitionBy("__sh")
-        st = (
-            st.withColumn("__df", F.count(F.lit(1)).over(df_per_sh))
-            .filter(F.col("__df") <= max_shingle_df)
-            .drop("__df")
+        # Per-shingle document frequency as a map-side-combinable
+        # aggregate, then drop the (tiny) over-cap set via anti-join —
+        # with AQE the build side broadcasts.  The previous shape
+        # (count OVER (PARTITION BY __sh)) turned a hot stop-phrase
+        # shingle — the exact case the cap exists for — into one giant
+        # sort-based window partition that had to be fully shuffled and
+        # materialized before being dropped (round-4 ADVICE).
+        hot = (
+            st.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("__sh")
         )
+        st = st.join(hot, on="__sh", how="left_anti")
     return (
         pt.join(st, on="__sh")
         .groupBy("probe_id", "source_id", "__psize")
@@ -687,3 +705,70 @@ def containment_pairs(
         .filter(F.col("containment_micro") >= threshold_micro)
         .select("probe_id", "source_id", "containment_micro")
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train_value: str = "train",
+    threshold_micro: int = 800_000,
+    n: int = SHINGLE_N,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Decontamination over ONE split corpus: probe = every non-train
+    doc, source = the train docs, scored by ``containment_pairs``.
+
+    The point of this wrapper is the shingle pass: both sides are
+    projections of the same frame, so shingling each side separately —
+    what two bare ``containment_pairs`` inputs cost — runs the dominant
+    interpreted array pass twice over the corpus.  Here the corpus is
+    shingled ONCE (split label carried along), persisted, and both sides
+    filter the shared frame.
+
+    Cache lifecycle mirrors ``ngram_jaccard_pairs``'s internal-toks
+    path: this function is EAGER — the (small) pair result is
+    materialized while the shingle cache is hot, then the corpus-sized
+    cache is released.  The returned pair frame is itself persisted; the
+    caller holds the only handle and should ``.unpersist()`` it when
+    done.  Same session-scoped AQE-under-cache caveat as
+    ``ngram_jaccard_pairs`` applies.
+    """
+    spark = docs.sparkSession
+    _AQE_CACHE_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    old = spark.conf.get(_AQE_CACHE_KEY, None)
+    spark.conf.set(_AQE_CACHE_KEY, "true")
+    toks_all = docs.select(
+        F.col(id_col),
+        F.col(split_col),
+        F.array_distinct(shingles(F.col(text_col), n)).alias("__toks"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = containment_pairs(
+            None,
+            None,
+            text_col,
+            id_col,
+            threshold_micro,
+            n,
+            max_shingle_df,
+            probe_toks=toks_all.filter(
+                F.col(split_col) != train_value
+            ).select(id_col, "__toks"),
+            source_toks=toks_all.filter(
+                F.col(split_col) == train_value
+            ).select(id_col, "__toks"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out.count()  # materialize pairs while the shingle cache is hot
+        except Exception:
+            out.unpersist()
+            raise
+    finally:
+        toks_all.unpersist()
+        if old is None:
+            spark.conf.unset(_AQE_CACHE_KEY)
+        else:
+            spark.conf.set(_AQE_CACHE_KEY, old)
+    return out

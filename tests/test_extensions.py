@@ -1574,3 +1574,65 @@ def test_containment_pairs_asymmetric_score(spark):
         ).collect()
     }
     assert got == {(100, 0): 1_000_000}
+
+
+def test_containment_max_shingle_df_cap_drops_hot_shingles(spark):
+    """The df cap drops shingles indexed by more than ``max_shingle_df``
+    source docs — via a groupBy aggregate + anti-join, NOT a window over
+    the exploded index (round-4 ADVICE: a hot stop-phrase shingle must
+    not become one giant sort-based window partition)."""
+    hot = "x y z"  # one shingle, present in every source doc
+    source = spark.createDataFrame(
+        [(i, f"{hot} unique{i} filler{i} tail{i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame([(100, hot)], ["doc_id", "text"])
+
+    uncapped = D.containment_pairs(probe, source, threshold_micro=800_000)
+    assert {(r.probe_id, r.source_id) for r in uncapped.collect()} == {
+        (100, i) for i in range(5)
+    }
+
+    capped = D.containment_pairs(
+        probe, source, threshold_micro=800_000, max_shingle_df=4
+    )
+    assert capped.count() == 0  # df=5 > 4: the hot shingle is dropped
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+    # a cap above the observed df changes nothing
+    loose = D.containment_pairs(
+        probe, source, threshold_micro=800_000, max_shingle_df=5
+    )
+    assert {(r.probe_id, r.source_id) for r in loose.collect()} == {
+        (100, i) for i in range(5)
+    }
+
+
+def test_contamination_check_matches_two_frame_containment(spark):
+    """The single-corpus API (shingle once, split by label) must produce
+    exactly the two-frame containment_pairs result."""
+    rows = [
+        (0, "train", "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "train", "one two three four five six seven eight nine"),
+        (100, "val", "alpha beta gamma delta epsilon zeta"),
+        (101, "test", "totally disjoint probe text with nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "split", "text"])
+    out = D.contamination_check(docs, threshold_micro=500_000)
+    try:
+        got = {
+            (r.probe_id, r.source_id): r.containment_micro
+            for r in out.collect()
+        }
+    finally:
+        out.unpersist()
+    probe = docs.filter(F.col("split") != "train").select("doc_id", "text")
+    source = docs.filter(F.col("split") == "train").select("doc_id", "text")
+    want = {
+        (r.probe_id, r.source_id): r.containment_micro
+        for r in D.containment_pairs(
+            probe, source, threshold_micro=500_000
+        ).collect()
+    }
+    assert got == want and (100, 0) in got

@@ -54,6 +54,39 @@ def df_to_multiset(cols, rows):
     return sorted("|".join(canon(r[i]) for i in order) for r in rows)
 
 
+def df_to_sequence(cols, rows):
+    """Canonicalized rows in RESULT ORDER — for oracles with a top-level
+    ORDER BY, where row-order divergence is a real failure (round-4
+    verdict: the multiset compare made ORDER BY drift locally invisible)."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return ["|".join(canon(r[i]) for i in order) for r in rows]
+
+
+def has_toplevel_order_by(sql: str) -> bool:
+    """True iff the SQL has an ORDER BY at paren-depth 0 (i.e. ordering
+    the final result, not inside a subquery / window / aggregate)."""
+    depth = 0
+    upper = sql.upper()
+    i = 0
+    while i < len(upper):
+        ch = upper[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "'":
+            # skip string literal
+            i += 1
+            while i < len(upper) and upper[i] != "'":
+                i += 1
+        elif depth == 0 and upper.startswith("ORDER", i):
+            rest = upper[i + 5:].lstrip()
+            if rest.startswith("BY"):
+                return True
+        i += 1
+    return False
+
+
 def arrow_canon_type(t) -> str:
     """Map a pyarrow type into Spark's simpleString() type domain."""
     if pa.types.is_int64(t):
@@ -170,11 +203,14 @@ def main():
             problems.append(f"result types differ (driver hash is "
                             f"type-sensitive): {tdiffs}")
         if not problems:
-            sm = df_to_multiset(scols, [tuple(r) for r in srows])
-            om = df_to_multiset(ocols, orows)
+            ordered = has_toplevel_order_by(oracles[name])
+            to_rows = df_to_sequence if ordered else df_to_multiset
+            sm = to_rows(scols, [tuple(r) for r in srows])
+            om = to_rows(ocols, orows)
             if sm != om:
                 diff = [(a, b) for a, b in zip(sm, om) if a != b][:3]
-                problems.append(f"values differ, e.g. {diff}")
+                kind = "row order/values" if ordered else "values"
+                problems.append(f"{kind} differ, e.g. {diff}")
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)}")
