@@ -3,10 +3,22 @@ JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}``.
 
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-``SPARK_GRAFT_CPUS`` (default 32).
+``SPARK_GRAFT_CPUS`` (default 32), ``SPARK_GRAFT_BENCH_RUNS``
+(default 3).
 
 Each query is materialized through the noop sink so the full plan executes
 (count() would let Catalyst prune payload columns).
+
+Methodology (pinned — PERF.md cites these numbers): every query runs
+``n_runs`` times; the reported per-query figure is the MEDIAN, the total
+is the sum of medians.  Single-run numbers made regression vs noise
+unfalsifiable (round-4 lesson: five queries "regressed" 3-5.7× with no
+plan change).  ``spark.catalog.clearCache()`` runs between repeats —
+eager operators (``contamination_check``, ``ngram_jaccard_pairs``) leave
+their small result frames persisted, and Spark's cache manager matches
+identical logical plans, so without the clear every repeat after the
+first would be a cache read, not a measurement.  Queries run in
+declaration order in one shared session with the same warmup as always.
 """
 
 from __future__ import annotations
@@ -14,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -71,25 +84,33 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    medians: dict[str, float] = {}
+    minimums: dict[str, float] = {}
     for name, fn in e.queries().items():
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+            # Drop persisted frames left by eager operators so the next
+            # repeat measures the computation, not a cache-manager hit on
+            # the identical logical plan.
+            spark.catalog.clearCache()
+        medians[name] = round(statistics.median(runs), 3)
+        minimums[name] = round(min(runs), 3)
 
-    total = round(sum(timings.values()), 3)
-    # Methodology is pinned (PERF.md): n_runs=1 per query, queries in
-    # declaration order, one shared session, per-table warmup — so rounds
-    # are directly comparable run-to-run.
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "mvrepair headline queries wall time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
+                "queries_min": minimums,
                 "sf": sf,
-                "n_runs": 1,
+                "n_runs": n_runs,
                 "cpus": int(cpus),
             }
         )

@@ -594,7 +594,17 @@ def connected_components(
             # (use checkpoint() with a checkpoint dir for fault tolerance
             # on a real cluster).
             new_labels = candidate.localCheckpoint(eager=True)
-            labels.unpersist()
+            if it == 0:
+                # the initial labels frame is the only cache-manager entry
+                # in the loop; checkpointed rounds are executor-local RDD
+                # blocks, NOT cache entries — DataFrame.unpersist() on
+                # them is a no-op (round-4 ADVICE).  Dropping the Python
+                # reference (the reassignment below) lets Spark's
+                # ContextCleaner reclaim each round's blocks once the
+                # driver GCs the old frame; for long loops on a real
+                # cluster prefer checkpoint(dir), which also restores
+                # fault tolerance (the docstring's variant note).
+                labels.unpersist()
             labels = new_labels
             if int(obs.get["changed"] or 0) == 0:
                 converged = True
@@ -613,6 +623,9 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+        # meaningful only when the loop never checkpointed (exception in
+        # round 0): afterwards ``labels`` is a checkpointed frame and
+        # this is a harmless no-op (see the round-0 comment above)
         labels.unpersist()
         if old is None:
             spark.conf.unset(_AQE_CACHE_KEY)

@@ -6,14 +6,16 @@ resize / frame-sample run as Arrow-batched Pandas functions over
 ``mapInPandas`` so payload bytes stay columnar end-to-end and never pass
 through row-at-a-time Python.
 
-The container has no image/audio codecs, so decoding comes in two
-clearly-marked forms: ``decode_image``/``resize_image`` fail fast with
-``NotImplementedError`` (the real-codec seam), while ``decode_fake``/
-``resize_fake`` are DETERMINISTIC FAKES — the payload bytes viewed as a
-zero-padded grayscale grid with real integer nearest-neighbor resampling
-— so the full decode→resize plumbing (schema, partitioning, UDF
-signature, Arrow batch shape) is exercised end-to-end and pinned against
-a Python model in tests.
+Decoding comes in two clearly-marked forms: ``decode_image``/
+``resize_image`` are REAL codec operators behind an optional Pillow
+dependency (driver-side fail-fast ``NotImplementedError`` when the
+codec is absent, as in this container; tests skip-if-absent), while
+``decode_fake``/``resize_fake`` are DETERMINISTIC FAKES — the payload
+bytes viewed as a zero-padded grayscale grid with real integer
+nearest-neighbor resampling — so the full decode→resize plumbing
+(schema, partitioning, UDF signature, Arrow batch shape) is exercised
+end-to-end and pinned against a Python model in tests regardless of
+installed codecs.
 """
 
 from __future__ import annotations
@@ -226,41 +228,98 @@ def resize_fake(
 
 
 def resize_image(
-    df: DataFrame, payload_col: str = "payload", width: int = 224, height: int = 224
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 224,
+    height: int = 224,
 ) -> DataFrame:
-    """Resize image payloads — STUB (no codec in this container).
+    """Resize real image payloads to (width, height) via Pillow and
+    re-encode as PNG — binary in → binary out over ``mapInPandas``.
 
-    Fails fast like ``decode_image``; the batch plumbing a real resizer
-    would use (binary in → binary out over mapInPandas) is the same shape
-    as ``nibble_histogram``.
+    Pillow is an OPTIONAL public dependency: the import check runs at
+    plan-build time on the DRIVER so a missing codec fails fast with a
+    clear ``NotImplementedError`` instead of per-task executor errors.
+    ``decode_fake``/``resize_fake`` remain the oracle-checked default
+    path — this operator is for pipelines with real JPEG/PNG bytes.
+    NEAREST resampling keeps the output deterministic across Pillow
+    versions (bilinear kernels have varied historically).
     """
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image resize requires an image codec (PIL/opencv), not "
-            "available in this environment; see nibble_histogram for the "
-            "exercised mapInPandas batch shape"
+            "image resize requires an image codec (Pillow), not "
+            "available in this environment; resize_fake exercises the "
+            "same mapInPandas batch shape deterministically"
         ) from exc
-    raise NotImplementedError("codec integration not implemented")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                with Image.open(io.BytesIO(payload)) as im:
+                    buf = io.BytesIO()
+                    im.resize((width, height), Image.NEAREST).save(
+                        buf, format="PNG"
+                    )
+                ids.append(i)
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({id_col: ids, payload_col: blobs})
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize_batches, f"{id_col} long, {payload_col} binary"
+    )
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Decode image payloads to (height, width, channels) — STUB.
+def decode_image(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode real image payloads to (height, width, channels, format)
+    via Pillow — the real-codec counterpart of ``decode_fake``.
 
-    A real deployment plugs a codec (PIL/opencv) into the batch loop; this
-    container has none, so the operator fails fast with a clear error
-    rather than fake-decoding silently.
+    Same optional-dependency contract as ``resize_image``: driver-side
+    fail-fast when Pillow is absent.  ``Image.open`` reads only the
+    header to size the image, so the per-row cost is parsing, not a full
+    pixel decode.
     """
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "image decoding requires an image codec (PIL/opencv), not "
-            "available in this environment; the mapInPandas plumbing is "
-            "exercised via extract_metadata instead"
+            "image decoding requires an image codec (Pillow), not "
+            "available in this environment; decode_fake exercises the "
+            "same mapInPandas batch shape deterministically"
         ) from exc
-    raise NotImplementedError("codec integration not implemented")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                id_col: [], "height": [], "width": [], "channels": [],
+                "format": [],
+            }
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                with Image.open(io.BytesIO(payload)) as im:
+                    w, h = im.size
+                    out[id_col].append(i)
+                    out["height"].append(h)
+                    out["width"].append(w)
+                    out["channels"].append(len(im.getbands()))
+                    out["format"].append(im.format or "")
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        decode_batches,
+        f"{id_col} long, height int, width int, channels int, format string",
+    )
 
 
 def frame_sample(

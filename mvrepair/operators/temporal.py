@@ -26,6 +26,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _bin_of(x: Column, b: int) -> Column:
+    """Exact integer FLOOR division of a µs value into bin ``b``.
+
+    SQL ``DIV`` truncates toward zero, so for negative (pre-1970)
+    timestamps the bin containing zero would span (-b, b) — nearly double
+    width — degrading replication/pruning there and breaking the meet
+    rule's exactly-once guarantee for straddling intervals (round-4
+    ADVICE).  Float ``floor(x / b)`` floors correctly but drifts near bin
+    edges at µs magnitudes.  ``x - pmod(x, b)`` is an exact multiple of
+    ``b`` (pmod is the positive modulus), so the division is exact and
+    the result is the true floor for any sign.
+    """
+    return ((x - F.pmod(x, F.lit(b))) / F.lit(b)).cast("bigint")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -118,14 +133,14 @@ def range_join(
     disjoint column names (alias before calling).  Output: all left
     columns + all non-key right columns.
     """
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(bin_width_us))
+    lb = _bin_of(F.unix_micros(F.col(left_ts)), bin_width_us)
     l = left.withColumn("__bin", lb)
     r = right.withColumn(
         "__bin",
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros(F.col(right_start)) / F.lit(bin_width_us)),
-                F.floor(F.unix_micros(F.col(right_end)) / F.lit(bin_width_us)),
+                _bin_of(F.unix_micros(F.col(right_start)), bin_width_us),
+                _bin_of(F.unix_micros(F.col(right_end)), bin_width_us),
             )
         ),
     )
@@ -155,12 +170,14 @@ def interval_overlap_join(
     sides explode to the time bins their interval covers, the join is a
     plain equi-join on (key…, bin), and each overlapping pair is kept
     exactly once by the MEET RULE: only in the bin containing the
-    overlap's start, ``greatest(l_start, r_start) div bin_width`` (both
-    intervals cover that bin by construction, and any other shared bin
-    fails the rule).  Replication per row ≈ span/bin_width + 1; with no
-    key columns the bin IS the distribution key — time-partitioned
-    parallelism instead of a cross join.  All bin arithmetic is integer
-    ``DIV`` (float division drifts near bin edges at µs magnitudes).
+    overlap's start, ``floor(greatest(l_start, r_start) / bin_width)``
+    (both intervals cover that bin by construction, and any other shared
+    bin fails the rule).  Replication per row ≈ span/bin_width + 1; with
+    no key columns the bin IS the distribution key — time-partitioned
+    parallelism instead of a cross join.  All bin arithmetic is exact
+    integer FLOOR division (``_bin_of``): truncating ``DIV`` would
+    mis-bin negative pre-1970 µs values, float division drifts near bin
+    edges at µs magnitudes.
 
     Inputs are int64 µs columns (``unix_micros`` upstream); apart from
     ``key_cols`` the two inputs must have disjoint column names.  Empty
@@ -170,7 +187,7 @@ def interval_overlap_join(
 
     def with_bins(df: DataFrame, start: str, end: str) -> DataFrame:
         seq = F.sequence(
-            F.expr(f"{start} DIV {B}"), F.expr(f"({end} - 1) DIV {B}")
+            _bin_of(F.col(start), B), _bin_of(F.col(end) - 1, B)
         )
         guarded = F.when(F.col(end) > F.col(start), seq).otherwise(
             F.array().cast("array<bigint>")
@@ -180,7 +197,7 @@ def interval_overlap_join(
     l = with_bins(left, l_start, l_end)
     r = with_bins(right, r_start, r_end)
     on = key_cols + ["__bin"]
-    meet = F.expr(f"greatest({l_start}, {r_start}) DIV {B}")
+    meet = _bin_of(F.greatest(F.col(l_start), F.col(r_start)), B)
     out = (
         l.join(r, on=on, how="inner")
         .filter(

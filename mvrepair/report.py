@@ -251,6 +251,14 @@ def write_error_reports(
     into the same categorized layout.  Errors are aggregated per key
     (sorted distinct messages, ``"; ``"-joined) so a key with several
     failed column upserts emits one record — bounded output per key.
+
+    DELIBERATE format divergence (the one departure from the pinned
+    reference formats): the reference streams ONE block per failed
+    mutation (MVJobOutputStreamer.java:84-94), so a key with N failing
+    column upserts emits N blocks; here it emits one block with the
+    distinct messages joined.  Message PREFIXES match the reference
+    ('Error upserting data:' / 'Error deleting data:',
+    DBOperations.java:90,383).
     """
     frames = [
         (ERR_UPSERTING, upsert_errors),

@@ -53,25 +53,49 @@ RepairApplier = Callable[
 ]
 
 
-def _flatten_category_dirs(outdir: str) -> None:
+def _flatten_category_dirs(outdir: str, spark: SparkSession | None = None) -> None:
     """``category=X`` partition dirs → reference-layout ``X`` dirs.
 
-    Driver-side ``os`` renames only — this REQUIRES ``outdir`` to be a
-    driver-local filesystem path (``run`` fails fast on URI-scheme paths;
-    on HDFS/object stores keep the native ``partitionBy`` layout via
-    ``reference_layout=False``).  Files are MERGED into an existing
-    category dir (part-file names are task-unique) so a later append
-    write — e.g. the live repair-error categories — never clobbers an
-    earlier flatten.
+    Plain paths use driver-side ``os`` renames (the fast local path).
+    URI-scheme paths (``file:``, ``hdfs:``, ``s3a:``, …) go through the
+    Hadoop ``FileSystem`` API of the active session, so
+    ``reference_layout=True`` works on remote filesystems too — note
+    that on object stores a "rename" is a server-side copy, so for very
+    large reports there ``reference_layout=False`` (keep the native
+    ``partitionBy`` layout) remains the cheaper choice.  Files are
+    MERGED into an existing category dir (part-file names are
+    task-unique) so a later append write — e.g. the live repair-error
+    categories — never clobbers an earlier flatten.
     """
-    for name in os.listdir(outdir):
-        if name.startswith("category="):
-            src = os.path.join(outdir, name)
-            dst = os.path.join(outdir, name[len("category="):])
-            os.makedirs(dst, exist_ok=True)
-            for entry in os.listdir(src):
-                os.replace(os.path.join(src, entry), os.path.join(dst, entry))
-            os.rmdir(src)
+    if "://" not in outdir:
+        for name in os.listdir(outdir):
+            if name.startswith("category="):
+                src = os.path.join(outdir, name)
+                dst = os.path.join(outdir, name[len("category="):])
+                os.makedirs(dst, exist_ok=True)
+                for entry in os.listdir(src):
+                    os.replace(os.path.join(src, entry), os.path.join(dst, entry))
+                os.rmdir(src)
+        return
+    if spark is None:
+        raise ValueError(
+            f"flattening a URI-scheme outdir needs the SparkSession for "
+            f"Hadoop FileSystem access; got {outdir!r} with spark=None"
+        )
+    sc = spark.sparkContext
+    HPath = sc._jvm.org.apache.hadoop.fs.Path  # noqa: N806 — JVM class
+    root = HPath(outdir)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("category="):
+            continue
+        src = status.getPath()
+        dst = HPath(root, name[len("category="):])
+        fs.mkdirs(dst)
+        for entry in fs.listStatus(src):
+            fs.rename(entry.getPath(), HPath(dst, entry.getPath().getName()))
+        fs.delete(src, False)
 
 
 def run(
@@ -104,13 +128,6 @@ def run(
     settings = settings or SyncSettings()
     metrics = metrics if metrics is not None else GLOBAL_METRICS
     outdir = outdir or settings.output_dir
-    if reference_layout and "://" in outdir:
-        raise ValueError(
-            f"reference_layout=True flattens category dirs with driver-side "
-            f"os renames, which need a driver-local path; got {outdir!r}. "
-            f"Pass reference_layout=False to keep the native "
-            f"category=<CATEGORY> partition layout on remote filesystems."
-        )
 
     metrics.inc("JobStarted")
     try:
@@ -148,7 +165,7 @@ def run(
 
         write_reports(wide, spec, outdir, settings, upsert_err=upsert_err)
         if reference_layout:
-            _flatten_category_dirs(outdir)
+            _flatten_category_dirs(outdir, spark)
 
         # Repair execution (MvSync.java:384-412 performs mutations inline
         # when fix flags are on).  The applier is a seam like the
@@ -176,9 +193,9 @@ def run(
             if isinstance(result, tuple):
                 uerr, derr = result
                 # counts first (cheap — the applier returns the frames
-                # persisted): an all-success run skips the error write
-                # entirely instead of re-running the classify plan to
-                # write zero rows
+                # locally checkpointed): an all-success run skips the
+                # error write entirely instead of re-running the classify
+                # plan to write zero rows
                 live_upsert_err = (
                     uerr.select(*spec.mv_pk).distinct().count()
                 )
@@ -192,11 +209,12 @@ def run(
                         delete_errors=derr if live_delete_err else None,
                     )
                     if reference_layout:
-                        _flatten_category_dirs(outdir)
-                # the applier hands ownership of the two cached frames
-                # to run(); release them once consumed
-                uerr.unpersist()
-                derr.unpersist()
+                        _flatten_category_dirs(outdir, spark)
+                # The frames are localCheckpoint'ed (not cache-manager
+                # entries), so there is nothing to unpersist; their
+                # executor-local blocks are reclaimed by Spark's
+                # ContextCleaner once these references are garbage
+                # collected.
 
         stats = JobStatsResult(
             counters={k: int(v) for k, v in observation.get.items()}

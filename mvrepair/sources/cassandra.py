@@ -131,10 +131,22 @@ def apply_repairs_cassandra(
     the reference's 4 upsert flavors (PreparedStatementHelper.java:36-78)
     and the full-PK delete (:94-108).  A mutation that raises is caught
     per row (DBOperations.java:58-94 / :240-387 catch-and-continue parity)
-    and emitted as ``(<mv_pk…>, error)``; the error frames are EAGERLY
-    materialized (persist + count) here so the mutations run exactly once
-    regardless of how many actions the caller later runs on them — the
-    caller owns the two small cache handles.  Feed them to
+    and emitted as ``(<mv_pk…>, error)``; the error frames are DURABLY
+    materialized here via ``localCheckpoint(eager=True)`` so the
+    mutations run exactly once no matter how many actions the caller
+    later runs on them.  A plain persist+count was NOT enough (round-4
+    ADVICE): cache eviction or executor loss would silently recompute
+    the ``mapInPandas`` stage — re-executing live CQL, and TTL-flavored
+    upserts are not idempotent under replay (the expiry window resets).
+    After a local checkpoint recompute is impossible; losing an executor
+    fails the downstream action loudly instead (acceptable: the error
+    frames are tiny and the job should surface the loss, not re-mutate).
+    Error-message text intentionally matches the reference prefixes
+    ('Error upserting data:' / 'Error deleting data:',
+    DBOperations.java:90,383); unlike the reference's one-block-per-
+    failed-mutation stream, downstream reporting aggregates
+    sorted-distinct messages per key (documented divergence, see
+    ``report.write_error_reports``).  Feed the frames to
     ``report.write_error_reports`` for the ERR_DELETING / ERR_UPSERTING
     categories (MVJobOutputStreamer.java:43-48).
 
@@ -202,9 +214,12 @@ def apply_repairs_cassandra(
                         binds.append(int(row["ttl"]))
                     session.execute(stmt.bind(binds))
                 except Exception as exc:  # noqa: BLE001 — stream, don't die
+                    # reference prefix (DBOperations.java:90); the failing
+                    # column rides behind it so per-key aggregation stays
+                    # diagnosable
                     errs.append(
                         {**{c: row[c] for c in mv_pk},
-                         "error": f"Error while upserting {col}: {exc}"}
+                         "error": f"Error upserting data: {exc} [column {col}]"}
                     )
             yield pd.DataFrame(errs, columns=[f.name for f in up_schema])
 
@@ -223,14 +238,22 @@ def apply_repairs_cassandra(
                 try:
                     session.execute(stmt.bind([_py(row[c]) for c in mv_pk]))
                 except Exception as exc:  # noqa: BLE001
+                    # reference prefix (DBOperations.java:383)
                     errs.append(
                         {**{c: row[c] for c in mv_pk},
-                         "error": f"Error while deleting: {exc}"}
+                         "error": f"Error deleting data: {exc}"}
                     )
             yield pd.DataFrame(errs, columns=[f.name for f in del_schema])
 
-    upsert_errors = upserts.mapInPandas(run_upserts, up_schema).persist()
-    delete_errors = deletes.mapInPandas(run_deletes, del_schema).persist()
-    upsert_errors.count()  # THE upsert action — mutations happen here
-    delete_errors.count()  # THE delete action
+    # localCheckpoint(eager=True) IS the mutation action — and the only
+    # one ever: the checkpointed frames cannot be recomputed, so later
+    # consumers (runner's counts, the error-report join) can never
+    # silently re-execute CQL the way a persist()+count() could after
+    # cache eviction / executor loss / task retry.
+    upsert_errors = upserts.mapInPandas(run_upserts, up_schema).localCheckpoint(
+        eager=True
+    )
+    delete_errors = deletes.mapInPandas(run_deletes, del_schema).localCheckpoint(
+        eager=True
+    )
     return upsert_errors, delete_errors

@@ -86,11 +86,15 @@ def test_apply_repairs_returns_per_key_error_frames(spark, e2e_frames, tmp_path)
         u = uerr.collect()
         assert len(u) == 1
         assert u[0]["pk"] == "C"
-        assert "Error while upserting c2" in u[0]["error"]
+        # reference message prefix (DBOperations.java:90) + column context
+        assert u[0]["error"].startswith("Error upserting data:")
+        assert "[column c2]" in u[0]["error"]
         assert "Unavailable" in u[0]["error"]
+        assert d[0]["error"].startswith("Error deleting data:")
     finally:
-        uerr.unpersist()
-        derr.unpersist()
+        # checkpointed frames — unpersist is a no-op; references dropped
+        # on return (see apply_repairs_cassandra docstring)
+        pass
 
 
 def test_run_routes_live_errors_into_err_categories(spark, e2e_frames, tmp_path):

@@ -336,7 +336,15 @@ def test_nibble_histogram_known_value(spark):
     assert sum(row[f"h{i}"] for i in range(16)) == 4
 
 
-def test_image_stubs_fail_fast(spark):
+def test_image_codec_ops_fail_fast_without_pillow(spark):
+    """When Pillow is absent, the real-codec operators must fail at plan
+    build on the driver, not per-task on executors."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed; see test_image_codec_ops_real_bytes")
+    except ImportError:
+        pass
     from mvrepair.operators import multimodal as M
 
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
@@ -345,6 +353,36 @@ def test_image_stubs_fail_fast(spark):
         M.decode_image(blobs)
     with pytest.raises(NotImplementedError):
         M.resize_image(blobs)
+
+
+def test_image_codec_ops_real_bytes(spark):
+    """With Pillow present, decode_image/resize_image run real bytes
+    through the mapInPandas plumbing (skip-if-absent)."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from mvrepair.operators import multimodal as M
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png_bytes(10, 6, (255, 0, 0))), (2, png_bytes(3, 5, (0, 0, 255)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in M.decode_image(df).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (10, 6, 3)
+    assert (got[2].width, got[2].height) == (3, 5)
+    assert got[1].format == "PNG"
+
+    resized = {r.doc_id: r for r in M.resize_image(df, width=4, height=4).collect()}
+    for r in resized.values():
+        with Image.open(io.BytesIO(bytes(r.payload))) as im:
+            assert im.size == (4, 4)
 
 
 # ---------------------------------------------------------------------------

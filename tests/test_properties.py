@@ -212,12 +212,16 @@ class TestBinnedTemporalJoins:
 
     @SETTINGS
     @given(
+        # starts may be NEGATIVE (pre-1970 µs): bin assignment must be true
+        # floor division — truncating DIV gave the bin containing zero
+        # nearly double width and broke the meet rule's exactly-once
+        # guarantee there (round-4 ADVICE)
         st.lists(  # left intervals: (start, length) in quarter-hours
-            st.tuples(st.integers(0, 40), st.integers(0, 12)),
+            st.tuples(st.integers(-40, 40), st.integers(0, 12)),
             min_size=1, max_size=8,
         ),
         st.lists(
-            st.tuples(st.integers(0, 40), st.integers(0, 12)),
+            st.tuples(st.integers(-40, 40), st.integers(0, 12)),
             min_size=1, max_size=8,
         ),
     )
@@ -263,7 +267,10 @@ class TestBinnedTemporalJoins:
 
         from mvrepair.operators.temporal import range_join
 
-        base = datetime(2024, 1, 1)
+        # base just before the epoch: the quarter-hour grid straddles
+        # t=0, so some points/intervals land on NEGATIVE unix_micros —
+        # exercising true-floor bin assignment (see interval test above)
+        base = datetime(1969, 12, 31, 20, 0, 0)
 
         def ts(q):  # quarter-hours from base
             return base + timedelta(minutes=15 * q)

@@ -387,3 +387,30 @@ def test_run_via_catalog_end_to_end(spark, catalog, tmp_path):
         if f.startswith("part-")
     )
     assert "BaseColumn: c2:INT:20" in txt and "MvColumn: c2:INT:99" in txt
+
+
+def test_flatten_category_dirs_file_uri(spark, tmp_path):
+    """reference_layout flattening works on URI-scheme outdirs via the
+    Hadoop FileSystem API (round-4 stretch item); the previous driver-os
+    implementation failed fast on any path with a scheme."""
+    from mvrepair.runner import _flatten_category_dirs
+
+    out = tmp_path / "rep"
+    (out / "category=INCONSISTENT").mkdir(parents=True)
+    (out / "category=INCONSISTENT" / "part-001.txt").write_text("rec1\n")
+    (out / "category=MISSING_IN_MV_TABLE").mkdir()
+    (out / "category=MISSING_IN_MV_TABLE" / "part-002.txt").write_text("rec2\n")
+    # pre-existing target dir: files must MERGE, not clobber
+    (out / "INCONSISTENT").mkdir()
+    (out / "INCONSISTENT" / "part-000.txt").write_text("rec0\n")
+    (out / "stats.txt").write_text("stats\n")
+
+    _flatten_category_dirs(f"file://{out}", spark)
+
+    assert sorted(p.name for p in out.iterdir()) == [
+        "INCONSISTENT", "MISSING_IN_MV_TABLE", "stats.txt",
+    ]
+    assert sorted(p.name for p in (out / "INCONSISTENT").iterdir()) == [
+        "part-000.txt", "part-001.txt",
+    ]
+    assert (out / "MISSING_IN_MV_TABLE" / "part-002.txt").read_text() == "rec2\n"
