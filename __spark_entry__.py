@@ -1857,6 +1857,31 @@ def q_events_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``event_sessions``: the SAME native
+    ``session_window`` aggregation code running under Structured
+    Streaming.  Session state lives in the JVM state store as one row per
+    (key, open session), merging windows as events arrive; complete mode
+    on a drained ``availableNow`` stream emits the final merged sessions,
+    equal to the batch result (append mode would withhold sessions the
+    watermark never passes on a finite directory)."""
+    from mvrepair.operators.temporal import sessionize
+    from mvrepair.sources.parquet import load_stream
+
+    ev = load_stream(spark, sf_dir, "events").withWatermark("ts", "0 seconds")
+    with _state_partitions(spark, 8):
+        query = (
+            sessionize(ev, "user_id", "ts", gap="30 minutes", value_col="value")
+            .writeStream.format("memory")
+            .queryName("__sessions_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("__sessions_stream")
+
+
 def q_next_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of join: each purchase paired with the next-or-equal
     click/view by the same user — the same union+window single-shuffle
@@ -2222,6 +2247,79 @@ SELECT probe_id, source_id,
 FROM m WHERE (inter * 1000000) // psize >= 800000"""
 
 
+# ---------------------------------------------------------------------------
+# data-quality family: repetition + exact-substring duplication
+# ---------------------------------------------------------------------------
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021): per-doc
+    duplicate-token / top-2-gram / duplicate-3-gram fractions + drop flag.
+    One explode over (n, gram) tagged structs, two map-side-combinable
+    aggs, every key doc-scoped (no corpus-global skew)."""
+    return X.repetition_stats(_docs(spark, sf_dir))
+
+
+def _gram_sql(n: int, toks: str = "ts") -> str:
+    """DuckDB n-gram list over a token-list column (1-based, inclusive
+    slice semantics)."""
+    if n == 1:
+        return toks
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return f"[{parts} for i in range(1, len({toks}) - {n - 2})]"
+
+
+def _oracle_doc_repetition() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+g AS (
+  SELECT doc_id, 1 AS n, unnest({_gram_sql(1)}) AS gram FROM t
+  UNION ALL SELECT doc_id, 2, unnest({_gram_sql(2)}) FROM t
+  UNION ALL SELECT doc_id, 3, unnest({_gram_sql(3)}) FROM t),
+c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
+m AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS tot,
+        coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dup
+      FROM c GROUP BY doc_id, n),
+p AS (SELECT doc_id,
+        coalesce(max(CASE WHEN n = 1 THEN CAST(dup AS DOUBLE) / tot END), 0.0) AS dup_token_frac,
+        coalesce(max(CASE WHEN n = 2 THEN CAST(top_cnt AS DOUBLE) / tot END), 0.0) AS top_2gram_frac,
+        coalesce(max(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / tot END), 0.0) AS dup_3gram_frac
+      FROM m GROUP BY doc_id)
+SELECT doc_id, dup_token_frac, top_2gram_frac, dup_3gram_frac,
+  (top_2gram_frac > 0.20 OR dup_3gram_frac > 0.30) AS repetitive
+FROM p"""
+
+
+def q_substring_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022): fraction of
+    each doc's token 8-gram instances that recur corpus-wide.  Grams
+    travel as 60-bit fingerprints; frequency agg and instance join share
+    one hash key; per-doc rollup keys on doc_id."""
+    return D.substring_dup_stats(_docs(spark, sf_dir))
+
+
+def _oracle_substring_dupes() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+inst AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(CASE WHEN len(ts) >= 8
+          THEN {_gram_sql(8)} ELSE [] END) AS gram FROM t)),
+freq AS (SELECT h, count(*) AS c FROM inst GROUP BY h),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+    coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS n_dup_grams
+  FROM inst JOIN freq USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(n_grams, 0)::BIGINT AS n_grams,
+  coalesce(n_dup_grams, 0)::BIGINT AS n_dup_grams,
+  CASE WHEN coalesce(n_grams, 0) > 0
+    THEN CAST(n_dup_grams AS DOUBLE) / n_grams ELSE 0.0 END AS dup_frac,
+  CASE WHEN coalesce(n_grams, 0) > 0
+    THEN CAST(n_dup_grams AS DOUBLE) / n_grams ELSE 0.0 END >= 0.3 AS mostly_dup
+FROM documents d LEFT JOIN per_doc USING (doc_id)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2255,7 +2353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
-        "events_latest": q_events_latest,
         "lapsed_customers": q_lapsed_customers,
         # temporal joins (one per distinct join algorithm)
         "purchase_attribution": q_purchase_attribution,  # as-of join
@@ -2266,12 +2363,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "doc_splits": q_doc_splits,
-        "split_contamination": q_split_contamination,
         "corpus_profile": q_corpus_profile,
         "bm25_rank": q_bm25_rank,
         "heavy_hitters": q_heavy_hitters,
         "rolling_fingerprint": q_rolling_fingerprint,
-        "simhash": q_simhash,
+        # data-quality filters (repetition + substring duplication)
+        "doc_repetition": q_doc_repetition,
+        "substring_dupes": q_substring_dupes,
         # dedup
         "dedup_exact": q_dedup_exact,
         "distinct_docs_kmv": q_distinct_docs_kmv,
@@ -2293,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_classify_stream": q_mv_classify_stream,
         "mv_upserts_stream": q_mv_upserts_stream,
         "events_latest_stream": q_events_latest_stream,
+        "sessions_stream": q_sessions_stream,
         "neardup_stream": q_neardup_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
@@ -2300,6 +2399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
+        "events_latest": q_events_latest,  # twin: events_latest_stream (same keep-newest-per-key result, streaming formulation checked) + top_users_per_event (rank-window family)
+        "simhash": q_simhash,  # twin: simhash_neardup (consumes the same signature algebra)
+        "split_contamination": q_split_contamination,  # twin: doc_splits (hash-bucket membership); cross-split checks also via contamination_ngram
         "orders_cube": q_orders_cube,  # twin: orders_rollup (grouping-sets agg)
         "events_by_type_salted": q_events_by_type_salted,  # twin: events_hourly (salted agg proven hash-identical to plain GROUP BY)
         "next_touch": q_next_touch,  # twin: purchase_attribution (forward as-of, same union+window shape)
@@ -2330,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
         "next_touch": _ORACLE_NEXT_TOUCH,
         "event_sessions": _ORACLE_EVENT_SESSIONS,
+        "sessions_stream": _ORACLE_EVENT_SESSIONS,
         "sessions_in_maintenance": _ORACLE_SESSIONS_MAINT,
         "events_by_type_salted": _ORACLE_EVENTS_SALTED,
         "top_users_per_event": _ORACLE_TOP_USERS,
@@ -2356,6 +2459,8 @@ def oracle_sql() -> dict[str, str]:
         "token_quantiles": _ORACLE_TOKEN_QUANTILES,
         "rolling_fingerprint": _ORACLE_ROLLING_FP,
         "simhash": _oracle_simhash(),
+        "doc_repetition": _oracle_doc_repetition(),
+        "substring_dupes": _oracle_substring_dupes(),
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "distinct_docs_kmv": _ORACLE_KMV,
         "minhash_signatures": _oracle_minhash_signatures(),

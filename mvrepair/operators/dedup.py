@@ -785,3 +785,65 @@ def contamination_check(
         else:
             spark.conf.set(_AQE_CACHE_KEY, old)
     return out
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    flag_frac: float = 0.3,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): per-document fraction of
+    token ``n``-gram INSTANCES that recur anywhere in the corpus —
+    including a second occurrence inside the same document, which is how
+    the suffix-array formulation counts too.
+
+    Output per doc: ``n_grams`` (instances, not distinct), ``n_dup_grams``
+    (instances whose gram occurs >= 2 times corpus-wide), ``dup_frac``,
+    and ``mostly_dup`` (``dup_frac >= flag_frac`` — the doc carries enough
+    memorizable duplicated text that a pretraining pipeline would cut the
+    spans or drop it).
+
+    Scale shape — the practical stand-in for a distributed suffix array:
+    grams ship as 60-bit fingerprints (``stable_hash64``), never strings,
+    so the wire cost is 8 bytes per token instance.  Corpus frequencies
+    come from a map-side-combinable ``groupBy(hash).count``; the
+    instances-to-frequency join is hash-to-hash on the SAME key, so the
+    exchange introduced by the groupBy is reused rather than repeated; the
+    final per-doc rollup keys on the doc id (no global skew).  Docs with
+    fewer than ``n`` tokens re-enter via a left join from the (pruned,
+    id-only) base scan with zero counts.  At web scale a 60-bit
+    fingerprint collides eventually — the standard trade the paper's
+    Bloom/hash variants make; a collision can only overcount duplication,
+    never lose a true duplicate.
+    """
+    inst = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("__g"),
+    ).select(id_col, stable_hash64(F.col("__g")).alias("__h"))
+    freq = inst.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        inst.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("__c") > 1, F.lit(1))), F.lit(0)
+            ).alias("n_dup_grams"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    n_dup = F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long")
+    dup_frac = F.when(
+        n_grams > 0, n_dup.cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac >= flag_frac).alias("mostly_dup"),
+    )

@@ -599,3 +599,81 @@ def token_quantiles(
         .filter(F.col("__rn") == F.col("__q.pos"))
         .select(group_col, F.col("__q.pct").alias("pct"), "n_tokens")
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top2_max: float = 0.20,
+    dup3_max: float = 0.30,
+) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021, MassiveText
+    filters): per-document n-gram repetition fractions plus a drop flag.
+
+    - ``dup_token_frac``  fraction of token instances whose token occurs
+      more than once in the document (unigram duplication),
+    - ``top_2gram_frac``  fraction of 2-gram instances covered by the most
+      frequent 2-gram,
+    - ``dup_3gram_frac``  fraction of 3-gram instances belonging to any
+      repeated 3-gram,
+    - ``repetitive``      drop flag: ``top_2gram_frac > top2_max OR
+      dup_3gram_frac > dup3_max`` (Gopher's published thresholds are the
+      defaults).
+
+    Scale shape: ONE explode over (n, gram) tagged structs for all three
+    gram sizes, then two hash aggregations — (doc, n, gram) counts, then
+    (doc, n) metrics folded to one row per doc by conditional aggregation.
+    Both aggs are map-side combinable and every key includes the doc id,
+    so there is no corpus-global skew: the 100 TB cost is the token scan
+    itself.  All fractions are exact integer ratios divided once in
+    double, so a SQL oracle reproduces them bit-for-bit.
+
+    Docs too short for an n-gram size contribute no rows for that n; the
+    conditional aggregate coalesces those to 0.0 (nothing repeats in a
+    document with no 2-grams).
+    """
+    from mvrepair.operators.dedup import shingles  # deferred: dedup imports text
+
+    def tag(n: int) -> Column:
+        # NB: the inner lambda must be unary — a second (defaulted) python
+        # parameter would make pyspark pass the ARRAY INDEX into it.
+        return F.transform(
+            shingles(F.col(text_col), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+        )
+
+    tagged = F.concat(tag(1), tag(2), tag(3))
+    grams = df.select(F.col(id_col), F.explode(tagged).alias("g")).select(
+        id_col, F.col("g.n").alias("n"), F.col("g.gram").alias("gram")
+    )
+    counts = grams.groupBy(id_col, "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_n = counts.groupBy(id_col, "n").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("tot"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+        ).alias("dup"),
+    )
+
+    def pick(n: int, expr: Column) -> Column:
+        return F.coalesce(
+            F.max(F.when(F.col("n") == n, expr)), F.lit(0.0)
+        )
+
+    frac = lambda c: F.col(c).cast("double") / F.col("tot")  # noqa: E731
+    out = per_n.groupBy(id_col).agg(
+        pick(1, frac("dup")).alias("dup_token_frac"),
+        pick(2, frac("top_cnt")).alias("top_2gram_frac"),
+        pick(3, frac("dup")).alias("dup_3gram_frac"),
+    )
+    return out.select(
+        id_col,
+        "dup_token_frac",
+        "top_2gram_frac",
+        "dup_3gram_frac",
+        (
+            (F.col("top_2gram_frac") > top2_max)
+            | (F.col("dup_3gram_frac") > dup3_max)
+        ).alias("repetitive"),
+    )

@@ -1674,3 +1674,65 @@ def test_contamination_check_matches_two_frame_containment(spark):
         ).collect()
     }
     assert got == want and (100, 0) in got
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats (Gopher filters) + substring_dup_stats (Lee et al.)
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_known_values(spark):
+    # "a b a b a b": 6 tokens all duplicated; 5 2-grams, "a b" x3 of 5;
+    # 4 3-grams, "a b a" x2 + "b a b" x2 -> dup_3gram_frac = 1.0
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1.dup_token_frac == 1.0
+    assert r1.top_2gram_frac == pytest.approx(3 / 5)
+    assert r1.dup_3gram_frac == 1.0
+    assert r1.repetitive
+    r2 = got[2]
+    assert (r2.dup_token_frac, r2.dup_3gram_frac) == (0.0, 0.0)
+    assert r2.top_2gram_frac == pytest.approx(1 / 5)
+    assert not r2.repetitive
+
+
+def test_repetition_stats_short_docs_zero_not_null(spark):
+    # one token: no 2-/3-grams at all -> fractions 0.0, never NULL
+    df = spark.createDataFrame([(1, "solo")], ["doc_id", "text"])
+    [r] = X.repetition_stats(df).collect()
+    assert (r.dup_token_frac, r.top_2gram_frac, r.dup_3gram_frac) == (0.0, 0.0, 0.0)
+    assert r.repetitive is False
+
+
+def test_substring_dup_stats_cross_and_within_doc(spark):
+    eight = "t1 t2 t3 t4 t5 t6 t7 t8"
+    df = spark.createDataFrame(
+        [
+            (1, eight + " x1 x2"),          # grams 1-3; gram#1 repeats in doc 2
+            (2, "pre " + eight),            # grams 1-2; gram#2 == doc 1 gram#1
+            (3, eight + " " + eight),       # within-doc repetition
+            (4, "too short"),               # no 8-grams
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in D.substring_dup_stats(df).collect()}
+    assert got[4].n_grams == 0 and got[4].dup_frac == 0.0 and not got[4].mostly_dup
+    assert got[1].n_grams == 3 and got[1].n_dup_grams >= 1
+    assert got[2].n_grams == 2 and got[2].n_dup_grams >= 1
+    r3 = got[3]
+    assert r3.n_grams == 9
+    # "t1..t8 t1..t8": every 8-gram window reappears? only the aligned copy
+    # of the full block repeats (windows crossing the seam are unique except
+    # the two aligned ones); at minimum the two aligned instances count.
+    assert r3.n_dup_grams >= 2 and r3.mostly_dup == (r3.dup_frac >= 0.3)
+
+
+def test_substring_dup_stats_all_unique_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(10))) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    rows = D.substring_dup_stats(df).collect()
+    assert all(r.n_dup_grams == 0 and r.dup_frac == 0.0 for r in rows)
