@@ -1364,8 +1364,13 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_assign(emb, cents)
 
 
-def _oracle_kmeans_clusters() -> str:
-    k, iters = KMEANS_K, KMEANS_ITERS
+def _kmeans_cte_parts(k: int, iters: int, src: str = "embeddings") -> tuple[list[str], str]:
+    """Shared DuckDB replay of the distributed Lloyd's loop: returns the
+    WITH-clause parts (quantized ``emb``, init ``c0``, per-iteration
+    assign/update/carry CTEs ending at ``c{iters}``) plus the sim
+    expression — so every oracle built on trained centroids
+    (``kmeans_clusters``, ``semantic_dedup``) replays the IDENTICAL
+    iterations instead of duplicating the generator."""
     lip = "list_inner_product"
     sim = (
         f"{lip}(e.qv, c.cqv) / (sqrt({lip}(e.qv, e.qv)) * "
@@ -1374,7 +1379,7 @@ def _oracle_kmeans_clusters() -> str:
     parts = [
         "emb AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv "
-        "FROM embeddings)",
+        f"FROM {src})",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
         f"qv AS cqv FROM emb ORDER BY vec_id LIMIT {k})",
     ]
@@ -1398,6 +1403,12 @@ def _oracle_kmeans_clusters() -> str:
   UNION ALL
   SELECT cid, cqv FROM c{i} WHERE cid NOT IN (SELECT cid FROM n{i})
 )""")
+    return parts, sim
+
+
+def _oracle_kmeans_clusters() -> str:
+    k, iters = KMEANS_K, KMEANS_ITERS
+    parts, sim = _kmeans_cte_parts(k, iters)
     return (
         "WITH " + ",\n".join(parts) + f"""
 SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
@@ -1407,6 +1418,54 @@ FROM (
     row_number() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.cid) AS rn
   FROM emb e CROSS JOIN c{iters} c
 ) WHERE rn = 1"""
+    )
+
+
+SEMDEDUP_TAU_MICRO = 900_000
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) on the perturbed embedding corpus:
+    k-means the space (same trained-centroid build as kmeans_clusters),
+    then mark vectors with a prior same-cluster neighbor above τ=0.9
+    cosine.  The perturbed copies (cosine ≈ 1 − 2v₀²/‖v‖² to their
+    originals) are the true semantic dups the sweep should catch — when
+    assignment puts original and copy in the same cluster; cross-cluster
+    misses are SemDeDup's documented recall trade, reproduced exactly by
+    the oracle's replay of the same clustering."""
+    corpus = _neardup_embeddings(spark, sf_dir)
+    cents = S.train_kmeans(corpus, k=KMEANS_K, iters=KMEANS_ITERS)
+    return S.semantic_dedup(corpus, cents, threshold_micro=SEMDEDUP_TAU_MICRO)
+
+
+def _oracle_semantic_dedup() -> str:
+    parts, sim = _kmeans_cte_parts(
+        KMEANS_K, KMEANS_ITERS, src=f"({_NEARDUP_EMB_SQL})"
+    )
+    lip = "list_inner_product"
+    pair_sim = (
+        f"{lip}(a.qv, b.qv) / (sqrt({lip}(a.qv, a.qv)) * "
+        f"sqrt({lip}(b.qv, b.qv)))"
+    )
+    parts.append(f"""f AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT e.vec_id, e.qv, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.cid) AS rn
+    FROM emb e CROSS JOIN c{KMEANS_ITERS} c
+  ) WHERE rn = 1
+)""")
+    parts.append(f"""p AS (
+  SELECT a.vec_id,
+    max(CAST(floor({pair_sim} * 1000000) AS BIGINT)) AS max_prior_cosine_micro
+  FROM f a JOIN f b ON a.cid = b.cid AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT f.vec_id, CAST(f.cid AS INTEGER) AS cluster,
+  p.max_prior_cosine_micro,
+  coalesce(p.max_prior_cosine_micro >= {SEMDEDUP_TAU_MICRO}, false) AS is_semdup
+FROM f LEFT JOIN p ON f.vec_id = p.vec_id"""
     )
 
 
@@ -2363,7 +2422,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_quality": q_text_quality,
         "doc_splits": q_doc_splits,
-        "corpus_profile": q_corpus_profile,
         "bm25_rank": q_bm25_rank,
         "heavy_hitters": q_heavy_hitters,
         "rolling_fingerprint": q_rolling_fingerprint,
@@ -2385,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "kmeans_clusters": q_kmeans_clusters,
+        "semantic_dedup": q_semantic_dedup,
         # streaming
         "events_hourly_stream": q_events_hourly_stream,
         "dedup_exact_stream": q_dedup_exact_stream,
@@ -2400,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
         "events_latest": q_events_latest,  # twin: events_latest_stream (same keep-newest-per-key result, streaming formulation checked) + top_users_per_event (rank-window family)
+        "corpus_profile": q_corpus_profile,  # twin: pricing_summary (multi-metric groupBy agg)
         "simhash": q_simhash,  # twin: simhash_neardup (consumes the same signature algebra)
         "split_contamination": q_split_contamination,  # twin: doc_splits (hash-bucket membership); cross-split checks also via contamination_ngram
         "orders_cube": q_orders_cube,  # twin: orders_rollup (grouping-sets agg)
@@ -2474,6 +2534,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "embedding_neardup": _oracle_embedding_neardup(),
         "kmeans_clusters": _oracle_kmeans_clusters(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
         "mv_classify_stream": _oracle_mv_classify_stream(),

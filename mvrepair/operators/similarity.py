@@ -486,3 +486,74 @@ def kmeans_assign(
         cluster.cast("int").alias("cluster"),
         F.floor(sim * 1_000_000).cast("long").alias("cosine_micro"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[int]],
+    threshold_micro: int = 900_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding space, then mark within-cluster semantic duplicates.
+
+    A vector is a duplicate iff some PRIOR vector (lower id) in the SAME
+    cluster has cosine similarity >= ``threshold_micro`` µ-units — the
+    public SemDeDup implementation's sweep semantics ("drop any point
+    whose similarity to an earlier point exceeds tau"), with ascending id
+    as the deterministic sweep order (the paper orders by distance to
+    centroid; the order is a policy choice, the mechanism is identical).
+
+    Output: (``id_col``, cluster int, max_prior_cosine_micro nullable
+    bigint, is_semdup boolean).  ``NOT is_semdup`` is the kept corpus.
+
+    Scale design — this is exactly why SemDeDup clusters first: the
+    pairwise compare runs per-cluster, so the cost is Σ|cluster|² rather
+    than N².  One shuffle on the cluster id co-locates each cluster;
+    choose k proportional to N / desired-cluster-size to bound the
+    quadratic term (the paper runs 50k clusters for 5B docs).  Cluster
+    assignment itself is the map-side broadcast-centroid projection shared
+    with ``kmeans_assign`` — no join, no shuffle.  Cross-cluster
+    duplicates are missed BY DESIGN (the documented recall trade); a giant
+    skewed cluster is the known failure mode and the fix is raising k,
+    not salting (splitting a cluster across tasks would silently lose
+    in-cluster pairs).
+    """
+    cent_lits = _centroid_lits(centroids)
+    prepared = _prepare(df, id_col, vec_col, id_col).alias("t")
+    assigned = prepared.select(
+        F.col(id_col),
+        F.col("__qv"),
+        F.col("__norm"),
+        _best_cluster("t", cent_lits).cast("int").alias("cluster"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    prior_max = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.floor(_pair_sim("a", "b") * 1_000_000)
+            .cast("long")
+            .alias("__m"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__m").alias("max_prior_cosine_micro"))
+    )
+    return (
+        assigned.select(id_col, "cluster")
+        .join(prior_max, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            "max_prior_cosine_micro",
+            F.coalesce(
+                F.col("max_prior_cosine_micro") >= F.lit(threshold_micro),
+                F.lit(False),
+            ).alias("is_semdup"),
+        )
+    )

@@ -1736,3 +1736,40 @@ def test_substring_dup_stats_all_unique_corpus(spark):
     )
     rows = D.substring_dup_stats(df).collect()
     assert all(r.n_dup_grams == 0 and r.dup_frac == 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_sweep_and_cross_cluster_miss(spark):
+    # centroids: x-axis (cluster 0) and y-axis (cluster 1), micro-units
+    cents = [[1_000_000, 0], [0, 1_000_000]]
+    rows = [
+        (1, [1.0, 0.0]),      # cluster 0, first -> kept
+        (2, [0.999, 0.02]),   # cluster 0, cos(v1,v2) ~ 0.9998 -> semdup
+        (3, [0.6, 0.52]),     # cluster 0 (closer to x), cos to v1 ~ 0.76 -> kept
+        (4, [0.0, 1.0]),      # cluster 1: near-identical to NOTHING there -> kept
+        (5, [0.02, 0.999]),   # cluster 1, dup of 4 -> semdup
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in S.semantic_dedup(df, cents, 900_000).collect()}
+    assert [got[i].cluster for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 1]
+    assert [got[i].is_semdup for i in (1, 2, 3, 4, 5)] == [False, True, False, False, True]
+    assert got[1].max_prior_cosine_micro is None
+    assert got[2].max_prior_cosine_micro >= 900_000
+    # v2's prior is v1 only (same cluster, lower id)
+    assert got[3].max_prior_cosine_micro < 900_000
+
+
+def test_semantic_dedup_cross_cluster_pairs_invisible(spark):
+    # identical vectors forced into different clusters are NOT flagged:
+    # the within-cluster sweep cannot see them (documented recall trade)
+    cents = [[1_000_000, 0], [0, 1_000_000]]
+    df = spark.createDataFrame(
+        [(1, [0.8, 0.6]), (2, [0.6, 0.8])],  # cluster 0 and 1; cos = 0.96
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in S.semantic_dedup(df, cents, 900_000).collect()}
+    assert got[1].cluster != got[2].cluster
+    assert not got[1].is_semdup and not got[2].is_semdup
