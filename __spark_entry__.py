@@ -1422,6 +1422,11 @@ FROM (
 
 
 SEMDEDUP_TAU_MICRO = 900_000
+# SemDeDup's scale knob is k itself: pairwise cost is Σ|cluster|², so the
+# dedup clustering runs 4× more clusters than the IVF build (k=32 vs 8)
+# — mean cluster ~300 vectors at sf0.1 instead of ~1250, cutting the
+# within-cluster pair count ~4× for the same corpus.
+SEMDEDUP_K = 32
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1434,13 +1439,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses are SemDeDup's documented recall trade, reproduced exactly by
     the oracle's replay of the same clustering."""
     corpus = _neardup_embeddings(spark, sf_dir)
-    cents = S.train_kmeans(corpus, k=KMEANS_K, iters=KMEANS_ITERS)
+    cents = S.train_kmeans(corpus, k=SEMDEDUP_K, iters=KMEANS_ITERS)
     return S.semantic_dedup(corpus, cents, threshold_micro=SEMDEDUP_TAU_MICRO)
 
 
 def _oracle_semantic_dedup() -> str:
     parts, sim = _kmeans_cte_parts(
-        KMEANS_K, KMEANS_ITERS, src=f"({_NEARDUP_EMB_SQL})"
+        SEMDEDUP_K, KMEANS_ITERS, src=f"({_NEARDUP_EMB_SQL})"
     )
     lip = "list_inner_product"
     pair_sim = (

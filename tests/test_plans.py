@@ -169,3 +169,61 @@ def test_kmv_bottom_k_uses_take_ordered(spark, sf_dir):
 
     plan = _plan(e.q_distinct_docs_kmv(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_repetition_stats_no_window_two_aggs(spark, sf_dir):
+    """repetition_stats is two hash aggregations (both map-side
+    combinable, keys doc-scoped) — no Window node, no join, no UDF."""
+    from mvrepair.operators.text import repetition_stats
+    from mvrepair.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(repetition_stats(docs))
+    assert "Window" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan or "partial_max" in plan, (
+        "no map-side partial aggregation:\n" + plan
+    )
+
+
+def test_substring_dup_stats_single_hash_exchange_reused(spark, sf_dir):
+    """The gram-frequency groupBy and the instances⋈frequency join key on
+    the SAME hash column, so the plan needs exactly one exchange of the
+    exploded instance stream on __h (the frequency side adds its own agg
+    exchange, and the doc rollup its own on doc_id) — crucially the
+    instance stream is NOT shuffled twice on __h."""
+    from mvrepair.operators.dedup import substring_dup_stats
+    from mvrepair.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(substring_dup_stats(docs))
+    import re
+
+    h_exchanges = re.findall(r"Exchange hashpartitioning\(__h", plan)
+    assert len(h_exchanges) <= 2, (
+        f"instance stream shuffled {len(h_exchanges)}x on __h:\n" + plan
+    )
+    # fixture-scale AQE may broadcast the (tiny) frequency side; any hash
+    # join is fine — what must never appear is a nested-loop shape
+    assert "Join" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_assignment_is_map_side(spark):
+    """Cluster assignment must stay a broadcast-centroid projection — the
+    only join in the plan is the within-cluster self-join plus the final
+    flag join; no join/shuffle exists between the scan and assignment."""
+    from mvrepair.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [[1_000_000, 0], [0, 1_000_000]]
+    plan = _plan(semantic_dedup(df, cents))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # assignment feeds the self-join from both sides; a per-side shuffle on
+    # cluster is expected, but no CartesianProduct / nested loop may appear
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
