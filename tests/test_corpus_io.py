@@ -1,0 +1,103 @@
+"""Corpus I/O: JSONL/CSV sources (explicit schema, corrupt capture) and
+the deterministic hash-sharded parquet sink."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mvrepair.sources import corpus as C
+
+
+def test_read_jsonl_clean_and_corrupt(spark, tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}\n'
+        "this line is not json at all\n"
+    )
+    df = C.read_jsonl(spark, str(p))
+    clean, bad = C.split_corrupt(df)
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].text == "hello world" and rows[2].lang == "fr"
+    assert C.CORRUPT_COL not in clean.columns
+    [b] = bad.collect()
+    assert "not json" in b[C.CORRUPT_COL]
+
+
+def test_read_csv_schema_and_header(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,alpha beta,en,crawl,10\n"
+        "2,gamma,de,books,5\n"
+    )
+    clean, bad = C.split_corrupt(C.read_csv(spark, str(p)))
+    got = {r.doc_id: (r.text, r.lang, r.n_chars) for r in clean.collect()}
+    assert got == {1: ("alpha beta", "en", 10), 2: ("gamma", "de", 5)}
+    # count() would reference only the corrupt column post-pruning, which
+    # Spark rejects on raw CSV scans; collect() keeps all columns referenced
+    assert bad.collect() == []
+    # schema is the declared one, not inferred
+    assert dict(clean.dtypes)["doc_id"] == "bigint"
+
+
+def test_write_training_shards_deterministic_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "shards")
+    C.write_training_shards(docs, out, n_shards=8)
+    back = C.read_training_shards(spark, out)
+    assert back.count() == 200
+    assert set(back.select("doc_id").toPandas()["doc_id"]) == set(range(200))
+    # shard dirs exist and shard ids are the deterministic hash assignment
+    dirs = sorted(os.path.basename(d) for d in glob.glob(out + "/shard=*"))
+    assert all(d.startswith("shard=") for d in dirs) and len(dirs) > 1
+    want = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", C.shard_id(F.col("doc_id"), 8).alias("s")
+        ).collect()
+    }
+    got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+    assert got == want
+    # rewriting yields the identical assignment (run-stable)
+    C.write_training_shards(docs, out, n_shards=8)
+    again = {
+        r.doc_id: r.shard
+        for r in C.read_training_shards(spark, out).select("doc_id", "shard").collect()
+    }
+    assert again == got
+
+
+def test_write_training_shards_max_records_splits_files(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "s2")
+    C.write_training_shards(docs, out, n_shards=2, max_records_per_file=10)
+    files = glob.glob(out + "/shard=*/part-*.parquet")
+    # 100 rows / 2 shards, <=10 rows per file -> at least 10 data files
+    assert len(files) >= 10
+    import pyarrow.parquet as pq
+
+    assert max(pq.read_metadata(f).num_rows for f in files) <= 10
+
+
+def test_read_training_shards_prunes_partitions(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "s3")
+    C.write_training_shards(docs, out, n_shards=4)
+    pruned = C.read_training_shards(spark, out, shards=[1, 2])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan
+    assert set(
+        r.shard for r in pruned.select("shard").distinct().collect()
+    ) <= {1, 2}
