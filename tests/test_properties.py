@@ -295,3 +295,68 @@ class TestBinnedTemporalJoins:
             if s <= q <= s + d  # both bounds inclusive
         )
         assert got == want
+
+
+class TestRepetitionStats:
+    @SETTINGS
+    @given(st.lists(texts, min_size=1, max_size=6))
+    def test_matches_python_model(self, spark, docs):
+        from collections import Counter
+
+        from mvrepair.operators.text import repetition_stats
+
+        df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+        got = {r.doc_id: r for r in repetition_stats(df).collect()}
+
+        def grams(toks, n):
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        for i, text in enumerate(docs):
+            toks = text.split(" ")
+            c1 = Counter(toks)
+            dup_tok = sum(v for v in c1.values() if v > 1) / len(toks)
+            c2, c3 = Counter(grams(toks, 2)), Counter(grams(toks, 3))
+            top2 = max(c2.values()) / sum(c2.values()) if c2 else 0.0
+            dup3 = (
+                sum(v for v in c3.values() if v > 1) / sum(c3.values())
+                if c3
+                else 0.0
+            )
+            r = got[i]
+            assert r.dup_token_frac == pytest.approx(dup_tok)
+            assert r.top_2gram_frac == pytest.approx(top2)
+            assert r.dup_3gram_frac == pytest.approx(dup3)
+            assert r.repetitive == (top2 > 0.20 or dup3 > 0.30)
+
+
+class TestSubstringDupStats:
+    @SETTINGS
+    @given(st.lists(st.text(alphabet=st.sampled_from("xy z"), min_size=0, max_size=30), min_size=1, max_size=6))
+    def test_matches_python_model(self, spark, docs):
+        from collections import Counter
+
+        from mvrepair.operators.dedup import substring_dup_stats
+
+        N = 3  # small n so short random docs still produce grams
+        df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+        got = {r.doc_id: r for r in substring_dup_stats(df, n=N).collect()}
+
+        per_doc: dict[int, list[str]] = {}
+        corpus: Counter = Counter()
+        for i, text in enumerate(docs):
+            toks = text.split(" ")
+            gs = (
+                [" ".join(toks[j : j + N]) for j in range(len(toks) - N + 1)]
+                if len(toks) >= N
+                else []
+            )
+            per_doc[i] = gs
+            corpus.update(gs)
+        for i in range(len(docs)):
+            gs = per_doc[i]
+            dup = sum(1 for g in gs if corpus[g] > 1)
+            r = got[i]
+            assert (r.n_grams, r.n_dup_grams) == (len(gs), dup)
+            want_frac = dup / len(gs) if gs else 0.0
+            assert r.dup_frac == pytest.approx(want_frac)
+            assert r.mostly_dup == (want_frac >= 0.3 if gs else False)
