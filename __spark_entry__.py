@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from mvrepair.config import SyncSettings
 from mvrepair.operators import dedup as D
+from mvrepair.operators import packing as PK
 from mvrepair.operators import similarity as S
 from mvrepair.operators import temporal as T
 from mvrepair.operators import text as X
@@ -2384,6 +2385,53 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc USING (doc_id)"""
 
 
+# ---------------------------------------------------------------------------
+# training-sequence layout family: packing + chunking
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET, PACK_STREAMS = 256, 8
+CHUNK_TOKENS, CHUNK_OVERLAP = 64, 16
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing: where each doc lands in the packed
+    token stream a trainer reads (stream, seq_id, seq_offset).  Hash-
+    sharded independent streams; one shuffle + per-stream window cumsum."""
+    return PK.pack_sequences(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, n_streams=PACK_STREAMS
+    )
+
+
+_ORACLE_PACK = f"""
+WITH t AS (SELECT doc_id,
+  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       % {PACK_STREAMS} AS INTEGER) AS stream,
+  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+p AS (SELECT doc_id, stream, n_tokens,
+  CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS pos
+  FROM t)
+SELECT doc_id, stream, pos // {PACK_BUDGET} AS seq_id,
+  pos % {PACK_BUDGET} AS seq_offset, n_tokens FROM p"""
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token chunking (embedding-pipeline prep): 64-token
+    windows every 48 tokens, shuffle-free per-row explode."""
+    return PK.chunk_documents(
+        _docs(spark, sf_dir), chunk=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+
+
+_CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+_ORACLE_CHUNKS = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+  least({CHUNK_TOKENS}, len(ts) - k * {_CHUNK_STRIDE})::BIGINT AS n_tokens,
+  array_to_string(ts[k * {_CHUNK_STRIDE} + 1 : k * {_CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM t, unnest(range(0, (len(ts) - 1) // {_CHUNK_STRIDE} + 1)) AS u(k)"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2399,7 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal).  Entries past position 50 are deliberate PLAN TWINS of
     an already-checked query (same physical plan shape, different
     parameters) — each one's twin is named in a comment — and remain
-    under the local gate (`tools/check_oracle.py` verifies all 62).
+    under the local gate (`tools/check_oracle.py` verifies all 68).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -2414,7 +2462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "regional_revenue": q_regional_revenue,
-        "events_hourly": q_events_hourly,
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
         "lapsed_customers": q_lapsed_customers,
@@ -2433,10 +2480,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-quality filters (repetition + substring duplication)
         "doc_repetition": q_doc_repetition,
         "substring_dupes": q_substring_dupes,
+        # training-sequence layout (packing + chunking)
+        "pack_sequences": q_pack_sequences,
+        "doc_chunks": q_doc_chunks,
         # dedup
         "dedup_exact": q_dedup_exact,
         "distinct_docs_kmv": q_distinct_docs_kmv,
-        "minhash_signatures": q_minhash_signatures,
         "neardup_minhash": q_neardup_minhash,
         "neardup_minhash_capped": q_neardup_minhash_capped,
         "simhash_neardup": q_simhash_neardup,
@@ -2463,6 +2512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
+        "events_hourly": q_events_hourly,  # twin: events_hourly_stream (checked; same agg, batch formulation) + pricing_summary (plain groupBy agg family)
+        "minhash_signatures": q_minhash_signatures,  # twin: neardup_minhash (runs the identical signature pipeline as its first stage)
         "events_latest": q_events_latest,  # twin: events_latest_stream (same keep-newest-per-key result, streaming formulation checked) + top_users_per_event (rank-window family)
         "corpus_profile": q_corpus_profile,  # twin: pricing_summary (multi-metric groupBy agg)
         "simhash": q_simhash,  # twin: simhash_neardup (consumes the same signature algebra)
@@ -2526,6 +2577,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _oracle_simhash(),
         "doc_repetition": _oracle_doc_repetition(),
         "substring_dupes": _oracle_substring_dupes(),
+        "pack_sequences": _ORACLE_PACK,
+        "doc_chunks": _ORACLE_CHUNKS,
         "dedup_exact": _ORACLE_DEDUP_EXACT,
         "distinct_docs_kmv": _ORACLE_KMV,
         "minhash_signatures": _oracle_minhash_signatures(),
