@@ -1,0 +1,138 @@
+"""Scale-stress study: measure the heavy corpus operators on 1x/3x/10x
+inflated copies of the sf0.1 documents table and report the wall-time
+scaling exponent per operator.
+
+Inflation rewrites each copy with a copy-specific prefix on EVERY token
+("3x<tok>"), so shingle/gram sets are disjoint across copies: each copy
+reproduces the originals' internal near-dup structure and nothing else,
+keeping output pair density constant per input row — the study measures
+throughput scaling of the scan/shuffle pipeline, not an (intentionally)
+quadratic growth in output pairs.  (A first version prefixed only ONE
+marker token per copy; 3-shingle sets were then ~identical across
+copies, LSH buckets held all k copies, and candidate pairs grew ∝k² —
+a correct answer to a question the study wasn't asking.)
+``dedup_exact`` gets an exact-copy variant, whose output is linear in
+copies by construction.
+
+Usage: python tools/scale_study.py [sf_dir] [factors...]
+Prints one JSON line: {"op": {"1": sec, ..., "exponent": e}} where e is
+the log-log slope between the two LARGEST factors (1.0 = perfectly
+linear).  The small factors exist to show the fixed-overhead floor —
+at fixture scale per-job scheduling dominates, so the slope is only
+meaningful where the data term does (the top factors); every op gets an
+untimed warmup run first so JIT/codegen never lands in a timed cell.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(a) for a in sys.argv[2:]] or [1, 3, 10, 30]
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:TieredStopAtLevel=1",
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from mvrepair.operators import dedup as D
+    from mvrepair.operators import text as X
+    from mvrepair.sources import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def inflate(k: int, exact: bool):
+        parts = [
+            base.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.col("text")
+                if exact
+                else F.regexp_replace(
+                    F.col("text"), r"(\S+)", f"{i}x$1"
+                ).alias("text"),
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # materialize the inflated corpus so each op times its own work,
+        # not the union re-scan — and spread it across every core at EVERY
+        # factor: a k=1 union writes one file, and one parquet split means
+        # the whole text pass runs on 1 of 32 cores, which would make the
+        # study measure parallelism growth (more files at higher k), not
+        # data-volume scaling.  (First run of this script hit exactly
+        # that: factor-1 cells 10x their bench medians, flat tops.)
+        path = f"/tmp/mvrepair_scale_{k}_{int(exact)}.parquet"
+        out.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    OPS = {
+        "dedup_exact(copies)": (True, lambda df: D.exact_dedup(df)),
+        "repetition_stats": (False, lambda df: X.repetition_stats(df)),
+        "substring_dup_stats": (False, lambda df: D.substring_dup_stats(df)),
+        "neardup_minhash": (
+            False,
+            lambda df: D.ngram_jaccard_pairs(df, threshold=0.5),
+        ),
+        "simhash_neardup": (
+            False,
+            lambda df: D.simhash_candidate_pairs(
+                X.simhash(df, bits=60, units=D.shingles(F.col("text"))),
+                max_hamming=10,
+                n_bands=4,
+                band_bits=15,
+            ),
+        ),
+    }
+
+    # untimed warmup: JIT, codegen caches, parquet-footer paths
+    for name, (exact, fn) in OPS.items():
+        fn(inflate(1, exact)).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    results: dict[str, dict[str, float]] = {}
+    top2 = sorted(factors)[-2:]
+    for name, (exact, fn) in OPS.items():
+        times: dict[str, float] = {}
+        for k in factors:
+            df = inflate(k, exact)
+            t0 = time.monotonic()
+            fn(df).write.format("noop").mode("overwrite").save()
+            times[str(k)] = round(time.monotonic() - t0, 2)
+            spark.catalog.clearCache()
+        lo, hi = str(top2[0]), str(top2[1])
+        times["exponent"] = round(
+            math.log(times[hi] / times[lo]) / math.log(top2[1] / top2[0]), 2
+        )
+        results[name] = times
+        print(name, times, file=sys.stderr)
+
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
