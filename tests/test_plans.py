@@ -227,3 +227,27 @@ def test_semantic_dedup_assignment_is_map_side(spark):
     # cluster is expected, but no CartesianProduct / nested loop may appear
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is a per-row explode: no Exchange anywhere in the plan."""
+    from mvrepair.operators.packing import chunk_documents
+    from mvrepair.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(chunk_documents(docs))
+    assert "Exchange" not in plan, "chunking must not shuffle:\n" + plan
+    assert "Generate explode" in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Packing is ONE hash exchange (on the stream id) feeding the
+    per-stream window cumsum — no second shuffle, no join."""
+    from mvrepair.operators.packing import pack_sequences
+    from mvrepair.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = _plan(pack_sequences(docs))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert "Window" in plan
