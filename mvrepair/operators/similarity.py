@@ -507,6 +507,9 @@ def semantic_dedup(
 
     Output: (``id_col``, cluster int, max_prior_cosine_micro nullable
     bigint, is_semdup boolean).  ``NOT is_semdup`` is the kept corpus.
+    EAGER: the result is computed, cached, and returned as its own cache
+    handle (the caller should ``unpersist()`` when done); the corpus-
+    sized assignment intermediate is released before returning.
 
     Scale design — this is exactly why SemDeDup clusters first: the
     pairwise compare runs per-cluster, so the cost is Σ|cluster|² rather
@@ -520,40 +523,69 @@ def semantic_dedup(
     not salting (splitting a cluster across tasks would silently lose
     in-cluster pairs).
     """
+    from pyspark import StorageLevel
+
     cent_lits = _centroid_lits(centroids)
     prepared = _prepare(df, id_col, vec_col, id_col).alias("t")
+    # The assigned projection feeds BOTH self-join sides and the final
+    # flag join; left lazy, each reference re-runs the k-cosine argmax
+    # (measured at sf0.1, k=32: the 3 recomputations cost more than the
+    # within-cluster sweep itself).  Persist it once — cache-lifecycle
+    # rule (b) from PERF.md: eagerly materialize the (small) result while
+    # this cache is hot, release the corpus-sized intermediate before
+    # returning, and hand the caller the result's own cache handle.
+    spark = df.sparkSession
+    _AQE_CACHE_KEY = (
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    )
+    old = spark.conf.get(_AQE_CACHE_KEY, None)
+    spark.conf.set(_AQE_CACHE_KEY, "true")
     assigned = prepared.select(
         F.col(id_col),
         F.col("__qv"),
         F.col("__norm"),
         _best_cluster("t", cent_lits).cast("int").alias("cluster"),
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    prior_max = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        a, b = assigned.alias("a"), assigned.alias("b")
+        prior_max = (
+            a.join(
+                b,
+                (F.col("a.cluster") == F.col("b.cluster"))
+                & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                F.floor(_pair_sim("a", "b") * 1_000_000)
+                .cast("long")
+                .alias("__m"),
+            )
+            .groupBy(id_col)
+            .agg(F.max("__m").alias("max_prior_cosine_micro"))
         )
-        .select(
-            F.col(f"a.{id_col}").alias(id_col),
-            F.floor(_pair_sim("a", "b") * 1_000_000)
-            .cast("long")
-            .alias("__m"),
+        out = (
+            assigned.select(id_col, "cluster")
+            .join(prior_max, id_col, "left")
+            .select(
+                id_col,
+                "cluster",
+                "max_prior_cosine_micro",
+                F.coalesce(
+                    F.col("max_prior_cosine_micro") >= F.lit(threshold_micro),
+                    F.lit(False),
+                ).alias("is_semdup"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .groupBy(id_col)
-        .agg(F.max("__m").alias("max_prior_cosine_micro"))
-    )
-    return (
-        assigned.select(id_col, "cluster")
-        .join(prior_max, id_col, "left")
-        .select(
-            id_col,
-            "cluster",
-            "max_prior_cosine_micro",
-            F.coalesce(
-                F.col("max_prior_cosine_micro") >= F.lit(threshold_micro),
-                F.lit(False),
-            ).alias("is_semdup"),
-        )
-    )
+        try:
+            out.count()  # materialize while the assignment cache is hot
+        except Exception:
+            out.unpersist()
+            raise
+    finally:
+        assigned.unpersist()
+        if old is None:
+            spark.conf.unset(_AQE_CACHE_KEY)
+        else:
+            spark.conf.set(_AQE_CACHE_KEY, old)
+    return out
