@@ -2432,6 +2432,120 @@ SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
 FROM t, unnest(range(0, (len(ts) - 1) // {_CHUNK_STRIDE} + 1)) AS u(k)"""
 
 
+# ---------------------------------------------------------------------------
+# corpus-curation endgame: mixing, canonical selection, yield report
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 2.4, "src1": 1.0, "src2": 0.5, "src3": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing: per-source epoch rates
+    ("repeat src0 for 2.4 epochs, keep 10% of the long tail") quantized to
+    integer hash-bucket thresholds — same documents selected on any
+    cluster, any partitioning.  Shuffle-free projection + explode."""
+    from mvrepair.operators.sampling import weighted_mix
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return weighted_mix(docs, _MIX_RATES, default_rate=_MIX_DEFAULT)
+
+
+def _oracle_corpus_mix() -> str:
+    buckets = 1000
+    whole_cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(r * buckets)) // buckets}"
+        for k, r in sorted(_MIX_RATES.items())
+    )
+    rem_cases = " ".join(
+        f"WHEN '{k}' THEN {int(round(r * buckets)) % buckets}"
+        for k, r in sorted(_MIX_RATES.items())
+    )
+    d_whole = int(round(_MIX_DEFAULT * buckets)) // buckets
+    d_rem = int(round(_MIX_DEFAULT * buckets)) % buckets
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, lang,
+    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % {buckets} AS b
+  FROM documents),
+n AS (
+  SELECT doc_id, source, lang,
+    (CASE source {whole_cases} ELSE {d_whole} END
+     + CASE WHEN b < (CASE source {rem_cases} ELSE {d_rem} END)
+            THEN 1 ELSE 0 END) AS n_copies
+  FROM t)
+SELECT doc_id, source, lang, epoch::INTEGER AS epoch
+FROM (SELECT doc_id, source, lang, unnest(range(0, n_copies)) AS epoch
+      FROM n WHERE n_copies > 0)"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection per near-dup cluster: join the connected-
+    component labeling with the quality score and keep each cluster's
+    argmax-by-(score, -id) member — the keep/drop decision the dedup
+    pipeline ships.  The argmax is a combine-friendly max(struct), not a
+    window sort (mega-cluster skew costs a map-side combine, not a
+    per-cluster sort)."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+    try:
+        clusters = D.connected_components(pairs, corpus)
+    finally:
+        pairs.unpersist()
+    return D.keep_best(clusters, X.quality_score(corpus))
+
+
+def _oracle_keep_best() -> str:
+    return f"""
+WITH clusters AS ({_oracle_dedup_clusters()}),
+t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM ({_NEARDUP_CORPUS_SQL})),
+q AS (
+  SELECT doc_id,
+    (CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+     + CASE WHEN len(list_filter(ts, x -> list_contains({_STOP_SQL}, x))) > 0
+            THEN 1 ELSE 0 END
+     + CASE WHEN len(list_distinct(ts))::DOUBLE / len(ts) > 0.2
+            THEN 1 ELSE 0 END) AS s
+  FROM t),
+j AS (SELECT c.cluster_id, c.doc_id, q.s
+      FROM clusters c JOIN q ON c.doc_id = q.doc_id),
+m AS (SELECT cluster_id, max(s) AS ms, count(*) AS n FROM j GROUP BY 1)
+SELECT m.cluster_id,
+  CAST(min(j.doc_id) AS BIGINT) AS keep_id,
+  m.ms::INTEGER AS keep_score,
+  CAST(m.n AS BIGINT) AS n_members
+FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.s = m.ms
+GROUP BY m.cluster_id, m.ms, m.n"""
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline yield report over the duplicated corpus: survivor counts
+    per curation stage (length band, quality gate, exact-dedup, gate+dedup)
+    in ONE corpus scan — shuffles carry digests and partial counts only."""
+    return X.quality_funnel(_docs_corpus(spark, sf_dir))
+
+
+_ORACLE_QUALITY_FUNNEL = f"""
+WITH t AS (SELECT md5(text) AS dig, string_split(text, ' ') AS ts
+           FROM ({_DOCS_CORPUS_SQL})),
+q AS (
+  SELECT dig, ts,
+    (CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END
+     + CASE WHEN len(list_filter(ts, x -> list_contains({_STOP_SQL}, x))) > 0
+            THEN 1 ELSE 0 END
+     + CASE WHEN len(list_distinct(ts))::DOUBLE / len(ts) > 0.2
+            THEN 1 ELSE 0 END) AS s
+  FROM t)
+SELECT count(*) AS n_total,
+  CAST(sum(CASE WHEN len(ts) BETWEEN 5 AND 100000 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_len_ok,
+  CAST(sum(CASE WHEN s >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+  count(DISTINCT dig) AS n_unique,
+  count(DISTINCT CASE WHEN s >= 2 THEN dig END) AS n_final
+FROM q"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2447,7 +2561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal).  Entries past position 50 are deliberate PLAN TWINS of
     an already-checked query (same physical plan shape, different
     parameters) — each one's twin is named in a comment — and remain
-    under the local gate (`tools/check_oracle.py` verifies all 68).
+    under the local gate (`tools/check_oracle.py` verifies all 71).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -2530,6 +2644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,  # twin: bm25_rank (same term-stat shuffle)
         "token_quantiles": q_token_quantiles,  # twin: heavy_hitters (tiny term aggregate)
         "pretrain_corpus": q_pretrain_corpus,  # twin: composition of text_quality + doc_splits filters
+        "corpus_mix": q_corpus_mix,  # twin: doc_sample (hash-bucket membership) + doc_chunks (per-row explode)
+        "dedup_keep_best": q_dedup_keep_best,  # twin: dedup_clusters (same cluster pipeline) + pricing_summary (hash agg)
+        "quality_funnel": q_quality_funnel,  # twin: corpus_profile (one-scan corpus aggregate) + text_quality (same gate expressions)
     }
 
 
@@ -2566,6 +2683,9 @@ def oracle_sql() -> dict[str, str]:
         "split_contamination": _ORACLE_CONTAMINATION,
         "corpus_profile": _ORACLE_CORPUS_PROFILE,
         "pretrain_corpus": _ORACLE_PRETRAIN,
+        "corpus_mix": _oracle_corpus_mix(),
+        "dedup_keep_best": _oracle_keep_best(),
+        "quality_funnel": _ORACLE_QUALITY_FUNNEL,
         "text_scrub": _ORACLE_TEXT_SCRUB,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,

@@ -847,3 +847,53 @@ def substring_dup_stats(
         dup_frac.alias("dup_frac"),
         (dup_frac >= flag_frac).alias("mostly_dup"),
     )
+
+
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Canonical-document selection: the keep/drop decision a dedup
+    pipeline ends on.
+
+    ``clusters`` is a (id, cluster) labeling (e.g. ``connected_components``
+    output); ``scores`` carries a per-document quality score.  Each cluster
+    keeps its argmax-by-(score, -id) member — highest quality wins, ties
+    break to the LOWEST id so the choice is total and reproducible.
+
+    Output: (cluster_col, keep_id, keep_score, n_members).
+
+    Scale shape: one equi-join on the id (both sides are id-keyed
+    projections — the wire never carries text) and ONE aggregation on the
+    cluster id.  The argmax is ``max(struct(score, -id))``, which is
+    partial-aggregatable: the map-side ``partial_max`` shrinks each
+    cluster to a single struct per map task BEFORE the exchange, so the
+    shuffle carries one row per (task, cluster).  Struct-typed agg
+    buffers compile to ``SortAggregate`` (local sort by group key, bounded
+    memory) rather than ``HashAggregate`` — still deliberately NOT a
+    row_number() window, which would shuffle every member row and sort
+    whole clusters to pick one row.  Skewed mega-clusters (the near-dup
+    blob every web crawl has) therefore cost per-task combines, not a
+    full per-cluster sort after the shuffle.
+    """
+    joined = clusters.select(id_col, cluster_col).join(
+        scores.select(id_col, score_col), id_col
+    )
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+        )
+    )
+    return (
+        joined.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("__best"))
+        .select(
+            cluster_col,
+            (-F.col("__best.neg_id")).alias("keep_id"),
+            F.col("__best.s").alias("keep_score"),
+            "n_members",
+        )
+    )

@@ -93,3 +93,63 @@ def stratified_sample(
     """
     thresh = int(fraction * buckets)
     return df.filter(_bucket(F.col(id_col), buckets) < thresh)
+
+
+def weighted_mix(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    buckets: int = 1000,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing: per-source epoch counts.
+
+    Training mixtures are specified as "repeat source A for 2.4 epochs,
+    source B for 0.5" — a rate ``r`` per ``key_col`` value meaning each
+    row yields ``floor(r)`` full copies plus one extra iff
+    ``hash(id) mod buckets < frac(r) * buckets``.  Rates are quantized to
+    ``1/buckets`` in DRIVER-side Python integers, so membership is exact
+    integer arithmetic in the plan (no float thresholds to drift between
+    engines or re-runs) and the selection of the fractional-epoch subset
+    is the same documents on every cluster and every partitioning.
+
+    Output: the input columns plus ``epoch_col`` (int, ``0..n_copies-1``).
+
+    Scale shape: pure per-row projection + ``explode`` — no shuffle, no
+    state; output volume is exactly ``Σ rate_s · |source_s|`` rows.  The
+    rate table rides in the plan as a chained-``when`` literal (mixtures
+    are a handful of sources; a thousand-source mixture would move to a
+    broadcast-joined rate dimension, same semantics).
+    """
+    def _quantize(r: float) -> tuple[int, int]:
+        millis = int(round(float(r) * buckets))
+        if millis < 0:
+            raise ValueError(f"negative mix rate {r!r}")
+        return millis // buckets, millis % buckets
+
+    whole_expr: Column | None = None
+    rem_expr: Column | None = None
+    for key in sorted(rates):
+        whole, rem = _quantize(rates[key])
+        cond = F.col(key_col) == key
+        whole_expr = (
+            F.when(cond, whole) if whole_expr is None else whole_expr.when(cond, whole)
+        )
+        rem_expr = F.when(cond, rem) if rem_expr is None else rem_expr.when(cond, rem)
+    d_whole, d_rem = _quantize(default_rate)
+    whole_expr = F.lit(d_whole) if whole_expr is None else whole_expr.otherwise(d_whole)
+    rem_expr = F.lit(d_rem) if rem_expr is None else rem_expr.otherwise(d_rem)
+
+    bucket = _bucket(F.col(id_col), buckets)
+    n_copies = (whole_expr + F.when(bucket < rem_expr, 1).otherwise(0)).cast("int")
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - F.lit(1))),
+        )
+        .drop("__n_copies")
+    )

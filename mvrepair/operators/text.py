@@ -677,3 +677,37 @@ def repetition_stats(
             | (F.col("dup_3gram_frac") > dup3_max)
         ).alias("repetitive"),
     )
+
+
+def quality_funnel(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pipeline yield report: one row of survivor counts per curation
+    stage — the observability artifact a training-data run publishes
+    next to the dataset card (``corpus_profile``).
+
+    Stages (each gate applied independently of the others except where
+    named): total docs → docs in the token-length band → docs passing the
+    composite quality gate (``quality_filter`` semantics) → distinct
+    texts (exact-dedup survivors) → distinct texts AMONG quality docs
+    (the corpus the pipeline actually ships: gate, then dedup).
+
+    Scale shape: ONE scan of the corpus.  The conditional counts are
+    map-side sums; the two count-distincts aggregate md5 digests (never
+    text) and share the scan via Spark's expand — at 100 TB the shuffle
+    carries one 32-char digest per doc, and only for the distinct legs.
+    """
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    score = _quality_score_expr(text_col)
+    digest = F.md5(F.col(text_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when((n_tokens >= 5) & (n_tokens <= 100000), 1).otherwise(0)
+        ).alias("n_len_ok"),
+        F.sum(F.when(score >= 2, 1).otherwise(0)).alias("n_quality"),
+        F.countDistinct(digest).alias("n_unique"),
+        F.countDistinct(F.when(score >= 2, digest)).alias("n_final"),
+    )

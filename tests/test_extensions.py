@@ -1773,3 +1773,101 @@ def test_semantic_dedup_cross_cluster_pairs_invisible(spark):
     got = {r.vec_id: r for r in S.semantic_dedup(df, cents, 900_000).collect()}
     assert got[1].cluster != got[2].cluster
     assert not got[1].is_semdup and not got[2].is_semdup
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation endgame: weighted mixing, canonical selection, yield funnel
+# ---------------------------------------------------------------------------
+
+def _md5_bucket(v: int, buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) % buckets
+
+
+def test_weighted_mix_epoch_multiplicity(spark):
+    from mvrepair.operators.sampling import weighted_mix
+
+    rows = [(i, "a" if i < 40 else "b") for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = weighted_mix(
+        df, {"a": 2.5, "b": 0.0}, default_rate=0.0, buckets=10
+    ).collect()
+    # source b fully dropped
+    assert all(r.source == "a" for r in out)
+    by_id: dict[int, list[int]] = {}
+    for r in out:
+        by_id.setdefault(r.doc_id, []).append(r.epoch)
+    for i in range(40):
+        expect = 2 + (1 if _md5_bucket(i, 10) < 5 else 0)
+        got = sorted(by_id.get(i, []))
+        assert got == list(range(expect)), (i, got, expect)
+    # ~half of source a picked up the fractional third epoch
+    n3 = sum(1 for v in by_id.values() if len(v) == 3)
+    assert 0 < n3 < 40
+
+
+def test_weighted_mix_default_rate_and_determinism(spark):
+    from mvrepair.operators.sampling import weighted_mix
+
+    df = spark.createDataFrame([(i, f"s{i % 3}") for i in range(60)], ["doc_id", "source"])
+    a = weighted_mix(df, {"s0": 1.0}, default_rate=0.5, buckets=1000)
+    b = weighted_mix(df.repartition(7), {"s0": 1.0}, default_rate=0.5, buckets=1000)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every s0 row appears exactly once (rate 1.0 has no fractional part)
+    s0 = [r for r in a.collect() if r.source == "s0"]
+    assert len(s0) == 20 and all(r.epoch == 0 for r in s0)
+
+
+def test_weighted_mix_is_shuffle_free(spark):
+    from mvrepair.operators.sampling import weighted_mix
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    plan = weighted_mix(df, {"a": 1.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_keep_best_argmax_ties_and_singletons(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9), (10, 10)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 3), (9, 0), (10, 2)], ["doc_id", "quality_score"]
+    )
+    out = {r.cluster_id: r for r in D.keep_best(clusters, scores).collect()}
+    # tie on score 3 between docs 2 and 3 -> lowest id wins
+    assert out[1].keep_id == 2 and out[1].keep_score == 3 and out[1].n_members == 3
+    # singletons keep themselves
+    assert out[9].keep_id == 9 and out[9].n_members == 1
+    assert out[10].keep_id == 10 and out[10].keep_score == 2
+
+
+def test_keep_best_is_partial_agg_no_window(spark):
+    clusters = spark.createDataFrame([(1, 1)], ["doc_id", "cluster_id"])
+    scores = spark.createDataFrame([(1, 1)], ["doc_id", "quality_score"])
+    plan = (
+        D.keep_best(clusters, scores)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # argmax via max(struct): never a window (which would shuffle + sort
+    # every member row); the combine runs map-side BEFORE the exchange so
+    # the shuffle carries one struct per (task, cluster)
+    assert "Window" not in plan
+    assert "partial_max" in plan
+
+
+def test_quality_funnel_known_values(spark):
+    good = "the quick brown fox jumps over the lazy dog again"  # quality
+    dup = "a be to of and in that have it for not on with he"  # quality, duplicated
+    short = "too short"  # fails length band (2 tokens) and gate
+    df = spark.createDataFrame(
+        [(1, good), (2, dup), (3, dup), (4, short)], ["doc_id", "text"]
+    )
+    [r] = X.quality_funnel(df).collect()
+    assert r.n_total == 4
+    assert r.n_len_ok == 3  # good + dup x2
+    assert r.n_quality == 3
+    assert r.n_unique == 3  # good, dup, short
+    assert r.n_final == 2  # good, dup (short fails the gate)
