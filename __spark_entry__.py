@@ -1656,7 +1656,7 @@ WHERE bp AND (NOT mp OR {any_diff})"""
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrepair.operators.multimodal import attach_binary, extract_metadata
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     blobs = attach_binary(docs, text_col="text")
     return extract_metadata(blobs).select("doc_id", "n_bytes", "format")
 
@@ -1669,7 +1669,7 @@ FROM documents"""
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrepair.operators.multimodal import attach_binary, nibble_histogram
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return nibble_histogram(attach_binary(docs, text_col="text"))
 
 
@@ -1689,7 +1689,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1→N frame sampling over binary payloads (the video-frame shape)."""
     from mvrepair.operators.multimodal import attach_binary, frame_sample
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return frame_sample(attach_binary(docs, text_col="text"))
 
 
@@ -2070,7 +2070,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil-sqrt width from floor(sqrt)+fixup — exact at payload sizes)."""
     from mvrepair.operators.multimodal import attach_binary, decode_fake
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     return decode_fake(attach_binary(docs, text_col="text"))
 
 
