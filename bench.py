@@ -84,6 +84,21 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Scheduler-latency calibration, recorded in the artifact: a trivial
+    # 32-task job measures ~30 ms on a healthy local mode but ~300 ms on
+    # some VM boots — a 10x swing that inflates job-count-heavy queries
+    # (streaming microbatches, iterative rounds) 2-3x with NO code
+    # change.  Emitting it makes cross-boot totals normalizable instead
+    # of arguing regression-vs-host from per-query guesswork.
+    sc = spark.sparkContext
+    sc.parallelize(range(int(cpus)), int(cpus)).count()
+    lat_runs = []
+    for _ in range(7):
+        t0 = time.monotonic()
+        sc.parallelize(range(int(cpus)), int(cpus)).count()
+        lat_runs.append(time.monotonic() - t0)
+    cal_job_ms = round(statistics.median(lat_runs) * 1000, 1)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     medians: dict[str, float] = {}
     minimums: dict[str, float] = {}
@@ -112,6 +127,7 @@ def main() -> None:
                 "sf": sf,
                 "n_runs": n_runs,
                 "cpus": int(cpus),
+                "cal_job_ms": cal_job_ms,
             }
         )
     )

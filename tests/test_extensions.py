@@ -1871,3 +1871,13 @@ def test_quality_funnel_known_values(spark):
     assert r.n_quality == 3
     assert r.n_unique == 3  # good, dup, short
     assert r.n_final == 2  # good, dup (short fails the gate)
+
+
+def test_quality_funnel_single_scan_with_expand(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    plan = X.quality_funnel(df)._jdf.queryExecution().executedPlan().toString()
+    # ONE scan of the corpus; the two count-distincts share it via Expand
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("Expand") == 1
+    # distinct legs aggregate digests, never raw text columns
+    assert "md5" in plan
