@@ -2546,6 +2546,28 @@ SELECT count(*) AS n_total,
 FROM q"""
 
 
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle of the packed sequences — the
+    epoch read order.  Distributed ORDER BY (range exchange + local
+    sort), never a single-partition global window."""
+    packed = PK.pack_sequences(
+        _docs(spark, sf_dir), budget=PACK_BUDGET, n_streams=PACK_STREAMS
+    )
+    return PK.training_order(packed)
+
+
+_ORACLE_TRAINING_ORDER = f"""
+WITH p AS ({_ORACLE_PACK}),
+s AS (SELECT stream, seq_id, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+      FROM p GROUP BY 1, 2)
+SELECT stream, seq_id, n_docs, seq_tokens,
+  CAST(concat('0x', substr(md5(
+    concat_ws(':', 'epoch0', stream::VARCHAR, seq_id::VARCHAR)), 1, 15))
+    AS BIGINT) AS shuffle_key
+FROM s ORDER BY shuffle_key"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -2561,7 +2583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal).  Entries past position 50 are deliberate PLAN TWINS of
     an already-checked query (same physical plan shape, different
     parameters) — each one's twin is named in a comment — and remain
-    under the local gate (`tools/check_oracle.py` verifies all 71).
+    under the local gate (`tools/check_oracle.py` verifies all 72).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -2647,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,  # twin: doc_sample (hash-bucket membership) + doc_chunks (per-row explode)
         "dedup_keep_best": q_dedup_keep_best,  # twin: dedup_clusters (same cluster pipeline) + pricing_summary (hash agg)
         "quality_funnel": q_quality_funnel,  # twin: corpus_profile (one-scan corpus aggregate) + text_quality (same gate expressions)
+        "training_order": q_training_order,  # twin: pack_sequences (same layout pipeline) + top_revenue_orders (sort family)
     }
 
 
@@ -2686,6 +2709,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": _oracle_corpus_mix(),
         "dedup_keep_best": _oracle_keep_best(),
         "quality_funnel": _ORACLE_QUALITY_FUNNEL,
+        "training_order": _ORACLE_TRAINING_ORDER,
         "text_scrub": _ORACLE_TEXT_SCRUB,
         "doc_fingerprint": _ORACLE_FINGERPRINT,
         "token_counts": _ORACLE_TOKEN_COUNTS,

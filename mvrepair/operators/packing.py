@@ -116,3 +116,43 @@ def chunk_documents(
         F.col("c.n_tokens").alias("n_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+def training_order(
+    packed: DataFrame,
+    seed: str = "epoch0",
+    stream_col: str = "stream",
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Deterministic global shuffle of packed sequences — the read order a
+    trainer consumes for one epoch.
+
+    One row per packed sequence (with ``n_docs``/``seq_tokens`` totals of
+    the documents STARTING in it), globally ordered by a seeded content
+    hash of the sequence identity: re-running on any cluster or
+    partitioning reproduces the identical order, and changing ``seed``
+    (e.g. per epoch) yields an independent permutation — no stored
+    shuffle file, no RNG state to checkpoint.
+
+    Scale shape: one hash aggregation (map-side combinable) + a
+    distributed ORDER BY — Spark samples the key range, range-partitions,
+    and sorts per partition.  Deliberately NOT a row_number()-over-
+    global-window ordinal, which would funnel every row through a single
+    partition; consumers that need an ordinal get it per range-partition
+    from the sorted files' natural order.
+    """
+    from mvrepair.functions import stable_hash64
+
+    seqs = packed.groupBy(stream_col, seq_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+    )
+    key = stable_hash64(
+        F.concat_ws(
+            ":",
+            F.lit(seed),
+            F.col(stream_col).cast("string"),
+            F.col(seq_col).cast("string"),
+        )
+    )
+    return seqs.withColumn("shuffle_key", key).orderBy("shuffle_key")

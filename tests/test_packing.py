@@ -71,3 +71,44 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         P.chunk_documents(df, chunk=4, overlap=4)
+
+
+def test_training_order_deterministic_and_seed_dependent(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(40)], ["doc_id", "text"]
+    )
+    packed = P.pack_sequences(docs, budget=32, n_streams=4)
+    a = [tuple(r) for r in P.training_order(packed).collect()]
+    b = [tuple(r) for r in P.training_order(packed.repartition(7)).collect()]
+    # same order regardless of input partitioning
+    assert a == b
+    # seqs all present exactly once
+    assert len(a) == len({(r[0], r[1]) for r in a})
+    # order follows the shuffle key
+    keys = [r[-1] for r in a]
+    assert keys == sorted(keys)
+    # a different seed is a different permutation of the same rows
+    c = [tuple(r)[:4] for r in P.training_order(packed, seed="epoch1").collect()]
+    assert sorted(c) == sorted(t[:4] for t in a)
+    assert c != [t[:4] for t in a]
+
+
+def test_training_order_plan_is_range_sort_not_global_window(spark):
+    docs = spark.createDataFrame([(1, "w " * 20)], ["doc_id", "text"])
+    packed = P.pack_sequences(docs, budget=32, n_streams=2)
+    plan = (
+        P.training_order(packed)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # global ORDER BY compiles to a range exchange + per-partition sort
+    assert "rangepartitioning" in plan
+    assert "Sort [shuffle_key" in plan
+    # the only window is pack_sequences' per-stream cumsum — every window
+    # spec is PARTITIONED (an unpartitioned spec would funnel all rows
+    # through one task, the shape this operator exists to avoid)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert spec.lstrip().startswith("stream"), spec
