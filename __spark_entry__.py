@@ -2334,12 +2334,19 @@ def _gram_sql(n: int, toks: str = "ts") -> str:
 
 
 def _oracle_doc_repetition() -> str:
+    # Grams are md5-prefix 60-bit fingerprints on BOTH sides (the Spark
+    # side never shuffles gram strings); the metrics only use gram
+    # identity, so the hash is semantics-preserving modulo collisions the
+    # oracle reproduces bit-for-bit.
     return f"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-g AS (
+g0 AS (
   SELECT doc_id, 1 AS n, unnest({_gram_sql(1)}) AS gram FROM t
   UNION ALL SELECT doc_id, 2, unnest({_gram_sql(2)}) FROM t
   UNION ALL SELECT doc_id, 3, unnest({_gram_sql(3)}) FROM t),
+g AS (SELECT doc_id, n,
+        CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gram
+      FROM g0),
 c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY ALL),
 m AS (SELECT doc_id, n, max(cnt) AS top_cnt, sum(cnt) AS tot,
         coalesce(sum(cnt) FILTER (cnt > 1), 0) AS dup
@@ -2565,7 +2572,7 @@ SELECT stream, seq_id, n_docs, seq_tokens,
   CAST(concat('0x', substr(md5(
     concat_ws(':', 'epoch0', stream::VARCHAR, seq_id::VARCHAR)), 1, 15))
     AS BIGINT) AS shuffle_key
-FROM s ORDER BY shuffle_key"""
+FROM s ORDER BY shuffle_key, stream, seq_id"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,6 +1,14 @@
-"""Benchmark harness: runs the headline queries at sf0.1 and prints ONE
-JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+"""Benchmark harness: runs the headline queries at sf0.1.
+
+OUTPUT CONTRACT (round-6 fix): the driver captures only the LAST 2000
+characters of stdout, and round 5's single giant JSON line (72 medians +
+72 mins) was front-truncated past parseability (BENCH_r05 parsed:null).
+So: the full per-query payload (medians, mins, per-query job counts) is
+written to ``bench_detail.json`` next to this script, and stdout ends
+with ONE COMPACT summary line ``{"metric", "value", "unit", "sf",
+"n_runs", "cal_job_ms", "n_queries", "queries": {10 slowest medians},
+"detail": "bench_detail.json"}`` — small enough (~600 bytes) to always
+survive tail capture, printed after ``spark.stop()`` so nothing follows.
 
 Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32), ``SPARK_GRAFT_BENCH_RUNS``
@@ -100,38 +108,79 @@ def main() -> None:
     cal_job_ms = round(statistics.median(lat_runs) * 1000, 1)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    only = set(sys.argv[1:])  # optional: bench just the named queries
     medians: dict[str, float] = {}
     minimums: dict[str, float] = {}
+    n_jobs: dict[str, int] = {}
+    tracker = sc.statusTracker()
     for name, fn in e.queries().items():
+        if only and name not in only:
+            continue
         runs: list[float] = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
+            # Per-repeat job group so the artifact records each query's
+            # Spark JOB COUNT: with cal_job_ms this makes cross-boot
+            # totals normalizable arithmetically (expected scheduler tax
+            # = n_jobs * cal_job_ms) instead of per-query guesswork.
+            gid = f"bench:{name}:{i}"
+            sc.setJobGroup(gid, name)
             t0 = time.monotonic()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.monotonic() - t0)
+            n_jobs[name] = len(tracker.getJobIdsForGroup(gid))
             # Drop persisted frames left by eager operators so the next
             # repeat measures the computation, not a cache-manager hit on
             # the identical logical plan.
             spark.catalog.clearCache()
+        sc.setJobGroup("bench:idle", "between queries")
         medians[name] = round(statistics.median(runs), 3)
         minimums[name] = round(min(runs), 3)
+        print(f"{name}: median {medians[name]}s min {minimums[name]}s "
+              f"jobs {n_jobs[name]}", file=sys.stderr)
 
     total = round(sum(medians.values()), 3)
+    total_min = round(sum(minimums.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "mvrepair headline queries wall time",
+                "value": total,
+                "total_min": total_min,
+                "unit": "sec",
+                "queries": medians,
+                "queries_min": minimums,
+                "n_jobs": n_jobs,
+                "sf": sf,
+                "n_runs": n_runs,
+                "cpus": int(cpus),
+                "cal_job_ms": cal_job_ms,
+            },
+            f,
+            indent=1,
+        )
+    spark.stop()
+    top = dict(sorted(medians.items(), key=lambda kv: -kv[1])[:10])
+    # The ONE machine-parseable stdout line, guaranteed last and compact.
     print(
         json.dumps(
             {
                 "metric": "mvrepair headline queries wall time",
                 "value": total,
                 "unit": "sec",
-                "queries": medians,
-                "queries_min": minimums,
                 "sf": sf,
                 "n_runs": n_runs,
                 "cpus": int(cpus),
                 "cal_job_ms": cal_job_ms,
+                "n_queries": len(medians),
+                "total_min": total_min,
+                "queries": top,
+                "detail": "bench_detail.json",
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -866,6 +866,13 @@ def keep_best(
 
     Output: (cluster_col, keep_id, keep_score, n_members).
 
+    PRECONDITION: ``scores`` must cover every clustered id.  The join is
+    INNER, so a cluster member with no score row is silently excluded
+    from both ``n_members`` and the argmax — by design (a doc the quality
+    stage never scored has no standing in the keep decision), but callers
+    whose score table is a sample must left-join a default score first or
+    the counts will under-report cluster sizes.
+
     Scale shape: one equi-join on the id (both sides are id-keyed
     projections — the wire never carries text) and ONE aggregation on the
     cluster id.  The argmax is ``max(struct(score, -id))``, which is

