@@ -504,6 +504,7 @@ def connected_components(
     nodes: DataFrame,
     id_col: str = "doc_id",
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every node labeled
     with the MINIMUM id reachable from it — the canonical representative
@@ -529,6 +530,17 @@ def connected_components(
     (id, label) row per node — never the closure (the oracle's
     transitive-closure CTE is Σ component² and only viable at fixture
     scale; the propagation form is the 100 TB one).
+
+    Fault tolerance: with ``checkpoint_dir`` set, each round checkpoints
+    RELIABLY (``DataFrame.checkpoint`` to that directory — HDFS/S3 on a
+    real cluster) instead of ``localCheckpoint``: executor loss mid-loop
+    then recovers the last round from storage rather than losing the
+    whole computation, at the price of one distributed write per round.
+    Default (``None``) keeps the executor-local variant — the right trade
+    for short-lived or local runs.  Superseded round files are deleted
+    eagerly each iteration (Spark only auto-cleans reliable checkpoints
+    at context shutdown, and a deep loop would otherwise accumulate
+    rounds x |labels| bytes of dead state in the checkpoint dir).
     """
     # Same cached-plan rule as ngram_jaccard_pairs: every loop action
     # materializes through persisted frames, and without this conf those
@@ -538,6 +550,25 @@ def connected_components(
     _AQE_CACHE_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
     old = spark.conf.get(_AQE_CACHE_KEY, None)
     spark.conf.set(_AQE_CACHE_KEY, "true")
+
+    # Reliable-checkpoint bookkeeping: Spark resolves setCheckpointDir to
+    # dir/<uuid> and writes each round under it as rdd-<id>; we snapshot
+    # the listing around each checkpoint() call to learn which entry is
+    # this round's, so the superseded round can be deleted through the
+    # Hadoop FileSystem API (works for hdfs:// and s3a:// dirs too).
+    fs = jvm = ckpt_path = None
+    prev_entries: set[str] = set()
+    if checkpoint_dir is not None:
+        sc = spark.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+        jvm = sc._jvm
+        ckpt_path = jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
+        fs = ckpt_path.getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def _ckpt_entries() -> set[str]:
+        if not fs.exists(ckpt_path):
+            return set()
+        return {st.getPath().toString() for st in fs.listStatus(ckpt_path)}
 
     # no distinct(): duplicate edges are harmless under min-aggregation
     # and deduping them would cost an extra shuffle per build
@@ -593,7 +624,18 @@ def connected_components(
             # stored partitions — the standard iterative-graph pattern
             # (use checkpoint() with a checkpoint dir for fault tolerance
             # on a real cluster).
-            new_labels = candidate.localCheckpoint(eager=True)
+            if checkpoint_dir is None:
+                new_labels = candidate.localCheckpoint(eager=True)
+            else:
+                before = _ckpt_entries()
+                new_labels = candidate.checkpoint(eager=True)
+                this_round = _ckpt_entries() - before
+                # round it-1's files are dead once round it materialized;
+                # Spark only auto-cleans reliable checkpoints at context
+                # shutdown, so a deep loop must clean as it goes
+                for p in prev_entries:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+                prev_entries = this_round
             if it == 0:
                 # the initial labels frame is the only cache-manager entry
                 # in the loop; checkpointed rounds are executor-local RDD

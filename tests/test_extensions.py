@@ -1487,6 +1487,42 @@ def test_connected_components_chain_and_singletons(spark):
     assert got == {3: 3, 5: 3, 7: 3, 9: 3, 20: 20, 21: 20, 42: 42}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches rounds to RELIABLE checkpoints: same
+    fixpoint labels, blocks land under the dir, and only the final
+    round's files survive (superseded rounds are deleted as the loop
+    advances — Spark itself only cleans at context shutdown)."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    # chain 0-1-2-3-4 needs several rounds, so the eager per-round
+    # cleanup actually has superseded rounds to delete
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    out = D.connected_components(pairs, nodes, checkpoint_dir=ckpt)
+    try:
+        got = {r.doc_id: r.cluster_id for r in out.collect()}
+    finally:
+        out.unpersist()
+    assert got == {i: 0 for i in range(5)}
+    # blocks landed: dir/<uuid>/rdd-<id>/part-*
+    rdd_dirs = [
+        os.path.join(root, d)
+        for root, dirs, _ in os.walk(ckpt)
+        for d in dirs
+        if d.startswith("rdd-")
+    ]
+    assert len(rdd_dirs) == 1, (
+        f"expected exactly the final round's checkpoint to survive, "
+        f"found {rdd_dirs}"
+    )
+    assert any(
+        f.startswith("part-") for f in os.listdir(rdd_dirs[0])
+    ), "checkpoint dir has no partition files"
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A max_iters smaller than the component diameter must fail loudly —
     a non-fixpoint labeling would be silently wrong."""

@@ -251,3 +251,116 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan
     assert "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# Twin plan fingerprints: entries past position 50 in queries() are PLAN
+# TWINS of driver-checked queries (registry ordering contract,
+# __spark_entry__.queries docstring).  Their correctness coverage is
+# claimed THROUGH the named twin's driver hash-check plus the local
+# oracle gate — so each one's physical-plan SHAPE is frozen here as a
+# node-kind multiset (literals/partition counts excluded).  Cross-twin
+# multisets are not literally equal (the twin relation is family-level:
+# "same groupBy-agg family", not byte-identical plans), so the pin is a
+# SNAPSHOT: a refactor that adds a shuffle, drops a broadcast, or swaps
+# an aggregate for a window fails this test and must update the
+# fingerprint consciously, with the diff visible in review.
+# ---------------------------------------------------------------------------
+
+TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
+    "events_hourly": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                      "Filter": 1, "HashAggregate": 2, "Project": 2},
+    "minhash_signatures": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
+                           "Generate": 1, "HashAggregate": 2, "Project": 2},
+    "events_latest": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                      "Filter": 1, "Project": 2, "Sort": 2, "Window": 1,
+                      "WindowGroupLimit": 2},
+    "corpus_profile": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                       "HashAggregate": 2, "Project": 1},
+    "simhash": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
+                "Generate": 1, "HashAggregate": 2, "Project": 2},
+    "split_contamination": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
+                            "BroadcastHashJoin": 2, "Exchange": 8,
+                            "FileScan": 6, "Filter": 6, "HashAggregate": 4,
+                            "Project": 13, "Union": 3},
+    "orders_cube": {"AdaptiveSparkPlan": 1, "Exchange": 1, "Expand": 1,
+                    "FileScan": 1, "HashAggregate": 2},
+    "events_by_type_salted": {"AdaptiveSparkPlan": 1, "Exchange": 2,
+                              "FileScan": 1, "HashAggregate": 4, "Project": 1},
+    "next_touch": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 2,
+                   "Filter": 3, "Project": 4, "Sort": 1, "Union": 1,
+                   "Window": 1},
+    "retained_customers": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                           "BroadcastHashJoin": 1, "Exchange": 1,
+                           "FileScan": 2, "Filter": 2, "HashAggregate": 2,
+                           "Project": 2},
+    "lang_scores": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                    "Project": 2},
+    "text_scrub": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                   "Project": 2},
+    "doc_fingerprint": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                        "Project": 1},
+    "token_counts": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                     "Project": 1},
+    "doc_sample": {"ColumnarToRow": 1, "FileScan": 1, "Filter": 1},
+    "tfidf_topterms": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                       "BroadcastHashJoin": 1, "Exchange": 6, "FileScan": 2,
+                       "Filter": 1, "Generate": 2, "HashAggregate": 6,
+                       "Project": 2, "Sort": 2, "Window": 1,
+                       "WindowGroupLimit": 2},
+    "token_quantiles": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
+                        "Filter": 1, "Generate": 1, "Project": 4, "Sort": 1,
+                        "Window": 2},
+    "pretrain_corpus": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 2,
+                        "Filter": 2, "HashAggregate": 2, "Project": 3,
+                        "Union": 1},
+    "corpus_mix": {"ColumnarToRow": 1, "FileScan": 1, "Filter": 1,
+                   "Generate": 1, "Project": 1},
+    "dedup_keep_best": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                        "BroadcastHashJoin": 1, "Exchange": 3, "FileScan": 2,
+                        "Filter": 3, "Project": 8, "Scan": 1, "Sort": 2,
+                        "SortAggregate": 2, "Union": 1},
+    "quality_funnel": {"AdaptiveSparkPlan": 1, "Exchange": 4, "Expand": 1,
+                       "FileScan": 2, "HashAggregate": 4, "Union": 1},
+    "training_order": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
+                       "HashAggregate": 2, "Project": 2, "Sort": 2,
+                       "Window": 1},
+}
+
+
+def _plan_node_multiset(df) -> dict[str, int]:
+    """Leading node-kind per physical-plan line, counted — literals,
+    partition counts, and expression ids all excluded by construction."""
+    import re
+
+    pat = re.compile(r"^[\s:+*()\d-]*([A-Za-z][A-Za-z0-9]*)")
+    out: dict[str, int] = {}
+    for line in _plan(df).splitlines():
+        m = pat.match(line)
+        if m:
+            out[m.group(1)] = out.get(m.group(1), 0) + 1
+    return out
+
+
+def test_twin_fingerprint_table_covers_every_twin():
+    import __spark_entry__ as e
+
+    twins = list(e.queries())[50:]
+    assert sorted(TWIN_PLAN_FINGERPRINTS) == sorted(twins), (
+        "every position-51+ twin needs a frozen plan fingerprint; "
+        f"unpinned: {sorted(set(twins) - set(TWIN_PLAN_FINGERPRINTS))}, "
+        f"stale: {sorted(set(TWIN_PLAN_FINGERPRINTS) - set(twins))}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))
+def test_twin_plan_fingerprint(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    got = _plan_node_multiset(e.queries()[name](spark, sf_dir))
+    assert got == TWIN_PLAN_FINGERPRINTS[name], (
+        f"{name}: physical plan shape diverged from its pinned "
+        f"fingerprint — if the change is intentional (and still scale-"
+        f"sound), update TWIN_PLAN_FINGERPRINTS.\n"
+        f"pinned: {TWIN_PLAN_FINGERPRINTS[name]}\ngot:    {got}"
+    )
