@@ -56,10 +56,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from mvrepair.operators import dedup as D
+    from mvrepair.operators import packing as PK
     from mvrepair.operators import text as X
+    from mvrepair.operators.sampling import weighted_mix
     from mvrepair.sources import load_table
 
-    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
 
     def inflate(k: int, exact: bool):
         parts = [
@@ -70,6 +74,8 @@ def main() -> None:
                 else F.regexp_replace(
                     F.col("text"), r"(\S+)", f"{i}x$1"
                 ).alias("text"),
+                "source",
+                "lang",
             )
             for i in range(k)
         ]
@@ -89,6 +95,16 @@ def main() -> None:
         ).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def _keep_best_op(df):
+        # the shipped keep-best cost IS the cluster pipeline + argmax:
+        # pairs -> components -> join with scores (cold, like the bench)
+        pairs = D.ngram_jaccard_pairs(df, threshold=0.5)
+        try:
+            clusters = D.connected_components(pairs, df)
+        finally:
+            pairs.unpersist()
+        return D.keep_best(clusters, X.quality_score(df))
+
     OPS = {
         "dedup_exact(copies)": (True, lambda df: D.exact_dedup(df)),
         "repetition_stats": (False, lambda df: X.repetition_stats(df)),
@@ -106,7 +122,36 @@ def main() -> None:
                 band_bits=15,
             ),
         ),
+        # round-5 families (exact copies where content is irrelevant:
+        # packing/ordering/mix cost is tokenize+hash, not dup structure)
+        "pack_sequences(copies)": (
+            True,
+            lambda df: PK.pack_sequences(df, budget=256, n_streams=8),
+        ),
+        "training_order(copies)": (
+            True,
+            lambda df: PK.training_order(
+                PK.pack_sequences(df, budget=256, n_streams=8)
+            ),
+        ),
+        "corpus_mix(copies)": (
+            True,
+            lambda df: weighted_mix(
+                df, {"web": 2.4, "books": 1.2}, default_rate=0.1
+            ),
+        ),
+        # prefixed copies: funnel's distinct legs and keep-best's cluster
+        # pipeline need per-copy dup density held constant
+        "quality_funnel": (False, lambda df: X.quality_funnel(df)),
+        "dedup_keep_best": (False, _keep_best_op),
     }
+
+    # optional focus: comma-separated op names (re-measuring one family
+    # shouldn't force the full multi-factor sweep of all ten)
+    pick = os.environ.get("SPARK_GRAFT_SCALE_OPS")
+    if pick:
+        names = {n.strip() for n in pick.split(",")}
+        OPS = {k: v for k, v in OPS.items() if k in names}
 
     # untimed warmup: JIT, codegen caches, parquet-footer paths
     for name, (exact, fn) in OPS.items():
