@@ -2392,6 +2392,80 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc USING (doc_id)"""
 
 
+# Fixture-aware rarity cut: the synthetic vocabulary is ~31 near-uniform
+# tokens (corpus count ~900 at sf0.01) plus exactly one genuinely rare
+# token (count ~26), so a threshold between those flags real docs on both
+# sides of the gate instead of degenerating to all-false.
+RARE_MAX, RARE_FRAC_MAX = 100, 0.02
+
+
+def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy rarity filter (Wenzek et al. 2020):
+    per-doc fraction of token instances whose corpus-wide count is below
+    threshold, in exact integer arithmetic (log-prob sums are not
+    engine-portable).  Tokens travel as 60-bit fingerprints; frequency
+    agg and instance join share one hash key."""
+    return X.rare_token_profile(
+        _docs(spark, sf_dir), rare_max=RARE_MAX, rare_frac_max=RARE_FRAC_MAX
+    )
+
+
+def _oracle_rare_tokens() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+inst AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM t)),
+freq AS (SELECT h, count(*) AS c FROM inst GROUP BY h),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    coalesce(sum(CASE WHEN c <= {RARE_MAX} THEN 1 END), 0) AS n_rare,
+    min(c) AS min_c
+  FROM inst JOIN freq USING (h) GROUP BY doc_id),
+p AS (
+  SELECT d.doc_id,
+    coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+    coalesce(n_rare, 0)::BIGINT AS n_rare,
+    CASE WHEN coalesce(n_tokens, 0) > 0
+      THEN CAST(n_rare AS DOUBLE) / n_tokens ELSE 0.0 END AS rare_frac,
+    coalesce(min_c, 0)::BIGINT AS min_token_count
+  FROM documents d LEFT JOIN per_doc USING (doc_id))
+SELECT doc_id, n_tokens, n_rare, rare_frac, min_token_count,
+  rare_frac >= {RARE_FRAC_MAX} AS rare_heavy
+FROM p"""
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning signal (Sorscher et al. 2022; D4): cosine
+    of each embedding to its OWN label's exact centroid; below-zero =
+    pointing away from its class.  Centroid build is one narrow shuffle +
+    labels x dim driver artifact; scoring is a map-side projection
+    against the broadcast centroid literal — no join, no second
+    shuffle."""
+    return S.label_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+def _oracle_label_outliers() -> str:
+    lip = "list_inner_product"
+    return f"""
+WITH emb AS (SELECT vec_id, label, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings),
+s AS (
+  SELECT label, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
+  FROM (SELECT label, unnest(qv) AS v, unnest(range(len(qv))) AS pos FROM emb)
+  GROUP BY label, pos),
+c AS (SELECT label, list(m ORDER BY pos) AS cqv FROM s GROUP BY label),
+scored AS (
+  SELECT e.vec_id, e.label,
+    CAST(floor({lip}(e.qv, c.cqv) / (sqrt({lip}(e.qv, e.qv)) *
+      sqrt({lip}(c.cqv, c.cqv))) * 1000000) AS BIGINT) AS cosine_micro
+  FROM emb e JOIN c USING (label))
+SELECT vec_id, label, cosine_micro, cosine_micro < 0 AS is_outlier
+FROM scored"""
+
+
 # ---------------------------------------------------------------------------
 # training-sequence layout family: packing + chunking
 # ---------------------------------------------------------------------------
@@ -2590,7 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal).  Entries past position 50 are deliberate PLAN TWINS of
     an already-checked query (same physical plan shape, different
     parameters) — each one's twin is named in a comment — and remain
-    under the local gate (`tools/check_oracle.py` verifies all 72).
+    under the local gate (`tools/check_oracle.py` verifies all 74).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -2677,6 +2751,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,  # twin: dedup_clusters (same cluster pipeline) + pricing_summary (hash agg)
         "quality_funnel": q_quality_funnel,  # twin: corpus_profile (one-scan corpus aggregate) + text_quality (same gate expressions)
         "training_order": q_training_order,  # twin: pack_sequences (same layout pipeline) + top_revenue_orders (sort family)
+        "rare_tokens": q_rare_tokens,  # twin: substring_dupes (identical fingerprint->freq->join->rollup shape at n=1)
+        "label_outliers": q_label_outliers,  # twin: kmeans_clusters (centroid-build agg + broadcast-literal map-side scoring)
     }
 
 
@@ -2754,4 +2830,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": _ORACLE_MULTIMODAL_DECODE,
         "multimodal_features": _oracle_multimodal_features(),
         "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
+        "rare_tokens": _oracle_rare_tokens(),
+        "label_outliers": _oracle_label_outliers(),
     }

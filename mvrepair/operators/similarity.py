@@ -589,3 +589,93 @@ def semantic_dedup(
         else:
             spark.conf.set(_AQE_CACHE_KEY, old)
     return out
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> list[tuple[int, list[int]]]:
+    """Per-label exact centroid of a labeled embedding corpus:
+    ``floor(sum / count)`` per element in integer arithmetic over the
+    micro-quantized vectors — the same engine-portable update rule as the
+    k-means trainer, keyed on the EXISTING label instead of a learned
+    cluster.
+
+    Scale shape: ``posexplode`` + ``groupBy(label, pos).sum`` with
+    map-side partial aggregation — the shuffle carries at most
+    ``partitions x labels x dim`` partial rows; the driver collects
+    ``labels x dim`` longs (the model artifact, same size class as the
+    k-means centroids).
+    """
+    sums = (
+        df.select(
+            F.col(label_col).cast("long").alias("__lbl"),
+            F.posexplode(_quant(F.col(vec_col))).alias("pos", "v"),
+        )
+        .groupBy("__lbl", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    acc: dict[int, dict[int, int]] = {}
+    for r in sums:
+        acc.setdefault(int(r["__lbl"]), {})[int(r["pos"])] = _exact_mean_floor(
+            int(r["s"]), int(r["n"])
+        )
+    return [
+        (lbl, [acc[lbl][p] for p in range(len(acc[lbl]))])
+        for lbl in sorted(acc)
+    ]
+
+
+def label_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    outlier_below_micro: int = 0,
+) -> DataFrame:
+    """Prototypicality scoring against each vector's OWN label centroid —
+    the label-noise / dataset-pruning signal of SemDeDup's sibling line
+    of work (Sorscher et al. 2022 "Beyond neural scaling laws"; Abbas et
+    al. 2023 D4): a vector far from its class centroid is either
+    mislabeled or unprototypical, and curation pipelines route the
+    bottom tail to review or drop it.
+
+    Output per vector: ``cosine_micro`` to its own label centroid
+    (``floor(cos x 1e6)``, exact-portable) and ``is_outlier``
+    (``cosine_micro < outlier_below_micro`` — the default 0 flags
+    vectors pointing AWAY from their class centroid, a
+    distribution-free cut; tighten it per-dataset for harder pruning).
+
+    Scale shape: the centroid build is one map-side-combinable shuffle +
+    a labels x dim driver artifact (``label_centroids``); scoring is a
+    PURE MAP-SIDE projection against the broadcast centroid literal —
+    same no-join assignment shape as ``ivf_topk``/``kmeans_assign``, so
+    at 100 TB the whole operator costs one narrow shuffle and one scan.
+    """
+    cents = label_centroids(df, vec_col, label_col)
+    cent_lits = _centroid_lits_pairs(cents)
+    prepared = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        _quant(F.col(vec_col)).alias("__qv"),
+    ).withColumn(
+        "__norm", F.sqrt(_dot(F.col("__qv"), F.col("__qv")).cast("double"))
+    )
+    own = F.element_at(
+        F.filter(cent_lits, lambda c: c["cid"] == F.col(label_col).cast("long")),
+        1,
+    )
+    # same operation order as _pair_sim / the oracle: int dot -> double,
+    # divided by the (norm x norm) product
+    sim = _dot(F.col("__qv"), own["cqv"]).cast("double") / (
+        F.col("__norm") * own["cnorm"]
+    )
+    micro = F.floor(sim * 1_000_000).cast("long")
+    return prepared.select(
+        id_col,
+        label_col,
+        micro.alias("cosine_micro"),
+        (micro < F.lit(outlier_below_micro)).alias("is_outlier"),
+    )

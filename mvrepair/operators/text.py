@@ -18,6 +18,7 @@ Operators:
 - ``heavy_hitters``     corpus-wide frequent-token top-k
 - ``tfidf_topterms``    per-doc characteristic terms (integer linear-idf)
 - ``token_quantiles``   exact per-group discrete quantiles (integer positions)
+- ``rare_token_profile`` corpus-frequency rarity (perplexity-proxy filter)
 """
 
 from __future__ import annotations
@@ -718,4 +719,75 @@ def quality_funnel(
         F.sum(F.when(score >= 2, 1).otherwise(0)).alias("n_quality"),
         F.countDistinct(digest).alias("n_unique"),
         F.countDistinct(F.when(score >= 2, digest)).alias("n_final"),
+    )
+
+
+def rare_token_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max: int = 2,
+    rare_frac_max: float = 0.5,
+) -> DataFrame:
+    """Corpus-frequency rarity profile — the exact-arithmetic stand-in for
+    the CCNet perplexity filter (Wenzek et al. 2020): documents dominated
+    by tokens the corpus has barely seen are the ones a unigram LM would
+    assign high perplexity (boilerplate hashes, mangled encodings, rare-
+    language fragments), and pretraining pipelines route them to the
+    drop/review bucket.
+
+    Per doc: ``n_tokens`` (instances), ``n_rare`` (instances whose token
+    occurs <= ``rare_max`` times corpus-WIDE), ``rare_frac``,
+    ``min_token_count`` (the rarest token's corpus count — 0 for empty
+    docs), and ``rare_heavy`` (``rare_frac >= rare_frac_max``).
+
+    Deliberately NOT a log-probability: summing ``ln p(t)`` in double is
+    engine-order-dependent and ``Math.log`` vs libm can differ in the
+    last ulp, which would make an oracle twin unhashable; every output
+    here is an exact integer or a single exact division, so the DuckDB
+    twin reproduces it bit-for-bit.  The ranking it induces (docs heavy
+    in sub-threshold-frequency tokens) is the same signal the perplexity
+    filter thresholds.
+
+    Scale shape — identical to ``substring_dup_stats`` at n=1: tokens
+    ship as 60-bit ``stable_hash64`` fingerprints (8 bytes/instance on
+    the wire, never strings); corpus frequencies are one map-side-
+    combinable groupBy; the instance-to-frequency join reuses the SAME
+    hash key as that groupBy (one exchange, reused); the per-doc rollup
+    keys on the doc id (no corpus-global skew).  Empty docs re-enter via
+    a left join from the pruned id-only base scan.
+    """
+    from mvrepair.operators.dedup import shingles  # deferred: dedup imports text
+
+    inst = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), 1)).alias("__t"),
+    ).select(id_col, stable_hash64(F.col("__t")).alias("__h"))
+    freq = inst.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        inst.join(freq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("__c") <= rare_max, F.lit(1))), F.lit(0)
+            ).alias("n_rare"),
+            F.min("__c").alias("min_token_count"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    n_tokens = F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long")
+    n_rare = F.coalesce(F.col("n_rare"), F.lit(0)).cast("long")
+    rare_frac = F.when(
+        n_tokens > 0, n_rare.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_rare.alias("n_rare"),
+        rare_frac.alias("rare_frac"),
+        F.coalesce(F.col("min_token_count"), F.lit(0)).cast("long").alias(
+            "min_token_count"
+        ),
+        (rare_frac >= rare_frac_max).alias("rare_heavy"),
     )

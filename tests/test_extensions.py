@@ -1917,3 +1917,56 @@ def test_quality_funnel_single_scan_with_expand(spark):
     assert plan.count("Expand") == 1
     # distinct legs aggregate digests, never raw text columns
     assert "md5" in plan
+
+
+def test_rare_token_profile_exact_counts(spark):
+    """Known corpus frequencies: a:5 b:2 c:1 d:1 — rare_max=1 flags c/d
+    instances; per-doc fractions and min corpus counts are exact."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a a a")], ["doc_id", "text"]
+    )
+    out = X.rare_token_profile(docs, rare_max=1, rare_frac_max=0.3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert (got[1].n_tokens, got[1].n_rare, got[1].min_token_count) == (3, 1, 1)
+    assert got[1].rare_frac == 1 / 3 and got[1].rare_heavy
+    assert (got[2].n_tokens, got[2].n_rare, got[2].min_token_count) == (3, 1, 1)
+    assert (got[3].n_tokens, got[3].n_rare, got[3].min_token_count) == (3, 0, 5)
+    assert got[3].rare_frac == 0.0 and not got[3].rare_heavy
+
+
+def test_label_outliers_exact_centroid_math(spark):
+    """Two labels; hand-computed floor-mean centroids and quantized
+    cosines.  The inlier/outlier split follows the below-zero default."""
+    import math
+
+    from mvrepair.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.5, 0.5], 0),
+        (3, [0.0, 1.0], 7),
+        (4, [0.0, -1.0], 7),
+        (5, [0.1, 0.9], 7),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    cents = dict(S.label_centroids(df))
+    assert cents[0] == [750000, 250000]
+    # label 7: sums (100000, 900000) over 3 -> floor means
+    assert cents[7] == [33333, 300000]
+
+    def micro(qv, c):
+        dot = sum(a * b for a, b in zip(qv, c))
+        sim = dot / (
+            math.sqrt(sum(a * a for a in qv)) * math.sqrt(sum(b * b for b in c))
+        )
+        return math.floor(sim * 1_000_000)
+
+    out = {r.vec_id: r for r in S.label_outliers(df).collect()}
+    q = {1: [1000000, 0], 2: [500000, 500000], 3: [0, 1000000],
+         4: [0, -1000000], 5: [100000, 900000]}
+    for vid, row in out.items():
+        assert row.cosine_micro == micro(q[vid], cents[row.label]), vid
+        assert row.is_outlier == (row.cosine_micro < 0)
+    # vec 4 points against its centroid -> the one outlier
+    assert [v for v, r in out.items() if r.is_outlier] == [4]

@@ -325,6 +325,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "training_order": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
                        "HashAggregate": 2, "Project": 2, "Sort": 2,
                        "Window": 1},
+    "rare_tokens": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
+                    "BroadcastHashJoin": 2, "Exchange": 5, "FileScan": 3,
+                    "Filter": 3, "Generate": 2, "HashAggregate": 4,
+                    "Project": 4},
+    # scoring is a pure map-side projection (scan + projects, no join/
+    # shuffle); the centroid build runs eagerly at plan-build time and
+    # is not part of this frame's plan
+    "label_outliers": {"ColumnarToRow": 1, "FileScan": 1, "Project": 3},
 }
 
 
