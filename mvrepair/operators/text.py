@@ -629,11 +629,15 @@ def repetition_stats(
     so there is no corpus-global skew: the 100 TB cost is the token scan
     itself.  Grams travel as 60-bit ``stable_hash64`` fingerprints, never
     strings — the metrics only need gram IDENTITY (count/max/sum over the
-    per-doc histogram), so shuffling the raw 2/3-gram text would roughly
-    triple the exchanged bytes for nothing (measured 2.4x wall on the
-    bench corpus; same convention as ``substring_dup_stats``).  A 60-bit
-    collision inside one document merges two gram bins — vanishingly rare
-    at document scale and reproduced exactly by the md5-prefix oracle.
+    per-doc histogram), so the raw 2/3-gram text on the wire buys
+    nothing.  Measured on the bench corpus: 22% fewer exchanged bytes
+    (15.6 -> 12.1 MB) at wall-neutral local cost (the per-gram md5
+    roughly offsets the string-shuffle savings on a single host); the
+    margin grows with real-text gram lengths, and keeping raw text off
+    the exchange is the same convention as ``substring_dup_stats``.  A
+    60-bit collision inside one document merges two gram bins —
+    vanishingly rare at document scale and reproduced exactly by the
+    md5-prefix oracle.
     All fractions are exact integer ratios divided once in double, so a
     SQL oracle reproduces them bit-for-bit.
 
