@@ -2466,6 +2466,90 @@ SELECT vec_id, label, cosine_micro, cosine_micro < 0 AS is_outlier
 FROM scored"""
 
 
+SPAN_W = 10
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 2022's action step — the
+    profile is `substring_dupes`): tile each doc into 10-token spans,
+    keep exactly one canonical occurrence of every duplicated span
+    corpus-wide, rebuild the cleaned text.  Spans travel as 60-bit
+    fingerprints; the canonical election is a min(struct) agg whose
+    exchange the instance join reuses."""
+    return D.span_dedup(_docs(spark, sf_dir), w=SPAN_W)
+
+
+def _oracle_span_dedup() -> str:
+    w = SPAN_W
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+inst AS (
+  SELECT doc_id, i AS span_idx,
+    CAST(concat('0x', substr(md5(
+      array_to_string(ts[i*{w}+1 : i*{w}+{w}], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM t, unnest(range(0, len(ts) // {w})) AS u(i)),
+ranked AS (
+  SELECT doc_id, span_idx,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+  FROM inst),
+per_doc AS (
+  SELECT doc_id,
+    list(span_idx ORDER BY span_idx) FILTER (WHERE rn = 1) AS kept,
+    count(*) AS n_spans
+  FROM ranked GROUP BY doc_id)
+SELECT t.doc_id,
+  coalesce(array_to_string(
+    flatten(list_transform(coalesce(kept, []),
+                           i -> ts[i*{w}+1 : i*{w}+{w}]))
+    || ts[coalesce(n_spans, 0)*{w}+1 : len(ts)], ' '), '') AS clean_text,
+  coalesce(n_spans, 0)::BIGINT AS n_spans,
+  (coalesce(n_spans, 0) - len(coalesce(kept, [])))::BIGINT AS n_removed
+FROM t LEFT JOIN per_doc USING (doc_id)"""
+
+
+DSIR_BUCKETS = 64
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every doc by the
+    hashed-unigram log-likelihood ratio of the English target subset vs
+    the raw corpus.  One token pass feeds both distributions; the
+    64-row weight table stays a broadcast DataFrame (no driver
+    artifact); weights floor-quantize to int64 micro-units before the
+    per-doc sum (bm25 convention)."""
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    from mvrepair.operators.sampling import dsir_scores
+
+    return dsir_scores(d, F.col("lang") == "en", buckets=DSIR_BUCKETS)
+
+
+def _oracle_dsir_scores() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS t,
+    CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) % {b} AS bkt
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+        FROM documents)),
+counts AS (
+  SELECT bkt, count(*) AS cr,
+         coalesce(sum(CASE WHEN t THEN 1 END), 0) AS ct
+  FROM tok GROUP BY bkt),
+tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
+w AS (
+  SELECT bkt,
+    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (tt + {b}))
+              - ln(CAST(cr + 1 AS DOUBLE) / (tr + {b}))) * 1000000)
+      AS BIGINT) AS wm
+  FROM counts CROSS JOIN tot),
+db AS (SELECT doc_id, bkt, count(*) AS n FROM tok GROUP BY doc_id, bkt)
+SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+       CAST(sum(n * wm) AS BIGINT) AS dsir_micro
+FROM db JOIN w USING (bkt) GROUP BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # training-sequence layout family: packing + chunking
 # ---------------------------------------------------------------------------
@@ -2753,6 +2837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,  # twin: pack_sequences (same layout pipeline) + top_revenue_orders (sort family)
         "rare_tokens": q_rare_tokens,  # twin: substring_dupes (identical fingerprint->freq->join->rollup shape at n=1)
         "label_outliers": q_label_outliers,  # twin: kmeans_clusters (centroid-build agg + broadcast-literal map-side scoring)
+        "span_dedup": q_span_dedup,  # twin: substring_dupes (same fingerprint->min/freq->join shape) + doc_chunks (per-row token-slice rebuild)
+        "dsir_scores": q_dsir_scores,  # twin: rare_tokens (same instance->bucket-freq->join->per-doc-rollup shape)
     }
 
 
@@ -2832,4 +2918,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": _ORACLE_MULTIMODAL_FRAMES,
         "rare_tokens": _oracle_rare_tokens(),
         "label_outliers": _oracle_label_outliers(),
+        "span_dedup": _oracle_span_dedup(),
+        "dsir_scores": _oracle_dsir_scores(),
     }

@@ -946,3 +946,89 @@ def keep_best(
             "n_members",
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 10,
+) -> DataFrame:
+    """Exact-substring REMOVAL (the action step for the profile that
+    ``substring_dup_stats`` computes): cut corpus-duplicated token spans
+    out of every document, keeping exactly one canonical occurrence.
+
+    Lee et al. 2022 remove every repeated >=50-token substring from the
+    training corpus; the distributed formulation here tiles each document
+    into consecutive non-overlapping ``w``-token spans (the trailing
+    partial span, having no corpus-comparable value, is always kept) and
+    keeps a span instance iff it is the CANONICAL occurrence of its
+    content: the minimum ``(doc_id, span_idx)`` pair among all occurrences
+    corpus-wide.  Unique spans are trivially canonical, so clean docs pass
+    through byte-identical.
+
+    Output per doc: ``clean_text`` (kept spans + trailing partial,
+    space-joined), ``n_spans`` (full spans tiled), ``n_removed``.
+
+    Scale shape: span contents ship as 60-bit ``stable_hash64``
+    fingerprints (8 bytes/span on the wire, never text).  One
+    map-side-combinable ``groupBy(hash).min(struct)`` elects canonicals;
+    the instances-to-canonical join reuses the same hash key (exchange
+    reuse, like ``substring_dup_stats``); the rebuild joins per-doc kept
+    indexes back to the pruned (id, text) scan and re-slices tokens with
+    per-row array expressions — document text crosses the wire exactly
+    once, in the final doc-keyed join.  A 60-bit collision can only merge
+    two distinct spans (over-removal), never resurrect a duplicate — the
+    same one-sided trade the profile makes.
+    """
+    toks = tokenize(F.col(text_col))
+    n_spans = F.floor(F.size(toks) / w).cast("int")
+    span_idx = F.sequence(F.lit(0), n_spans - 1)
+    spans = F.transform(
+        span_idx, lambda i: F.concat_ws(" ", F.slice(toks, i * w + 1, w))
+    )
+    inst = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(n_spans > 0, spans).otherwise(F.array().cast("array<string>"))
+        ).alias("span_idx", "__s"),
+    ).select(id_col, "span_idx", stable_hash64(F.col("__s")).alias("__h"))
+
+    canon = inst.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("i"))).alias(
+            "__keep"
+        )
+    )
+    kept_idx = (
+        inst.join(canon, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("__keep.d") == F.col(id_col))
+                        & (F.col("__keep.i") == F.col("span_idx")),
+                        F.col("span_idx"),
+                    )
+                )
+            ).alias("__kept"),
+            F.count(F.lit(1)).alias("__n_spans"),
+        )
+    )
+
+    out = df.select(id_col, text_col).join(kept_idx, id_col, "left")
+    toks2 = tokenize(F.col(text_col))
+    nsp = F.coalesce(F.col("__n_spans"), F.lit(0)).cast("long")
+    kept = F.coalesce(F.col("__kept"), F.array().cast("array<int>"))
+    tail_len = F.size(toks2) - nsp.cast("int") * w
+    clean_tokens = F.concat(
+        F.flatten(F.transform(kept, lambda i: F.slice(toks2, i * w + 1, w))),
+        F.when(tail_len > 0, F.slice(toks2, nsp.cast("int") * w + 1, tail_len))
+        .otherwise(F.array().cast("array<string>")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(" ", clean_tokens).alias("clean_text"),
+        nsp.alias("n_spans"),
+        (nsp - F.size(kept).cast("long")).alias("n_removed"),
+    )

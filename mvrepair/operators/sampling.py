@@ -153,3 +153,97 @@ def weighted_mix(
         )
         .drop("__n_copies")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much its hashed-unigram distribution looks like the TARGET
+    subset (rows where ``target_pred`` holds) versus the raw corpus.
+
+    Per hash bucket ``b`` (``stable_hash64(token) mod buckets``), the
+    log-likelihood-ratio weight is
+
+        w(b) = ln((ct+1)/(Tt+B)) - ln((cr+1)/(Tr+B))
+
+    with ``ct``/``cr`` the target/raw token counts in the bucket,
+    ``Tt``/``Tr`` the totals, ``B`` the bucket count (add-one smoothing).
+    Weights are floor-quantized to int64 micro-units BEFORE the per-doc
+    sum (the bm25 convention: order-independent exact aggregation, and
+    the ln input is a ratio of exact integers so both engines feed libm
+    the same double).  Output per doc: ``n_tokens``,
+    ``dsir_micro`` (sum of its tokens' bucket weights) — resampling keeps
+    the high-score tail.
+
+    Scale shape: ONE corpus token pass — both distributions and the
+    scoring pass derive from the same per-(doc, bucket) aggregate, whose
+    shuffle Spark's ReuseExchange dedupes (the two consumers are
+    plan-identical), so the corpus is scanned and exploded exactly once;
+    everything downstream of it is doc-count-sized or smaller.  The
+    bucket totals reduce over ``buckets`` rows (an empty-frame window,
+    single tiny partition by construction), and the weight table is
+    broadcast to the scoring join — no driver-side artifacts at all,
+    unlike bm25's collected idf map.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    tok = df.select(
+        F.col(id_col),
+        target_pred.alias("__t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(
+        id_col,
+        "__t",
+        # coalesce makes the bucket NON-NULLABLE (split yields no null
+        # tokens, so the 0 branch is dead): without it the inner join
+        # injects isnotnull(__b) into the scoring branch only, the two
+        # corpus subplans stop being identical, and ReuseExchange —
+        # the whole one-pass design — silently fails to fire.
+        F.coalesce(stable_hash64(F.col("__tok")) % buckets, F.lit(0)).alias(
+            "__b"
+        ),
+    )
+    # The one corpus-sized aggregate; __t is constant per doc so adding it
+    # to the key changes nothing semantically but lets the distribution
+    # pass reuse this exchange instead of re-exploding the corpus.
+    doc_bucket = tok.groupBy(id_col, "__t", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    counts = doc_bucket.groupBy("__b").agg(
+        F.sum("__n").alias("__cr"),
+        F.coalesce(F.sum(F.when(F.col("__t"), F.col("__n"))), F.lit(0)).alias(
+            "__ct"
+        ),
+    )
+    everything = Window.partitionBy()
+    weights = counts.select(
+        "__b",
+        "__cr",
+        "__ct",
+        F.sum("__cr").over(everything).alias("__tr"),
+        F.sum("__ct").over(everything).alias("__tt"),
+    ).select(
+        "__b",
+        F.floor(
+            (
+                F.log((F.col("__ct") + 1).cast("double") / (F.col("__tt") + buckets))
+                - F.log((F.col("__cr") + 1).cast("double") / (F.col("__tr") + buckets))
+            )
+            * 1000000
+        ).alias("__w"),
+    )
+    return (
+        doc_bucket.join(broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_tokens"),
+            F.sum(F.col("__n") * F.col("__w")).alias("dsir_micro"),
+        )
+    )

@@ -1970,3 +1970,126 @@ def test_label_outliers_exact_centroid_math(spark):
         assert row.is_outlier == (row.cosine_micro < 0)
     # vec 4 points against its centroid -> the one outlier
     assert [v for v, r in out.items() if r.is_outlier] == [4]
+
+
+# ---------------------------------------------------------------------------
+# span_dedup: exact-substring removal (Lee et al. 2022 action step)
+# ---------------------------------------------------------------------------
+
+
+def _span_dedup_model(docs: dict[int, str], w: int) -> dict[int, tuple[str, int, int]]:
+    """Brute-force reference: canonical occurrence = min (doc_id, span_idx)."""
+    occurrences: dict[str, tuple[int, int]] = {}
+    tiled: dict[int, list[list[str]]] = {}
+    tails: dict[int, list[str]] = {}
+    for did in sorted(docs):
+        toks = docs[did].split(" ")
+        n = len(toks) // w
+        tiled[did] = [toks[i * w:(i + 1) * w] for i in range(n)]
+        tails[did] = toks[n * w:]
+        for i, span in enumerate(tiled[did]):
+            occurrences.setdefault(" ".join(span), (did, i))
+    out = {}
+    for did in sorted(docs):
+        kept = [
+            span for i, span in enumerate(tiled[did])
+            if occurrences[" ".join(span)] == (did, i)
+        ]
+        clean = " ".join(t for span in kept for t in span) if kept else ""
+        if tails[did]:
+            clean = (clean + " " if clean else "") + " ".join(tails[did])
+        out[did] = (clean, len(tiled[did]), len(tiled[did]) - len(kept))
+    return out
+
+
+def test_span_dedup_matches_bruteforce_model(spark):
+    base = "a b c d e f g h i j"          # one exact 10-token span
+    docs = {
+        1: base + " k l m",                # canonical + 3-token tail
+        2: base,                           # duplicate span, fully removed
+        3: base + " " + base,              # dup twice: both occurrences lose
+        4: "x y z",                        # shorter than w: untouched
+        5: "p q r s t u v w x1 y1 " + base,  # unique span + trailing dup
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in docs.items()]
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_spans"], r["n_removed"])
+        for r in D.span_dedup(df, w=10).collect()
+    }
+    assert got == _span_dedup_model(docs, 10)
+
+
+def test_span_dedup_is_idempotent_and_preserves_clean_docs(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"t{i}x{j}" for j in range(26)))
+            for i in range(6)
+        ]
+    )
+    once = D.span_dedup(df, w=10)
+    assert once.filter(F.col("n_removed") > 0).count() == 0
+    again = D.span_dedup(
+        once.select(F.col("doc_id"), F.col("clean_text").alias("text")), w=10
+    )
+    assert again.filter(F.col("n_removed") > 0).count() == 0
+    orig = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert {r["doc_id"]: r["clean_text"] for r in once.collect()} == orig
+
+
+# ---------------------------------------------------------------------------
+# dsir_scores: hashed-n-gram importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_fixture(spark):
+    rows = [Row(doc_id=i, text="alpha beta gamma", grp="t") for i in range(8)]
+    rows += [Row(doc_id=100 + i, text="omega psi chi", grp="r") for i in range(8)]
+    rows += [Row(doc_id=200, text="alpha beta omega", grp="r")]
+    return spark.createDataFrame(rows)
+
+
+def test_dsir_target_like_docs_score_higher(spark):
+    from mvrepair.operators.sampling import dsir_scores
+
+    df = _dsir_fixture(spark)
+    got = {
+        r["doc_id"]: r["dsir_micro"]
+        for r in dsir_scores(df, F.col("grp") == "t", buckets=64).collect()
+    }
+    # pure-target-vocabulary docs must outscore pure-raw-vocabulary docs,
+    # with the mixed doc strictly between
+    assert got[0] > got[200] > got[100]
+    # every doc got a score
+    assert len(got) == df.count()
+
+
+def test_dsir_is_deterministic_under_repartition(spark):
+    from mvrepair.operators.sampling import dsir_scores
+
+    df = _dsir_fixture(spark)
+    a = sorted(
+        dsir_scores(df, F.col("grp") == "t", buckets=64).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        dsir_scores(
+            df.repartition(7, "text"), F.col("grp") == "t", buckets=64
+        ).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
+
+
+def test_dsir_single_corpus_pass_via_exchange_reuse(spark):
+    """The distribution branch and the scoring branch must share the one
+    (doc, target, bucket) aggregate: after execution the adaptive plan
+    carries a ReusedExchange/stage instead of a second corpus scan."""
+    from mvrepair.operators.sampling import dsir_scores
+
+    df = _dsir_fixture(spark)
+    out = dsir_scores(df, F.col("grp") == "t", buckets=64)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan

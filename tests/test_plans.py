@@ -333,6 +333,21 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # shuffle); the centroid build runs eagerly at plan-build time and
     # is not part of this frame's plan
     "label_outliers": {"ColumnarToRow": 1, "FileScan": 1, "Project": 3},
+    # min(struct) canonical election is a SortAggregate (struct keys are
+    # not hash-aggregable), collect_list of kept indexes an
+    # ObjectHashAggregate — both expected, both map-side-combinable
+    "span_dedup": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
+                   "BroadcastHashJoin": 2, "Exchange": 5, "FileScan": 3,
+                   "Filter": 3, "Generate": 2, "ObjectHashAggregate": 2,
+                   "Project": 4, "Sort": 2, "SortAggregate": 2},
+    # the static plan shows the (doc,target,bucket) aggregate twice
+    # (FileScan 2); at runtime AQE's stage reuse collapses them to ONE
+    # corpus pass (ReusedExchange — asserted in test_extensions), and
+    # the empty-frame Window totals over exactly `buckets` rows
+    "dsir_scores": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                    "BroadcastHashJoin": 1, "Exchange": 7, "FileScan": 2,
+                    "Generate": 2, "HashAggregate": 8,
+                    "Project": 4, "Window": 1},
 }
 
 

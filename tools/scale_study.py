@@ -95,6 +95,11 @@ def main() -> None:
         ).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def _dsir(df):
+        from mvrepair.operators.sampling import dsir_scores
+
+        return dsir_scores(df, F.col("lang") == "en", buckets=64)
+
     def _keep_best_op(df):
         # the shipped keep-best cost IS the cluster pipeline + argmax:
         # pairs -> components -> join with scores (cold, like the bench)
@@ -144,6 +149,14 @@ def main() -> None:
         # pipeline need per-copy dup density held constant
         "quality_funnel": (False, lambda df: X.quality_funnel(df)),
         "dedup_keep_best": (False, _keep_best_op),
+        # round-6 families: span removal needs per-copy dup density held
+        # constant (prefixed); dsir cost is tokenize+hash+two aggs, the
+        # lang target column survives exact copies unchanged
+        "span_dedup": (False, lambda df: D.span_dedup(df)),
+        "dsir_scores(copies)": (
+            True,
+            lambda df: _dsir(df),
+        ),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
