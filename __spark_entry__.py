@@ -2507,6 +2507,68 @@ SELECT t.doc_id,
 FROM t LEFT JOIN per_doc USING (doc_id)"""
 
 
+BPE_K = 30
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction, round 1: corpus-weighted adjacent char-pair
+    counts (the BPE merge statistic).  The corpus pass is the word-freq
+    aggregate; the pair explode runs over distinct words only."""
+    return X.bpe_merge_candidates(_docs(spark, sf_dir), k=BPE_K)
+
+
+def _oracle_bpe_merges() -> str:
+    return f"""
+WITH wf AS (
+  SELECT w, count(*) AS f
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w)
+SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
+FROM (SELECT substr(w, i, 2) AS pair, f
+      FROM wf, unnest(range(1, length(w))) AS u(i))
+GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT {BPE_K}"""
+
+
+TBF_BUDGET = 800
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget fill ("best 800 tokens per source"): the
+    greedy (quality DESC, id ASC) prefix per source whose running token
+    total fits the budget.  The class decomposition makes the expensive
+    sort run only over each source's single boundary quality class —
+    fully-kept classes pass on a broadcast comparison, map-side."""
+    from mvrepair.operators.sampling import token_budget_fill
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
+    return token_budget_fill(d, budget=TBF_BUDGET)
+
+
+def _oracle_token_budget_fill() -> str:
+    return f"""
+WITH s AS (
+  SELECT source, doc_id,
+    (CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 100000
+          THEN 1 ELSE 0 END
+     + CASE WHEN len(list_filter(string_split(text, ' '),
+             t -> list_contains({_STOP_SQL}, t))) > 0 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0.2 THEN 1 ELSE 0 END
+    )::INTEGER AS quality_score,
+    len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+    ORDER BY quality_score DESC, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM s)
+SELECT doc_id, source, quality_score, n_tokens
+FROM c WHERE cum <= {TBF_BUDGET}"""
+
+
 DSIR_BUCKETS = 64
 
 
@@ -2839,6 +2901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_outliers": q_label_outliers,  # twin: kmeans_clusters (centroid-build agg + broadcast-literal map-side scoring)
         "span_dedup": q_span_dedup,  # twin: substring_dupes (same fingerprint->min/freq->join shape) + doc_chunks (per-row token-slice rebuild)
         "dsir_scores": q_dsir_scores,  # twin: rare_tokens (same instance->bucket-freq->join->per-doc-rollup shape)
+        "token_budget_fill": q_token_budget_fill,  # twin: text_quality (same gate expressions) + training_order (tiny-frame window prefix)
+        "bpe_merges": q_bpe_merges,  # twin: heavy_hitters (explode->agg->top-k over the same token stream)
     }
 
 
@@ -2920,4 +2984,6 @@ def oracle_sql() -> dict[str, str]:
         "label_outliers": _oracle_label_outliers(),
         "span_dedup": _oracle_span_dedup(),
         "dsir_scores": _oracle_dsir_scores(),
+        "token_budget_fill": _oracle_token_budget_fill(),
+        "bpe_merges": _oracle_bpe_merges(),
     }

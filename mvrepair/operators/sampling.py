@@ -247,3 +247,71 @@ def dsir_scores(
             F.sum(F.col("__n") * F.col("__w")).alias("dsir_micro"),
         )
     )
+
+
+def token_budget_fill(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill a per-group token budget with the highest-quality documents —
+    the final selection step of a pretraining data build ("take the best
+    N billion tokens from each source").
+
+    Contract: per group, documents are ordered (quality_score DESC,
+    id ASC) and the greedy prefix whose running token total stays within
+    ``budget`` is kept.  Output: (id, group, quality_score, n_tokens) of
+    the kept rows — deterministic on any partitioning.
+
+    Scale shape: the naive formulation is a running-sum window over every
+    row of a group — one task per group, a non-starter when one source is
+    half the corpus.  The quality score is a small integer (0-3), so the
+    prefix decomposes by CLASS: a tiny (groups x 4)-row aggregate of
+    per-class token totals + a running sum over THAT frame decides each
+    class as fully-kept / boundary / dropped; fully-kept classes pass
+    with a broadcast-join comparison (map-side, no sort), and only the
+    single boundary class per group pays a sort window — over its own
+    rows alone.  Equivalent to the naive prefix because every doc of a
+    higher class precedes every doc of a lower one in the greedy order.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from mvrepair.operators.text import _quality_score_expr, tokenize
+
+    scored = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        _quality_score_expr(text_col).cast("int").alias("quality_score"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    per_class = scored.groupBy(group_col, "quality_score").agg(
+        F.sum("n_tokens").alias("__ct")
+    )
+    # running total over the class frame: <= 4 rows per group, no ties on
+    # the (unique) class key, so the window is deterministic and tiny
+    wc = Window.partitionBy(group_col).orderBy(
+        F.desc("quality_score")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes = per_class.withColumn("__cum", F.sum("__ct").over(wc)).withColumn(
+        "__before", F.col("__cum") - F.col("__ct")
+    )
+    tagged = scored.join(broadcast(classes), [group_col, "quality_score"])
+    out_cols = [id_col, group_col, "quality_score", "n_tokens"]
+    full = tagged.filter(F.col("__cum") <= budget).select(*out_cols)
+    boundary = tagged.filter(
+        (F.col("__before") <= budget) & (F.col("__cum") > budget)
+    )
+    wb = Window.partitionBy(group_col).orderBy(F.asc(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    partial = (
+        boundary.withColumn(
+            "__run", F.col("__before") + F.sum("n_tokens").over(wb)
+        )
+        .filter(F.col("__run") <= budget)
+        .select(*out_cols)
+    )
+    return full.unionByName(partial)

@@ -795,3 +795,42 @@ def rare_token_profile(
         ),
         (rare_frac >= rare_frac_max).alias("rare_heavy"),
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    k: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """First BPE merge round of tokenizer induction (Sennrich et al.
+    2016): corpus-weighted counts of adjacent character pairs, the
+    statistic the merge rule argmaxes over.  Output: top-``k``
+    (``pair``, ``pair_count``) by count desc, pair asc — ``pair_count``
+    sums the frequency of every word containing the pair at each
+    position (a word contributes once per occurrence position, times its
+    corpus frequency, the standard formulation).
+
+    Scale shape: the corpus-sized pass is the word-frequency aggregate
+    (map-side combinable, vocabulary-sized output); the pair explode then
+    runs over DISTINCT words only — at 100 TB that's millions of rows,
+    not trillions — and the final top-k plans as TakeOrderedAndProject.
+    Later merge rounds re-segment words against the grown vocabulary;
+    each round is this same pipeline over the (tiny) word table.
+    """
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    n = F.length(F.col("__w"))
+    positions = F.sequence(F.lit(1), n - 1)
+    pairs = F.when(n >= 2, F.transform(
+        positions, lambda i: F.col("__w").substr(i, F.lit(2))
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(pairs).alias("pair"), F.col("__f"))
+        .groupBy("pair")
+        .agg(F.sum("__f").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+        .limit(k)
+    )

@@ -2093,3 +2093,104 @@ def test_dsir_single_corpus_pass_via_exchange_reuse(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# token_budget_fill: per-group greedy quality-prefix selection
+# ---------------------------------------------------------------------------
+
+
+def _tbf_model(rows, budget):
+    """Naive greedy prefix per group over (quality desc, id asc)."""
+    from collections import defaultdict
+
+    def q(text):
+        toks = text.split(" ")
+        stop = {"the", "a", "of", "and", "to", "in", "is", "for"}
+        return (
+            (1 if 5 <= len(toks) <= 100000 else 0)
+            + (1 if any(t in stop for t in toks) else 0)
+            + (1 if len(set(toks)) / len(toks) > 0.2 else 0)
+        )
+
+    by_grp = defaultdict(list)
+    for did, grp, text in rows:
+        by_grp[grp].append((did, q(text), len(text.split(" "))))
+    kept = set()
+    for grp, docs in by_grp.items():
+        run = 0
+        for did, qs, n in sorted(docs, key=lambda d: (-d[1], d[0])):
+            if run + n > budget:
+                break
+            run += n
+            kept.add(did)
+    return kept
+
+
+def test_token_budget_fill_matches_naive_prefix(spark):
+    from mvrepair.operators.sampling import token_budget_fill
+
+    # group A: high-quality docs fill the budget before low ones get in;
+    # group B: budget cuts inside the top class (boundary-class path)
+    rows = [
+        (1, "A", "the quick brown fox jumps over the lazy dog today"),  # q=3
+        (2, "A", "x x x x x x x x x x"),                                # q=1
+        (3, "A", "of one two three four five six seven eight nine"),    # q=3
+        (4, "B", "the alpha beta gamma delta epsilon zeta eta theta"),  # q=3
+        (5, "B", "and one two three four five six seven eight nine"),   # q=3
+        (6, "B", "in ten eleven twelve thirteen fourteen fifteen one"), # q=3
+        (7, "C", "z z"),                                                # q<=1
+    ]
+    budget = 20
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["doc_id"]
+        for r in token_budget_fill(df, budget=budget).collect()
+    }
+    assert got == _tbf_model(rows, budget)
+
+
+def test_token_budget_fill_budget_edges(spark):
+    from mvrepair.operators.sampling import token_budget_fill
+
+    df = spark.createDataFrame(
+        [(i, "S", "the a of and to in is for extra tok") for i in range(4)],
+        ["doc_id", "source", "text"],
+    )  # every doc: q=3, 10 tokens
+    # budget exactly 2 docs
+    got = sorted(
+        r["doc_id"] for r in token_budget_fill(df, budget=20).collect()
+    )
+    assert got == [0, 1]
+    # budget below one doc: nothing kept
+    assert token_budget_fill(df, budget=9).count() == 0
+    # budget covers all: everything kept, via the no-sort full-class path
+    assert token_budget_fill(df, budget=1000).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_candidates: tokenizer-induction merge statistics
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_merge_candidates_matches_model(spark):
+    from collections import Counter
+
+    docs = ["low low lower lowest", "new newer new", "a ab"]
+    model = Counter()
+    for d in docs:
+        for w in d.split(" "):
+            for i in range(len(w) - 1):
+                model[w[i:i + 2]] += 1
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    got = X.bpe_merge_candidates(df, k=100).collect()
+    assert {(r["pair"], r["pair_count"]) for r in got} == {
+        (p, c) for p, c in model.items()
+    }
+    # ordering contract: count desc, pair asc
+    keys = [(-r["pair_count"], r["pair"]) for r in got]
+    assert keys == sorted(keys)
+    # 1-char words contribute nothing, and k truncates
+    assert X.bpe_merge_candidates(df, k=3).count() == 3

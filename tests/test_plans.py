@@ -348,6 +348,20 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                     "BroadcastHashJoin": 1, "Exchange": 7, "FileScan": 2,
                     "Generate": 2, "HashAggregate": 8,
                     "Project": 4, "Window": 1},
+    # 3 windows by design: 2 run over the (groups x 4)-row class frame
+    # (running class total; the static plan shows it per union branch),
+    # 1 over only the boundary class rows; the full-keep branch is a
+    # broadcast comparison with no sort of its own
+    "token_budget_fill": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
+                          "BroadcastHashJoin": 2, "Exchange": 9,
+                          "FileScan": 4, "Filter": 7, "HashAggregate": 4,
+                          "Project": 9, "Sort": 3, "Union": 1, "Window": 3},
+    # word-freq agg (corpus pass) -> pair explode over DISTINCT words
+    # only -> pair agg -> TakeOrderedAndProject; one of the 3 exchanges
+    # is the fixture _spread repartition
+    "bpe_merges": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
+                   "Generate": 2, "HashAggregate": 4, "Project": 1,
+                   "TakeOrderedAndProject": 1},
 }
 
 

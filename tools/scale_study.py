@@ -95,6 +95,11 @@ def main() -> None:
         ).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def _tbf(df, k):
+        from mvrepair.operators.sampling import token_budget_fill
+
+        return token_budget_fill(df, budget=800 * k)
+
     def _dsir(df):
         from mvrepair.operators.sampling import dsir_scores
 
@@ -157,6 +162,13 @@ def main() -> None:
             True,
             lambda df: _dsir(df),
         ),
+        # budget scaled with volume so the boundary class stays a constant
+        # fraction of each source — the naive all-rows window this operator
+        # avoids would sort every row regardless
+        "token_budget_fill(copies)": (
+            True,
+            _tbf,
+        ),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
@@ -166,9 +178,16 @@ def main() -> None:
         names = {n.strip() for n in pick.split(",")}
         OPS = {k: v for k, v in OPS.items() if k in names}
 
+    def _call(fn, df, k):
+        # ops whose parameters must scale with volume (budget fills) take
+        # (df, k); the rest are unary
+        import inspect
+
+        return fn(df, k) if len(inspect.signature(fn).parameters) == 2 else fn(df)
+
     # untimed warmup: JIT, codegen caches, parquet-footer paths
     for name, (exact, fn) in OPS.items():
-        fn(inflate(1, exact)).write.format("noop").mode("overwrite").save()
+        _call(fn, inflate(1, exact), 1).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
     results: dict[str, dict[str, float]] = {}
@@ -178,7 +197,7 @@ def main() -> None:
         for k in factors:
             df = inflate(k, exact)
             t0 = time.monotonic()
-            fn(df).write.format("noop").mode("overwrite").save()
+            _call(fn, df, k).write.format("noop").mode("overwrite").save()
             times[str(k)] = round(time.monotonic() - t0, 2)
             spark.catalog.clearCache()
         lo, hi = str(top2[0]), str(top2[1])
