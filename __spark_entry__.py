@@ -2507,6 +2507,52 @@ SELECT t.doc_id,
 FROM t LEFT JOIN per_doc USING (doc_id)"""
 
 
+def _corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic "next crawl" of documents: ids %10==0 dropped,
+    %10==1 edited, copies of %10==2 re-ingested under new ids."""
+    d = _docs(spark, sf_dir)
+    kept = d.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit(" updated"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return kept.unionByName(added)
+
+
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-refresh diff: which docs are added/removed/changed between
+    two corpus snapshots — the engine's reconcile O8/O9 shape on the
+    corpus side.  Both sides reduce to (id, digest) pre-join; text never
+    shuffles."""
+    from mvrepair.operators.snapshot import snapshot_diff
+
+    return snapshot_diff(_docs(spark, sf_dir), _corpus_v2(spark, sf_dir))
+
+
+_ORACLE_CORPUS_DIFF = """
+WITH v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 1 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 2),
+o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+n AS (SELECT doc_id, md5(text) AS new_hash FROM v2)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN old_hash <> new_hash THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  old_hash, new_hash
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
+
+
 BPE_K = 30
 
 
@@ -2903,6 +2949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,  # twin: rare_tokens (same instance->bucket-freq->join->per-doc-rollup shape)
         "token_budget_fill": q_token_budget_fill,  # twin: text_quality (same gate expressions) + training_order (tiny-frame window prefix)
         "bpe_merges": q_bpe_merges,  # twin: heavy_hitters (explode->agg->top-k over the same token stream)
+        "corpus_diff": q_corpus_diff,  # twin: mv_classify (the same full-outer-join existence classification, digest diff)
     }
 
 
@@ -2986,4 +3033,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": _oracle_dsir_scores(),
         "token_budget_fill": _oracle_token_budget_fill(),
         "bpe_merges": _oracle_bpe_merges(),
+        "corpus_diff": _ORACLE_CORPUS_DIFF,
     }

@@ -122,6 +122,7 @@ def write_training_shards(
     key_col: str = "doc_id",
     n_shards: int = 64,
     max_records_per_file: int | None = None,
+    sort_col: str | None = None,
 ) -> None:
     """Write a curated corpus as hash-sharded parquet:
     ``<outdir>/shard=<k>/part-*.parquet``.
@@ -129,9 +130,20 @@ def write_training_shards(
     One shuffle on the shard id aligns tasks with output directories
     (each shard written by its owning tasks only); ``maxRecordsPerFile``
     splits oversized shards into bounded files without another shuffle.
+
+    ``sort_col`` additionally sorts rows WITHIN each shard's task before
+    writing (no extra shuffle — ``sortWithinPartitions`` is a local
+    sort).  Parquet then records tight, monotone min/max statistics for
+    that column per row group, so a later filtered scan on it skips
+    whole row groups instead of decoding them — the poor man's Z-order,
+    and at 100 TB the difference between reading a shard and reading a
+    few megabytes of it.
     """
     sharded = df.withColumn("shard", shard_id(F.col(key_col), n_shards))
-    writer = sharded.repartition("shard").write.mode("overwrite")
+    sharded = sharded.repartition("shard")
+    if sort_col is not None:
+        sharded = sharded.sortWithinPartitions("shard", sort_col)
+    writer = sharded.write.mode("overwrite")
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy("shard").parquet(outdir)

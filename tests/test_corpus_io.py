@@ -101,3 +101,41 @@ def test_read_training_shards_prunes_partitions(spark, tmp_path):
     assert set(
         r.shard for r in pruned.select("shard").distinct().collect()
     ) <= {1, 2}
+
+
+def test_sorted_shards_carry_monotone_rowgroup_stats(spark, tmp_path):
+    """sort_col produces per-row-group min/max stats that are tight and
+    monotone within each file — the property row-group skipping needs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 37 % 1999).alias("ts"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "sorted_shards")
+    C.write_training_shards(docs, out, n_shards=4, sort_col="ts")
+    checked = 0
+    for path in glob.glob(f"{out}/shard=*/part-*.parquet"):
+        md = pq.ParquetFile(path).metadata
+        ts_idx = md.schema.to_arrow_schema().names.index("ts")
+        prev_max = None
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ts_idx).statistics
+            assert st.min <= st.max
+            if prev_max is not None:
+                assert st.min >= prev_max  # monotone across row groups
+            prev_max = st.max
+            checked += 1
+    assert checked > 0
+    # and a filtered read pushes the predicate to the scan
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("ts") < 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(ts), LessThan(ts,10)]" in plan, plan

@@ -2194,3 +2194,44 @@ def test_bpe_merge_candidates_matches_model(spark):
     assert keys == sorted(keys)
     # 1-char words contribute nothing, and k truncates
     assert X.bpe_merge_candidates(df, k=3).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff: corpus version diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from mvrepair.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "brand new")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    # hashes are null exactly on the absent side
+    rows = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert rows[3]["new_hash"] is None and rows[3]["old_hash"] is not None
+    assert rows[4]["old_hash"] is None and rows[4]["new_hash"] is not None
+
+
+def test_snapshot_diff_never_shuffles_text(spark):
+    from mvrepair.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    new = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    plan = (
+        snapshot_diff(old, new)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # every Exchange input row must already be the (id, digest) projection
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, plan

@@ -362,6 +362,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "bpe_merges": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
                    "Generate": 2, "HashAggregate": 4, "Project": 1,
                    "TakeOrderedAndProject": 1},
+    # full-outer SMJ on the id with both sides pre-reduced to
+    # (id, digest) — text never shuffles; 2 of the exchanges are the
+    # fixture _spread repartitions
+    "corpus_diff": {"AdaptiveSparkPlan": 1, "Exchange": 5, "FileScan": 3,
+                    "Filter": 2, "Project": 4, "Sort": 2,
+                    "SortMergeJoin": 1, "Union": 1},
 }
 
 
