@@ -2507,6 +2507,44 @@ SELECT t.doc_id,
 FROM t LEFT JOIN per_doc USING (doc_id)"""
 
 
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key pre-flight: exact size-distribution + concentration
+    stats for events.user_id via the size-histogram reduction — the only
+    corpus-sized exchange is the per-key count; everything else windows
+    over the (distinct sizes)-row frame."""
+    from mvrepair.operators.sketch import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "events").select("user_id"), "user_id"
+    )
+
+
+_ORACLE_KEY_SKEW = """
+WITH c AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id),
+h AS (SELECT sz, count(*) AS k FROM c GROUP BY sz),
+x AS (SELECT sz, k,
+  sum(k) OVER (ORDER BY sz) AS cum,
+  sum(k) OVER (ORDER BY sz DESC) AS cumd,
+  sum(k) OVER () AS nk,
+  sum(sz * k) OVER () AS nr
+  FROM h),
+a AS (SELECT
+  max(nr) AS n_rows, max(nk) AS n_keys, max(sz) AS max_size,
+  min(CASE WHEN cum * 2 >= nk * 1 THEN sz END) AS p50_size,
+  min(CASE WHEN cum * 10 >= nk * 9 THEN sz END) AS p90_size,
+  min(CASE WHEN cum * 100 >= nk * 99 THEN sz END) AS p99_size,
+  sum(sz * least(k, greatest(10 - (cumd - k), 0))) AS top_rows
+  FROM x)
+SELECT 'n_rows' AS stat, n_rows::BIGINT AS value FROM a
+UNION ALL SELECT 'n_keys', n_keys::BIGINT FROM a
+UNION ALL SELECT 'max_size', max_size::BIGINT FROM a
+UNION ALL SELECT 'p50_size', p50_size::BIGINT FROM a
+UNION ALL SELECT 'p90_size', p90_size::BIGINT FROM a
+UNION ALL SELECT 'p99_size', p99_size::BIGINT FROM a
+UNION ALL SELECT 'top1_share_micro', (max_size * 1000000 // n_rows)::BIGINT FROM a
+UNION ALL SELECT 'top10_share_micro', (top_rows * 1000000 // n_rows)::BIGINT FROM a"""
+
+
 def _corpus_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic "next crawl" of documents: ids %10==0 dropped,
     %10==1 edited, copies of %10==2 re-ingested under new ids."""
@@ -2950,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_fill": q_token_budget_fill,  # twin: text_quality (same gate expressions) + training_order (tiny-frame window prefix)
         "bpe_merges": q_bpe_merges,  # twin: heavy_hitters (explode->agg->top-k over the same token stream)
         "corpus_diff": q_corpus_diff,  # twin: mv_classify (the same full-outer-join existence classification, digest diff)
+        "key_skew": q_key_skew,  # twin: token_quantiles (integer-position quantiles) + corpus_profile (one-scan aggregate)
     }
 
 
@@ -3034,4 +3073,5 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_fill": _oracle_token_budget_fill(),
         "bpe_merges": _oracle_bpe_merges(),
         "corpus_diff": _ORACLE_CORPUS_DIFF,
+        "key_skew": _ORACLE_KEY_SKEW,
     }

@@ -58,3 +58,96 @@ def kmv_distinct(
         F.max("h").alias("kth_min"),
         est.alias("est_distinct"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_keys: int = 10
+) -> DataFrame:
+    """Pre-flight skew diagnostics for a shuffle key: exact group-size
+    distribution stats, computed scalably and in pure integer arithmetic.
+
+    Before shuffling 100 TB on a key (a join, a groupBy, a repartition),
+    the question is always "how bad is the heaviest key?" — this answers
+    it without the naive global sort: group sizes reduce to a SIZE
+    HISTOGRAM (groupBy(size).count — output is #distinct-sizes rows, a
+    few thousand even at web scale), and every statistic is a window over
+    that tiny frame.  Two map-side-combinable aggregates total; the only
+    corpus-sized exchange is the per-key count itself.
+
+    Output (stat, value) rows, all int64:
+    ``n_rows``/``n_keys``/``max_size``; discrete type-1 quantiles of the
+    key-size distribution ``p50_size``/``p90_size``/``p99_size``
+    (``cum*den >= num*n_keys`` — the token_quantiles integer-position
+    convention, no float rounding anywhere); and concentration shares
+    ``top1_share_micro``/``top{K}_share_micro`` (micro-units, floor
+    division) — the fraction of ALL rows owned by the heaviest 1 / K
+    keys, i.e. the number that decides between a plain shuffle, AQE skew
+    handling, and salting.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("__sz"))
+    hist = counts.groupBy("__sz").agg(F.count(F.lit(1)).alias("__k"))
+    asc = Window.orderBy("__sz").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    desc = Window.orderBy(F.desc("__sz")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    h = hist.select(
+        "__sz",
+        "__k",
+        F.sum("__k").over(asc).alias("__cum"),
+        F.sum("__k").over(desc).alias("__cumd"),
+        F.sum("__k").over(tot).alias("__nk"),
+        F.sum(F.col("__sz") * F.col("__k")).over(tot).alias("__nr"),
+    )
+
+    def q(num: int, den: int) -> Column:
+        # smallest size whose cumulative key count reaches ceil(q*n_keys):
+        # cum >= ceil(num*nk/den)  <=>  cum*den >= num*nk  (integers)
+        return F.min(
+            F.when(
+                F.col("__cum") * den >= F.col("__nk") * num, F.col("__sz")
+            )
+        )
+
+    remaining = F.greatest(
+        F.lit(top_keys) - (F.col("__cumd") - F.col("__k")), F.lit(0)
+    )
+    agg = h.agg(
+        F.max("__nr").alias("n_rows"),
+        F.max("__nk").alias("n_keys"),
+        F.max("__sz").alias("max_size"),
+        q(1, 2).alias("p50_size"),
+        q(9, 10).alias("p90_size"),
+        q(99, 100).alias("p99_size"),
+        F.sum(
+            F.col("__sz") * F.least(F.col("__k"), remaining)
+        ).alias("__top_rows"),
+    )
+    stats = [
+        ("n_rows", F.col("n_rows")),
+        ("n_keys", F.col("n_keys")),
+        ("max_size", F.col("max_size")),
+        ("p50_size", F.col("p50_size")),
+        ("p90_size", F.col("p90_size")),
+        ("p99_size", F.col("p99_size")),
+        ("top1_share_micro", F.expr("max_size * 1000000 DIV n_rows")),
+        (
+            f"top{top_keys}_share_micro",
+            F.expr("__top_rows * 1000000 DIV n_rows"),
+        ),
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stat"), col.cast("long").alias("value")
+            )
+            for name, col in stats
+        ]
+    )
+    return agg.select(F.explode(arr).alias("__s")).select(
+        "__s.stat", "__s.value"
+    )

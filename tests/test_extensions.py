@@ -2235,3 +2235,40 @@ def test_snapshot_diff_never_shuffles_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, plan
+
+
+# ---------------------------------------------------------------------------
+# key_skew_profile: shuffle-key pre-flight diagnostics
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_profile_exact_on_known_distribution(spark):
+    from mvrepair.operators.sketch import key_skew_profile
+
+    # 1 key with 100 rows, 4 keys with 10 rows, 95 keys with 1 row
+    rows = (
+        [("hot",)] * 100
+        + [(f"warm{i}",) for i in range(4) for _ in range(10)]
+        + [(f"cold{i}",) for i in range(95)]
+    )
+    df = spark.createDataFrame(rows, ["k"])
+    got = {r["stat"]: r["value"] for r in key_skew_profile(df, "k").collect()}
+    n_rows, n_keys = 235, 100
+    assert got["n_rows"] == n_rows and got["n_keys"] == n_keys
+    assert got["max_size"] == 100
+    # sorted sizes: 95x1, 4x10, 1x100 -> type-1 quantiles at ceil(q*n)
+    assert got["p50_size"] == 1    # position 50
+    assert got["p90_size"] == 1    # position 90
+    assert got["p99_size"] == 10   # position 99
+    assert got["top1_share_micro"] == 100 * 1000000 // n_rows
+    # top-10 keys: the 100-row key + 4x10 + 5x1 = 145 rows
+    assert got["top10_share_micro"] == 145 * 1000000 // n_rows
+
+
+def test_key_skew_profile_uniform_distribution(spark):
+    from mvrepair.operators.sketch import key_skew_profile
+
+    df = spark.createDataFrame([(i % 20,) for i in range(200)], ["k"])
+    got = {r["stat"]: r["value"] for r in key_skew_profile(df, "k").collect()}
+    assert got["max_size"] == got["p50_size"] == 10
+    assert got["top1_share_micro"] == 10 * 1000000 // 200

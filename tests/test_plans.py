@@ -368,6 +368,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "corpus_diff": {"AdaptiveSparkPlan": 1, "Exchange": 5, "FileScan": 3,
                     "Filter": 2, "Project": 4, "Sort": 2,
                     "SortMergeJoin": 1, "Union": 1},
+    # only the per-key count exchange is corpus-sized; the 3 windows run
+    # over the size-HISTOGRAM frame (#distinct sizes rows)
+    "key_skew": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
+                 "Generate": 1, "HashAggregate": 6, "Project": 3,
+                 "Sort": 2, "Window": 3},
 }
 
 
