@@ -2591,6 +2591,54 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
 
 
+_V2_CORPUS_SQL = """SELECT doc_id,
+    CASE WHEN doc_id % 10 = 1 THEN text || ' updated' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 2"""
+
+
+def q_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH-index maintenance off a crawl diff: only the
+    changed/added delta is re-signed; removed/changed rows anti-join
+    out.  The oracle is the INVARIANT — the incrementally-updated index
+    must equal building the new snapshot's index from scratch.
+
+    In production the previous index and the diff are materialized
+    datasets read from storage; the eager localCheckpoints stand in for
+    those scans so the measured plan is the maintenance operator itself,
+    not a re-derivation of its inputs' lineage."""
+    v1 = _docs(spark, sf_dir)
+    v2 = _corpus_v2(spark, sf_dir)
+    from mvrepair.operators.snapshot import snapshot_diff
+
+    index = D.signature_bands(D.minhash_signatures(v1)).localCheckpoint()
+    diff = snapshot_diff(v1, v2).localCheckpoint()
+    return D.update_band_index(index, diff, v2)
+
+
+def _oracle_index_upsert() -> str:
+    p = D.MINHASH_P
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_idx,
+               concat_ws('_', {", ".join(f"sig_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND))}) AS band_sig
+        FROM sigs"""
+        for b in range(D.N_BANDS)
+    )
+    return f"""
+WITH corpus AS ({_V2_CORPUS_SQL}),
+tokens AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_SHINGLE_SQL}),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus)
+),
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs()} FROM tokens
+)
+{band_selects}"""
+
+
 BPE_K = 30
 
 
@@ -2989,6 +3037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,  # twin: heavy_hitters (explode->agg->top-k over the same token stream)
         "corpus_diff": q_corpus_diff,  # twin: mv_classify (the same full-outer-join existence classification, digest diff)
         "key_skew": q_key_skew,  # twin: token_quantiles (integer-position quantiles) + corpus_profile (one-scan aggregate)
+        "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape)
     }
 
 
@@ -3074,4 +3123,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _oracle_bpe_merges(),
         "corpus_diff": _ORACLE_CORPUS_DIFF,
         "key_skew": _ORACLE_KEY_SKEW,
+        "index_upsert": _oracle_index_upsert(),
     }

@@ -1032,3 +1032,43 @@ def span_dedup(
         nsp.alias("n_spans"),
         (nsp - F.size(kept).cast("long")).alias("n_removed"),
     )
+
+
+def update_band_index(
+    index: DataFrame,
+    diff: DataFrame,
+    new_corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Incrementally maintain an LSH band index from a snapshot diff —
+    the op that makes near-dup detection affordable on a re-crawl: only
+    the DELTA is re-signed, not the 100 TB corpus.
+
+    ``index`` is the previous snapshot's ``signature_bands`` output;
+    ``diff`` a ``snapshot_diff`` frame; ``new_corpus`` the new snapshot.
+    Removed/changed docs' rows leave the index via an anti-join on the
+    id; added/changed docs are re-signed from ``new_corpus`` (a
+    semi-join selects the delta — at typical refresh rates a broadcast)
+    and appended.  INVARIANT (the correctness oracle): the result equals
+    building the index from the new snapshot from scratch.
+
+    Scale shape: signature work is delta-sized; the anti/semi joins key
+    on the id (no text movement on the index side); the union is
+    planless concatenation.  The same pattern maintains any
+    id-keyed derived dataset (embeddings, fingerprints, stats) off one
+    diff.
+    """
+    stale = diff.filter(F.col("status").isin("removed", "changed")).select(
+        id_col
+    )
+    fresh = diff.filter(F.col("status").isin("added", "changed")).select(
+        id_col
+    )
+    kept = index.join(stale, id_col, "left_anti")
+    delta = new_corpus.join(fresh, id_col, "left_semi")
+    new_rows = signature_bands(
+        minhash_signatures(delta, text_col, id_col, n), id_col
+    )
+    return kept.unionByName(new_rows)

@@ -2272,3 +2272,44 @@ def test_key_skew_profile_uniform_distribution(spark):
     got = {r["stat"]: r["value"] for r in key_skew_profile(df, "k").collect()}
     assert got["max_size"] == got["p50_size"] == 10
     assert got["top1_share_micro"] == 10 * 1000000 // 200
+
+
+# ---------------------------------------------------------------------------
+# update_band_index: incremental LSH index maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_update_band_index_equals_full_rebuild(spark):
+    """The incremental invariant: anti-join stale + re-sign delta must
+    reproduce the from-scratch index of the new snapshot exactly."""
+    from mvrepair.operators.snapshot import snapshot_diff
+
+    v1 = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(8))) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    # drop ids 0-4, edit 5-9, keep 10-19, add 100-104
+    v2 = (
+        v1.filter(F.col("doc_id") >= 10)
+        .unionByName(
+            v1.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 10)).select(
+                "doc_id", F.concat(F.col("text"), F.lit(" edited")).alias("text")
+            )
+        )
+        .unionByName(
+            v1.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 100).alias("doc_id"), "text"
+            )
+        )
+    )
+    index_v1 = D.signature_bands(D.minhash_signatures(v1))
+    incremental = D.update_band_index(index_v1, snapshot_diff(v1, v2), v2)
+    full = D.signature_bands(D.minhash_signatures(v2))
+    key = ["doc_id", "band_idx", "band_sig"]
+    assert sorted(map(tuple, incremental.select(key).collect())) == sorted(
+        map(tuple, full.select(key).collect())
+    )
+    # and the delta actually was delta-sized: unchanged docs' rows come
+    # from the old index object, not a re-sign (same row values either
+    # way — verified above — so check the stale ids really left)
+    assert incremental.filter(F.col("doc_id") < 5).count() == 0

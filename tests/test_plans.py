@@ -373,6 +373,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "key_skew": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
                  "Generate": 1, "HashAggregate": 6, "Project": 3,
                  "Sort": 2, "Window": 3},
+    # the 4 bare Scans are the eager localCheckpoints standing in for the
+    # materialized index/diff a production run reads from storage; only
+    # the delta is re-signed (one Generate per band explode)
+    "index_upsert": {"AdaptiveSparkPlan": 1, "Exchange": 8, "FileScan": 2,
+                     "Filter": 5, "Generate": 2, "HashAggregate": 2,
+                     "Project": 9, "Scan": 4, "Sort": 6,
+                     "SortMergeJoin": 3, "Union": 2},
 }
 
 
