@@ -360,3 +360,96 @@ class TestSubstringDupStats:
             want_frac = dup / len(gs) if gs else 0.0
             assert r.dup_frac == pytest.approx(want_frac)
             assert r.mostly_dup == (want_frac >= 0.3 if gs else False)
+
+
+class TestSpanDedup:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.text(alphabet=st.sampled_from("ab c"), min_size=0, max_size=30),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_kept_spans_equal_distinct_span_values(self, spark, docs):
+        """Exactly one occurrence of every distinct span value survives:
+        sum(n_spans - n_removed) == |distinct full-span contents|."""
+        from mvrepair.operators.dedup import span_dedup
+
+        w = 3
+        df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+        rows = span_dedup(df, w=w).collect()
+        kept_total = sum(r["n_spans"] - r["n_removed"] for r in rows)
+        distinct_spans = set()
+        for d in docs:
+            toks = d.split(" ")
+            for i in range(len(toks) // w):
+                distinct_spans.add(" ".join(toks[i * w:(i + 1) * w]))
+        assert kept_total == len(distinct_spans)
+        # full model comparison (subsumes token conservation; avoids the
+        # ambiguity of parsing '' back into tokens)
+        occurrences: dict[str, tuple[int, int]] = {}
+        for did, d in enumerate(docs):
+            toks = d.split(" ")
+            for i in range(len(toks) // w):
+                occurrences.setdefault(
+                    " ".join(toks[i * w:(i + 1) * w]), (did, i)
+                )
+        for r in rows:
+            toks = docs[r["doc_id"]].split(" ")
+            nsp = len(toks) // w
+            kept_toks = [
+                t
+                for i in range(nsp)
+                if occurrences[" ".join(toks[i * w:(i + 1) * w])]
+                == (r["doc_id"], i)
+                for t in toks[i * w:(i + 1) * w]
+            ] + toks[nsp * w:]
+            assert r["clean_text"] == " ".join(kept_toks)
+
+
+class TestTokenBudgetFill:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                st.text(alphabet=st.sampled_from("the a of x"), min_size=1, max_size=30),
+            ),
+            min_size=1,
+            max_size=10,
+        ),
+        st.integers(min_value=1, max_value=40),
+    )
+    def test_budget_respected_and_greedy(self, spark, rows, budget):
+        from mvrepair.operators.sampling import token_budget_fill
+
+        data = [(i, grp, text) for i, (grp, text) in enumerate(rows)]
+        df = spark.createDataFrame(data, ["doc_id", "source", "text"])
+        got = token_budget_fill(df, budget=budget).collect()
+        # budget never exceeded per group
+        by_grp: dict[str, int] = {}
+        kept = set()
+        for r in got:
+            by_grp[r["source"]] = by_grp.get(r["source"], 0) + r["n_tokens"]
+            kept.add(r["doc_id"])
+        assert all(v <= budget for v in by_grp.values())
+        # greedy-prefix: matches the plain model exactly
+        def q(text):
+            toks = text.split(" ")
+            stop = {"the", "a", "of", "and", "to", "in", "is", "for"}
+            return (
+                (1 if 5 <= len(toks) <= 100000 else 0)
+                + (1 if any(t in stop for t in toks) else 0)
+                + (1 if len(set(toks)) / len(toks) > 0.2 else 0)
+            )
+        want = set()
+        for grp in {g for _, (g, _) in zip(range(len(rows)), rows)}:
+            run = 0
+            docs = [(i, q(t), len(t.split(" "))) for i, (g, t) in enumerate(rows) if g == grp]
+            for did, qs, n in sorted(docs, key=lambda d: (-d[1], d[0])):
+                if run + n > budget:
+                    break
+                run += n
+                want.add(did)
+        assert kept == want

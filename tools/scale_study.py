@@ -105,6 +105,40 @@ def main() -> None:
 
         return dsir_scores(df, F.col("lang") == "en", buckets=64)
 
+    def _key_skew_op(df):
+        from mvrepair.operators.sketch import key_skew_profile
+
+        return key_skew_profile(df, "source")
+
+    def _mutate(df):
+        # a "next crawl": ids %10==0 dropped, %10==1 edited, %10==2 re-added
+        kept = df.filter(F.col("doc_id") % 10 != 0).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 1,
+                F.concat(F.col("text"), F.lit(" updated")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        added = df.filter(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 500_000_000).alias("doc_id"), "text"
+        )
+        return kept.unionByName(added)
+
+    def _diff_op(df):
+        from mvrepair.operators.snapshot import snapshot_diff
+
+        return snapshot_diff(df, _mutate(df))
+
+    def _index_upsert_op(df):
+        from mvrepair.operators.snapshot import snapshot_diff
+
+        v2 = _mutate(df)
+        index = D.signature_bands(D.minhash_signatures(df)).localCheckpoint()
+        diff = snapshot_diff(df, v2).localCheckpoint()
+        return D.update_band_index(index, diff, v2)
+
     def _keep_best_op(df):
         # the shipped keep-best cost IS the cluster pipeline + argmax:
         # pairs -> components -> join with scores (cold, like the bench)
@@ -169,6 +203,16 @@ def main() -> None:
             True,
             _tbf,
         ),
+        # exact copies: the vocabulary (and thus the pair explode) stays
+        # constant — only the corpus word-freq pass grows with volume
+        "bpe_merges(copies)": (
+            True,
+            lambda df: X.bpe_merge_candidates(df),
+        ),
+        "key_skew(copies)": (True, _key_skew_op),
+        "corpus_diff(copies)": (True, _diff_op),
+        # full refresh pipeline: sign v1, diff v1/v2, maintain the index
+        "index_upsert(copies)": (True, _index_upsert_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
