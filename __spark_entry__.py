@@ -2591,6 +2591,64 @@ SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
 
 
+NB_BUCKETS = 64
+
+
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a multinomial Naive-Bayes language classifier on the corpus
+    and score every doc with it — train+infer as one declarative
+    pipeline.  Counting IS the training, so the whole model is exact
+    integers and the run hash-checks across engines; weights quantize to
+    micro-units per the bm25/dsir convention; one corpus token pass via
+    the dsir ReuseExchange pattern."""
+    from mvrepair.operators.nbayes import nb_train_classify
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    return nb_train_classify(d, buckets=NB_BUCKETS)
+
+
+def _oracle_nb_classify() -> str:
+    b = NB_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang AS lbl,
+    CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) % {b} AS bkt
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+        FROM documents)),
+db AS (SELECT doc_id, lbl, bkt, count(*) AS n FROM tok GROUP BY 1, 2, 3),
+cb AS (SELECT lbl, bkt, sum(n) AS ct FROM db GROUP BY 1, 2),
+cd AS (SELECT lang AS lbl, count(*) AS nd FROM documents GROUP BY 1),
+grid AS (SELECT lbl, i AS bkt FROM cd, unnest(range(0, {b})) AS u(i)),
+dense AS (
+  SELECT g.lbl, g.bkt, coalesce(ct, 0) AS ct
+  FROM grid g LEFT JOIN cb ON g.lbl = cb.lbl AND g.bkt = cb.bkt),
+w AS (
+  SELECT lbl AS c, bkt,
+    CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+        / (sum(ct) OVER (PARTITION BY lbl) + {b})) * 1000000) AS BIGINT) AS wm
+  FROM dense),
+pr AS (
+  SELECT lbl AS c,
+    CAST(floor(ln(CAST(nd AS DOUBLE) / (sum(nd) OVER ())) * 1000000)
+      AS BIGINT) AS prior
+  FROM cd),
+sc AS (
+  SELECT db.doc_id, w.c, sum(db.n * w.wm) AS s
+  FROM db JOIN w ON db.bkt = w.bkt GROUP BY 1, 2),
+post AS (
+  SELECT sc.doc_id, sc.c, (sc.s + pr.prior)::BIGINT AS post
+  FROM sc JOIN pr USING (c)),
+best AS (
+  SELECT doc_id, c, post,
+    row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, c ASC) AS rn
+  FROM post)
+SELECT bst.doc_id, bst.c AS pred, bst.post AS score_micro,
+       d.lang AS actual, bst.c = d.lang AS correct
+FROM best bst JOIN documents d USING (doc_id) WHERE rn = 1"""
+
+
 _V2_CORPUS_SQL = """SELECT doc_id,
     CASE WHEN doc_id % 10 = 1 THEN text || ' updated' ELSE text END AS text
   FROM documents WHERE doc_id % 10 <> 0
@@ -3038,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": q_corpus_diff,  # twin: mv_classify (the same full-outer-join existence classification, digest diff)
         "key_skew": q_key_skew,  # twin: token_quantiles (integer-position quantiles) + corpus_profile (one-scan aggregate)
         "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape)
+        "nb_classify": q_nb_classify,  # twin: dsir_scores (same one-pass token aggregate + broadcast weight table) + lang_scores (language ID)
     }
 
 
@@ -3124,4 +3183,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _ORACLE_CORPUS_DIFF,
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
+        "nb_classify": _oracle_nb_classify(),
     }

@@ -2313,3 +2313,55 @@ def test_update_band_index_equals_full_rebuild(spark):
     # from the old index object, not a re-sign (same row values either
     # way — verified above — so check the stale ids really left)
     assert incremental.filter(F.col("doc_id") < 5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# nb_train_classify: count-trained Naive Bayes (train + infer, one pipeline)
+# ---------------------------------------------------------------------------
+
+
+def test_nb_classifier_learns_separable_vocab(spark):
+    from mvrepair.operators.nbayes import nb_train_classify
+
+    rows = (
+        [(i, "roja verde azul amarillo", "es") for i in range(10)]
+        + [(100 + i, "red green blue yellow", "en") for i in range(10)]
+        + [(200 + i, "rouge vert bleu jaune", "fr") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = nb_train_classify(df, buckets=256).collect()
+    assert all(r["correct"] for r in out), out
+    assert len(out) == 30
+
+
+def test_nb_zero_count_bucket_gets_smoothed_penalty_not_zero(spark):
+    """A class that never saw a doc's vocabulary must be penalized via
+    add-one smoothing, not silently scored 0 for missing weight rows —
+    with only 2 'minor' docs vs 20 'major' docs, a zero-weight bug would
+    hand every minor doc to the majority class via its prior."""
+    from mvrepair.operators.nbayes import nb_train_classify
+
+    # minor tokens chosen collision-free vs the major vocabulary at
+    # B=4096 ('www' collides with a major bucket — a real 60-bit-hash
+    # birthday hit this test originally tripped over)
+    rows = [(i, "aaa bbb ccc ddd eee fff", "major") for i in range(20)] + [
+        (100, "zzz yyy xxx uuu", "minor"),
+        (101, "zzz yyy xxx vvv", "minor"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r["doc_id"]: r for r in nb_train_classify(df, buckets=4096).collect()}
+    assert got[100]["pred"] == "minor" and got[101]["pred"] == "minor"
+    assert all(got[i]["pred"] == "major" for i in range(20))
+
+
+def test_nb_majority_prior_on_signal_free_labels(spark):
+    """Labels carrying no vocabulary signal must collapse to the majority
+    prior — the honest NB answer (and what the synthetic sf corpus, whose
+    langs share one vocabulary, actually exercises)."""
+    from mvrepair.operators.nbayes import nb_train_classify
+
+    rows = [(i, "same words every time", "big" if i < 15 else "small")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = nb_train_classify(df, buckets=64).collect()
+    assert all(r["pred"] == "big" for r in out)

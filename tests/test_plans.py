@@ -380,6 +380,15 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                      "Filter": 5, "Generate": 2, "HashAggregate": 2,
                      "Project": 9, "Scan": 4, "Sort": 6,
                      "SortMergeJoin": 3, "Union": 2},
+    # train+infer in one plan: the (doc,label,bucket) aggregate feeds
+    # model build and scoring (ReuseExchange at runtime, asserted in
+    # test_extensions for dsir — same construction); argmax is a
+    # WindowGroupLimit over |classes| rows per doc
+    "nb_classify": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 4,
+                    "BroadcastHashJoin": 4, "Exchange": 13, "FileScan": 5,
+                    "Filter": 6, "Generate": 3, "HashAggregate": 12,
+                    "Project": 12, "Sort": 3, "Window": 3,
+                    "WindowGroupLimit": 2},
 }
 
 
