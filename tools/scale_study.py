@@ -105,6 +105,11 @@ def main() -> None:
 
         return dsir_scores(df, F.col("lang") == "en", buckets=64)
 
+    def _nb_op(df):
+        from mvrepair.operators.nbayes import nb_train_classify
+
+        return nb_train_classify(df, buckets=64)
+
     def _key_skew_op(df):
         from mvrepair.operators.sketch import key_skew_profile
 
@@ -213,6 +218,9 @@ def main() -> None:
         "corpus_diff(copies)": (True, _diff_op),
         # full refresh pipeline: sign v1, diff v1/v2, maintain the index
         "index_upsert(copies)": (True, _index_upsert_op),
+        # exact copies: class/bucket model stays constant-size; only the
+        # token pass and the per-doc scoring grow with volume
+        "nb_classify(copies)": (True, _nb_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
