@@ -2649,6 +2649,94 @@ SELECT bst.doc_id, bst.c AS pred, bst.post AS score_micro,
 FROM best bst JOIN documents d USING (doc_id) WHERE rn = 1"""
 
 
+def q_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming inference with a frozen model: the corpus trains an NB
+    language model once (persisted classes x buckets frames); a stream
+    of variant docs (ids +1e6, first token dropped) is scored per
+    micro-batch via ``foreachBatch`` — "score today's crawl with
+    yesterday's classifier".  On the drained stream the scores equal
+    batch ``nb_score`` of the variant corpus, which is what the oracle
+    computes."""
+    from mvrepair.operators.nbayes import nb_model, nb_score
+    from mvrepair.sources.parquet import load_stream
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    )
+    weights, priors = nb_model(d, buckets=NB_BUCKETS)
+    weights = weights.persist()
+    priors = priors.persist()
+    variants = load_stream(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    collected: list = []
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = nb_score(
+            _spread(batch_df), weights, priors, buckets=NB_BUCKETS
+        )
+        collected.extend(out.collect())
+
+    try:
+        query = (
+            variants.writeStream.foreachBatch(process)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        weights.unpersist()
+        priors.unpersist()
+    return spark.createDataFrame(
+        collected, "doc_id long, pred string, score_micro long"
+    )
+
+
+def _oracle_nb_stream() -> str:
+    b = NB_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT lang AS lbl,
+    CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) % {b} AS bkt
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tk FROM documents)),
+cb AS (SELECT lbl, bkt, count(*) AS ct FROM tok GROUP BY 1, 2),
+cd AS (SELECT lang AS lbl, count(*) AS nd FROM documents GROUP BY 1),
+grid AS (SELECT lbl, i AS bkt FROM cd, unnest(range(0, {b})) AS u(i)),
+dense AS (
+  SELECT g.lbl, g.bkt, coalesce(ct, 0) AS ct
+  FROM grid g LEFT JOIN cb ON g.lbl = cb.lbl AND g.bkt = cb.bkt),
+w AS (
+  SELECT lbl AS c, bkt,
+    CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
+        / (sum(ct) OVER (PARTITION BY lbl) + {b})) * 1000000) AS BIGINT) AS wm
+  FROM dense),
+pr AS (
+  SELECT lbl AS c,
+    CAST(floor(ln(CAST(nd AS DOUBLE) / (sum(nd) OVER ())) * 1000000)
+      AS BIGINT) AS prior
+  FROM cd),
+vtok AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) % {b} AS bkt
+  FROM (SELECT doc_id + 1000000 AS doc_id,
+               unnest(string_split(
+                 substr(text, instr(text, ' ') + 1), ' ')) AS tk
+        FROM documents)),
+db AS (SELECT doc_id, bkt, count(*) AS n FROM vtok GROUP BY 1, 2),
+sc AS (
+  SELECT db.doc_id, w.c, sum(db.n * w.wm) AS s
+  FROM db JOIN w ON db.bkt = w.bkt GROUP BY 1, 2),
+post AS (
+  SELECT sc.doc_id, sc.c, (sc.s + pr.prior)::BIGINT AS post
+  FROM sc JOIN pr USING (c)),
+best AS (
+  SELECT doc_id, c, post,
+    row_number() OVER (PARTITION BY doc_id ORDER BY post DESC, c ASC) AS rn
+  FROM post)
+SELECT doc_id, c AS pred, post AS score_micro FROM best WHERE rn = 1"""
+
+
 _V2_CORPUS_SQL = """SELECT doc_id,
     CASE WHEN doc_id % 10 = 1 THEN text || ' updated' ELSE text END AS text
   FROM documents WHERE doc_id % 10 <> 0
@@ -3097,6 +3185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,  # twin: token_quantiles (integer-position quantiles) + corpus_profile (one-scan aggregate)
         "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape)
         "nb_classify": q_nb_classify,  # twin: dsir_scores (same one-pass token aggregate + broadcast weight table) + lang_scores (language ID)
+        "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, checked batch-side)
     }
 
 
@@ -3184,4 +3273,5 @@ def oracle_sql() -> dict[str, str]:
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),
+        "nb_stream": _oracle_nb_stream(),
     }

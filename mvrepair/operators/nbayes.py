@@ -141,3 +141,112 @@ def nb_train_classify(
         F.col("__lbl").alias("actual"),
         (F.col("pred") == F.col("__lbl")).alias("correct"),
     )
+
+
+def nb_model(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the NB model alone: returns ``(weights, priors)`` frames —
+    (__c, __b, __w) micro-quantized log-likelihoods over the densified
+    class x bucket grid, and (__c, __prior).  Both are classes-sized:
+    persist + broadcast them to score any number of downstream frames
+    (the streaming scorer does exactly that).  Same arithmetic as
+    ``nb_train_classify``; that function keeps its own fused lineage so
+    its single-pass exchange reuse is undisturbed.
+    """
+    tok = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(
+        "__lbl",
+        F.coalesce(stable_hash64(F.col("__tok")) % buckets, F.lit(0)).alias(
+            "__b"
+        ),
+    )
+    class_bucket = tok.groupBy("__lbl", "__b").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    class_docs = df.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    grid = class_docs.select(
+        "__lbl",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__b"),
+    )
+    dense = grid.join(class_bucket, ["__lbl", "__b"], "left").select(
+        "__lbl", "__b", F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct")
+    )
+    per_class = Window.partitionBy("__lbl")
+    weights = dense.select(
+        F.col("__lbl").alias("__c"),
+        "__b",
+        F.floor(
+            F.log(
+                (F.col("__ct") + 1).cast("double")
+                / (F.sum("__ct").over(per_class) + buckets)
+            )
+            * 1000000
+        ).alias("__w"),
+    )
+    everything = Window.partitionBy()
+    priors = class_docs.select(
+        F.col("__lbl").alias("__c"),
+        F.floor(
+            F.log(
+                F.col("__nd").cast("double")
+                / F.sum("__nd").over(everything)
+            )
+            * 1000000
+        ).alias("__prior"),
+    )
+    return weights, priors
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Score documents against a frozen NB model: (id, pred,
+    score_micro).  Map-side token pass + broadcast model join + per-doc
+    |classes|-row argmax — the inference half of ``nb_train_classify``,
+    reusable per micro-batch against a persisted model.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(
+        id_col,
+        F.coalesce(stable_hash64(F.col("__tok")) % buckets, F.lit(0)).alias(
+            "__b"
+        ),
+    )
+    doc_bucket = tok.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    scores = (
+        doc_bucket.join(F.broadcast(weights), "__b")
+        .groupBy(id_col, "__c")
+        .agg(F.sum(F.col("__n") * F.col("__w")).alias("__s"))
+        .join(F.broadcast(priors), "__c")
+        .select(
+            id_col, "__c", (F.col("__s") + F.col("__prior")).alias("__post")
+        )
+    )
+    pick = Window.partitionBy(id_col).orderBy(
+        F.col("__post").desc(), F.col("__c").asc()
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(pick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__c").alias("pred"),
+            F.col("__post").alias("score_micro"),
+        )
+    )

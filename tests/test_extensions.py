@@ -2365,3 +2365,26 @@ def test_nb_majority_prior_on_signal_free_labels(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
     out = nb_train_classify(df, buckets=64).collect()
     assert all(r["pred"] == "big" for r in out)
+
+
+def test_nb_model_score_equals_fused_train_classify(spark):
+    """The split model/score pair must reproduce the fused pipeline's
+    predictions exactly (same arithmetic, different lineage shape)."""
+    from mvrepair.operators.nbayes import nb_model, nb_score, nb_train_classify
+
+    rows = (
+        [(i, "roja verde azul amarillo", "es") for i in range(6)]
+        + [(100 + i, "red green blue yellow", "en") for i in range(8)]
+        + [(200, "red verde blue amarillo", "en")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    fused = {
+        r["doc_id"]: (r["pred"], r["score_micro"])
+        for r in nb_train_classify(df, buckets=128).collect()
+    }
+    w, p = nb_model(df, buckets=128)
+    split = {
+        r["doc_id"]: (r["pred"], r["score_micro"])
+        for r in nb_score(df, w, p, buckets=128).collect()
+    }
+    assert fused == split

@@ -389,6 +389,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                     "Filter": 6, "Generate": 3, "HashAggregate": 12,
                     "Project": 12, "Sort": 3, "Window": 3,
                     "WindowGroupLimit": 2},
+    # foreachBatch streaming: the returned frame is the drained results
+    # table (bare local Scan); the per-microbatch scoring plan is
+    # nb_score — the algebra pinned via nb_classify
+    "nb_stream": {"Scan": 1},
 }
 
 
