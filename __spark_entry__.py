@@ -3024,6 +3024,33 @@ FROM j JOIN m ON j.cluster_id = m.cluster_id AND j.s = m.ms
 GROUP BY m.cluster_id, m.ms, m.n"""
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last step: materialize the surviving corpus
+    (cluster keepers + unclustered docs) — what actually ships to
+    training.  Clusters and keep decisions are localCheckpointed,
+    standing in for the materialized artifacts a production run reads
+    (the index_upsert convention), so the pinned plan is the two
+    anti-joins of the apply step itself."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(corpus, threshold=0.5)
+    try:
+        clusters = D.connected_components(pairs, corpus).localCheckpoint()
+    finally:
+        pairs.unpersist()
+    keepers = D.keep_best(clusters, X.quality_score(corpus)).localCheckpoint()
+    return D.apply_keep_decisions(corpus, clusters, keepers)
+
+
+def _oracle_dedup_apply() -> str:
+    # the components labeling covers EVERY node (singletons label
+    # themselves), so survivors == keep_ids exactly; the simpler
+    # semi-join form is equivalent for this query's inputs
+    return f"""
+WITH kb AS ({_oracle_keep_best()})
+SELECT d.doc_id, d.text FROM ({_NEARDUP_CORPUS_SQL}) d
+WHERE d.doc_id IN (SELECT keep_id FROM kb)"""
+
+
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline yield report over the duplicated corpus: survivor counts
     per curation stage (length band, quality gate, exact-dedup, gate+dedup)
@@ -3186,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape)
         "nb_classify": q_nb_classify,  # twin: dsir_scores (same one-pass token aggregate + broadcast weight table) + lang_scores (language ID)
         "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, checked batch-side)
+        "dedup_apply": q_dedup_apply,  # twin: dedup_keep_best (same upstream pipeline, checkpointed) + mv_repair_deletes (guarded anti-join shape)
     }
 
 
@@ -3274,4 +3302,5 @@ def oracle_sql() -> dict[str, str]:
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),
         "nb_stream": _oracle_nb_stream(),
+        "dedup_apply": _oracle_dedup_apply(),
     }

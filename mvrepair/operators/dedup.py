@@ -1072,3 +1072,32 @@ def update_band_index(
         minhash_signatures(delta, text_col, id_col, n), id_col
     )
     return kept.unionByName(new_rows)
+
+
+def apply_keep_decisions(
+    docs: DataFrame,
+    clusters: DataFrame,
+    keepers: DataFrame,
+    id_col: str = "doc_id",
+    keep_col: str = "keep_id",
+) -> DataFrame:
+    """Materialize the deduped corpus: drop every clustered document that
+    is not its cluster's canonical keeper; documents outside any cluster
+    pass through untouched.  The last step of the dedup pipeline — what
+    actually ships to training.
+
+    ``clusters`` is a ``connected_components`` labeling (id rows),
+    ``keepers`` a ``keep_best`` frame (its ``keep_col`` ids survive).
+    With the engine's own components labeling every node appears in
+    ``clusters`` (singletons label themselves), but the operator doesn't
+    assume that — a partial clustering drops only what it covers.
+
+    Scale shape: two anti-joins keyed on the id — the corpus text moves
+    only in the final semi/anti probe, never through an aggregate; the
+    drop-set (clustered non-keepers) is the small side and broadcasts at
+    typical dup rates.
+    """
+    drop = clusters.select(id_col).join(
+        keepers.select(F.col(keep_col).alias(id_col)), id_col, "left_anti"
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -2388,3 +2388,22 @@ def test_nb_model_score_equals_fused_train_classify(spark):
         for r in nb_score(df, w, p, buckets=128).collect()
     }
     assert fused == split
+
+
+def test_apply_keep_decisions_general_contract(spark):
+    """Non-clustered docs pass through; clustered non-keepers drop; a
+    PARTIAL clustering drops only what it covers."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 2), (3, 2)], ["doc_id", "cluster_id"]
+    )  # docs 4, 5 unclustered
+    keepers = spark.createDataFrame(
+        [(0, 0), (2, 2)], ["cluster_id", "keep_id"]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in D.apply_keep_decisions(docs, clusters, keepers).collect()
+    )
+    assert got == [0, 2, 4, 5]

@@ -393,6 +393,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # table (bare local Scan); the per-microbatch scoring plan is
     # nb_score — the algebra pinned via nb_classify
     "nb_stream": {"Scan": 1},
+    # two anti-joins over checkpointed cluster/keeper artifacts (the 4
+    # bare Scans); corpus text moves only through the final anti probe
+    "dedup_apply": {"AdaptiveSparkPlan": 1, "Exchange": 8, "FileScan": 2,
+                    "Filter": 4, "Project": 5, "Scan": 4, "Sort": 6,
+                    "SortMergeJoin": 4, "Union": 1},
 }
 
 
