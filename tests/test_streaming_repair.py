@@ -137,3 +137,45 @@ def test_cli_main_failure_exit_code(spark, capsys):
                "cass.mv.basetablename=b", "cass.mv.mvname=m"])
     assert rc == 1
     assert "failed" in capsys.readouterr().err
+
+
+def test_restart_from_checkpoint_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-restart: drain half the change stream, then restart the
+    sink from the SAME checkpoint with new source files present.  The
+    durable log must equal the full batch plan exactly — nothing lost
+    (the checkpoint resumed where it left off) and nothing duplicated
+    (phase-1 files are not re-emitted) — the guarantee that makes a
+    crashed incremental repair job safe to rerun at 100 TB."""
+    import glob
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = P.base_df(spark, sf_dir)
+
+    def _drop_file(df, name):
+        stage = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        [part] = glob.glob(f"{stage}/part-*.parquet")
+        shutil.copy(part, str(src / f"{name}.parquet"))
+
+    _drop_file(base.filter("o_orderkey % 2 = 0"), "h1")
+    schema = spark.read.parquet(str(src)).schema
+    out, ckpt = str(tmp_path / "cells"), str(tmp_path / "ckpt")
+
+    def _run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        cells = streaming_repair_upserts(stream, P.mv_df(spark, sf_dir), P.spec())
+        q = repair_cells_to_files(cells, out, ckpt)
+        q.awaitTermination()
+
+    _run_once()                                   # phase 1: half the changes
+    phase1 = len(spark.read.parquet(out).collect())
+    _drop_file(base.filter("o_orderkey % 2 = 1"), "h2")
+    _run_once()                                   # restart, same checkpoint
+
+    logged = spark.read.parquet(out).collect()
+    batch = _batch_plan_rows(spark, sf_dir)
+    assert _cells_set(logged) == _cells_set(batch)
+    assert len(logged) == len(batch)              # no duplicate re-emission
+    assert 0 < phase1 < len(batch)                # phase 1 really was partial
