@@ -1317,6 +1317,52 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank,
 FROM ranked WHERE rank <= 5"""
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality self-measurement: recall@5 of the IVF index against
+    the exact brute-force top-k, per query — the number that decides
+    n_probe/n_centroids retuning before anyone trusts the fast path.
+    Pure composition of the two existing pipelines + one id-keyed join;
+    recall ships as exact integer micro-units."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = S.cosine_topk(emb, queries, k=5)
+    ivf = S.ivf_topk(emb, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(ivf.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / 5)
+            .cast("long")
+            .alias("recall_micro"),
+        )
+    )
+
+
+def _oracle_ann_recall() -> str:
+    return f"""
+WITH brute AS ({_oracle_ann_topk()}),
+ivf AS ({_oracle_ann_ivf_topk()}),
+h AS (
+  SELECT b.query_id, count(*) AS n
+  FROM brute b JOIN ivf i
+    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+  coalesce(h.n, 0)::BIGINT AS n_hits,
+  (coalesce(h.n, 0) * 1000000 // 5)::BIGINT AS recall_micro
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN h USING (query_id)"""
+
+
 def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (first component negated, id+1e6).
 
@@ -3214,6 +3260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,  # twin: dsir_scores (same one-pass token aggregate + broadcast weight table) + lang_scores (language ID)
         "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, checked batch-side)
         "dedup_apply": q_dedup_apply,  # twin: dedup_keep_best (same upstream pipeline, checkpointed) + mv_repair_deletes (guarded anti-join shape)
+        "ann_recall": q_ann_recall,  # twin: ann_cosine_topk + ann_ivf_topk (pure composition of both checked pipelines + one id-keyed join)
     }
 
 
@@ -3303,4 +3350,5 @@ def oracle_sql() -> dict[str, str]:
         "nb_classify": _oracle_nb_classify(),
         "nb_stream": _oracle_nb_stream(),
         "dedup_apply": _oracle_dedup_apply(),
+        "ann_recall": _oracle_ann_recall(),
     }
