@@ -144,6 +144,15 @@ def main() -> None:
         diff = snapshot_diff(df, v2).localCheckpoint()
         return D.update_band_index(index, diff, v2)
 
+    def _apply_op(df):
+        pairs = D.ngram_jaccard_pairs(df, threshold=0.5)
+        try:
+            clusters = D.connected_components(pairs, df).localCheckpoint()
+        finally:
+            pairs.unpersist()
+        keepers = D.keep_best(clusters, X.quality_score(df)).localCheckpoint()
+        return D.apply_keep_decisions(df, clusters, keepers)
+
     def _keep_best_op(df):
         # the shipped keep-best cost IS the cluster pipeline + argmax:
         # pairs -> components -> join with scores (cold, like the bench)
@@ -221,6 +230,9 @@ def main() -> None:
         # exact copies: class/bucket model stays constant-size; only the
         # token pass and the per-doc scoring grow with volume
         "nb_classify(copies)": (True, _nb_op),
+        # prefixed: the apply step rides the keep-best pipeline's cost
+        # plus two anti-joins; dup density must stay constant per copy
+        "dedup_apply": (False, _apply_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
