@@ -453,3 +453,159 @@ class TestTokenBudgetFill:
                 run += n
                 want.add(did)
         assert kept == want
+
+
+class TestKeySkewProfile:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=8), min_size=1, max_size=60
+        )
+    )
+    def test_matches_python_model(self, spark, keys):
+        """Exact quantile/concentration stats vs a brute-force model on
+        random key multisets — pins the ceil-position cross-multiplication
+        and the partial-top-K accounting."""
+        import math
+        from collections import Counter
+
+        from mvrepair.operators.sketch import key_skew_profile
+
+        df = spark.createDataFrame([(k,) for k in keys], ["k"])
+        got = {
+            r["stat"]: r["value"]
+            for r in key_skew_profile(df, "k", top_keys=10).collect()
+        }
+        sizes = sorted(Counter(keys).values())
+        n_rows, n_keys = len(keys), len(sizes)
+
+        def q(frac_num, frac_den):
+            pos = -(-frac_num * n_keys // frac_den)  # ceil
+            return sizes[pos - 1]
+
+        top10 = sum(sorted(sizes, reverse=True)[:10])
+        assert got["n_rows"] == n_rows
+        assert got["n_keys"] == n_keys
+        assert got["max_size"] == sizes[-1]
+        assert got["p50_size"] == q(1, 2)
+        assert got["p90_size"] == q(9, 10)
+        assert got["p99_size"] == q(99, 100)
+        assert got["top1_share_micro"] == sizes[-1] * 1000000 // n_rows
+        assert got["top10_share_micro"] == top10 * 1000000 // n_rows
+
+
+class TestDsirScores:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.booleans(),
+                st.text(alphabet=st.sampled_from("ab cd"), min_size=1, max_size=20),
+            ),
+            min_size=1,
+            max_size=12,
+        ).filter(lambda rows: any(t for t, _ in rows))
+    )
+    def test_matches_python_model(self, spark, rows):
+        """dsir_micro vs a Python replica of the exact micro-quantized
+        log-likelihood-ratio arithmetic (same libm ln on the same
+        exact-integer ratios)."""
+        import math
+        from collections import Counter
+
+        from mvrepair.operators.sampling import dsir_scores
+
+        B = 16
+        data = [(i, text, "t" if is_t else "r") for i, (is_t, text) in enumerate(rows)]
+        df = spark.createDataFrame(data, ["doc_id", "text", "grp"])
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["dsir_micro"])
+            for r in dsir_scores(df, F.col("grp") == "t", buckets=B).collect()
+        }
+
+        def bucket(tok):
+            return _py_stable_hash64(tok) % B
+
+        cr, ct = Counter(), Counter()
+        for _, text, grp in data:
+            for tok in text.split(" "):
+                b = bucket(tok)
+                cr[b] += 1
+                if grp == "t":
+                    ct[b] += 1
+        tr, tt = sum(cr.values()), sum(ct.values())
+        w = {
+            b: math.floor(
+                (math.log((ct[b] + 1) / (tt + B)) - math.log((cr[b] + 1) / (tr + B)))
+                * 1000000
+            )
+            for b in cr
+        }
+        want = {}
+        for did, text, _ in data:
+            toks = text.split(" ")
+            want[did] = (len(toks), sum(w[bucket(t)] for t in toks))
+        assert got == want
+
+
+class TestNaiveBayes:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["x", "y"]),
+                st.text(alphabet=st.sampled_from("ab cd"), min_size=1, max_size=16),
+            ),
+            min_size=2,
+            max_size=10,
+        ).filter(lambda rows: len({g for g, _ in rows}) == 2)
+    )
+    def test_matches_python_model(self, spark, rows):
+        """Predictions + posterior micro-scores vs a Python replica of the
+        densified add-one NB arithmetic."""
+        import math
+        from collections import Counter
+
+        from mvrepair.operators.nbayes import nb_train_classify
+
+        B = 16
+        data = [(i, text, grp) for i, (grp, text) in enumerate(rows)]
+        df = spark.createDataFrame(data, ["doc_id", "text", "lang"])
+        got = {
+            r["doc_id"]: (r["pred"], r["score_micro"])
+            for r in nb_train_classify(df, buckets=B).collect()
+        }
+
+        def bucket(tok):
+            return _py_stable_hash64(tok) % B
+
+        classes = sorted({g for _, _, g in data})
+        ct = {c: Counter() for c in classes}
+        nd = Counter()
+        for _, text, grp in data:
+            nd[grp] += 1
+            for tok in text.split(" "):
+                ct[grp][bucket(tok)] += 1
+        n_docs = sum(nd.values())
+        w = {
+            c: {
+                b: math.floor(
+                    math.log((ct[c][b] + 1) / (sum(ct[c].values()) + B)) * 1000000
+                )
+                for b in range(B)
+            }
+            for c in classes
+        }
+        prior = {
+            c: math.floor(math.log(nd[c] / n_docs) * 1000000) for c in classes
+        }
+        want = {}
+        for did, text, _ in data:
+            posts = {
+                c: prior[c] + sum(w[c][bucket(t)] for t in text.split(" "))
+                for c in classes
+            }
+            # tie-break: highest post, then lexicographically SMALLEST class
+            best = sorted(classes, key=lambda c: (-posts[c], c))[0]
+            want[did] = (best, posts[best])
+        assert got == want
