@@ -144,6 +144,61 @@ def q_mv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_deletes(wide, P.spec(), base)
 
 
+def q_repair_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins compaction of the durable repair-cell log: a
+    superseding snapshot re-plans half the keys with bumped writetimes;
+    compaction keeps the winning cell per (MV key, column) via one
+    combine-friendly max_by(struct) — never a window — and reports how
+    many older cells each winner shadowed."""
+    from mvrepair.operators.repair import compact_repair_log
+
+    wide = classify(
+        P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), window=P.WINDOW
+    )
+    cells = plan_upserts(wide, P.spec())
+    bumped = cells.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_custkey",
+        "o_orderkey",
+        "column",
+        "column_type",
+        F.concat(F.lit("v2:"), F.coalesce(F.col("value"), F.lit(""))).alias(
+            "value"
+        ),
+        (F.col("writetime") + 1000).alias("writetime"),
+        "ttl",
+        "flavor",
+    )
+    return compact_repair_log(
+        cells.unionByName(bumped), ["o_custkey", "o_orderkey"]
+    )
+
+
+def _oracle_repair_log_compact() -> str:
+    order = """writetime IS NOT NULL DESC, writetime DESC,
+             value IS NOT NULL DESC, value DESC,
+             flavor IS NOT NULL DESC, flavor DESC,
+             ttl IS NOT NULL DESC, ttl DESC,
+             column_type IS NOT NULL DESC, column_type DESC"""
+    return f"""WITH {P.oracle_classified_cte()},
+cells AS ({_oracle_upsert_cells("cls")}),
+log AS (
+  SELECT * FROM cells
+  UNION ALL
+  SELECT o_custkey, o_orderkey, "column", column_type,
+         'v2:' || coalesce(value, '') AS value,
+         writetime + 1000 AS writetime, ttl, flavor
+  FROM cells WHERE o_orderkey % 2 = 0),
+r AS (
+  SELECT *,
+    count(*) OVER (PARTITION BY o_custkey, o_orderkey, "column") AS n,
+    row_number() OVER (PARTITION BY o_custkey, o_orderkey, "column"
+                       ORDER BY {order}) AS rn
+  FROM log)
+SELECT o_custkey, o_orderkey, "column", column_type, value, writetime,
+       ttl, flavor, (n - 1)::BIGINT AS n_superseded
+FROM r WHERE rn = 1"""
+
+
 def q_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     repaired = apply_repairs_file_mode(
         P.base_df(spark, sf_dir),
@@ -3261,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, checked batch-side)
         "dedup_apply": q_dedup_apply,  # twin: dedup_keep_best (same upstream pipeline, checkpointed) + mv_repair_deletes (guarded anti-join shape)
         "ann_recall": q_ann_recall,  # twin: ann_cosine_topk + ann_ivf_topk (pure composition of both checked pipelines + one id-keyed join)
+        "repair_log_compact": q_repair_log_compact,  # twin: mv_repair_upserts (same cell planner) + dedup_keep_best (max_by(struct) argmax agg)
     }
 
 
@@ -3351,4 +3407,5 @@ def oracle_sql() -> dict[str, str]:
         "nb_stream": _oracle_nb_stream(),
         "dedup_apply": _oracle_dedup_apply(),
         "ann_recall": _oracle_ann_recall(),
+        "repair_log_compact": _oracle_repair_log_compact(),
     }

@@ -268,3 +268,51 @@ def apply_repairs_file_mode(
                 out_cols.append(F.when(take_base, b).otherwise(m).alias(suffix_fn(c)))
 
     return wide.filter(keep).select(*out_cols)
+
+
+def compact_repair_log(
+    cells: DataFrame,
+    key_cols: list[str],
+    column_col: str = "column",
+) -> DataFrame:
+    """Compact a durable repair-cell log: keep the WINNING cell per
+    (MV key, column) — the step a long-running incremental repair needs
+    before applying, once restarts/retries and superseding snapshots have
+    appended multiple cells for the same target.
+
+    The winner is the max by (writetime, value, flavor, ttl,
+    column_type), each field preceded by a not-null flag so nulls lose
+    deterministically and ties are only possible between identical
+    payloads — replays of the same cell collapse without ambiguity,
+    later-writetime cells supersede earlier ones (exactly Cassandra's
+    own last-write-wins cell semantics, applied to the log).  Output
+    adds ``n_superseded``: how many older cells the winner shadowed.
+
+    Scale shape: one map-side-combinable ``max_by(struct)`` aggregate on
+    (key, column) — never a window sort; groups are per-cell-target and
+    tiny by construction, so there is no skew surface.
+    """
+    def flagged(c: str, null_sub) -> list[Column]:
+        return [
+            F.col(c).isNotNull().alias(f"{c}_nn"),
+            F.coalesce(F.col(c), F.lit(null_sub)).alias(f"{c}_v"),
+        ]
+
+    comp = F.struct(
+        *flagged("writetime", -(2 ** 62)),
+        *flagged("value", ""),
+        *flagged("flavor", ""),
+        *flagged("ttl", -1),
+        *flagged("column_type", ""),
+    )
+    payload = F.struct("column_type", "value", "writetime", "ttl", "flavor")
+    out = cells.groupBy(*key_cols, column_col).agg(
+        F.max_by(payload, comp).alias("__w"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return out.select(
+        *key_cols,
+        column_col,
+        "__w.*",
+        (F.col("__n") - 1).cast("long").alias("n_superseded"),
+    )

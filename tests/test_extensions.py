@@ -2407,3 +2407,35 @@ def test_apply_keep_decisions_general_contract(spark):
         for r in D.apply_keep_decisions(docs, clusters, keepers).collect()
     )
     assert got == [0, 2, 4, 5]
+
+
+def test_compact_repair_log_last_write_wins(spark):
+    from mvrepair.operators.repair import compact_repair_log
+
+    cells = spark.createDataFrame(
+        [
+            # replayed identical cell: collapses, 1 superseded
+            (1, "c1", "TEXT", "a", 100, None, "TIMESTAMP"),
+            (1, "c1", "TEXT", "a", 100, None, "TIMESTAMP"),
+            # later writetime wins over earlier
+            (2, "c1", "TEXT", "old", 100, None, "TIMESTAMP"),
+            (2, "c1", "TEXT", "new", 200, None, "TIMESTAMP"),
+            # null value loses to non-null at equal writetime
+            (3, "c1", "TEXT", None, 100, None, "TIMESTAMP"),
+            (3, "c1", "TEXT", "x", 100, None, "TIMESTAMP"),
+            # singleton passes through
+            (4, "c2", "TEXT", "solo", 50, 7, "TIMESTAMP"),
+        ],
+        "k long, column string, column_type string, value string, "
+        "writetime long, ttl int, flavor string",
+    )
+    got = {
+        (r["k"], r["column"]): (r["value"], r["writetime"], r["n_superseded"])
+        for r in compact_repair_log(cells, ["k"]).collect()
+    }
+    assert got == {
+        (1, "c1"): ("a", 100, 1),
+        (2, "c1"): ("new", 200, 1),
+        (3, "c1"): ("x", 100, 1),
+        (4, "c2"): ("solo", 50, 0),
+    }

@@ -406,6 +406,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                    "Generate": 1, "HashAggregate": 4, "Project": 21,
                    "Sort": 10, "SortMergeJoin": 2, "Window": 3,
                    "WindowGroupLimit": 6},
+    # last-write-wins compaction: one combine-friendly max_by(struct)
+    # agg (SortAggregate — struct comparators aren't hash-aggregable),
+    # never a window; upstream is the upserts planner run twice (union)
+    "repair_log_compact": {"AdaptiveSparkPlan": 1, "Exchange": 5,
+                           "FileScan": 6, "Filter": 6, "Generate": 2,
+                           "Project": 23, "Sort": 10, "SortAggregate": 10,
+                           "SortMergeJoin": 2, "Union": 3},
 }
 
 
