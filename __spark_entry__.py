@@ -1388,17 +1388,16 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    return (
-        brute.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / 5)
-            .cast("long")
-            .alias("recall_micro"),
-        )
+    # query-id spine comes from the cheap %50 filter, NOT from
+    # brute.select(...).distinct() — the latter would re-run the whole
+    # O(queries x corpus) brute-force scoring a second time
+    spine = queries.select(F.col("vec_id").alias("query_id"))
+    return spine.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / 5)
+        .cast("long")
+        .alias("recall_micro"),
     )
 
 
@@ -2493,11 +2492,14 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc USING (doc_id)"""
 
 
-# Fixture-aware rarity cut: the synthetic vocabulary is ~31 near-uniform
-# tokens (corpus count ~900 at sf0.01) plus exactly one genuinely rare
-# token (count ~26), so a threshold between those flags real docs on both
-# sides of the gate instead of degenerating to all-false.
-RARE_MAX, RARE_FRAC_MAX = 100, 0.02
+# Scale-aware rarity cut: the synthetic vocabulary is ~31 near-uniform
+# tokens (corpus count ~1.8 docs-worth each) plus one genuinely rare
+# token (~0.05 docs-worth), and BOTH scale linearly with corpus size —
+# so the threshold must too, or at any sf other than the one a constant
+# was tuned for the filter degenerates to all-false (exactly the failure
+# the sf0.1 gate would then never exercise).  n_docs/5 sits between the
+# two bands at every sf (sf0.01: 100; sf0.1: 1000).
+RARE_FRAC_MAX = 0.02
 
 
 def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2505,9 +2507,12 @@ def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc fraction of token instances whose corpus-wide count is below
     threshold, in exact integer arithmetic (log-prob sums are not
     engine-portable).  Tokens travel as 60-bit fingerprints; frequency
-    agg and instance join share one hash key."""
+    agg and instance join share one hash key.  The threshold scales with
+    the corpus (n_docs // 5; the oracle computes the same subquery)."""
+    d = _docs(spark, sf_dir)
+    rare_max = d.count() // 5
     return X.rare_token_profile(
-        _docs(spark, sf_dir), rare_max=RARE_MAX, rare_frac_max=RARE_FRAC_MAX
+        d, rare_max=rare_max, rare_frac_max=RARE_FRAC_MAX
     )
 
 
@@ -2521,7 +2526,7 @@ inst AS (
 freq AS (SELECT h, count(*) AS c FROM inst GROUP BY h),
 per_doc AS (
   SELECT doc_id, count(*) AS n_tokens,
-    coalesce(sum(CASE WHEN c <= {RARE_MAX} THEN 1 END), 0) AS n_rare,
+    coalesce(sum(CASE WHEN c <= (SELECT count(*) FROM documents) // 5 THEN 1 END), 0) AS n_rare,
     min(c) AS min_c
   FROM inst JOIN freq USING (h) GROUP BY doc_id),
 p AS (
@@ -2560,8 +2565,10 @@ s AS (
 c AS (SELECT label, list(m ORDER BY pos) AS cqv FROM s GROUP BY label),
 scored AS (
   SELECT e.vec_id, e.label,
-    CAST(floor({lip}(e.qv, c.cqv) / (sqrt({lip}(e.qv, e.qv)) *
-      sqrt({lip}(c.cqv, c.cqv))) * 1000000) AS BIGINT) AS cosine_micro
+    CASE WHEN sqrt({lip}(e.qv, e.qv)) * sqrt({lip}(c.cqv, c.cqv)) <> 0
+      THEN CAST(floor({lip}(e.qv, c.cqv) / (sqrt({lip}(e.qv, e.qv)) *
+        sqrt({lip}(c.cqv, c.cqv))) * 1000000) AS BIGINT)
+    END AS cosine_micro
   FROM emb e JOIN c USING (label))
 SELECT vec_id, label, cosine_micro, cosine_micro < 0 AS is_outlier
 FROM scored"""
@@ -2686,7 +2693,7 @@ n AS (SELECT doc_id, md5(text) AS new_hash FROM v2)
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
   CASE WHEN o.doc_id IS NULL THEN 'added'
        WHEN n.doc_id IS NULL THEN 'removed'
-       WHEN old_hash <> new_hash THEN 'changed'
+       WHEN old_hash IS DISTINCT FROM new_hash THEN 'changed'
        ELSE 'unchanged' END AS status,
   old_hash, new_hash
 FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"""
@@ -3216,7 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     multimodal).  Entries past position 50 are deliberate PLAN TWINS of
     an already-checked query (same physical plan shape, different
     parameters) — each one's twin is named in a comment — and remain
-    under the local gate (`tools/check_oracle.py` verifies all 74).
+    under the local gate (`tools/check_oracle.py` verifies all 86).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)

@@ -552,14 +552,24 @@ def connected_components(
     spark.conf.set(_AQE_CACHE_KEY, "true")
 
     # Reliable-checkpoint bookkeeping: Spark resolves setCheckpointDir to
-    # dir/<uuid> and writes each round under it as rdd-<id>; we snapshot
-    # the listing around each checkpoint() call to learn which entry is
-    # this round's, so the superseded round can be deleted through the
-    # Hadoop FileSystem API (works for hdfs:// and s3a:// dirs too).
+    # dir/<uuid> — a FRESH uuid per set call, so this invocation's rounds
+    # land in their own subdirectory — and writes each round under it as
+    # rdd-<id>; we snapshot the listing around each checkpoint() call to
+    # learn which entry is this round's, so the superseded round can be
+    # deleted through the Hadoop FileSystem API (works for hdfs:// and
+    # s3a:// dirs too).  LIMITATION: the checkpoint dir is
+    # SparkContext-GLOBAL, so a CONCURRENT df.checkpoint() from another
+    # thread of the same context lands in this uuid dir and its entry can
+    # be mis-attributed to our round and deleted — concurrent reliable
+    # checkpointing on one context must serialize (a Spark API
+    # constraint, not a choice here); deletion is restricted to rdd-*
+    # entries and the prior global dir is restored on exit.
     fs = jvm = ckpt_path = None
     prev_entries: set[str] = set()
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
         sc = spark.sparkContext
+        prev_ckpt_dir = sc.getCheckpointDir()
         sc.setCheckpointDir(checkpoint_dir)
         jvm = sc._jvm
         ckpt_path = jvm.org.apache.hadoop.fs.Path(sc.getCheckpointDir())
@@ -568,7 +578,11 @@ def connected_components(
     def _ckpt_entries() -> set[str]:
         if not fs.exists(ckpt_path):
             return set()
-        return {st.getPath().toString() for st in fs.listStatus(ckpt_path)}
+        return {
+            st.getPath().toString()
+            for st in fs.listStatus(ckpt_path)
+            if st.getPath().getName().startswith("rdd-")
+        }
 
     # no distinct(): duplicate edges are harmless under min-aggregation
     # and deduping them would cost an extra shuffle per build
@@ -673,6 +687,11 @@ def connected_components(
             spark.conf.unset(_AQE_CACHE_KEY)
         else:
             spark.conf.set(_AQE_CACHE_KEY, old)
+        # undo the global checkpoint-dir mutation (possible only when a
+        # prior dir existed — Spark has no unset; the uuid-subdir scheme
+        # keeps a lingering dir harmless either way)
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
 
 
 def containment_pairs(

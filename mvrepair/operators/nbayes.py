@@ -18,161 +18,39 @@ Model: for class c and hash bucket b (``stable_hash64(token) mod B``),
 
 score(doc,c) = prior(c) + Σ_tokens w(c, bucket(token)); predicted class
 is the argmax, ties broken to the lexicographically smallest class.
+
+The arithmetic lives ONCE, in the private builders below; the fused
+trainer (``nb_train_classify``), the standalone model
+(``nb_model``) and the reusable scorer (``nb_score``) all compose them,
+so the smoothing formula, quantization, and tie-break cannot
+desynchronize between the batch and streaming paths (whose oracle
+asserts they agree).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from mvrepair.functions import stable_hash64
 
 
-def nb_train_classify(
-    df: DataFrame,
-    label_col: str = "lang",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    buckets: int = 64,
-) -> DataFrame:
-    """Train a multinomial NB model on ``label_col`` and classify every
-    document with it, in one pipeline.
-
-    Output per doc: ``pred`` (argmax class), ``score_micro`` (winning
-    class's log-posterior in micro-units), ``actual`` (the training
-    label), ``correct``.
-
-    Scale shape: ONE corpus token pass — the (doc, label, bucket) counts
-    feed both the model build (re-aggregated by (label, bucket) —
-    classes x buckets rows, with totals via tiny-frame windows) and the
-    scoring join; Spark's ReuseExchange collapses the two consumers to a
-    single explode+aggregate, exactly the dsir_scores pattern.  The
-    model is a broadcast DataFrame (classes x buckets rows — no driver
-    artifact); scoring shuffles on (doc, class) where classes is a small
-    constant; the argmax is a per-doc window over |classes| rows.
-    """
-    tok = df.select(
-        F.col(id_col),
-        F.col(label_col).alias("__lbl"),
-        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
-    ).select(
-        id_col,
-        "__lbl",
-        # non-nullable bucket: keeps the two consumers' subplans
-        # identical so ReuseExchange fires (see dsir_scores)
-        F.coalesce(stable_hash64(F.col("__tok")) % buckets, F.lit(0)).alias(
-            "__b"
-        ),
-    )
-    doc_bucket = tok.groupBy(id_col, "__lbl", "__b").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-
-    # model build: per-(class, bucket) token counts + per-class totals.
-    # The grid is DENSIFIED over classes x all buckets: a class that never
-    # saw a bucket must score the smoothed zero-count penalty
-    # ln(1/(T+B)), not a silent 0 (= ln(1)!) from a missing join row.
-    class_bucket = doc_bucket.groupBy("__lbl", "__b").agg(
-        F.sum("__n").alias("__ct")
-    )
-    doc_labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
-    class_docs = doc_labels.groupBy("__lbl").agg(
-        F.count(F.lit(1)).alias("__nd")
-    )
-    grid = class_docs.select(
-        "__lbl",
-        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__b"),
-    )
-    dense = grid.join(class_bucket, ["__lbl", "__b"], "left").select(
-        "__lbl", "__b", F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct")
-    )
-    per_class = Window.partitionBy("__lbl")
-    weights = dense.select(
-        F.col("__lbl").alias("__c"),
-        "__b",
-        F.floor(
-            F.log(
-                (F.col("__ct") + 1).cast("double")
-                / (F.sum("__ct").over(per_class) + buckets)
-            )
-            * 1000000
-        ).alias("__w"),
-    )
-
-    # class priors from doc counts (a docs-sized agg, tiny output)
-    everything = Window.partitionBy()
-    priors = class_docs.select(
-        F.col("__lbl").alias("__c"),
-        F.floor(
-            F.log(
-                F.col("__nd").cast("double")
-                / F.sum("__nd").over(everything)
-            )
-            * 1000000
-        ).alias("__prior"),
-    )
-
-    # scoring: every doc against every class's weight row for its buckets
-    scores = (
-        doc_bucket.join(F.broadcast(weights), "__b")
-        .groupBy(id_col, "__c")
-        .agg(F.sum(F.col("__n") * F.col("__w")).alias("__s"))
-        .join(F.broadcast(priors), "__c")
-        .select(
-            id_col, "__c", (F.col("__s") + F.col("__prior")).alias("__post")
-        )
-    )
-    pick = Window.partitionBy(id_col).orderBy(
-        F.col("__post").desc(), F.col("__c").asc()
-    )
-    best = (
-        scores.withColumn("__rn", F.row_number().over(pick))
-        .filter(F.col("__rn") == 1)
-        .select(
-            id_col,
-            F.col("__c").alias("pred"),
-            F.col("__post").alias("score_micro"),
-        )
-    )
-    return best.join(doc_labels, id_col).select(
-        id_col,
-        "pred",
-        "score_micro",
-        F.col("__lbl").alias("actual"),
-        (F.col("pred") == F.col("__lbl")).alias("correct"),
-    )
+def _bucket_expr(tok_col: Column, buckets: int) -> Column:
+    # non-nullable bucket: keeps consumer subplans identical so
+    # ReuseExchange fires (see dsir_scores)
+    return F.coalesce(stable_hash64(tok_col) % buckets, F.lit(0))
 
 
-def nb_model(
-    df: DataFrame,
-    label_col: str = "lang",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    buckets: int = 64,
+def _model_frames(
+    class_bucket: DataFrame, class_docs: DataFrame, buckets: int
 ) -> tuple[DataFrame, DataFrame]:
-    """Train the NB model alone: returns ``(weights, priors)`` frames —
-    (__c, __b, __w) micro-quantized log-likelihoods over the densified
-    class x bucket grid, and (__c, __prior).  Both are classes-sized:
-    persist + broadcast them to score any number of downstream frames
-    (the streaming scorer does exactly that).  Same arithmetic as
-    ``nb_train_classify``; that function keeps its own fused lineage so
-    its single-pass exchange reuse is undisturbed.
+    """(weights, priors) from pre-aggregated (__lbl, __b, __ct) counts and
+    (__lbl, __nd) doc counts.
+
+    The grid is DENSIFIED over classes x all buckets: a class that never
+    saw a bucket must score the smoothed zero-count penalty ln(1/(T+B)),
+    not a silent 0 (= ln(1)!) from a missing join row.
     """
-    tok = df.select(
-        F.col(label_col).alias("__lbl"),
-        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
-    ).select(
-        "__lbl",
-        F.coalesce(stable_hash64(F.col("__tok")) % buckets, F.lit(0)).alias(
-            "__b"
-        ),
-    )
-    class_bucket = tok.groupBy("__lbl", "__b").agg(
-        F.count(F.lit(1)).alias("__ct")
-    )
-    class_docs = df.groupBy(F.col(label_col).alias("__lbl")).agg(
-        F.count(F.lit(1)).alias("__nd")
-    )
     grid = class_docs.select(
         "__lbl",
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__b"),
@@ -206,29 +84,14 @@ def nb_model(
     return weights, priors
 
 
-def nb_score(
-    df: DataFrame,
+def _score_best(
+    doc_bucket: DataFrame,
     weights: DataFrame,
     priors: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    buckets: int = 64,
+    id_col: str,
 ) -> DataFrame:
-    """Score documents against a frozen NB model: (id, pred,
-    score_micro).  Map-side token pass + broadcast model join + per-doc
-    |classes|-row argmax — the inference half of ``nb_train_classify``,
-    reusable per micro-batch against a persisted model.
-    """
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
-    ).select(
-        id_col,
-        F.coalesce(stable_hash64(F.col("__tok")) % buckets, F.lit(0)).alias(
-            "__b"
-        ),
-    )
-    doc_bucket = tok.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    """(id, pred, score_micro): broadcast-model scoring + per-doc argmax
+    over |classes| rows, ties to the lexicographically smallest class."""
     scores = (
         doc_bucket.join(F.broadcast(weights), "__b")
         .groupBy(id_col, "__c")
@@ -250,3 +113,102 @@ def nb_score(
             F.col("__post").alias("score_micro"),
         )
     )
+
+
+def nb_train_classify(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Train a multinomial NB model on ``label_col`` and classify every
+    document with it, in one pipeline.
+
+    Output per doc: ``pred`` (argmax class), ``score_micro`` (winning
+    class's log-posterior in micro-units), ``actual`` (the training
+    label), ``correct``.
+
+    Scale shape: ONE corpus token pass — the (doc, label, bucket) counts
+    feed both the model build (re-aggregated by (label, bucket) —
+    classes x buckets rows, with totals via tiny-frame windows) and the
+    scoring join; Spark's ReuseExchange collapses the two consumers to a
+    single explode+aggregate, exactly the dsir_scores pattern.  The
+    model is a broadcast DataFrame (classes x buckets rows — no driver
+    artifact); scoring shuffles on (doc, class) where classes is a small
+    constant; the argmax is a per-doc window over |classes| rows.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("__lbl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(
+        id_col, "__lbl", _bucket_expr(F.col("__tok"), buckets).alias("__b")
+    )
+    doc_bucket = tok.groupBy(id_col, "__lbl", "__b").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    class_bucket = doc_bucket.groupBy("__lbl", "__b").agg(
+        F.sum("__n").alias("__ct")
+    )
+    doc_labels = df.select(F.col(id_col), F.col(label_col).alias("__lbl"))
+    class_docs = doc_labels.groupBy("__lbl").agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    weights, priors = _model_frames(class_bucket, class_docs, buckets)
+    best = _score_best(doc_bucket, weights, priors, id_col)
+    return best.join(doc_labels, id_col).select(
+        id_col,
+        "pred",
+        "score_micro",
+        F.col("__lbl").alias("actual"),
+        (F.col("pred") == F.col("__lbl")).alias("correct"),
+    )
+
+
+def nb_model(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the NB model alone: returns ``(weights, priors)`` frames —
+    (__c, __b, __w) micro-quantized log-likelihoods over the densified
+    class x bucket grid, and (__c, __prior).  Both are classes-sized:
+    persist + broadcast them to score any number of downstream frames
+    (the streaming scorer does exactly that).  Same builders as
+    ``nb_train_classify`` — the arithmetic cannot drift between paths.
+    """
+    tok = df.select(
+        F.col(label_col).alias("__lbl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select("__lbl", _bucket_expr(F.col("__tok"), buckets).alias("__b"))
+    class_bucket = tok.groupBy("__lbl", "__b").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    class_docs = df.groupBy(F.col(label_col).alias("__lbl")).agg(
+        F.count(F.lit(1)).alias("__nd")
+    )
+    return _model_frames(class_bucket, class_docs, buckets)
+
+
+def nb_score(
+    df: DataFrame,
+    weights: DataFrame,
+    priors: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Score documents against a frozen NB model: (id, pred,
+    score_micro).  Map-side token pass + broadcast model join + per-doc
+    |classes|-row argmax — the inference half of ``nb_train_classify``,
+    reusable per micro-batch against a persisted model.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    ).select(id_col, _bucket_expr(F.col("__tok"), buckets).alias("__b"))
+    doc_bucket = tok.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__n"))
+    return _score_best(doc_bucket, weights, priors, id_col)

@@ -668,11 +668,16 @@ def label_outliers(
         1,
     )
     # same operation order as _pair_sim / the oracle: int dot -> double,
-    # divided by the (norm x norm) product
-    sim = _dot(F.col("__qv"), own["cqv"]).cast("double") / (
-        F.col("__norm") * own["cnorm"]
-    )
-    micro = F.floor(sim * 1_000_000).cast("long")
+    # divided by the (norm x norm) product.  A zero denominator (all-zero
+    # vector or degenerate centroid) has no defined cosine: emit NULL on
+    # both columns — Spark's 0/0 is NaN while DuckDB's is NULL, so an
+    # unguarded division would hash-diverge the moment a zero vector
+    # appears (and floor(NaN)->cast would smuggle garbage into the flag)
+    denom = F.col("__norm") * own["cnorm"]
+    sim = _dot(F.col("__qv"), own["cqv"]).cast("double") / denom
+    micro = F.when(
+        denom != 0, F.floor(sim * 1_000_000).cast("long")
+    ).otherwise(F.lit(None).cast("long"))
     return prepared.select(
         id_col,
         label_col,

@@ -35,13 +35,26 @@ def snapshot_diff(
     one snapshot delta is small).  Digesting is a map-side expression, so
     the whole diff is scan + scan + one join.
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("old_hash"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("new_hash"))
+    # presence is tracked with explicit flags, NOT digest nullness: a doc
+    # present on both sides with NULL text has md5(NULL)=NULL on both,
+    # which digest-nullness would misread as added/removed
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("old_hash"),
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("new_hash"),
+        F.lit(True).alias("__in_new"),
+    )
     j = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), "added")
-        .when(F.col("new_hash").isNull(), "removed")
-        .when(F.col("old_hash") != F.col("new_hash"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")), "changed"
+        )
         .otherwise("unchanged")
     )
     return j.select(

@@ -2439,3 +2439,17 @@ def test_compact_repair_log_last_write_wins(spark):
         (3, "c1"): ("x", 100, 1),
         (4, "c2"): ("solo", 50, 0),
     }
+
+
+def test_snapshot_diff_null_text_is_not_misclassified(spark):
+    """A doc present on BOTH sides with NULL text must classify from side
+    PRESENCE, not digest nullness (md5(NULL)=NULL on both sides used to
+    read as 'added')."""
+    from mvrepair.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, None), (3, "x")],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (2, "now set"), (3, None)],
+                                "doc_id long, text string")
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed"}

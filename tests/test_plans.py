@@ -398,14 +398,15 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "dedup_apply": {"AdaptiveSparkPlan": 1, "Exchange": 8, "FileScan": 2,
                     "Filter": 4, "Project": 5, "Scan": 4, "Sort": 6,
                     "SortMergeJoin": 4, "Union": 1},
-    # composes both checked ANN pipelines (the BNLJ pair is the labeled
-    # brute-force baseline) + one id-keyed hit join
-    "ann_recall": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 3,
-                   "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 2,
-                   "Exchange": 12, "FileScan": 6, "Filter": 9,
-                   "Generate": 1, "HashAggregate": 4, "Project": 21,
-                   "Sort": 10, "SortMergeJoin": 2, "Window": 3,
-                   "WindowGroupLimit": 6},
+    # composes both checked ANN pipelines (the single BNLJ is the labeled
+    # brute-force baseline) + one id-keyed hit join; the query-id spine
+    # comes from the cheap filter, so brute-force scoring runs ONCE
+    "ann_recall": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
+                   "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1,
+                   "Exchange": 11, "FileScan": 5, "Filter": 7,
+                   "Generate": 1, "HashAggregate": 2, "Project": 16,
+                   "Sort": 8, "SortMergeJoin": 2, "Window": 2,
+                   "WindowGroupLimit": 4},
     # last-write-wins compaction: one combine-friendly max_by(struct)
     # agg (SortAggregate — struct comparators aren't hash-aggregable),
     # never a window; upstream is the upserts planner run twice (union)
