@@ -1413,7 +1413,7 @@ h AS (
 SELECT q.query_id,
   coalesce(h.n, 0)::BIGINT AS n_hits,
   (coalesce(h.n, 0) * 1000000 // 5)::BIGINT AS recall_micro
-FROM (SELECT DISTINCT query_id FROM brute) q
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0) q
 LEFT JOIN h USING (query_id)"""
 
 
@@ -2508,11 +2508,11 @@ def q_rare_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold, in exact integer arithmetic (log-prob sums are not
     engine-portable).  Tokens travel as 60-bit fingerprints; frequency
     agg and instance join share one hash key.  The threshold scales with
-    the corpus (n_docs // 5; the oracle computes the same subquery)."""
-    d = _docs(spark, sf_dir)
-    rare_max = d.count() // 5
+    the corpus (n_docs div 5, computed IN-PLAN as a 1-row count
+    aggregate broadcast onto the frequency frame — no eager driver-side
+    count at construction; the oracle computes the same subquery)."""
     return X.rare_token_profile(
-        d, rare_max=rare_max, rare_frac_max=RARE_FRAC_MAX
+        _docs(spark, sf_dir), rare_max_div=5, rare_frac_max=RARE_FRAC_MAX
     )
 
 
@@ -3220,10 +3220,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries of this dict.  The first 50 therefore cover every distinct
     component family (reconcile/repair core, analytics, temporal joins,
     text, sampling, term stats, dedup, ANN, k-means, streaming,
-    multimodal).  Entries past position 50 are deliberate PLAN TWINS of
+    multimodal, plus the round-6 algebras: NB classifier, span removal,
+    DSIR, budget fill, snapshot diff, skew profile, dedup apply, log
+    compaction).  Entries past position 50 are deliberate PLAN TWINS of
     an already-checked query (same physical plan shape, different
     parameters) — each one's twin is named in a comment — and remain
     under the local gate (`tools/check_oracle.py` verifies all 86).
+    Round-7 rotation: the 8 genuinely-new round-6 algebras displaced 8
+    true plan twins (each demoted entry was driver-hash-green through
+    round 6 — CORRECTNESS_r06.json — and keeps a frozen plan
+    fingerprint + local-gate row past the window).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -3232,8 +3238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_report_text": q_mv_report_text,
         # repair planning/apply (O13-O15)
         "mv_repair_upserts": q_mv_upserts,
-        "mv_repair_deletes": q_mv_deletes,
         "mv_repair_apply": q_mv_apply,
+        "repair_log_compact": q_repair_log_compact,  # LWW durable-log compaction (r6 family, promoted r7)
         # analytics surface
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
@@ -3243,8 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lapsed_customers": q_lapsed_customers,
         # temporal joins (one per distinct join algorithm)
         "purchase_attribution": q_purchase_attribution,  # as-of join
-        "purchase_context": q_purchase_context,  # range join
-        "sessions_in_maintenance": q_sessions_in_maintenance,  # interval overlap
+        "sessions_in_maintenance": q_sessions_in_maintenance,  # range/interval overlap
         "event_sessions": q_event_sessions,  # sessionization
         # text analysis
         "text_stats": q_text_stats,
@@ -3259,17 +3264,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-sequence layout (packing + chunking)
         "pack_sequences": q_pack_sequences,
         "doc_chunks": q_doc_chunks,
+        # sampling / data selection (r6 families, promoted r7)
+        "token_budget_fill": q_token_budget_fill,
+        "dsir_scores": q_dsir_scores,
         # dedup
         "dedup_exact": q_dedup_exact,
         "distinct_docs_kmv": q_distinct_docs_kmv,
         "neardup_minhash": q_neardup_minhash,
-        "neardup_minhash_capped": q_neardup_minhash_capped,
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,  # r6 family, promoted r7
+        "span_dedup": q_span_dedup,  # r6 family, promoted r7
         "contamination_ngram": q_contamination_ngram,
+        # snapshot versioning + shuffle diagnostics + classification (r6, promoted r7)
+        "corpus_diff": q_corpus_diff,
+        "key_skew": q_key_skew,
+        "nb_classify": q_nb_classify,
         # similarity search + clustering
         "ann_cosine_topk": q_ann_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3279,15 +3291,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stream": q_dedup_exact_stream,
         "mv_classify_stream": q_mv_classify_stream,
         "mv_upserts_stream": q_mv_upserts_stream,
-        "events_latest_stream": q_events_latest_stream,
-        "sessions_stream": q_sessions_stream,
         "neardup_stream": q_neardup_stream,
         # multimodal
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_frames": q_multimodal_frames,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
+        # demoted in the round-7 rotation (driver-green through r6):
+        "mv_repair_deletes": q_mv_deletes,  # twin: mv_repair_apply (runs the same guarded anti-join delete probe as its first branch) + mv_repair_upserts (cell planner)
+        "purchase_context": q_purchase_context,  # twin: sessions_in_maintenance (same range-join physical strategy: non-equi conditions under an equi/broadcast join)
+        "neardup_minhash_capped": q_neardup_minhash_capped,  # twin: neardup_minhash (identical pipeline + a size-filter on buckets)
+        "ann_lsh_topk": q_ann_lsh_topk,  # twin: ann_ivf_topk (bucket-prune + in-bucket rerank, same TakeOrdered shape)
+        "events_latest_stream": q_events_latest_stream,  # twin: dedup_exact_stream (JVM-state keep-one-per-key streaming agg) + events_latest (batch result equality, local gate)
+        "sessions_stream": q_sessions_stream,  # twin: event_sessions (IDENTICAL oracle SQL — same session semantics, session_window streaming formulation)
+        "multimodal_features": q_multimodal_features,  # twin: multimodal_decode (same Arrow mapInPandas plumbing, feature projection instead of decode)
+        "multimodal_frames": q_multimodal_frames,  # twin: multimodal_decode (same Arrow mapInPandas plumbing, per-frame explode)
+        # pre-round-7 twins:
         "events_hourly": q_events_hourly,  # twin: events_hourly_stream (checked; same agg, batch formulation) + pricing_summary (plain groupBy agg family)
         "minhash_signatures": q_minhash_signatures,  # twin: neardup_minhash (runs the identical signature pipeline as its first stage)
         "events_latest": q_events_latest,  # twin: events_latest_stream (same keep-newest-per-key result, streaming formulation checked) + top_users_per_event (rank-window family)
@@ -3312,18 +3330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,  # twin: pack_sequences (same layout pipeline) + top_revenue_orders (sort family)
         "rare_tokens": q_rare_tokens,  # twin: substring_dupes (identical fingerprint->freq->join->rollup shape at n=1)
         "label_outliers": q_label_outliers,  # twin: kmeans_clusters (centroid-build agg + broadcast-literal map-side scoring)
-        "span_dedup": q_span_dedup,  # twin: substring_dupes (same fingerprint->min/freq->join shape) + doc_chunks (per-row token-slice rebuild)
-        "dsir_scores": q_dsir_scores,  # twin: rare_tokens (same instance->bucket-freq->join->per-doc-rollup shape)
-        "token_budget_fill": q_token_budget_fill,  # twin: text_quality (same gate expressions) + training_order (tiny-frame window prefix)
         "bpe_merges": q_bpe_merges,  # twin: heavy_hitters (explode->agg->top-k over the same token stream)
-        "corpus_diff": q_corpus_diff,  # twin: mv_classify (the same full-outer-join existence classification, digest diff)
-        "key_skew": q_key_skew,  # twin: token_quantiles (integer-position quantiles) + corpus_profile (one-scan aggregate)
-        "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape)
-        "nb_classify": q_nb_classify,  # twin: dsir_scores (same one-pass token aggregate + broadcast weight table) + lang_scores (language ID)
-        "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, checked batch-side)
-        "dedup_apply": q_dedup_apply,  # twin: dedup_keep_best (same upstream pipeline, checkpointed) + mv_repair_deletes (guarded anti-join shape)
+        "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape, driver-checked)
+        "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, driver-checked batch-side)
         "ann_recall": q_ann_recall,  # twin: ann_cosine_topk + ann_ivf_topk (pure composition of both checked pipelines + one id-keyed join)
-        "repair_log_compact": q_repair_log_compact,  # twin: mv_repair_upserts (same cell planner) + dedup_keep_best (max_by(struct) argmax agg)
     }
 
 

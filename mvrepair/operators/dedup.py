@@ -563,7 +563,13 @@ def connected_components(
     # be mis-attributed to our round and deleted — concurrent reliable
     # checkpointing on one context must serialize (a Spark API
     # constraint, not a choice here); deletion is restricted to rdd-*
-    # entries and the prior global dir is restored on exit.
+    # entries.  Exit-time restoration is APPROXIMATE: getCheckpointDir
+    # returns the RESOLVED dir/<uuid>, and Spark appends a fresh uuid on
+    # every set call (there is no API for the originally-configured
+    # path), so "restoring" re-roots future checkpoints under the OLD
+    # resolved path — correct behavior, but repeated invocations nest
+    # one uuid level deeper each time (dir/u1/u2/...).  Harmless: each
+    # level holds only rdd-* entries that their own invocation cleans.
     fs = jvm = ckpt_path = None
     prev_entries: set[str] = set()
     prev_ckpt_dir = None

@@ -732,6 +732,7 @@ def rare_token_profile(
     id_col: str = "doc_id",
     rare_max: int = 2,
     rare_frac_max: float = 0.5,
+    rare_max_div: int | None = None,
 ) -> DataFrame:
     """Corpus-frequency rarity profile — the exact-arithmetic stand-in for
     the CCNet perplexity filter (Wenzek et al. 2020): documents dominated
@@ -760,6 +761,14 @@ def rare_token_profile(
     hash key as that groupBy (one exchange, reused); the per-doc rollup
     keys on the doc id (no corpus-global skew).  Empty docs re-enter via
     a left join from the pruned id-only base scan.
+
+    ``rare_max_div``: when set, the threshold is corpus-scaled IN-PLAN
+    as ``n_docs div rare_max_div`` (exact integer division, so the
+    DuckDB twin's ``count(*) // div`` subquery matches bit-for-bit) via
+    a true scalar subquery (``DataFrame.scalar()``): Spark runs the
+    1-row count aggregate as a separate subquery stage and injects the
+    result as a literal — no eager driver-side count at construction,
+    no join node in the plan.  ``rare_max`` is ignored then.
     """
     from mvrepair.operators.dedup import shingles  # deferred: dedup imports text
 
@@ -768,13 +777,20 @@ def rare_token_profile(
         F.explode(shingles(F.col(text_col), 1)).alias("__t"),
     ).select(id_col, stable_hash64(F.col("__t")).alias("__h"))
     freq = inst.groupBy("__h").agg(F.count(F.lit(1)).alias("__c"))
+    if rare_max_div is not None:
+        rare_max_scalar = df.select(
+            F.expr(f"count(1) div {int(rare_max_div)}").alias("__rare_max")
+        ).scalar()
+        rare_cond = F.col("__c") <= rare_max_scalar
+    else:
+        rare_cond = F.col("__c") <= F.lit(rare_max)
     per_doc = (
         inst.join(freq, "__h")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.coalesce(
-                F.sum(F.when(F.col("__c") <= rare_max, F.lit(1))), F.lit(0)
+                F.sum(F.when(rare_cond, F.lit(1))), F.lit(0)
             ).alias("n_rare"),
             F.min("__c").alias("min_token_count"),
         )

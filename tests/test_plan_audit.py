@@ -11,10 +11,15 @@ present or future, may plan a scale-breaking node:
 - ``BroadcastNestedLoopJoin``: allowed only where a labeled design says
   so (the brute-force ANN baseline's broadcast crossJoin).
 
-Batch queries are audited at plan time (no execution); streaming-backed
-queries execute a micro-batch inside their query fn by construction, so
-the audit skips them here — their plans are pinned family-wise in
-test_plans.py and their batch twins are audited.
+Batch queries are audited at plan-CONSTRUCTION time — usually no
+execution, though some query fns legitimately run eager sub-steps while
+building the frame (label_outliers' centroid collect; index_upsert /
+dedup_apply localCheckpoints), so the audit itself may execute
+substantial jobs for those.  The audited object is always the FINAL
+frame's physical plan.  Streaming-backed queries execute a micro-batch
+inside their query fn by construction, so the audit skips them here —
+their plans are pinned family-wise in test_plans.py and their batch
+twins are audited.
 """
 
 from __future__ import annotations

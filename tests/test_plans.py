@@ -325,54 +325,24 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "training_order": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
                        "HashAggregate": 2, "Project": 2, "Sort": 2,
                        "Window": 1},
-    "rare_tokens": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
-                    "BroadcastHashJoin": 2, "Exchange": 5, "FileScan": 3,
-                    "Filter": 3, "Generate": 2, "HashAggregate": 4,
-                    "Project": 4},
+    # the corpus-scaled threshold is a true scalar subquery (r7 ADVICE
+    # fix: no more eager count job at plan construction); the plan
+    # string prints the subquery's own AdaptiveSparkPlan/scan/agg tree
+    # inline under each reference, hence the higher node counts
+    "rare_tokens": {"AdaptiveSparkPlan": 3, "BroadcastExchange": 2,
+                    "BroadcastHashJoin": 2, "Exchange": 9, "FileScan": 5,
+                    "Filter": 3, "Generate": 2, "HashAggregate": 8,
+                    "Project": 4, "Subquery": 2},
     # scoring is a pure map-side projection (scan + projects, no join/
     # shuffle); the centroid build runs eagerly at plan-build time and
     # is not part of this frame's plan
     "label_outliers": {"ColumnarToRow": 1, "FileScan": 1, "Project": 3},
-    # min(struct) canonical election is a SortAggregate (struct keys are
-    # not hash-aggregable), collect_list of kept indexes an
-    # ObjectHashAggregate — both expected, both map-side-combinable
-    "span_dedup": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
-                   "BroadcastHashJoin": 2, "Exchange": 5, "FileScan": 3,
-                   "Filter": 3, "Generate": 2, "ObjectHashAggregate": 2,
-                   "Project": 4, "Sort": 2, "SortAggregate": 2},
-    # the static plan shows the (doc,target,bucket) aggregate twice
-    # (FileScan 2); at runtime AQE's stage reuse collapses them to ONE
-    # corpus pass (ReusedExchange — asserted in test_extensions), and
-    # the empty-frame Window totals over exactly `buckets` rows
-    "dsir_scores": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
-                    "BroadcastHashJoin": 1, "Exchange": 7, "FileScan": 2,
-                    "Generate": 2, "HashAggregate": 8,
-                    "Project": 4, "Window": 1},
-    # 3 windows by design: 2 run over the (groups x 4)-row class frame
-    # (running class total; the static plan shows it per union branch),
-    # 1 over only the boundary class rows; the full-keep branch is a
-    # broadcast comparison with no sort of its own
-    "token_budget_fill": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
-                          "BroadcastHashJoin": 2, "Exchange": 9,
-                          "FileScan": 4, "Filter": 7, "HashAggregate": 4,
-                          "Project": 9, "Sort": 3, "Union": 1, "Window": 3},
     # word-freq agg (corpus pass) -> pair explode over DISTINCT words
     # only -> pair agg -> TakeOrderedAndProject; one of the 3 exchanges
     # is the fixture _spread repartition
     "bpe_merges": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
                    "Generate": 2, "HashAggregate": 4, "Project": 1,
                    "TakeOrderedAndProject": 1},
-    # full-outer SMJ on the id with both sides pre-reduced to
-    # (id, digest) — text never shuffles; 2 of the exchanges are the
-    # fixture _spread repartitions
-    "corpus_diff": {"AdaptiveSparkPlan": 1, "Exchange": 5, "FileScan": 3,
-                    "Filter": 2, "Project": 4, "Sort": 2,
-                    "SortMergeJoin": 1, "Union": 1},
-    # only the per-key count exchange is corpus-sized; the 3 windows run
-    # over the size-HISTOGRAM frame (#distinct sizes rows)
-    "key_skew": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
-                 "Generate": 1, "HashAggregate": 6, "Project": 3,
-                 "Sort": 2, "Window": 3},
     # the 4 bare Scans are the eager localCheckpoints standing in for the
     # materialized index/diff a production run reads from storage; only
     # the delta is re-signed (one Generate per band explode)
@@ -380,24 +350,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                      "Filter": 5, "Generate": 2, "HashAggregate": 2,
                      "Project": 9, "Scan": 4, "Sort": 6,
                      "SortMergeJoin": 3, "Union": 2},
-    # train+infer in one plan: the (doc,label,bucket) aggregate feeds
-    # model build and scoring (ReuseExchange at runtime, asserted in
-    # test_extensions for dsir — same construction); argmax is a
-    # WindowGroupLimit over |classes| rows per doc
-    "nb_classify": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 4,
-                    "BroadcastHashJoin": 4, "Exchange": 13, "FileScan": 5,
-                    "Filter": 6, "Generate": 3, "HashAggregate": 12,
-                    "Project": 12, "Sort": 3, "Window": 3,
-                    "WindowGroupLimit": 2},
     # foreachBatch streaming: the returned frame is the drained results
     # table (bare local Scan); the per-microbatch scoring plan is
-    # nb_score — the algebra pinned via nb_classify
+    # nb_score — the algebra checked via nb_classify (now in-window)
     "nb_stream": {"Scan": 1},
-    # two anti-joins over checkpointed cluster/keeper artifacts (the 4
-    # bare Scans); corpus text moves only through the final anti probe
-    "dedup_apply": {"AdaptiveSparkPlan": 1, "Exchange": 8, "FileScan": 2,
-                    "Filter": 4, "Project": 5, "Scan": 4, "Sort": 6,
-                    "SortMergeJoin": 4, "Union": 1},
     # composes both checked ANN pipelines (the single BNLJ is the labeled
     # brute-force baseline) + one id-keyed hit join; the query-id spine
     # comes from the cheap filter, so brute-force scoring runs ONCE
@@ -407,13 +363,51 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                    "Generate": 1, "HashAggregate": 2, "Project": 16,
                    "Sort": 8, "SortMergeJoin": 2, "Window": 2,
                    "WindowGroupLimit": 4},
-    # last-write-wins compaction: one combine-friendly max_by(struct)
-    # agg (SortAggregate — struct comparators aren't hash-aggregable),
-    # never a window; upstream is the upserts planner run twice (union)
-    "repair_log_compact": {"AdaptiveSparkPlan": 1, "Exchange": 5,
-                           "FileScan": 6, "Filter": 6, "Generate": 2,
-                           "Project": 23, "Sort": 10, "SortAggregate": 10,
-                           "SortMergeJoin": 2, "Union": 3},
+    # ---- demoted in the round-7 rotation (driver-green through r6) ----
+    # guarded anti-join delete probe + the upserts cell planner union;
+    # the same probe runs as mv_repair_apply's first branch (in-window)
+    "mv_repair_deletes": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                          "BroadcastHashJoin": 1, "Exchange": 2,
+                          "FileScan": 4, "Filter": 4, "Project": 11,
+                          "Sort": 4, "SortAggregate": 4,
+                          "SortMergeJoin": 1, "Union": 1},
+    # range join: non-equi ts bounds under the user_id equi-join — same
+    # physical strategy as sessions_in_maintenance (in-window)
+    "purchase_context": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                         "BroadcastHashJoin": 1, "Exchange": 2,
+                         "FileScan": 3, "Filter": 3, "Generate": 1,
+                         "HashAggregate": 2, "Project": 7, "Sort": 2,
+                         "SortMergeJoin": 1},
+    # identical pipeline to neardup_minhash (in-window) plus the bucket
+    # size cap; constructs eagerly (cached bucket frame), so the
+    # fingerprint pins the EXECUTED AQE plan incl. query-stage nodes
+    "neardup_minhash_capped": {
+        "AQEShuffleRead": 3, "AdaptiveSparkPlan": 8, "BroadcastExchange": 4,
+        "BroadcastHashJoin": 4, "BroadcastQueryStage": 2,
+        "CollectMetrics": 2, "ColumnarToRow": 12, "Exchange": 36,
+        "FileScan": 30, "Filter": 20, "Generate": 6, "HashAggregate": 8,
+        "InMemoryRelation": 7, "InMemoryTableScan": 7,
+        "ObjectHashAggregate": 4, "Project": 82, "ResultQueryStage": 7,
+        "ReusedExchange": 6, "ShuffleQueryStage": 21,
+        "TableCacheQueryStage": 3, "Union": 12},
+    # bucket-prune + in-bucket rerank, WindowGroupLimit top-k — same
+    # shape family as ann_ivf_topk (in-window)
+    "ann_lsh_topk": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                     "BroadcastHashJoin": 1, "Exchange": 3, "FileScan": 2,
+                     "Filter": 3, "Project": 6, "Sort": 2, "Window": 1,
+                     "WindowGroupLimit": 2},
+    # streaming queries return the drained results table; the stateful
+    # keep-newest agg runs under the stream (twin: dedup_exact_stream,
+    # in-window; batch twin events_latest under the local gate)
+    "events_latest_stream": {"LocalTableScan": 1, "Project": 1},
+    # session_window streaming formulation; shares event_sessions'
+    # oracle SQL verbatim (in-window)
+    "sessions_stream": {"LocalTableScan": 1},
+    # same Arrow mapInPandas plumbing as multimodal_decode (in-window)
+    "multimodal_features": {"AdaptiveSparkPlan": 1, "Exchange": 1,
+                            "FileScan": 1, "MapInPandas": 1, "Project": 1},
+    "multimodal_frames": {"AdaptiveSparkPlan": 1, "Exchange": 1,
+                          "FileScan": 1, "MapInPandas": 1, "Project": 1},
 }
 
 
