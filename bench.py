@@ -111,6 +111,7 @@ def main() -> None:
     only = set(sys.argv[1:])  # optional: bench just the named queries
     medians: dict[str, float] = {}
     minimums: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     n_jobs: dict[str, int] = {}
     tracker = sc.statusTracker()
     for name, fn in e.queries().items():
@@ -135,6 +136,10 @@ def main() -> None:
         sc.setJobGroup("bench:idle", "between queries")
         medians[name] = round(statistics.median(runs), 3)
         minimums[name] = round(min(runs), 3)
+        # raw per-repeat timings: WHICH repeat was slow is the first
+        # question every anomaly investigation asks (run 0 = inherits
+        # state from the previous query; runs 1+ = steady state)
+        raw_runs[name] = [round(r, 3) for r in runs]
         print(f"{name}: median {medians[name]}s min {minimums[name]}s "
               f"jobs {n_jobs[name]}", file=sys.stderr)
 
@@ -152,6 +157,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": medians,
                 "queries_min": minimums,
+                "queries_runs": raw_runs,
                 "n_jobs": n_jobs,
                 "sf": sf,
                 "n_runs": n_runs,
