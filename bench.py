@@ -145,8 +145,12 @@ def main() -> None:
 
     total = round(sum(medians.values()), 3)
     total_min = round(sum(minimums.values()), 3)
+    # A filtered run (query names on argv) must never masquerade as the
+    # headline artifact: it goes to a .partial.json path and is tagged,
+    # so bench_detail.json always holds a full-registry run.
+    detail_name = "bench_detail.partial.json" if only else "bench_detail.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -163,6 +167,8 @@ def main() -> None:
                 "n_runs": n_runs,
                 "cpus": int(cpus),
                 "cal_job_ms": cal_job_ms,
+                "partial": bool(only),
+                "queries_benched": sorted(medians),
             },
             f,
             indent=1,
@@ -173,7 +179,11 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "mvrepair headline queries wall time",
+                "metric": (
+                    "mvrepair PARTIAL queries wall time"
+                    if only
+                    else "mvrepair headline queries wall time"
+                ),
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
@@ -183,7 +193,7 @@ def main() -> None:
                 "n_queries": len(medians),
                 "total_min": total_min,
                 "queries": top,
-                "detail": "bench_detail.json",
+                "detail": detail_name,
             }
         )
     )

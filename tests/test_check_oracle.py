@@ -214,6 +214,13 @@ class TestRegistryOrderingContract:
         assert uncovered == [], (
             f"past-window queries with no in-window twin: {uncovered}"
         )
+        # ...and TWIN_OF keys must be exactly past-window entries: a key
+        # that was renamed, removed, or promoted back into the window
+        # would otherwise linger silently as dead coverage bookkeeping.
+        stale = set(self.TWIN_OF) - set(past)
+        assert not stale, (
+            f"TWIN_OF keys that are not past-window queries: {stale}"
+        )
 
     def test_every_query_has_an_oracle(self):
         # No documented-exemption allowlist: every registered query has a
