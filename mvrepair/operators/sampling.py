@@ -255,6 +255,7 @@ def token_budget_fill(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    bucket_width: int = 4096,
 ) -> DataFrame:
     """Fill a per-group token budget with the highest-quality documents —
     the final selection step of a pretraining data build ("take the best
@@ -267,16 +268,33 @@ def token_budget_fill(
 
     Scale shape: the naive formulation is a running-sum window over every
     row of a group — one task per group, a non-starter when one source is
-    half the corpus.  The quality score is a small integer (0-3), so the
-    prefix decomposes by CLASS: a tiny (groups x 4)-row aggregate of
-    per-class token totals + a running sum over THAT frame decides each
-    class as fully-kept / boundary / dropped; fully-kept classes pass
-    with a broadcast-join comparison (map-side, no sort), and only the
-    single boundary class per group pays a sort window — over its own
-    rows alone.  Equivalent to the naive prefix because every doc of a
-    higher class precedes every doc of a lower one in the greedy order.
+    half the corpus.  The prefix decomposes TWICE:
+
+    1. By CLASS — the quality score is a small integer (0-3), so a tiny
+       (groups x 4)-row aggregate of per-class token totals + a running
+       sum over THAT frame decides each class as fully-kept / boundary /
+       dropped; fully-kept classes pass with a broadcast-join comparison
+       (map-side, no sort).  Equivalent to the naive prefix because every
+       doc of a higher class precedes every doc of a lower one in the
+       greedy order.
+    2. By ID-RANGE BUCKET within the single boundary class — the id is
+       numeric, so ``id div bucket_width`` is an order-preserving,
+       sampling-free bucketing.  A per-(group, bucket) token-sum
+       aggregate + a running sum over the bucket frame (rows/width per
+       group, not rows per group) decides whole buckets map-side; ONLY
+       the one crossing bucket per group pays a row-level sort window,
+       over its own <= ``bucket_width`` docs.  The bucket join, the
+       bucket-frame window, and the crossing-bucket window all key on
+       (group, bucket), so the exchange is reused.  Exact: every row of
+       a bucket past the crossing bucket has running total above the
+       budget (token counts are non-negative), including 0-token docs.
+
+    Falls back to the single boundary-class window when the id column is
+    non-numeric (order-preserving bucketing needs a numeric id) or
+    ``bucket_width <= 1``.
     """
     from pyspark.sql.functions import broadcast
+    from pyspark.sql.types import NumericType
     from pyspark.sql.window import Window
 
     from mvrepair.operators.text import _quality_score_expr, tokenize
@@ -304,6 +322,47 @@ def token_budget_fill(
     boundary = tagged.filter(
         (F.col("__before") <= budget) & (F.col("__cum") > budget)
     )
+    id_numeric = isinstance(df.schema[id_col].dataType, NumericType)
+    if id_numeric and bucket_width > 1:
+        bkt = F.expr(f"`{id_col}` div {int(bucket_width)}").cast("long")
+        b = boundary.withColumn("__bkt", bkt)
+        per_bkt = b.groupBy(group_col, "__bkt").agg(
+            F.sum("n_tokens").alias("__bt")
+        )
+        wk = Window.partitionBy(group_col).orderBy(F.asc("__bkt")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        bkts = (
+            per_bkt.withColumn("__bcum", F.sum("__bt").over(wk))
+            .withColumn("__bbefore", F.col("__bcum") - F.col("__bt"))
+            .select(group_col, "__bkt", "__bcum", "__bbefore")
+        )
+        # no broadcast hint: the bucket frame is rows/width per group —
+        # small at test scale (AQE broadcasts it), but a web-scale
+        # boundary class can have 1e6+ buckets; a (group, bucket)-keyed
+        # shuffle join stays safe and its exchange is shared with the
+        # crossing-bucket window below.
+        bt = b.join(bkts, [group_col, "__bkt"])
+        remaining_hit = F.col("__before") + F.col("__bcum")
+        bfull = bt.filter(remaining_hit <= budget).select(*out_cols)
+        bedge = bt.filter(
+            (F.col("__before") + F.col("__bbefore") <= budget)
+            & (remaining_hit > budget)
+        )
+        wb = Window.partitionBy(group_col, "__bkt").orderBy(
+            F.asc(id_col)
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        partial = (
+            bedge.withColumn(
+                "__run",
+                F.col("__before")
+                + F.col("__bbefore")
+                + F.sum("n_tokens").over(wb),
+            )
+            .filter(F.col("__run") <= budget)
+            .select(*out_cols)
+        )
+        return full.unionByName(bfull).unionByName(partial)
     wb = Window.partitionBy(group_col).orderBy(F.asc(id_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -2168,6 +2168,58 @@ def test_token_budget_fill_budget_edges(spark):
     assert token_budget_fill(df, budget=1000).count() == 4
 
 
+def test_token_budget_fill_bucket_decomposition_matches_naive(spark):
+    # The second (id-range bucket) decomposition level must be invisible:
+    # any bucket_width gives the exact naive greedy prefix, including
+    # widths that split the boundary class across many buckets and the
+    # width-1 fallback (single boundary-class window).
+    from mvrepair.operators.sampling import token_budget_fill
+
+    rows = [
+        (i, "S", "the quick brown fox jumps over lazy dogs")  # q=3, 8 toks
+        for i in range(10)
+    ] + [
+        (i, "S", "y y y y y y y y")  # q=1, 8 toks: decided at class level
+        for i in range(10, 14)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    for budget in (7, 8, 20, 43, 80, 500):
+        want = _tbf_model(rows, budget)
+        for width in (1, 2, 3, 4096):
+            got = {
+                r["doc_id"]
+                for r in token_budget_fill(
+                    df, budget=budget, bucket_width=width
+                ).collect()
+            }
+            assert got == want, (budget, width, got, want)
+
+
+def test_token_budget_fill_no_group_sized_row_window(spark):
+    # Scale guard: the row-level running-sum window must be partitioned
+    # by (group, bucket), never by group alone — a boundary class the
+    # size of a web-scale source must not become one sort task.
+    from mvrepair.operators.sampling import token_budget_fill
+
+    df = spark.createDataFrame(
+        [(i, "S", "the a of and x y z w") for i in range(6)],
+        ["doc_id", "source", "text"],
+    )
+    plan = token_budget_fill(
+        df, budget=20, bucket_width=2
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    row_windows = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "n_tokens" in ln and "windowspecdefinition" in ln
+    ]
+    assert row_windows, "expected a row-level running-sum window"
+    for ln in row_windows:
+        assert "__bkt" in ln, f"row window not bucket-partitioned: {ln}"
+
+
 # ---------------------------------------------------------------------------
 # bpe_merge_candidates: tokenizer-induction merge statistics
 # ---------------------------------------------------------------------------

@@ -420,13 +420,14 @@ class TestTokenBudgetFill:
             max_size=10,
         ),
         st.integers(min_value=1, max_value=40),
+        st.sampled_from([1, 2, 3, 4096]),
     )
-    def test_budget_respected_and_greedy(self, spark, rows, budget):
+    def test_budget_respected_and_greedy(self, spark, rows, budget, width):
         from mvrepair.operators.sampling import token_budget_fill
 
         data = [(i, grp, text) for i, (grp, text) in enumerate(rows)]
         df = spark.createDataFrame(data, ["doc_id", "source", "text"])
-        got = token_budget_fill(df, budget=budget).collect()
+        got = token_budget_fill(df, budget=budget, bucket_width=width).collect()
         # budget never exceeded per group
         by_grp: dict[str, int] = {}
         kept = set()
