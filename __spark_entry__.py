@@ -2718,7 +2718,23 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_nb_classify() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
     b = NB_BUCKETS
+    w_sql = micro_log2_sql(
+        f"SELECT lbl AS c, bkt, CAST(ct + 1 AS DOUBLE)"
+        f" / (sum(ct) OVER (PARTITION BY lbl) + {b}) AS r FROM dense",
+        "r",
+        ["c", "bkt"],
+        "wm",
+    )
+    pr_sql = micro_log2_sql(
+        "SELECT lbl AS c, CAST(nd AS DOUBLE) / (sum(nd) OVER ()) AS r"
+        " FROM cd",
+        "r",
+        ["c"],
+        "prior",
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, lang AS lbl,
@@ -2732,16 +2748,8 @@ grid AS (SELECT lbl, i AS bkt FROM cd, unnest(range(0, {b})) AS u(i)),
 dense AS (
   SELECT g.lbl, g.bkt, coalesce(ct, 0) AS ct
   FROM grid g LEFT JOIN cb ON g.lbl = cb.lbl AND g.bkt = cb.bkt),
-w AS (
-  SELECT lbl AS c, bkt,
-    CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
-        / (sum(ct) OVER (PARTITION BY lbl) + {b})) * 1000000) AS BIGINT) AS wm
-  FROM dense),
-pr AS (
-  SELECT lbl AS c,
-    CAST(floor(ln(CAST(nd AS DOUBLE) / (sum(nd) OVER ())) * 1000000)
-      AS BIGINT) AS prior
-  FROM cd),
+w AS ({w_sql}),
+pr AS ({pr_sql}),
 sc AS (
   SELECT db.doc_id, w.c, sum(db.n * w.wm) AS s
   FROM db JOIN w ON db.bkt = w.bkt GROUP BY 1, 2),
@@ -2802,7 +2810,23 @@ def q_nb_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_nb_stream() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
     b = NB_BUCKETS
+    w_sql = micro_log2_sql(
+        f"SELECT lbl AS c, bkt, CAST(ct + 1 AS DOUBLE)"
+        f" / (sum(ct) OVER (PARTITION BY lbl) + {b}) AS r FROM dense",
+        "r",
+        ["c", "bkt"],
+        "wm",
+    )
+    pr_sql = micro_log2_sql(
+        "SELECT lbl AS c, CAST(nd AS DOUBLE) / (sum(nd) OVER ()) AS r"
+        " FROM cd",
+        "r",
+        ["c"],
+        "prior",
+    )
     return f"""
 WITH tok AS (
   SELECT lang AS lbl,
@@ -2814,16 +2838,8 @@ grid AS (SELECT lbl, i AS bkt FROM cd, unnest(range(0, {b})) AS u(i)),
 dense AS (
   SELECT g.lbl, g.bkt, coalesce(ct, 0) AS ct
   FROM grid g LEFT JOIN cb ON g.lbl = cb.lbl AND g.bkt = cb.bkt),
-w AS (
-  SELECT lbl AS c, bkt,
-    CAST(floor(ln(CAST(ct + 1 AS DOUBLE)
-        / (sum(ct) OVER (PARTITION BY lbl) + {b})) * 1000000) AS BIGINT) AS wm
-  FROM dense),
-pr AS (
-  SELECT lbl AS c,
-    CAST(floor(ln(CAST(nd AS DOUBLE) / (sum(nd) OVER ())) * 1000000)
-      AS BIGINT) AS prior
-  FROM cd),
+w AS ({w_sql}),
+pr AS ({pr_sql}),
 vtok AS (
   SELECT doc_id,
     CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) % {b} AS bkt
@@ -2974,7 +2990,17 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_dsir_scores() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
     b = DSIR_BUCKETS
+    w_sql = micro_log2_sql(
+        f"SELECT bkt, (CAST(ct + 1 AS DOUBLE) / (tt + {b}))"
+        f" / (CAST(cr + 1 AS DOUBLE) / (tr + {b})) AS r"
+        f" FROM counts CROSS JOIN tot",
+        "r",
+        ["bkt"],
+        "wm",
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, lang = 'en' AS t,
@@ -2986,12 +3012,7 @@ counts AS (
          coalesce(sum(CASE WHEN t THEN 1 END), 0) AS ct
   FROM tok GROUP BY bkt),
 tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM counts),
-w AS (
-  SELECT bkt,
-    CAST(floor((ln(CAST(ct + 1 AS DOUBLE) / (tt + {b}))
-              - ln(CAST(cr + 1 AS DOUBLE) / (tr + {b}))) * 1000000)
-      AS BIGINT) AS wm
-  FROM counts CROSS JOIN tot),
+w AS ({w_sql}),
 db AS (SELECT doc_id, bkt, count(*) AS n FROM tok GROUP BY doc_id, bkt)
 SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
        CAST(sum(n * wm) AS BIGINT) AS dsir_micro

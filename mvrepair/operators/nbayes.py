@@ -13,8 +13,16 @@ is a classifier whose training run is hash-checkable across engines.
 
 Model: for class c and hash bucket b (``stable_hash64(token) mod B``),
 
-    w(c,b)  = floor(1e6 * ln((ct[c,b]+1) / (T[c]+B)))     (add-one)
-    prior(c) = floor(1e6 * ln(n_docs[c] / n_docs))
+    w(c,b)  = mlog2((ct[c,b]+1) / (T[c]+B))     (add-one smoothing)
+    prior(c) = mlog2(n_docs[c] / n_docs)
+
+where ``mlog2`` is the cross-engine-EXACT quantized log2 of
+``mvrepair.functions.exactlog`` (2^20 fractional scale, ~the old 1e-6
+ln-micro resolution).  The first convention here — ``floor(1e6 *
+ln(ratio))`` — was measurably hash-flaky: Java ``Math.log`` and DuckDB
+libm ``log`` floor differently on ~1e-3 of boundary-adversarial count
+grids (see exactlog's module docstring); mlog2 composes only
+IEEE-correctly-rounded ops, so every engine quantizes identically.
 
 score(doc,c) = prior(c) + Σ_tokens w(c, bucket(token)); predicted class
 is the argmax, ties broken to the lexicographically smallest class.
@@ -48,9 +56,13 @@ def _model_frames(
     (__lbl, __nd) doc counts.
 
     The grid is DENSIFIED over classes x all buckets: a class that never
-    saw a bucket must score the smoothed zero-count penalty ln(1/(T+B)),
-    not a silent 0 (= ln(1)!) from a missing join row.
+    saw a bucket must score the smoothed zero-count penalty
+    mlog2(1/(T+B)), not a silent 0 (= mlog2(1)!) from a missing join
+    row.  The ratio is ONE correctly-rounded double division of exact
+    integers, so both engines hand micro_log2 the identical double.
     """
+    from mvrepair.functions.exactlog import micro_log2_df
+
     grid = class_docs.select(
         "__lbl",
         F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("__b"),
@@ -59,27 +71,30 @@ def _model_frames(
         "__lbl", "__b", F.coalesce(F.col("__ct"), F.lit(0)).alias("__ct")
     )
     per_class = Window.partitionBy("__lbl")
-    weights = dense.select(
-        F.col("__lbl").alias("__c"),
-        "__b",
-        F.floor(
-            F.log(
+    weights = micro_log2_df(
+        dense.select(
+            F.col("__lbl").alias("__c"),
+            "__b",
+            (
                 (F.col("__ct") + 1).cast("double")
                 / (F.sum("__ct").over(per_class) + buckets)
-            )
-            * 1000000
-        ).alias("__w"),
+            ).alias("__r"),
+        ),
+        F.col("__r"),
+        "__w",
+        ["__c", "__b"],
     )
     everything = Window.partitionBy()
-    priors = class_docs.select(
-        F.col("__lbl").alias("__c"),
-        F.floor(
-            F.log(
-                F.col("__nd").cast("double")
-                / F.sum("__nd").over(everything)
-            )
-            * 1000000
-        ).alias("__prior"),
+    priors = micro_log2_df(
+        class_docs.select(
+            F.col("__lbl").alias("__c"),
+            (
+                F.col("__nd").cast("double") / F.sum("__nd").over(everything)
+            ).alias("__r"),
+        ),
+        F.col("__r"),
+        "__prior",
+        ["__c"],
     )
     return weights, priors
 

@@ -170,16 +170,18 @@ def dsir_scores(
     Per hash bucket ``b`` (``stable_hash64(token) mod buckets``), the
     log-likelihood-ratio weight is
 
-        w(b) = ln((ct+1)/(Tt+B)) - ln((cr+1)/(Tr+B))
+        w(b) = mlog2( ((ct+1)/(Tt+B)) / ((cr+1)/(Tr+B)) )
 
     with ``ct``/``cr`` the target/raw token counts in the bucket,
-    ``Tt``/``Tr`` the totals, ``B`` the bucket count (add-one smoothing).
-    Weights are floor-quantized to int64 micro-units BEFORE the per-doc
-    sum (the bm25 convention: order-independent exact aggregation, and
-    the ln input is a ratio of exact integers so both engines feed libm
-    the same double).  Output per doc: ``n_tokens``,
-    ``dsir_micro`` (sum of its tokens' bucket weights) — resampling keeps
-    the high-score tail.
+    ``Tt``/``Tr`` the totals, ``B`` the bucket count (add-one smoothing),
+    and ``mlog2`` the cross-engine-EXACT quantized log2 of
+    ``mvrepair.functions.exactlog`` (2^20 scale).  Weights quantize to
+    int64 BEFORE the per-doc sum (the bm25 convention: order-independent
+    exact aggregation); the quantizer itself composes only IEEE-exact
+    ops, because the previous floor(ln*1e6) convention was MEASURED to
+    floor differently across Java/libm on boundary-adversarial grids.
+    Output per doc: ``n_tokens``, ``dsir_micro`` (sum of its tokens'
+    bucket weights) — resampling keeps the high-score tail.
 
     Scale shape: ONE corpus token pass — both distributions and the
     scoring pass derive from the same per-(doc, bucket) aggregate, whose
@@ -229,15 +231,32 @@ def dsir_scores(
         "__ct",
         F.sum("__cr").over(everything).alias("__tr"),
         F.sum("__ct").over(everything).alias("__tt"),
-    ).select(
-        "__b",
-        F.floor(
+    )
+    # weight = mlog2 of the likelihood RATIO: the target and raw unigram
+    # ratios are each one correctly-rounded double division of exact
+    # integers, their quotient a third — so both engines hand the
+    # cross-engine-exact quantizer (mvrepair.functions.exactlog, which
+    # replaced the measurably hash-flaky floor(ln*1e6) convention) the
+    # identical double.
+    from mvrepair.functions.exactlog import micro_log2_df
+
+    weights = micro_log2_df(
+        weights.select(
+            "__b",
             (
-                F.log((F.col("__ct") + 1).cast("double") / (F.col("__tt") + buckets))
-                - F.log((F.col("__cr") + 1).cast("double") / (F.col("__tr") + buckets))
-            )
-            * 1000000
-        ).alias("__w"),
+                (
+                    (F.col("__ct") + 1).cast("double")
+                    / (F.col("__tt") + buckets)
+                )
+                / (
+                    (F.col("__cr") + 1).cast("double")
+                    / (F.col("__tr") + buckets)
+                )
+            ).alias("__r"),
+        ),
+        F.col("__r"),
+        "__w",
+        ["__b"],
     )
     return (
         doc_bucket.join(broadcast(weights), "__b")

@@ -508,12 +508,12 @@ class TestDsirScores:
         ).filter(lambda rows: any(t for t, _ in rows))
     )
     def test_matches_python_model(self, spark, rows):
-        """dsir_micro vs a Python replica of the exact micro-quantized
-        log-likelihood-ratio arithmetic (same libm ln on the same
-        exact-integer ratios)."""
-        import math
+        """dsir_micro vs a Python replica of the micro-quantized
+        log-likelihood-ratio arithmetic — py_micro_log2 composes only
+        IEEE-exact float ops, so the model is EXACT, not same-libm."""
         from collections import Counter
 
+        from mvrepair.functions.exactlog import py_micro_log2
         from mvrepair.operators.sampling import dsir_scores
 
         B = 16
@@ -536,9 +536,8 @@ class TestDsirScores:
                     ct[b] += 1
         tr, tt = sum(cr.values()), sum(ct.values())
         w = {
-            b: math.floor(
-                (math.log((ct[b] + 1) / (tt + B)) - math.log((cr[b] + 1) / (tr + B)))
-                * 1000000
+            b: py_micro_log2(
+                ((ct[b] + 1) / (tt + B)) / ((cr[b] + 1) / (tr + B))
             )
             for b in cr
         }
@@ -563,10 +562,10 @@ class TestNaiveBayes:
     )
     def test_matches_python_model(self, spark, rows):
         """Predictions + posterior micro-scores vs a Python replica of the
-        densified add-one NB arithmetic."""
-        import math
+        densified add-one NB arithmetic (exact py_micro_log2 model)."""
         from collections import Counter
 
+        from mvrepair.functions.exactlog import py_micro_log2
         from mvrepair.operators.nbayes import nb_train_classify
 
         B = 16
@@ -590,16 +589,12 @@ class TestNaiveBayes:
         n_docs = sum(nd.values())
         w = {
             c: {
-                b: math.floor(
-                    math.log((ct[c][b] + 1) / (sum(ct[c].values()) + B)) * 1000000
-                )
+                b: py_micro_log2((ct[c][b] + 1) / (sum(ct[c].values()) + B))
                 for b in range(B)
             }
             for c in classes
         }
-        prior = {
-            c: math.floor(math.log(nd[c] / n_docs) * 1000000) for c in classes
-        }
+        prior = {c: py_micro_log2(nd[c] / n_docs) for c in classes}
         want = {}
         for did, text, _ in data:
             posts = {
@@ -610,3 +605,105 @@ class TestNaiveBayes:
             best = sorted(classes, key=lambda c: (-posts[c], c))[0]
             want[did] = (best, posts[best])
         assert got == want
+
+
+class TestMicroLog2CrossEngine:
+    """Boundary-adversarial verification of the exactlog convention that
+    replaced floor(ln(ratio)*1e6) in nb_classify / dsir_scores.
+
+    History: the original ln-micro convention was tested here against
+    count grids tuned (via continued-fraction convergents of
+    exp(k*1e-6)) to land within ~1 ulp of a floor boundary — and FAILED:
+    10 of ~11k grids floored differently in Spark (Java Math.log) vs
+    DuckDB (libm log), e.g. ln(268159373/6065685)*1e6 → 3788933 vs
+    3788934.  micro_log2 composes only IEEE-correctly-rounded ops, so
+    the same adversarial construction (now also aimed at the log2
+    quantization boundaries 2^(k/2^20)) must agree EXACTLY across
+    Spark, DuckDB, and the plain-Python model — on every grid, not
+    statistically.
+    """
+
+    @staticmethod
+    def _boundary_pairs() -> list[tuple[int, int]]:
+        import math
+        import random
+        from fractions import Fraction
+
+        from mvrepair.functions.exactlog import SCALE
+
+        rng = random.Random(0xB0FF)
+        pairs: list[tuple[int, int]] = []
+        seen: set[tuple[int, int]] = set()
+        targets: list[float] = []
+        # old-convention boundaries (exp(k/1e6)) — where libm ln was
+        # observed to diverge — plus the new convention's own
+        # quantization boundaries (2^(k/2^20))
+        for k in rng.sample(range(-14_000_000, 14_000_000), 1400):
+            if k:
+                targets.append(math.exp(k * 1e-6))
+        for k in rng.sample(range(-40 * SCALE, 40 * SCALE), 1400):
+            if k:
+                targets.append(2.0 ** (k / SCALE))
+        for r in targets:
+            fr = Fraction(r)  # exactly the double
+            for dmax in (10**3, 10**5, 10**7, 10**9, 10**11, 10**12):
+                c = fr.limit_denominator(dmax)
+                a, b = c.numerator, c.denominator
+                # keep counts int64-exact as doubles
+                if a < 1 or a > 2**50 or b > 2**50 or (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                pairs.append((a, b))
+        return pairs
+
+    def test_micro_log2_agrees_across_spark_duckdb_python(self, spark):
+        import duckdb
+
+        from mvrepair.functions.exactlog import (
+            micro_log2_df,
+            micro_log2_sql,
+            py_micro_log2,
+        )
+
+        pairs = self._boundary_pairs()
+        assert len(pairs) >= 10_000, len(pairs)
+        model = {(a, b): py_micro_log2(a / b) for a, b in pairs}
+
+        df = spark.createDataFrame(pairs, ["a", "b"])
+        got_spark = {
+            (r["a"], r["b"]): r["w"]
+            for r in micro_log2_df(
+                df, F.col("a").cast("double") / F.col("b"), "w", ["a", "b"]
+            ).collect()
+        }
+        mism = {p: (model[p], got_spark[p]) for p in model if model[p] != got_spark[p]}
+        assert not mism, f"{len(mism)} spark-vs-model divergences: {list(mism.items())[:5]}"
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE g(a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO g VALUES (?, ?)", pairs)
+        sql = micro_log2_sql(
+            "SELECT a, b, CAST(a AS DOUBLE)/b AS r FROM g", "r", ["a", "b"], "w"
+        )
+        got_duck = {(a, b): w for a, b, w in con.execute(sql).fetchall()}
+        mism = {p: (model[p], got_duck[p]) for p in model if model[p] != got_duck[p]}
+        assert not mism, f"{len(mism)} duckdb-vs-model divergences: {list(mism.items())[:5]}"
+
+    def test_micro_log2_is_monotone_and_anchored(self, spark):
+        # quantization sanity on exact powers of two and monotonicity on
+        # a sorted ratio sweep — accuracy is secondary to cross-engine
+        # equality, but the ranking NB/dsir consume must be preserved
+        import math
+        import random
+
+        from mvrepair.functions.exactlog import SCALE, py_micro_log2
+
+        for k in range(-60, 61):
+            assert py_micro_log2(2.0**k) == k * SCALE
+        rng = random.Random(3)
+        xs = sorted(math.exp(rng.uniform(-40, 40)) for _ in range(5000))
+        ws = [py_micro_log2(x) for x in xs]
+        assert all(w1 <= w2 for w1, w2 in zip(ws, ws[1:]))
+        # resolution: within 2 quantization steps of true log2
+        for x, w in zip(xs, ws):
+            assert abs(w / SCALE - math.log2(x)) < 2.0 / SCALE * SCALE / SCALE + 2e-6
