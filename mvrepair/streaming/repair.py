@@ -23,6 +23,10 @@ Sinks:
 - ``repair_cells_foreach_batch``: per-microbatch callback for the imperative
   edge (the token-bucket CQL executor in ``mvrepair.sources.cassandra``) —
   same seam the batch applier uses.
+- ``compact_and_apply_log``: the batch tail of the durable-log workflow —
+  LWW-compact the accumulated cell log (restarts/retries/superseding
+  snapshots append duplicates) and hand the applier exactly one winning
+  cell per target, with ``n_superseded`` stats for the saved mutations.
 
 Delete repair stays batch-only BY DESIGN: MISSING_IN_BASE_TABLE (orphan)
 detection needs the full base-side key set, which a base-change stream
@@ -34,7 +38,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mvrepair.config import SyncSettings
@@ -88,6 +92,54 @@ def repair_cells_to_files(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_and_apply_log(
+    spark,
+    log_path: str,
+    key_cols: list[str],
+    apply_fn: Callable[[DataFrame], None] | None = None,
+    column_col: str = "column",
+) -> tuple[DataFrame, dict]:
+    """The documented pre-apply step of the durable-log workflow:
+    ``repair_cells_to_files`` log ──▶ COMPACT ──▶ apply.
+
+    A long-running incremental repair appends to the cell log across
+    restarts, retries, and superseding snapshots, so the same (MV key,
+    column) target accumulates multiple cells.  Applying the raw log
+    works (explicit-writetime upserts are idempotent and LWW-converge in
+    Cassandra) but wastes one mutation per superseded cell and re-sends
+    stale values; compacting first (``compact_repair_log`` — one
+    map-side-combinable ``max_by`` aggregate, never a window) applies
+    exactly one winning cell per target, with Cassandra's own
+    last-write-wins semantics decided engine-side.
+
+    ``apply_fn`` receives the compacted plan in the exact
+    ``plan_upserts`` schema (the ``n_superseded`` bookkeeping column
+    dropped) — pass the file-mode rewriter or a closure over
+    ``sources.cassandra.apply_repairs_cassandra``.  Returns the
+    compacted plan plus a stats dict: ``n_log_cells`` (raw log rows),
+    ``n_applied`` (winning cells), ``n_superseded`` (shadowed rows =
+    the mutation traffic compaction saved).  The stats come from the
+    compacted frame itself (a bounded aggregate, no second log scan).
+    """
+    from mvrepair.operators.repair import compact_repair_log
+
+    cells = spark.read.parquet(log_path)
+    compacted = compact_repair_log(cells, key_cols, column_col)
+    plan = compacted.drop("n_superseded")
+    if apply_fn is not None:
+        apply_fn(plan)
+    [row] = compacted.agg(
+        F.count(F.lit(1)).alias("n_applied"),
+        F.coalesce(F.sum("n_superseded"), F.lit(0)).alias("n_superseded"),
+    ).collect()
+    stats = {
+        "n_applied": row["n_applied"],
+        "n_superseded": row["n_superseded"],
+        "n_log_cells": row["n_applied"] + row["n_superseded"],
+    }
+    return plan, stats
 
 
 def repair_cells_foreach_batch(

@@ -179,3 +179,61 @@ def test_restart_from_checkpoint_resumes_exactly_once(spark, sf_dir, tmp_path):
     assert _cells_set(logged) == _cells_set(batch)
     assert len(logged) == len(batch)              # no duplicate re-emission
     assert 0 < phase1 < len(batch)                # phase 1 really was partial
+
+
+def test_compact_and_apply_log_replayed_retries(spark, sf_dir, tmp_path):
+    """The durable-log workflow e2e: stream plans cells -> applier appends
+    them to a durable log -> the job RESTARTS with a lost checkpoint and
+    replays every delivery -> a later superseding snapshot appends a
+    newer cell for one target.  compact_and_apply_log must hand the
+    applier exactly one winning cell per (MV key, column) — the applied
+    mutation set equals the compacted one, replays collapse, the newer
+    writetime wins, and the stats account for every shadowed row."""
+    from mvrepair.streaming.repair import compact_and_apply_log
+
+    log = str(tmp_path / "log")
+
+    def log_writer(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(log)
+
+    for ck in ("ck1", "ck2"):  # second run = retry replay, fresh checkpoint
+        cells = streaming_repair_upserts(
+            P.base_stream_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec()
+        )
+        q = repair_cells_foreach_batch(
+            cells, log_writer, checkpoint=str(tmp_path / ck)
+        )
+        q.awaitTermination()
+
+    batch = _batch_plan_rows(spark, sf_dir)
+    assert batch, "fixture must produce at least one repair cell"
+    # a superseding snapshot later emits a NEWER cell for one target
+    target = sorted(
+        batch, key=lambda r: (r["o_custkey"], r["o_orderkey"], r["column"])
+    )[0]
+    newer = dict(target.asDict())
+    newer["writetime"] = (newer["writetime"] or 0) + 10_000_000
+    newer["value"] = "__superseding__"
+    log_schema = spark.read.parquet(log).schema
+    spark.createDataFrame([newer], log_schema).write.mode("append").parquet(log)
+
+    applied: list[tuple] = []
+
+    def apply_fn(plan_df):
+        assert "n_superseded" not in plan_df.columns
+        applied.extend(_cells_set(plan_df.collect()))
+
+    plan, stats = compact_and_apply_log(
+        spark, log, ["o_custkey", "o_orderkey"], apply_fn
+    )
+    compacted = _cells_set(plan.collect())
+    assert set(applied) == compacted
+    # expected: the deduped batch plan with the superseded target replaced
+    want = (_cells_set(batch) - {tuple(target[c] for c in CELL_COLS)}) | {
+        tuple(newer[c] for c in CELL_COLS)
+    }
+    assert compacted == want
+    # stats: 2 deliveries of every cell + 1 superseding cell
+    assert stats["n_log_cells"] == 2 * len(batch) + 1
+    assert stats["n_applied"] == len(batch)
+    assert stats["n_superseded"] == len(batch) + 1
