@@ -3229,6 +3229,87 @@ SELECT stream, seq_id, n_docs, seq_tokens,
 FROM s ORDER BY shuffle_key, stream, seq_id"""
 
 
+# ---------------------------------------------------------------------------
+# round-8 families: record linkage, basket mining, transition matrix
+# ---------------------------------------------------------------------------
+
+
+def q_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by name: every customer pair within Levenshtein
+    distance 1 — deletion-variant (FastSS) blocking, exact for d=1, with
+    a final exact levenshtein verify.  The engine runs the sub-quadratic
+    variant-fingerprint self-join; the oracle brute-forces the O(n²)
+    comparison, so the gate proves the blocking loses no pairs."""
+    from mvrepair.operators.linkage import fuzzy_pairs
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(c, name_col="c_name", id_col="c_custkey", max_dist=1)
+
+
+def _oracle_name_linkage() -> str:
+    return """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1"""
+
+
+BASKET_TOP_K = 20
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent pairs: the top-k part pairs co-occurring in
+    orders — one co-partitioned self-join on the basket key (both sides
+    the identical subplan), map-side-combinable pair counts,
+    TakeOrderedAndProject top-k with a full deterministic tie-break."""
+    from mvrepair.operators.linkage import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return copurchase_pairs(li, k=BASKET_TOP_K)
+
+
+def _oracle_basket_pairs() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+p AS (SELECT a.i AS item_a, bb.i AS item_b, count(*) AS n_baskets
+      FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2)
+SELECT item_a, item_b, n_baskets FROM p
+ORDER BY n_baskets DESC, item_a, item_b LIMIT {BASKET_TOP_K}"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix over per-user streams:
+    lead() under the canonical per-key sessionization partitioning, then
+    a tiny (types x types) conditional-probability frame; probabilities
+    ship as exact integer micro-units (n*1e6 div total — no float
+    division in the output)."""
+    from mvrepair.operators.temporal import event_transitions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return event_transitions(ev)
+
+
+def _oracle_event_transitions() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events),
+c AS (SELECT src, dst, count(*) AS n FROM s WHERE dst IS NOT NULL
+      GROUP BY 1, 2)
+SELECT src, dst, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT)
+         AS p_micro
+FROM c"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -3250,7 +3331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round-7 rotation: the 8 genuinely-new round-6 algebras displaced 8
     true plan twins (each demoted entry was driver-hash-green through
     round 6 — CORRECTNESS_r06.json — and keeps a frozen plan
-    fingerprint + local-gate row past the window).
+    fingerprint + local-gate row past the window).  Round-8 rotation:
+    the 3 new algebras (deletion-variant fuzzy linkage, basket pair
+    mining, transition matrix) displaced multimodal_meta /
+    ann_cosine_topk / distinct_docs_kmv (driver-green r1-r7, frozen
+    fingerprints + local-gate rows).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -3290,7 +3375,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_scores": q_dsir_scores,
         # dedup
         "dedup_exact": q_dedup_exact,
-        "distinct_docs_kmv": q_distinct_docs_kmv,
         "neardup_minhash": q_neardup_minhash,
         "simhash_neardup": q_simhash_neardup,
         "dedup_clusters": q_dedup_clusters,
@@ -3302,7 +3386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "nb_classify": q_nb_classify,
         # similarity search + clustering
-        "ann_cosine_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "kmeans_clusters": q_kmeans_clusters,
@@ -3314,9 +3397,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_upserts_stream": q_mv_upserts_stream,
         "neardup_stream": q_neardup_stream,
         # multimodal
-        "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        # record linkage, basket mining, transition matrix (r8 families)
+        "name_linkage": q_name_linkage,
+        "basket_pairs": q_basket_pairs,
+        "event_transitions": q_event_transitions,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
+        # demoted in the round-8 rotation (driver-green through r7):
+        "multimodal_meta": q_multimodal_meta,  # twin: multimodal_decode (same Arrow mapInPandas plumbing; meta is the projection half of decode) — driver-green r1-r7
+        "ann_cosine_topk": q_ann_topk,  # twin: ann_ivf_topk (top-k rerank shape) + ann_recall (runs the identical brute pipeline as its first component, local gate) — driver-green r1-r7
+        "distinct_docs_kmv": q_distinct_docs_kmv,  # twin: heavy_hitters (bottom-k/top-k TakeOrderedAndProject sketch over the same token stream) — driver-green r1-r7
         # demoted in the round-7 rotation (driver-green through r6):
         "mv_repair_deletes": q_mv_deletes,  # twin: mv_repair_apply (runs the same guarded anti-join delete probe as its first branch) + mv_repair_upserts (cell planner)
         "purchase_context": q_purchase_context,  # twin: sessions_in_maintenance (same range-join physical strategy: non-equi conditions under an equi/broadcast join)
@@ -3446,4 +3536,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply": _oracle_dedup_apply(),
         "ann_recall": _oracle_ann_recall(),
         "repair_log_compact": _oracle_repair_log_compact(),
+        "name_linkage": _oracle_name_linkage(),
+        "basket_pairs": _oracle_basket_pairs(),
+        "event_transitions": _oracle_event_transitions(),
     }

@@ -1,0 +1,129 @@
+"""Record linkage / association mining — the entity-resolution leg of a
+curation pipeline (dedup by NAME similarity rather than content
+equality) and basket co-occurrence mining.
+
+Reference parity: none — the reference engine has no fuzzy matching; this
+extends the "absent surface" family with two operators a 100 TB pipeline
+needs (catalog entity resolution before joining vendor feeds; co-occurrence
+statistics for recommendation/negative-sampling tables).
+
+``fuzzy_pairs`` is the FastSS / SymSpell deletion-variant scheme (Bocek et
+al. 2007, "Fast Similarity Search in Large Dictionaries"): two strings are
+within Levenshtein distance 1 iff they share a member of {s} ∪
+{s minus one char} — substitutions meet at the both-sides deletion,
+insert/delete at one side's.  Blocking on the variant is therefore EXACT
+(no recall loss), unlike prefix/length blocking; hash collisions and
+deeper-deletion meetings only ever ADD candidates, which the final exact
+``levenshtein`` verify removes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mvrepair.functions import stable_hash64
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose names are within Levenshtein
+    distance ``max_dist`` (currently exactly-1 supported): deletion-
+    variant blocking + exact verify.
+
+    Output: ``id_a, id_b, name_a, name_b, dist``.
+
+    Scale shape: each name emits length+1 variants (itself + one
+    deletion per position), shipped as 60-bit ``stable_hash64``
+    fingerprints (8 bytes on the wire, never variant strings); the
+    self-join keys on the fingerprint, so candidate generation is one
+    shuffle of O(rows × name_len) slim rows — never an all-pairs
+    product.  Variant-bucket sizes are bounded by the number of strings
+    one deletion apart (spelling-variant fan-in), not by corpus size.
+    Candidates dedupe on (id_a, id_b) before the single exact
+    ``levenshtein`` verify, which also removes hash-collision and
+    cross-position false candidates (the scheme has no false negatives
+    at distance <= 1).
+    """
+    if max_dist != 1:
+        raise ValueError(
+            "fuzzy_pairs implements the depth-1 deletion-variant scheme "
+            "(exact for max_dist=1); deeper distances need depth-d "
+            "variant generation"
+        )
+    base = df.select(F.col(id_col).alias("__id"), F.col(name_col).alias("__s"))
+    dels = base.select(
+        "__id",
+        "__s",
+        F.explode(F.sequence(F.lit(1), F.length("__s"))).alias("__p"),
+    ).select(
+        "__id",
+        "__s",
+        F.concat(
+            F.expr("substring(__s, 1, __p - 1)"),
+            F.expr("substring(__s, __p + 1, length(__s))"),
+        ).alias("__v"),
+    )
+    variants = base.withColumn("__v", F.col("__s")).unionByName(dels)
+    sig = variants.select(
+        "__id", "__s", stable_hash64(F.col("__v")).alias("__h")
+    ).dropDuplicates(["__id", "__h"])
+    a = sig.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("name_a"), "__h"
+    )
+    b = sig.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("name_b"), "__h"
+    )
+    cand = (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)
+
+
+def copurchase_pairs(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k co-occurring item pairs across baskets — the frequent-pair
+    half of market-basket analysis (the support table recommendation and
+    negative-sampling pipelines start from).
+
+    Output: ``item_a, item_b, n_baskets`` (item_a < item_b), the k most
+    frequent pairs, ties broken by (item_a, item_b) so the result is
+    deterministic.
+
+    Scale shape: the per-basket distinct-items frame self-joins on the
+    BASKET key — one co-partitioned shuffle whose two sides are the
+    identical subplan (ReuseExchange collapses them), producing
+    Σ C(|basket|, 2) pair rows; basket sizes are bounded by order width
+    (TPC-H ≤ 7), so the explode factor is a small constant, not a skew
+    surface.  Pair counting is map-side combinable; the final top-k is
+    TakeOrderedAndProject (never a global sort).
+    """
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).dropDuplicates(["__b", "__i"])
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    counts = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+    )
+    return counts.orderBy(
+        F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
+    ).limit(k)

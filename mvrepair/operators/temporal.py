@@ -247,3 +247,56 @@ def sessionize(
             *([F.col("total_value")] if value_col is not None else []),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences — the
+    Markov bigram table behind funnel analysis and next-event models
+    ("after a signup, what fraction of next events are purchases?").
+
+    Per key, events order by (ts, id) — the id tie-break makes
+    simultaneous events deterministic — and every consecutive
+    (src, dst) step counts once.  Output per (src, dst): ``n`` (step
+    count) and ``p_micro`` = n * 1e6 div Σ_dst n (the conditional
+    next-step probability in exact integer micro-units: integer division
+    of exact counts, so both engines agree bit-for-bit — no float
+    division in the output).
+
+    Scale shape: one lead() window partitioned by key (the canonical
+    sessionization partitioning this repo already standardizes on —
+    per-key partitions, bounded by per-user activity, never a global
+    sort), then a map-side-combinable (src, dst) count; the conditional
+    denominator is a window over the transition-matrix frame itself —
+    |event types|² rows, not corpus-sized.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    steps = (
+        df.select(
+            F.col(key_col),
+            F.col(type_col).alias("src"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+    )
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    per_src = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.expr("n * 1000000").cast("long").alias("__num"),
+        F.sum("n").over(per_src).alias("__den"),
+    ).select(
+        "src",
+        "dst",
+        "n",
+        F.expr("__num div __den").cast("long").alias("p_micro"),
+    )

@@ -110,7 +110,6 @@ class TestRegistryOrderingContract:
         "budget-fill": "token_budget_fill",
         "dsir": "dsir_scores",
         "dedup-exact": "dedup_exact",
-        "kmv-sketch": "distinct_docs_kmv",
         "minhash-lsh": "neardup_minhash",
         "simhash": "simhash_neardup",
         "components": "dedup_clusters",
@@ -120,7 +119,6 @@ class TestRegistryOrderingContract:
         "snapshot-diff": "corpus_diff",
         "key-skew": "key_skew",
         "nbayes": "nb_classify",
-        "ann-brute": "ann_cosine_topk",
         "ann-bucketed": "ann_ivf_topk",
         "embedding-neardup": "embedding_neardup",
         "kmeans": "kmeans_clusters",
@@ -130,8 +128,10 @@ class TestRegistryOrderingContract:
         "streaming-reconcile": "mv_classify_stream",
         "streaming-repair": "mv_upserts_stream",
         "streaming-neardup": "neardup_stream",
-        "multimodal-meta": "multimodal_meta",
         "multimodal-decode": "multimodal_decode",
+        "fuzzy-linkage": "name_linkage",
+        "basket-mining": "basket_pairs",
+        "transition-matrix": "event_transitions",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -177,6 +177,10 @@ class TestRegistryOrderingContract:
         "index_upsert": "corpus_diff",
         "nb_stream": "nb_classify",
         "ann_recall": "ann_ivf_topk",
+        # demoted in the round-8 rotation (driver-green r1-r7):
+        "multimodal_meta": "multimodal_decode",
+        "ann_cosine_topk": "ann_ivf_topk",
+        "distinct_docs_kmv": "heavy_hitters",
     }
 
     def test_every_family_within_driver_window(self):

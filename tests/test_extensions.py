@@ -2505,3 +2505,117 @@ def test_snapshot_diff_null_text_is_not_misclassified(spark):
                                 "doc_id long, text string")
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+
+
+# ---------------------------------------------------------------------------
+# round-8 families: fuzzy linkage, basket mining, transition matrix
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_pairs_matches_brute_force(spark):
+    from mvrepair.operators.linkage import fuzzy_pairs
+
+    names = [
+        "alpha", "alphaa", "alpa", "alXha",   # insert / delete / subst of alpha
+        "beta", "betA", "gamma", "gamm", "g",
+        "", "a", "b", "ab",
+        "Customer#000000001", "Customer#000000002", "Customer#000000011",
+    ]
+    rows = [(i, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(df, "name", "id").collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= 1
+    }
+    assert got == want
+
+
+def test_fuzzy_pairs_rejects_unsupported_distance(spark):
+    import pytest as _pytest
+
+    from mvrepair.operators.linkage import fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with _pytest.raises(ValueError):
+        fuzzy_pairs(df, "name", "id", max_dist=2)
+
+
+def test_copurchase_pairs_matches_counter_model(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from mvrepair.operators.linkage import copurchase_pairs
+
+    baskets = {
+        1: [10, 20, 30, 20],  # dup item counts once
+        2: [10, 20],
+        3: [10, 20, 40],
+        4: [40],
+        5: [30, 10],
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = [
+        (r["item_a"], r["item_b"], r["n_baskets"])
+        for r in copurchase_pairs(df, k=3).collect()
+    ]
+    c: Counter = Counter()
+    for items in baskets.values():
+        for a, b in combinations(sorted(set(items)), 2):
+            c[(a, b)] += 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in c.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )[:3]
+    assert got == want
+
+
+def test_event_transitions_matches_python_model(spark):
+    from collections import Counter
+    from datetime import datetime
+
+    from mvrepair.operators.temporal import event_transitions
+
+    t0 = datetime(2024, 1, 1)
+    # user 7: a->b->b->c ; user 8: b->a ; user 9 single event (no steps);
+    # simultaneous events for user 8 tie-break on event_id
+    rows = [
+        (1, t0, 7, "a"),
+        (2, datetime(2024, 1, 1, 0, 1), 7, "b"),
+        (3, datetime(2024, 1, 1, 0, 2), 7, "b"),
+        (4, datetime(2024, 1, 1, 0, 3), 7, "c"),
+        (5, t0, 8, "b"),
+        (6, t0, 8, "a"),  # same ts as event 5: id order decides b->a
+        (7, t0, 9, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["p_micro"])
+        for r in event_transitions(df).collect()
+    }
+    steps = Counter([("a", "b"), ("b", "b"), ("b", "c"), ("b", "a")])
+    per_src = Counter()
+    for (s, _), n in steps.items():
+        per_src[s] += n
+    want = {
+        (s, d): (n, n * 1000000 // per_src[s]) for (s, d), n in steps.items()
+    }
+    assert got == want

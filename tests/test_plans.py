@@ -408,6 +408,23 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                             "FileScan": 1, "MapInPandas": 1, "Project": 1},
     "multimodal_frames": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                           "FileScan": 1, "MapInPandas": 1, "Project": 1},
+    # ---- demoted in the round-8 rotation (driver-green through r7) ----
+    # the projection half of multimodal_decode's Arrow plumbing (in-window)
+    "multimodal_meta": {"AdaptiveSparkPlan": 1, "Exchange": 1,
+                        "FileScan": 1, "MapInPandas": 1, "Project": 1},
+    # the LABELED brute-force ANN baseline (BNLJ_ALLOWED in the plan
+    # audit): broadcast query side + top-k rerank, the same
+    # WindowGroupLimit shape as ann_ivf_topk (in-window); ann_recall
+    # (local gate) runs this exact pipeline as its first component
+    "ann_cosine_topk": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                        "BroadcastNestedLoopJoin": 1, "Exchange": 3,
+                        "FileScan": 2, "Filter": 3, "Project": 6,
+                        "Sort": 2, "Window": 1, "WindowGroupLimit": 2},
+    # bottom-k sketch via TakeOrderedAndProject — the same ordered-prune
+    # shape as heavy_hitters' top-k (in-window)
+    "distinct_docs_kmv": {"AdaptiveSparkPlan": 1, "Exchange": 2,
+                          "FileScan": 1, "Filter": 1, "HashAggregate": 4,
+                          "Project": 1, "TakeOrderedAndProject": 1},
 }
 
 

@@ -57,6 +57,7 @@ def main() -> None:
 
     from mvrepair.operators import dedup as D
     from mvrepair.operators import packing as PK
+    from mvrepair.operators import similarity as S
     from mvrepair.operators import text as X
     from mvrepair.operators.sampling import weighted_mix
     from mvrepair.sources import load_table
@@ -90,6 +91,54 @@ def main() -> None:
         # data-volume scaling.  (First run of this script hit exactly
         # that: factor-1 cells 10x their bench medians, flat tops.)
         path = f"/tmp/mvrepair_scale_{k}_{int(exact)}.parquet"
+        out.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def inflate_generic(table, shift_col, k, prefix_col=None):
+        # copies of an arbitrary table under shifted ids; prefix_col (if
+        # given) gets a copy-specific prefix so string-derived structure
+        # (fuzzy-variant buckets) is disjoint per copy — constant output
+        # density per input row, same doctrine as the documents inflator
+        t = load_table(spark, sf_dir, table)
+        rest = [c for c in t.columns if c not in (shift_col, prefix_col)]
+        parts = []
+        for i in range(k):
+            cols = [(F.col(shift_col) + i * 10_000_000).alias(shift_col)]
+            if prefix_col:
+                cols.append(
+                    F.concat(F.lit(f"{i}x"), F.col(prefix_col)).alias(
+                        prefix_col
+                    )
+                )
+            parts.append(t.select(*cols, *rest))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        path = f"/tmp/mvrepair_scale_{table}_{k}_{int(bool(prefix_col))}.parquet"
+        out.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    emb_base = load_table(spark, sf_dir, "embeddings")
+
+    def inflate_emb(k: int):
+        # embedding copies keep vectors/labels unchanged (centroids and
+        # cluster structure stay those of the base corpus) under shifted
+        # ids — measures vector-pipeline throughput, not drift
+        rest = [c for c in emb_base.columns if c != "vec_id"]
+        parts = [
+            emb_base.select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"), *rest
+            )
+            for i in range(k)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        path = f"/tmp/mvrepair_scale_emb_{k}.parquet"
         out.repartition(
             spark.sparkContext.defaultParallelism
         ).write.mode("overwrite").parquet(path)
@@ -163,6 +212,72 @@ def main() -> None:
             pairs.unpersist()
         return D.keep_best(clusters, X.quality_score(df))
 
+    def _compact_op(df):
+        from mvrepair.operators.repair import compact_repair_log
+
+        cells = df.select(
+            "doc_id",
+            F.col("lang").alias("column"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("__r"),
+            F.substring("text", 1, 16).alias("value"),
+        ).select(
+            "doc_id",
+            "column",
+            F.lit("text").alias("column_type"),
+            "value",
+            (F.col("__r") * 1000).cast("long").alias("writetime"),
+            F.lit(None).cast("int").alias("ttl"),
+            F.lit("ROW_NEW").alias("flavor"),
+        )
+        return compact_repair_log(cells, ["doc_id"])
+
+    def _nb_stream_op(df):
+        from mvrepair.operators.nbayes import nb_model, nb_score
+
+        weights, priors = nb_model(df, buckets=64)
+        weights, priors = weights.persist(), priors.persist()
+        variant = df.select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+            F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+        )
+        return nb_score(variant, weights, priors, buckets=64)
+
+    def _linkage_op(df):
+        from mvrepair.operators.linkage import fuzzy_pairs
+
+        return fuzzy_pairs(df, name_col="c_name", id_col="c_custkey")
+
+    def _basket_op(df):
+        from mvrepair.operators.linkage import copurchase_pairs
+
+        return copurchase_pairs(df, k=20)
+
+    def _transitions_op(df):
+        from mvrepair.operators.temporal import event_transitions
+
+        return event_transitions(df)
+
+    def _ann_recall_op(df):
+        queries = df.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)
+        )
+        brute = S.cosine_topk(df, queries, k=5)
+        ivf = S.ivf_topk(df, queries, dim=64, k=5, n_centroids=16, n_probe=4)
+        hits = (
+            brute.select("query_id", "neighbor_id")
+            .join(
+                ivf.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        spine = queries.select(F.col("vec_id").alias("query_id"))
+        return spine.join(hits, "query_id", "left").select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+
     OPS = {
         "dedup_exact(copies)": (True, lambda df: D.exact_dedup(df)),
         "repetition_stats": (False, lambda df: X.repetition_stats(df)),
@@ -233,6 +348,29 @@ def main() -> None:
         # prefixed: the apply step rides the keep-best pipeline's cost
         # plus two anti-joins; dup density must stay constant per copy
         "dedup_apply": (False, _apply_op),
+        # prefixed: disjoint per-copy vocabularies keep every token's
+        # corpus frequency (hence rarity classification) exactly that of
+        # the base corpus; fixed rare_max so semantics are volume-free
+        "rare_tokens": (False, lambda df: X.rare_token_profile(df)),
+        # exact copies: 3 retry cells per target, targets grow with
+        # volume, group size constant — measures the max_by aggregate
+        "repair_log_compact(copies)": (True, _compact_op),
+        # exact copies: frozen-model scoring of the variant corpus — the
+        # batch equivalent of nb_stream's drained microbatches (model
+        # build included, as in the streaming setup)
+        "nb_stream(copies)": (True, _nb_stream_op),
+        # embedding copies: own-centroid prototypicality, map-side score
+        "label_outliers(emb)": ("emb", lambda df: S.label_outliers(df)),
+        # embedding copies with a FIXED query set (base-copy ids only):
+        # recall measurement throughput as the indexed corpus grows —
+        # scaling the query set too would be O(k^2) by construction
+        "ann_recall(emb)": ("emb", _ann_recall_op),
+        # round-8 families: prefixed customer names keep fuzzy-variant
+        # buckets disjoint per copy; shifted orderkeys keep baskets (and
+        # pair density) per-copy; shifted user ids keep per-user streams
+        "name_linkage(cust)": ("cust", _linkage_op),
+        "basket_pairs(li)": ("li", _basket_op),
+        "event_transitions(ev)": ("ev", _transitions_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
@@ -249,17 +387,30 @@ def main() -> None:
 
         return fn(df, k) if len(inspect.signature(fn).parameters) == 2 else fn(df)
 
+    def _frame(kind, k):
+        # kind: True = exact copies, False = prefixed copies,
+        #       "emb"/"cust"/"li"/"ev" = other-table copies
+        if kind == "emb":
+            return inflate_emb(k)
+        if kind == "cust":
+            return inflate_generic("customer", "c_custkey", k, "c_name")
+        if kind == "li":
+            return inflate_generic("lineitem", "l_orderkey", k)
+        if kind == "ev":
+            return inflate_generic("events", "user_id", k)
+        return inflate(k, bool(kind))
+
     # untimed warmup: JIT, codegen caches, parquet-footer paths
-    for name, (exact, fn) in OPS.items():
-        _call(fn, inflate(1, exact), 1).write.format("noop").mode("overwrite").save()
+    for name, (kind, fn) in OPS.items():
+        _call(fn, _frame(kind, 1), 1).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
     results: dict[str, dict[str, float]] = {}
     top2 = sorted(factors)[-2:]
-    for name, (exact, fn) in OPS.items():
+    for name, (kind, fn) in OPS.items():
         times: dict[str, float] = {}
         for k in factors:
-            df = inflate(k, exact)
+            df = _frame(kind, k)
             t0 = time.monotonic()
             _call(fn, df, k).write.format("noop").mode("overwrite").save()
             times[str(k)] = round(time.monotonic() - t0, 2)
