@@ -1182,9 +1182,21 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bm25_rank() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
     terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # idf = micro_log2 of the Robertson ratio — the SQL twin of the
+    # py_micro_log2 integer literals the engine embeds; the ratio chain
+    # is exact-rounded double ops of exact integers on both sides
+    idf_sql = micro_log2_sql(
+        "SELECT term, (n - df + 0.5) / (df + 0.5) + 1 AS r"
+        " FROM dfreq CROSS JOIN (SELECT n FROM stats) s",
+        "r",
+        ["term"],
+        "idf",
+    )
     contrib = X.BM25_CONTRIB_TEMPLATE.format(
-        idf="ln((n - df + 0.5) / (df + 0.5) + 1)",
+        idf="idf",
         k1p1=repr(1.2 + 1), k1=repr(1.2),
         omb=repr(1 - 0.75), b=repr(0.75), avgdl="avgdl",
     )
@@ -1203,10 +1215,11 @@ tf AS (
   SELECT doc_id, dl, term, count(*) AS cnt FROM toks
   WHERE term IN ({terms}) GROUP BY 1, 2, 3
 ),
-dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+idft AS ({idf_sql})
 SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM (
   SELECT doc_id, {contrib} AS c
-  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  FROM tf JOIN idft USING (term) CROSS JOIN stats
 ) GROUP BY doc_id
 ORDER BY score_micro DESC, doc_id ASC LIMIT {BM25_K}"""
 

@@ -33,12 +33,19 @@ rounding path is IDENTICAL in Spark, DuckDB, and the plain-Python test
 models — all three implementations below are generated from the same
 step sequence.
 
-The expressions are emitted as CHAINED projections (DataFrame selects /
-nested SQL subqueries), never one nested expression: each step
-references its predecessor 2-3 times, so a single expression tree would
-grow exponentially.  Catalyst keeps non-cheap multiply-referenced
-aliases un-collapsed, and the frames this runs on are model-sized
-(classes x buckets), so plan depth is free.
+Spark-side form: ONE Column expression built from higher-order
+``F.aggregate`` folds (the ladder folds over the 6 power-of-two
+thresholds, the squaring loop over a 20-element sequence), so the whole
+quantizer is a single shallow projection.  A first version emitted the
+steps as ~50 CHAINED projections — semantically identical, but Catalyst
+analysis/optimization over the deep plan cost whole SECONDS of driver
+time per query (nb_classify 2.4 s → 8.2 s measured), dwarfing the
+sub-millisecond execution on the model-sized frames.  The SQL twin
+keeps the nested-subquery emission: DuckDB plans 50 nested SELECTs in
+milliseconds.  Each step still references its predecessor 2-3 times —
+inside a fold that re-evaluates a couple of multiplies per row, which
+is free; as nested *expression* inlining it would be 2^50 nodes, which
+is why the fold (not expression substitution) is the right shape.
 """
 
 from __future__ import annotations
@@ -51,57 +58,64 @@ _LADDER = (32, 16, 8, 4, 2, 1)
 _TWO64 = float(2**64)
 
 
+def micro_log2(x: Column) -> Column:
+    """micro_log2(``x``) as a single int64 Column expression.  ``x`` must
+    be a positive double in (2^-64, 2^64); integer-count ratios from any
+    realistic corpus are (counts < 2^63, so ratios are within 2^±63)."""
+    xd = x.cast("double")
+    lt1 = xd < F.lit(1.0)
+    start = F.struct(
+        F.when(lt1, xd * F.lit(_TWO64)).otherwise(xd).alias("m"),
+        F.when(lt1, F.lit(-64)).otherwise(F.lit(0)).cast("long").alias("e"),
+    )
+    ladder = F.array(
+        *[
+            F.struct(
+                F.lit(float(2**k)).alias("t"),
+                F.lit(k).cast("long").alias("k"),
+            )
+            for k in _LADDER
+        ]
+    )
+    reduced = F.aggregate(
+        ladder,
+        start,
+        lambda acc, s: F.struct(
+            F.when(acc["m"] >= s["t"], acc["m"] / s["t"])
+            .otherwise(acc["m"])
+            .alias("m"),
+            F.when(acc["m"] >= s["t"], acc["e"] + s["k"])
+            .otherwise(acc["e"])
+            .alias("e"),
+        ),
+    )
+    sq = F.aggregate(
+        F.sequence(F.lit(1), F.lit(FRAC_BITS)),
+        F.struct(
+            reduced["m"].alias("m"), F.lit(0).cast("long").alias("bits")
+        ),
+        lambda acc, _: F.struct(
+            F.when(
+                acc["m"] * acc["m"] >= F.lit(2.0),
+                acc["m"] * acc["m"] / F.lit(2.0),
+            )
+            .otherwise(acc["m"] * acc["m"])
+            .alias("m"),
+            (
+                acc["bits"] * 2
+                + F.when(acc["m"] * acc["m"] >= F.lit(2.0), 1).otherwise(0)
+            ).alias("bits"),
+        ),
+    )
+    return reduced["e"] * F.lit(SCALE) + sq["bits"]
+
+
 def micro_log2_df(
     df: DataFrame, x: Column, out: str, keep: list[str]
 ) -> DataFrame:
     """Attach ``out`` = micro_log2(``x``) (int64) to ``df``, carrying the
-    ``keep`` columns.  ``x`` must be a positive double in (2^-64, 2^64);
-    integer-count ratios from any realistic corpus are (counts < 2^63,
-    so ratios are within 2^±63)."""
-    d = df.select(*keep, x.cast("double").alias("__x"))
-    lt1 = F.col("__x") < F.lit(1.0)
-    d = d.select(
-        *keep,
-        F.when(lt1, F.col("__x") * F.lit(_TWO64)).otherwise(
-            F.col("__x")
-        ).alias("__m"),
-        F.when(lt1, F.lit(-64)).otherwise(F.lit(0)).alias("__e"),
-    )
-    for k in _LADDER:
-        t = float(2**k)
-        ge = F.col("__m") >= F.lit(t)
-        d = d.select(
-            *keep,
-            F.when(ge, F.col("__m") / F.lit(t)).otherwise(F.col("__m")).alias(
-                "__m"
-            ),
-            F.when(ge, F.col("__e") + F.lit(k)).otherwise(F.col("__e")).alias(
-                "__e"
-            ),
-        )
-    d = d.withColumn("__bits", F.lit(0).cast("long"))
-    for _ in range(FRAC_BITS):
-        d = d.select(
-            *keep, "__e", (F.col("__m") * F.col("__m")).alias("__m2"), "__bits"
-        )
-        ge2 = F.col("__m2") >= F.lit(2.0)
-        d = d.select(
-            *keep,
-            "__e",
-            F.when(ge2, F.col("__m2") / F.lit(2.0)).otherwise(
-                F.col("__m2")
-            ).alias("__m"),
-            (
-                F.col("__bits") * 2
-                + F.when(ge2, F.lit(1)).otherwise(F.lit(0))
-            ).alias("__bits"),
-        )
-    return d.select(
-        *keep,
-        (F.col("__e").cast("long") * F.lit(SCALE) + F.col("__bits")).alias(
-            out
-        ),
-    )
+    ``keep`` columns."""
+    return df.select(*keep, micro_log2(x).alias(out))
 
 
 def micro_log2_sql(inner: str, x_expr: str, keep: list[str], out: str) -> str:

@@ -368,12 +368,15 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 # 54.1408 parses as DECIMAL in BOTH engines, and their decimal/double
 # promotion paths differ (observed: ±1 micro-unit score drift at sf0.1
 # from `dl / 54.1408` going through decimal division in one engine).
+# {idf} is an INTEGER micro-idf (micro_log2 of the Robertson ratio —
+# see bm25_rank); the remaining float math is only correctly-rounded
+# mul/div/add of identical operand values in both engines, so the floor
+# is engine- and platform-exact with no libm anywhere.
 BM25_CONTRIB_TEMPLATE = (
-    "CAST(floor({idf} * "
+    "CAST(floor(CAST({idf} AS DOUBLE) * "
     "(cnt * CAST({k1p1} AS DOUBLE) / (cnt + CAST({k1} AS DOUBLE) * "
     "(CAST({omb} AS DOUBLE) + CAST({b} AS DOUBLE) * dl / "
-    "CAST({avgdl} AS DOUBLE)))) "
-    "* 1000000) AS BIGINT)"
+    "CAST({avgdl} AS DOUBLE))))) AS BIGINT)"
 )
 
 
@@ -399,8 +402,6 @@ def bm25_rank(
     Output: (``id_col``, score_micro) — BM25 score in int64 micro-units,
     descending, ties broken by id.
     """
-    import math
-
     empty = df.select(
         F.col(id_col), F.lit(0).cast("long").alias("score_micro")
     ).limit(0)
@@ -441,13 +442,21 @@ def bm25_rank(
     }
     if not dfreq:  # no term occurs anywhere: an empty CASE won't parse
         return empty
-    # idf per term, computed with the platform libm (see template comment);
-    # the same (N - df + 0.5)/(df + 0.5) + 1 integer→double chain the
-    # oracle evaluates, so the ln INPUT is bit-identical too
+    # idf per term as an INTEGER: micro_log2 of the Robertson ratio
+    # (N - df + 0.5)/(df + 0.5) + 1 — the ratio chain is exact-rounded
+    # double ops of exact integers (identical in Python and SQL), and
+    # py_micro_log2 is the cross-engine-exact quantizer, so the idf the
+    # oracle's micro_log2_sql computes is bit-for-bit this literal.
+    # (Previously a CPython-libm ln literal vs DuckDB's own ln — equal
+    # only while both link the same libm; see exactlog's module
+    # docstring for the measured floor-flip risk that retired that.)
+    from mvrepair.functions.exactlog import py_micro_log2
+
     idf_case = (
         "CASE term "
         + " ".join(
-            f"WHEN {q(t)} THEN {repr(math.log((n - df + 0.5) / (df + 0.5) + 1))}D"
+            f"WHEN {q(t)} THEN "
+            f"{py_micro_log2((n - df + 0.5) / (df + 0.5) + 1)}L"
             for t, df in sorted(dfreq.items())
         )
         + " END"

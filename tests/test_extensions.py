@@ -992,9 +992,13 @@ def test_ivf_topk_accepts_trained_centroids(spark):
 # ---------------------------------------------------------------------------
 
 def _bm25_expected(corpus, terms, k1=1.2, b=0.75):
-    """Reference BM25 in plain Python, floor-quantized to micro-units the
-    way text.bm25_rank defines its exact int64 score."""
+    """Reference BM25 in plain Python, floor-quantized the way
+    text.bm25_rank defines its exact int64 score: idf is the EXACT
+    py_micro_log2 integer (no libm), the tf normalization the same
+    correctly-rounded float chain."""
     import math
+
+    from mvrepair.functions.exactlog import py_micro_log2
 
     docs = {i: t.split(" ") for i, t in corpus}
     n = len(docs)
@@ -1007,10 +1011,9 @@ def _bm25_expected(corpus, terms, k1=1.2, b=0.75):
             cnt = toks.count(t)
             if not cnt or not dfreq[t]:
                 continue
-            idf = math.log((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
+            idf = py_micro_log2((n - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1)
             s += math.floor(
                 idf * (cnt * (k1 + 1) / (cnt + k1 * (1 - b + b * len(toks) / avgdl)))
-                * 1_000_000
             )
         if s:
             scores[i] = s
