@@ -3323,6 +3323,65 @@ SELECT src, dst, n,
 FROM c"""
 
 
+PAGERANK_ITERS = 3
+
+
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of parts over the co-purchase graph, in exact
+    integer micro-units — the kmeans doctrine applied to power iteration
+    (quantize every update, and an iterative algorithm becomes
+    hash-checkable: the oracle unrolls the identical 3-round
+    recurrence).  Edges are distinct co-occurring part pairs (both
+    directions) from the same basket self-join family as basket_pairs."""
+    from mvrepair.operators.linkage import pagerank_micro
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "__b")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    nodes = load_table(spark, sf_dir, "part").select("p_partkey")
+    return pagerank_micro(
+        edges, nodes, id_col="p_partkey", iters=PAGERANK_ITERS
+    ).select(F.col("id").alias("part_id"), "rank_micro")
+
+
+def _oracle_part_pagerank() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        rounds.append(
+            f"s{i} AS (SELECT ed.dst AS id, sum({prev}.r // deg.deg) AS s"
+            f" FROM ed JOIN {prev} ON ed.src = {prev}.id"
+            f" JOIN deg ON ed.src = deg.src GROUP BY 1),\n"
+            f"r{i} AS (SELECT n.id,"
+            f" CAST(150000 + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT)"
+            f" AS r FROM n LEFT JOIN s{i} USING (id))"
+        )
+        prev = f"r{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ed AS (SELECT DISTINCT a.i AS src, bb.i AS dst
+       FROM items a JOIN items bb ON a.b = bb.b AND a.i <> bb.i),
+deg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+n AS (SELECT p_partkey AS id FROM part),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+{body}
+SELECT id AS part_id, r AS rank_micro FROM {prev}"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -3376,7 +3435,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_splits": q_doc_splits,
         "bm25_rank": q_bm25_rank,
         "heavy_hitters": q_heavy_hitters,
-        "rolling_fingerprint": q_rolling_fingerprint,
         # data-quality filters (repetition + substring duplication)
         "doc_repetition": q_doc_repetition,
         "substring_dupes": q_substring_dupes,
@@ -3411,12 +3469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_stream": q_neardup_stream,
         # multimodal
         "multimodal_decode": q_multimodal_decode,
-        # record linkage, basket mining, transition matrix (r8 families)
+        # record linkage, basket mining, transitions, graph centrality (r8)
         "name_linkage": q_name_linkage,
         "basket_pairs": q_basket_pairs,
         "event_transitions": q_event_transitions,
+        "part_pagerank": q_part_pagerank,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
         # demoted in the round-8 rotation (driver-green through r7):
+        "rolling_fingerprint": q_rolling_fingerprint,  # twin: text_stats (join-free per-row projection — the token_counts/text_scrub precedent) — driver-green r1-r7
         "multimodal_meta": q_multimodal_meta,  # twin: multimodal_decode (same Arrow mapInPandas plumbing; meta is the projection half of decode) — driver-green r1-r7
         "ann_cosine_topk": q_ann_topk,  # twin: ann_ivf_topk (top-k rerank shape) + ann_recall (runs the identical brute pipeline as its first component, local gate) — driver-green r1-r7
         "distinct_docs_kmv": q_distinct_docs_kmv,  # twin: heavy_hitters (bottom-k/top-k TakeOrderedAndProject sketch over the same token stream) — driver-green r1-r7
@@ -3442,7 +3502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retained_customers": q_retained_customers,  # twin: lapsed_customers (same two-period join)
         "lang_scores": q_lang_scores,  # twin: text_quality (join-free column algebra)
         "text_scrub": q_text_scrub,  # twin: text_stats (join-free column algebra)
-        "doc_fingerprint": q_fingerprint,  # twin: rolling_fingerprint (per-row hash algebra)
+        "doc_fingerprint": q_fingerprint,  # twin: text_stats (join-free per-row hash projection, same shape as token_counts/text_scrub)
         "token_counts": q_token_counts,  # twin: text_stats (per-row tokenize+count)
         "doc_sample": q_doc_sample,  # twin: doc_splits (hash-bucket membership)
         "tfidf_topterms": q_tfidf_topterms,  # twin: bm25_rank (same term-stat shuffle)
@@ -3552,4 +3612,5 @@ def oracle_sql() -> dict[str, str]:
         "name_linkage": _oracle_name_linkage(),
         "basket_pairs": _oracle_basket_pairs(),
         "event_transitions": _oracle_event_transitions(),
+        "part_pagerank": _oracle_part_pagerank(),
     }

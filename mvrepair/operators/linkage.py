@@ -127,3 +127,73 @@ def copurchase_pairs(
     return counts.orderBy(
         F.desc("n_baskets"), F.asc("item_a"), F.asc("item_b")
     ).limit(k)
+
+
+def pagerank_micro(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    iters: int = 3,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic — graph
+    centrality as a hash-checkable pipeline (the kmeans doctrine applied
+    to power iteration: a float PageRank is engine-order-dependent, but
+    quantized integer updates make every iteration bit-reproducible, so
+    an oracle can replay the identical recurrence).
+
+    Convention (all int64 micro-units, damping d = damp_num/damp_den):
+
+        r0(v)   = 1_000_000
+        c_i(u)  = r_i(u) div out_deg(u)          (per-edge contribution)
+        r_i+1(v)= (1-d)*1e6  +  (damp_num * Σ_in c_i) div damp_den
+
+    Integer division drops sub-micro mass deterministically (both
+    engines identically); dangling nodes contribute nothing and sinks
+    keep the teleport term — the standard simplifications, fixed by
+    convention.  ``iters`` is FIXED (not convergence-tested) so the
+    DuckDB twin unrolls the same number of CTE rounds.
+
+    Scale shape: per iteration ONE edge-sized join + map-side-combinable
+    sum + a node-sized left join — O(E) shuffle per round, same as
+    connected_components' label propagation; each round
+    ``localCheckpoint``s because the ranks frame appears on both sides
+    of the next round's plan (lineage doubles per round otherwise — the
+    iterative-graph rule this repo pins in connected_components).
+    """
+    base = ((damp_den - damp_num) * 1_000_000) // damp_den
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    try:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        ids = nodes.select(F.col(id_col).alias("id"))
+        ranks = ids.select(
+            "id", F.lit(1_000_000).cast("long").alias("r")
+        ).localCheckpoint(eager=True)
+        for _ in range(iters):
+            contrib = (
+                e.join(ranks.withColumnRenamed("id", "src"), "src")
+                .join(deg, "src")
+                .select(F.col("dst").alias("id"), F.expr("r div deg").alias("c"))
+            )
+            s = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+            ranks = (
+                ids.join(s, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damp_num} * coalesce(s, 0L)) div {damp_den}"
+                        )
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return ranks.select("id", F.col("r").alias("rank_micro"))

@@ -132,6 +132,7 @@ class TestRegistryOrderingContract:
         "fuzzy-linkage": "name_linkage",
         "basket-mining": "basket_pairs",
         "transition-matrix": "event_transitions",
+        "pagerank": "part_pagerank",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -161,7 +162,8 @@ class TestRegistryOrderingContract:
         "retained_customers": "lapsed_customers",
         "lang_scores": "text_quality",
         "text_scrub": "text_stats",
-        "doc_fingerprint": "rolling_fingerprint",
+        "doc_fingerprint": "text_stats",
+        "rolling_fingerprint": "text_stats",
         "token_counts": "text_stats",
         "doc_sample": "doc_splits",
         "tfidf_topterms": "bm25_rank",

@@ -2622,3 +2622,34 @@ def test_event_transitions_matches_python_model(spark):
         (s, d): (n, n * 1000000 // per_src[s]) for (s, d), n in steps.items()
     }
     assert got == want
+
+
+def test_pagerank_micro_matches_python_model(spark):
+    from collections import defaultdict
+
+    from mvrepair.operators.linkage import pagerank_micro
+
+    # a triangle, a chain tail, a sink, and an isolated node
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1), (4, 1), (5, 6)]
+    node_ids = [1, 2, 3, 4, 5, 6, 7]
+    e_df = spark.createDataFrame(edges, ["src", "dst"])
+    n_df = spark.createDataFrame([(i,) for i in node_ids], ["id"])
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank_micro(e_df, n_df, iters=3).collect()
+    }
+
+    deg = defaultdict(int)
+    inc = defaultdict(list)
+    for s, d in edges:
+        deg[s] += 1
+        inc[d].append(s)
+    r = {v: 1_000_000 for v in node_ids}
+    for _ in range(3):
+        r = {
+            v: 150_000 + (85 * sum(r[u] // deg[u] for u in inc[v])) // 100
+            for v in node_ids
+        }
+    assert got == r
+    # isolated/dangling nodes hold exactly the teleport term
+    assert got[7] == 150_000 and got[5] == 150_000

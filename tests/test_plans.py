@@ -409,6 +409,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "multimodal_frames": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                           "FileScan": 1, "MapInPandas": 1, "Project": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
+    # join-free per-row hash projection — the token_counts/text_scrub
+    # shape, twin text_stats (in-window)
+    "rolling_fingerprint": {"AdaptiveSparkPlan": 1, "Exchange": 1,
+                            "FileScan": 1, "Project": 1},
     # the projection half of multimodal_decode's Arrow plumbing (in-window)
     "multimodal_meta": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                         "FileScan": 1, "MapInPandas": 1, "Project": 1},

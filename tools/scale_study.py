@@ -96,16 +96,17 @@ def main() -> None:
         ).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    def inflate_generic(table, shift_col, k, prefix_col=None):
+    def inflate_generic(table, shift_col, k, prefix_col=None, shift_cols=None):
         # copies of an arbitrary table under shifted ids; prefix_col (if
         # given) gets a copy-specific prefix so string-derived structure
         # (fuzzy-variant buckets) is disjoint per copy — constant output
         # density per input row, same doctrine as the documents inflator
         t = load_table(spark, sf_dir, table)
-        rest = [c for c in t.columns if c not in (shift_col, prefix_col)]
+        shifted = list(shift_cols or [shift_col])
+        rest = [c for c in t.columns if c not in shifted and c != prefix_col]
         parts = []
         for i in range(k):
-            cols = [(F.col(shift_col) + i * 10_000_000).alias(shift_col)]
+            cols = [(F.col(c) + i * 10_000_000).alias(c) for c in shifted]
             if prefix_col:
                 cols.append(
                     F.concat(F.lit(f"{i}x"), F.col(prefix_col)).alias(
@@ -116,7 +117,8 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        path = f"/tmp/mvrepair_scale_{table}_{k}_{int(bool(prefix_col))}.parquet"
+        path = (f"/tmp/mvrepair_scale_{table}_{k}_"
+                f"{int(bool(prefix_col))}_{len(shifted)}.parquet")
         out.repartition(
             spark.sparkContext.defaultParallelism
         ).write.mode("overwrite").parquet(path)
@@ -257,6 +259,25 @@ def main() -> None:
 
         return event_transitions(df)
 
+    def _pagerank_op(df):
+        from mvrepair.operators.linkage import pagerank_micro
+
+        items = df.select("l_orderkey", "l_partkey").dropDuplicates()
+        a = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("src")
+        )
+        bb = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("dst")
+        )
+        edges = (
+            a.join(bb, "__b")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+        )
+        nodes = df.select(F.col("l_partkey").alias("id")).dropDuplicates()
+        return pagerank_micro(edges, nodes, iters=3)
+
     def _ann_recall_op(df):
         queries = df.filter(
             (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)
@@ -371,6 +392,8 @@ def main() -> None:
         "name_linkage(cust)": ("cust", _linkage_op),
         "basket_pairs(li)": ("li", _basket_op),
         "event_transitions(ev)": ("ev", _transitions_op),
+        # disjoint graph copies; nodes = the distinct shifted part ids
+        "part_pagerank(li2)": ("li2", _pagerank_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
@@ -396,6 +419,13 @@ def main() -> None:
             return inflate_generic("customer", "c_custkey", k, "c_name")
         if kind == "li":
             return inflate_generic("lineitem", "l_orderkey", k)
+        if kind == "li2":
+            # both basket AND item ids shifted: k disjoint copies of the
+            # co-purchase GRAPH (same structure, k x nodes and edges)
+            return inflate_generic(
+                "lineitem", "l_orderkey", k,
+                shift_cols=["l_orderkey", "l_partkey"],
+            )
         if kind == "ev":
             return inflate_generic("events", "user_id", k)
         return inflate(k, bool(kind))
