@@ -37,16 +37,21 @@ def fuzzy_pairs(
     Output: ``id_a, id_b, name_a, name_b, dist``.
 
     Scale shape: each name emits length+1 variants (itself + one
-    deletion per position), shipped as 60-bit ``stable_hash64``
-    fingerprints (8 bytes on the wire, never variant strings); the
-    self-join keys on the fingerprint, so candidate generation is one
-    shuffle of O(rows × name_len) slim rows — never an all-pairs
-    product.  Variant-bucket sizes are bounded by the number of strings
-    one deletion apart (spelling-variant fan-in), not by corpus size.
-    Candidates dedupe on (id_a, id_b) before the single exact
-    ``levenshtein`` verify, which also removes hash-collision and
-    cross-position false candidates (the scheme has no false negatives
-    at distance <= 1).
+    deletion per position), shipped as PURE 60-bit ``stable_hash64``
+    fingerprint rows (id, hash) — 16 bytes on the wire, never variant
+    OR name strings; the self-join keys on the fingerprint, so
+    candidate generation is one shuffle of O(rows × name_len) slim rows
+    — never an all-pairs product.  Variant-bucket sizes are bounded by
+    the number of strings one deletion apart (spelling-variant fan-in),
+    not by corpus size.  Candidate pairs dedupe on the two BARE ids
+    (HashAggregate — carrying strings through an aggregate buffer
+    forces SortAggregate, measured in this operator's first version),
+    then names join back id-keyed for the single exact ``levenshtein``
+    verify, which also removes hash-collision and cross-position false
+    candidates (the scheme has no false negatives at distance <= 1;
+    duplicate variant hashes within one name — twin deletions of a
+    doubled letter — only duplicate candidates, which the pair dedup
+    collapses).
     """
     if max_dist != 1:
         raise ValueError(
@@ -61,34 +66,38 @@ def fuzzy_pairs(
         F.explode(F.sequence(F.lit(1), F.length("__s"))).alias("__p"),
     ).select(
         "__id",
-        "__s",
         F.concat(
             F.expr("substring(__s, 1, __p - 1)"),
             F.expr("substring(__s, __p + 1, length(__s))"),
         ).alias("__v"),
     )
-    variants = base.withColumn("__v", F.col("__s")).unionByName(dels)
-    sig = variants.select(
-        "__id", "__s", stable_hash64(F.col("__v")).alias("__h")
-    ).dropDuplicates(["__id", "__h"])
-    a = sig.select(
-        F.col("__id").alias("id_a"), F.col("__s").alias("name_a"), "__h"
-    )
-    b = sig.select(
-        F.col("__id").alias("id_b"), F.col("__s").alias("name_b"), "__h"
-    )
+    variants = base.select("__id", F.col("__s").alias("__v")).unionByName(dels)
+    sig = variants.select("__id", stable_hash64(F.col("__v")).alias("__h"))
+    a = sig.select(F.col("__id").alias("id_a"), "__h")
+    b = sig.select(F.col("__id").alias("id_b"), "__h")
     cand = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        "name_a",
-        "name_b",
-        F.levenshtein("name_a", "name_b").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
+    names_a = base.select(
+        F.col("__id").alias("id_a"), F.col("__s").alias("name_a")
+    )
+    names_b = base.select(
+        F.col("__id").alias("id_b"), F.col("__s").alias("name_b")
+    )
+    return (
+        cand.join(names_a, "id_a")
+        .join(names_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
 
 
 def copurchase_pairs(
