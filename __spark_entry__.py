@@ -3255,7 +3255,12 @@ def q_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison, so the gate proves the blocking loses no pairs."""
     from mvrepair.operators.linkage import fuzzy_pairs
 
-    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # _spread: the customer parquet lands in ~2 splits at sf0.1, and the
+    # 19x variant explode + md5 is the dominant map work — without the
+    # repartition it runs on 2 of 32 cores
+    c = _spread(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    )
     return fuzzy_pairs(c, name_col="c_name", id_col="c_custkey", max_dist=1)
 
 
@@ -3321,6 +3326,49 @@ SELECT src, dst, n,
        CAST(n * 1000000 // sum(n) OVER (PARTITION BY src) AS BIGINT)
          AS p_micro
 FROM c"""
+
+
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc percentile rank of the quality score within its source —
+    rank normalization for cross-source thresholds ("keep each source's
+    top 30%").  The naive percent_rank() is a full sort per source (one
+    task per group); the 0-3 score admits the token_budget_fill class
+    decomposition: a (sources x 4)-row count frame + broadcast join,
+    ZERO sort tasks, exact integer micro-units."""
+    from mvrepair.operators.sampling import quality_percentiles
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+    )
+    return quality_percentiles(d)
+
+
+def _oracle_quality_percentiles() -> str:
+    return f"""
+WITH s AS (
+  SELECT source, doc_id,
+    (CASE WHEN len(string_split(text, ' ')) BETWEEN 5 AND 100000
+          THEN 1 ELSE 0 END
+     + CASE WHEN len(list_filter(string_split(text, ' '),
+             t -> list_contains({_STOP_SQL}, t))) > 0 THEN 1 ELSE 0 END
+     + CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) > 0.2 THEN 1 ELSE 0 END
+    )::INTEGER AS quality_score
+  FROM documents),
+c AS (SELECT source, quality_score, count(*) AS n FROM s GROUP BY 1, 2),
+b AS (
+  SELECT source, quality_score,
+    CAST(sum(n) OVER (PARTITION BY source ORDER BY quality_score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT)
+      AS below,
+    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM c)
+SELECT s.doc_id, s.source, s.quality_score,
+  CASE WHEN b.total > 1
+       THEN below * 1000000 // (b.total - 1) ELSE 0 END::BIGINT AS pct_micro
+FROM s JOIN b USING (source, quality_score)"""
 
 
 PAGERANK_ITERS = 3
@@ -3420,7 +3468,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_log_compact": q_repair_log_compact,  # LWW durable-log compaction (r6 family, promoted r7)
         # analytics surface
         "pricing_summary": q_pricing_summary,
-        "top_revenue_orders": q_top_revenue_orders,
         "regional_revenue": q_regional_revenue,
         "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
@@ -3474,8 +3521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_pairs": q_basket_pairs,
         "event_transitions": q_event_transitions,
         "part_pagerank": q_part_pagerank,
+        "quality_percentiles": q_quality_percentiles,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
         # demoted in the round-8 rotation (driver-green through r7):
+        "top_revenue_orders": q_top_revenue_orders,  # twin: regional_revenue (join + agg + TakeOrdered top-k over the same order/lineitem fact) — driver-green r1-r7
         "rolling_fingerprint": q_rolling_fingerprint,  # twin: text_stats (join-free per-row projection — the token_counts/text_scrub precedent) — driver-green r1-r7
         "multimodal_meta": q_multimodal_meta,  # twin: multimodal_decode (same Arrow mapInPandas plumbing; meta is the projection half of decode) — driver-green r1-r7
         "ann_cosine_topk": q_ann_topk,  # twin: ann_ivf_topk (top-k rerank shape) + ann_recall (runs the identical brute pipeline as its first component, local gate) — driver-green r1-r7
@@ -3613,4 +3662,5 @@ def oracle_sql() -> dict[str, str]:
         "basket_pairs": _oracle_basket_pairs(),
         "event_transitions": _oracle_event_transitions(),
         "part_pagerank": _oracle_part_pagerank(),
+        "quality_percentiles": _oracle_quality_percentiles(),
     }

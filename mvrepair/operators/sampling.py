@@ -393,3 +393,64 @@ def token_budget_fill(
         .select(*out_cols)
     )
     return full.unionByName(partial)
+
+
+def quality_percentiles(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document percentile rank of the quality score within its group
+    — the rank-normalization step quality-threshold pipelines use when
+    absolute scores aren't comparable across sources ("keep each
+    source's top 30%").
+
+    Contract per doc: ``pct_micro = count_below * 1e6 div (n_group - 1)``
+    (percent_rank with ties sharing the minimum rank — the SQL
+    ``percent_rank()`` convention — in exact integer micro-units; 0 when
+    the group has one doc).  Integer division of exact counts, so both
+    engines agree bit-for-bit.
+
+    Scale shape: the naive formulation is ``percent_rank() OVER
+    (PARTITION BY group ORDER BY score)`` — a full sort of every group,
+    one task per group.  The quality score is a small integer (0-3), so
+    the rank decomposes by CLASS exactly like ``token_budget_fill``'s
+    budget: a (groups x 4)-row count frame + a running total over THAT
+    frame gives ``count_below`` per (group, class); every doc then gets
+    its percentile from a broadcast join — map-side, ZERO sort tasks at
+    any scale.
+    """
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from mvrepair.operators.text import _quality_score_expr
+
+    scored = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        _quality_score_expr(text_col).cast("int").alias("quality_score"),
+    )
+    per_class = scored.groupBy(group_col, "quality_score").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    wc = Window.partitionBy(group_col).orderBy(F.asc("quality_score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy(group_col)
+    classes = per_class.select(
+        group_col,
+        "quality_score",
+        (F.sum("__n").over(wc) - F.col("__n")).alias("__below"),
+        F.sum("__n").over(wt).alias("__total"),
+    )
+    return scored.join(broadcast(classes), [group_col, "quality_score"]).select(
+        id_col,
+        group_col,
+        "quality_score",
+        F.when(F.col("__total") > 1,
+               F.expr("__below * 1000000 div (__total - 1)"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pct_micro"),
+    )

@@ -133,6 +133,7 @@ class TestRegistryOrderingContract:
         "basket-mining": "basket_pairs",
         "transition-matrix": "event_transitions",
         "pagerank": "part_pagerank",
+        "rank-normalization": "quality_percentiles",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -183,6 +184,7 @@ class TestRegistryOrderingContract:
         "multimodal_meta": "multimodal_decode",
         "ann_cosine_topk": "ann_ivf_topk",
         "distinct_docs_kmv": "heavy_hitters",
+        "top_revenue_orders": "regional_revenue",
     }
 
     def test_every_family_within_driver_window(self):

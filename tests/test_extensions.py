@@ -2653,3 +2653,60 @@ def test_pagerank_micro_matches_python_model(spark):
     assert got == r
     # isolated/dangling nodes hold exactly the teleport term
     assert got[7] == 150_000 and got[5] == 150_000
+
+
+def test_quality_percentiles_matches_percent_rank(spark):
+    # the class-decomposed rank must equal SQL percent_rank() (ties share
+    # the minimum rank) in integer micro-units, with singleton groups at 0
+    from mvrepair.operators.sampling import quality_percentiles
+
+    rows = [
+        (1, "A", "the quick brown fox jumps over a lazy dog"),   # q=3
+        (2, "A", "x x x x x x x x"),                             # q=1
+        (3, "A", "of one two three four five six seven"),        # q=3
+        (4, "A", "z z"),                                         # q<=1
+        (5, "B", "solo"),                                        # singleton
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r["doc_id"]: (r["quality_score"], r["pct_micro"])
+        for r in quality_percentiles(df).collect()
+    }
+
+    def q(text):
+        toks = text.split(" ")
+        stop = {"the", "a", "of", "and", "to", "in", "is", "for"}
+        return (
+            (1 if 5 <= len(toks) <= 100000 else 0)
+            + (1 if any(t in stop for t in toks) else 0)
+            + (1 if len(set(toks)) / len(toks) > 0.2 else 0)
+        )
+
+    by_src = {}
+    for did, src, text in rows:
+        by_src.setdefault(src, []).append((did, q(text)))
+    want = {}
+    for src, docs in by_src.items():
+        n = len(docs)
+        for did, score in docs:
+            below = sum(1 for _, s in docs if s < score)
+            want[did] = (score, below * 1_000_000 // (n - 1) if n > 1 else 0)
+    assert got == want
+    assert got[5][1] == 0  # singleton group pins the n==1 branch
+
+
+def test_quality_percentiles_plan_has_no_sort(spark):
+    # the decomposition's whole point: ZERO sort tasks over corpus rows
+    # (the only window runs on the sources x 4 class frame)
+    from mvrepair.operators.sampling import quality_percentiles
+
+    df = spark.createDataFrame(
+        [(i, "S", "a b c d e f") for i in range(4)],
+        ["doc_id", "source", "text"],
+    )
+    plan = quality_percentiles(
+        df
+    )._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Sort " in ln and "doc_id" in ln:
+            raise AssertionError(f"corpus-row sort in plan: {ln}")

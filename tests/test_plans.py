@@ -409,6 +409,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "multimodal_frames": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                           "FileScan": 1, "MapInPandas": 1, "Project": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
+    # join + agg + TakeOrdered top-k over the order/lineitem fact — the
+    # regional_revenue shape (in-window)
+    "top_revenue_orders": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
+                           "BroadcastHashJoin": 2, "Exchange": 1,
+                           "FileScan": 3, "Filter": 3, "HashAggregate": 2,
+                           "Project": 6, "TakeOrderedAndProject": 1,
+                           "Window": 1},
     # join-free per-row hash projection — the token_counts/text_scrub
     # shape, twin text_stats (in-window)
     "rolling_fingerprint": {"AdaptiveSparkPlan": 1, "Exchange": 1,

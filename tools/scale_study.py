@@ -259,6 +259,11 @@ def main() -> None:
 
         return event_transitions(df)
 
+    def _qpct_op(df):
+        from mvrepair.operators.sampling import quality_percentiles
+
+        return quality_percentiles(df)
+
     def _pagerank_op(df):
         from mvrepair.operators.linkage import pagerank_micro
 
@@ -394,6 +399,9 @@ def main() -> None:
         "event_transitions(ev)": ("ev", _transitions_op),
         # disjoint graph copies; nodes = the distinct shifted part ids
         "part_pagerank(li2)": ("li2", _pagerank_op),
+        # exact copies: same sources/classes, counts x k — the class
+        # frame (and the broadcast) stays (sources x 4) at every factor
+        "quality_percentiles(copies)": (True, _qpct_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
