@@ -3371,6 +3371,41 @@ SELECT s.doc_id, s.source, s.quality_score,
 FROM s JOIN b USING (source, quality_score)"""
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket_gapfill + LOCF: the hourly event
+    series per type, densified over the global observed range with gap
+    rows explicit (n_events=0) and the last observed hourly value sum
+    carried forward.  Only corpus-sized work is the bucketed agg (one
+    combine-friendly shuffle); the spine and LOCF windows run on the
+    types x hours bucket frame."""
+    from mvrepair.operators.temporal import gapfill_locf
+
+    ev = load_table(spark, sf_dir, "events")
+    return gapfill_locf(ev, key_col="event_type", ts_col="ts",
+                        value_col="value")
+
+
+_ORACLE_EVENTS_GAPFILL = """
+WITH b AS (
+  SELECT event_type, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+    count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS v
+  FROM events GROUP BY 1, 2),
+r AS (SELECT min(bucket_us) AS gmin, max(bucket_us) AS gmax FROM b),
+k AS (SELECT DISTINCT event_type FROM b),
+spine AS (
+  SELECT k.event_type,
+    unnest(generate_series(r.gmin, r.gmax, 3600000000)) AS bucket_us
+  FROM k, r)
+SELECT s.event_type, s.bucket_us,
+  coalesce(b.n, 0)::BIGINT AS n_events,
+  CAST(b.v AS DOUBLE) AS sum_value,
+  CAST(last_value(b.v IGNORE NULLS) OVER (
+    PARTITION BY s.event_type ORDER BY s.bucket_us
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS locf_value
+FROM spine s LEFT JOIN b USING (event_type, bucket_us)"""
+
+
 PAGERANK_ITERS = 3
 
 
@@ -3428,6 +3463,82 @@ n AS (SELECT p_partkey AS id FROM part),
 r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
 {body}
 SELECT id AS part_id, r AS rank_micro FROM {prev}"""
+
+
+def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph — the
+    clustering-density companion of part_pagerank on the same edge
+    derivation (distinct co-occurring part pairs per order).  Degree-
+    ordered orientation bounds the wedge join at O(m^1.5) even with
+    heavy-hitter parts; see operators/linkage.py:triangle_counts."""
+    from mvrepair.operators.linkage import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_b")
+    )
+    edges = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .select("item_a", "item_b")
+        .dropDuplicates(["item_a", "item_b"])
+    )
+    return triangle_counts(edges).select(
+        F.col("node").alias("part_id"), "n_triangles"
+    )
+
+
+# the oracle enumerates triangles in id order (a<b<c) — a different
+# enumeration of the SAME unordered triangle set the engine's
+# degree-ordered orientation produces, so the per-vertex counts agree
+_ORACLE_PART_TRIANGLES = """
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+e AS (SELECT DISTINCT a.i AS x, bb.i AS y
+      FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i),
+t AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM e e1
+      JOIN e e2 ON e1.x = e2.x AND e1.y < e2.y
+      JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+u AS (SELECT a AS part_id FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t)
+SELECT part_id, count(*)::BIGINT AS n_triangles FROM u GROUP BY 1"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the event stream: users
+    bucketed by first-event day, counted once per active day, with
+    retention as an exact integer micro-fraction of the cohort size.
+    Both corpus aggs share one user-keyed shuffle; the matrix math runs
+    on the cohort x offset frame.  See temporal.py:cohort_retention."""
+    from mvrepair.operators.temporal import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(ev, period="day")
+
+
+_ORACLE_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, epoch_us(date_trunc('day', min(ts))) AS cohort
+  FROM events GROUP BY 1),
+a AS (
+  SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts)) AS week
+  FROM events),
+m AS (
+  SELECT f.cohort AS cohort_week_us,
+    (a.week - f.cohort) // 86400000000 AS week_offset,
+    count(*)::BIGINT AS n_users
+  FROM a JOIN f USING (user_id) GROUP BY 1, 2)
+SELECT cohort_week_us, week_offset, n_users,
+  (n_users * 1000000) // max(CASE WHEN week_offset = 0 THEN n_users END)
+    OVER (PARTITION BY cohort_week_us) AS retention_micro
+FROM m"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3567,6 +3678,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape, driver-checked)
         "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, driver-checked batch-side)
         "ann_recall": q_ann_recall,  # twin: ann_cosine_topk + ann_ivf_topk (pure composition of both checked pipelines + one id-keyed join)
+        "events_gapfill": q_events_gapfill,  # twin: events_hourly (same bucketed agg; spine+LOCF run on the bucket frame) — r8 family, rotation pending
+        "part_triangles": q_part_triangles,  # twin: part_pagerank (same co-purchase edge derivation) — r8 family, rotation pending
+        "cohort_retention": q_cohort_retention,  # twin: retained_customers (retention set algebra) — r8 family, rotation pending
     }
 
 
@@ -3657,6 +3771,9 @@ def oracle_sql() -> dict[str, str]:
         "nb_stream": _oracle_nb_stream(),
         "dedup_apply": _oracle_dedup_apply(),
         "ann_recall": _oracle_ann_recall(),
+        "events_gapfill": _ORACLE_EVENTS_GAPFILL,
+        "part_triangles": _ORACLE_PART_TRIANGLES,
+        "cohort_retention": _ORACLE_COHORT_RETENTION,
         "repair_log_compact": _oracle_repair_log_compact(),
         "name_linkage": _oracle_name_linkage(),
         "basket_pairs": _oracle_basket_pairs(),

@@ -300,3 +300,153 @@ def event_transitions(
         "n",
         F.expr("__num div __den").cast("long").alias("p_micro"),
     )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Hypertable-style ``time_bucket_gapfill`` + last-observation-carried-
+    forward: bucket events per key, then densify every key's series over
+    the GLOBAL observed bucket range so downstream consumers (dashboards,
+    feature windows, rate differentiators) see one row per (key, bucket)
+    with gaps explicit.
+
+    Contract per (key, bucket) on the shared [min, max] bucket spine:
+    ``n_events`` (0 on gap rows), ``sum_value`` (exact ``decimal(18,6)``
+    sum cast to double; NULL on gaps), and ``locf_value`` = the latest
+    non-gap ``sum_value`` at-or-before the bucket (NULL before the key's
+    first observation — standard LOCF leaves leading gaps empty).
+
+    Scale shape: the ONLY corpus-sized work is the bucketed aggregation —
+    one shuffle with map-side partial combine.  Everything after operates
+    on the bucket frame (|keys| x |observed buckets|, e.g. event-types x
+    hours — thousands of rows at ANY corpus scale): the spine derives
+    from a per-key min/max aggregate plus an empty-partition window over
+    that |keys|-row frame (the ``key_skew`` single-partition-by-design
+    precedent — the frame is keys-sized, not corpus-sized), expanded with
+    ``sequence``+``explode`` (no cross join, no driver collect), and the
+    LOCF window partitions by key over the densified spine.  A naive
+    generate_series-driver loop or a CROSS JOIN against a collected range
+    would either bottleneck on the driver or trip the
+    BroadcastNestedLoopJoin audit; this shape does neither.
+    """
+    b = (
+        df.groupBy(F.window(ts_col, bucket).alias("w"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("__v"),
+        )
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n_events",
+            "__v",
+        )
+    )
+    # per-key bucket extents (|keys| rows), then the global range via an
+    # empty-partition window over that tiny frame
+    per_key = b.groupBy(key_col).agg(
+        F.min("bucket_us").alias("__kmin"), F.max("bucket_us").alias("__kmax")
+    )
+    w_all = Window.partitionBy()
+    spine = per_key.select(
+        F.col(key_col),
+        F.min("__kmin").over(w_all).alias("__gmin"),
+        F.max("__kmax").over(w_all).alias("__gmax"),
+    ).select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__gmin"), F.col("__gmax"), F.lit(bucket_us))
+        ).alias("bucket_us"),
+    )
+    filled = spine.join(b, [key_col, "bucket_us"], "left")
+    w_locf = (
+        Window.partitionBy(key_col)
+        .orderBy(F.asc("bucket_us"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        F.col(key_col),
+        F.col("bucket_us"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("__v").cast("double").alias("sum_value"),
+        F.last("__v", ignorenulls=True)
+        .over(w_locf)
+        .cast("double")
+        .alias("locf_value"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the ``period`` (week
+    or day) of their FIRST event (the cohort), counted once per
+    subsequent active period — the standard product-analytics retention
+    triangle ("of the users acquired in period P, how many were active
+    P+k?").
+
+    Output per (cohort_week_us, week_offset): ``n_users`` (distinct
+    active users) and ``retention_micro`` = n_users * 1e6 div cohort
+    size (offset 0 row = the cohort size itself, retention 1e6) —
+    integer division of exact counts, bit-identical across engines.
+    (Column names keep the ``week`` spelling for both periods — the
+    offset unit is whatever ``period`` selects.)
+
+    Scale shape: two aggregations over the event stream, BOTH keyed by
+    user — first-touch ``min(ts)`` and the distinct (user, week)
+    activity set — so they share one shuffle layout and the user-keyed
+    join between them introduces no third exchange (sort-merge on the
+    already-partitioned aggregates; ReuseExchange collapses the scans).
+    The matrix aggregation and the per-cohort denominator window then
+    run on cohort x offset frames (weeks², not corpus-sized).  Never a
+    corpus-sized window, never a driver collect.
+    """
+    if period not in ("week", "day"):
+        raise ValueError(f"period must be week|day, got {period!r}")
+    week_us = (7 if period == "week" else 1) * 86_400 * 1_000_000
+    first = df.groupBy(key_col).agg(
+        F.unix_micros(F.date_trunc(period, F.min(ts_col))).alias("__cohort")
+    )
+    active = (
+        df.select(
+            F.col(key_col),
+            F.unix_micros(F.date_trunc(period, F.col(ts_col))).alias("__week"),
+        )
+        .dropDuplicates([key_col, "__week"])
+    )
+    mat = (
+        active.join(first, key_col)
+        .select(
+            F.col("__cohort").alias("cohort_week_us"),
+            ((F.col("__week") - F.col("__cohort")) / F.lit(week_us))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week_us", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    w_cohort = Window.partitionBy("cohort_week_us")
+    size = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_users"))
+    ).over(w_cohort)
+    return mat.select(
+        "cohort_week_us",
+        "week_offset",
+        "n_users",
+        F.expr(f"n_users * 1000000").cast("long").alias("__num"),
+        size.alias("__den"),
+    ).select(
+        "cohort_week_us",
+        "week_offset",
+        "n_users",
+        F.expr("__num div __den").cast("long").alias("retention_micro"),
+    )

@@ -185,6 +185,10 @@ class TestRegistryOrderingContract:
         "ann_cosine_topk": "ann_ivf_topk",
         "distinct_docs_kmv": "heavy_hitters",
         "top_revenue_orders": "regional_revenue",
+        # round-8 families pending rotation (local gate + pinned plans)
+        "events_gapfill": "events_hourly_stream",
+        "part_triangles": "part_pagerank",
+        "cohort_retention": "top_users_per_event",
     }
 
     def test_every_family_within_driver_window(self):

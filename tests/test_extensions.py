@@ -2710,3 +2710,105 @@ def test_quality_percentiles_plan_has_no_sort(spark):
     for ln in plan.splitlines():
         if "Sort " in ln and "doc_id" in ln:
             raise AssertionError(f"corpus-row sort in plan: {ln}")
+
+
+def test_gapfill_locf_spine_and_carry(spark):
+    # explicit gaps: key A observes hours 0 and 3, key B only hour 2 —
+    # the shared spine is hours 0..3 for BOTH keys; LOCF carries A's
+    # hour-0 sum across the 1-2 gap and leaves B's leading gaps NULL
+    from datetime import datetime
+
+    from mvrepair.operators.temporal import gapfill_locf
+
+    h = lambda k: datetime(2024, 1, 1, k, 30, 0)
+    rows = [
+        ("A", h(0), 10.5),
+        ("A", h(0), 1.0),
+        ("A", h(3), 2.0),
+        ("B", h(2), 7.25),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "value"])
+    got = {
+        (r["k"], r["bucket_us"] // 3_600_000_000): (
+            r["n_events"], r["sum_value"], r["locf_value"]
+        )
+        for r in gapfill_locf(df, key_col="k").collect()
+    }
+    base = 1704067200 // 3600  # 2024-01-01T00 in hours
+    assert set(got) == {(k, base + i) for k in "AB" for i in range(4)}
+    assert got[("A", base + 0)] == (2, 11.5, 11.5)
+    assert got[("A", base + 1)] == (0, None, 11.5)   # gap: carried
+    assert got[("A", base + 2)] == (0, None, 11.5)
+    assert got[("A", base + 3)] == (1, 2.0, 2.0)     # new observation
+    assert got[("B", base + 0)] == (0, None, None)   # leading gap: NULL
+    assert got[("B", base + 1)] == (0, None, None)
+    assert got[("B", base + 2)] == (1, 7.25, 7.25)
+    assert got[("B", base + 3)] == (0, None, 7.25)
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    # a hub graph: node 0 connects to 1..6, plus ring edges closing
+    # known triangles; brute-force enumeration is the model
+    from itertools import combinations
+
+    from mvrepair.operators.linkage import triangle_counts
+
+    edges = {(0, i) for i in range(1, 7)} | {(1, 2), (2, 3), (4, 5), (5, 6), (1, 6)}
+    df = spark.createDataFrame(sorted(edges), ["item_a", "item_b"])
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    adj = set(edges)
+    nodes = {n for e in edges for n in e}
+    want = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if {(a, b), (b, c), (a, c)} <= adj:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+    assert want[0] == 5  # the hub sits on every triangle
+
+
+def test_triangle_counts_plan_is_equijoin_only(spark):
+    # degree orientation must never degrade to a cartesian/BNLJ plan
+    from mvrepair.operators.linkage import triangle_counts
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 6)],
+        ["item_a", "item_b"],
+    )
+    plan = triangle_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cohort_retention_matches_python_model(spark):
+    from datetime import datetime
+
+    from mvrepair.operators.temporal import cohort_retention
+
+    d = lambda day, hh: datetime(2024, 1, day, hh, 0, 0)
+    rows = [
+        # cohort day 1: users 1, 2; user 1 returns day 2 and 4, user 2 never
+        (1, d(1, 9)), (1, d(1, 18)), (1, d(2, 3)), (1, d(4, 1)),
+        (2, d(1, 23)),
+        # cohort day 3: user 3 alone, returns day 4 -> retention 1e6
+        (3, d(3, 5)), (3, d(4, 22)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["cohort_week_us"], r["week_offset"]): (
+            r["n_users"], r["retention_micro"]
+        )
+        for r in cohort_retention(df, period="day").collect()
+    }
+    day_us = 86_400_000_000
+    d1 = 1704067200 * 1_000_000
+    d3 = d1 + 2 * day_us
+    assert got == {
+        (d1, 0): (2, 1_000_000),
+        (d1, 1): (1, 500_000),
+        (d1, 3): (1, 500_000),
+        (d3, 0): (1, 1_000_000),
+        (d3, 1): (1, 1_000_000),
+    }
