@@ -3541,6 +3541,94 @@ SELECT cohort_week_us, week_offset, n_users,
 FROM m"""
 
 
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of the unigram distribution from the
+    corpus distribution, in exact token-q20 log2 units (micro_log2
+    quantizer — bit-identical across engines).  One corpus token pass;
+    global frequencies derive from the vocab-sized per-source frame.
+    See text.py:source_divergence."""
+    from mvrepair.operators.text import source_divergence
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("text", "source")
+    )
+    return source_divergence(d)
+
+
+def _oracle_source_divergence() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    inner = """
+WITH inst AS (
+  SELECT source AS s,
+    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)),
+ps AS (SELECT s, h, count(*) AS cs FROM inst GROUP BY 1, 2),
+g AS (SELECT h, CAST(sum(cs) AS BIGINT) AS cg FROM ps GROUP BY 1),
+t AS (SELECT s, CAST(sum(cs) AS BIGINT) AS ns, count(*) AS vocab
+      FROM ps GROUP BY 1),
+tt AS (SELECT s, ns, vocab, CAST(sum(ns) OVER () AS BIGINT) AS ng FROM t)
+SELECT ps.s, ps.cs, g.cg, tt.ns, tt.vocab, tt.ng
+FROM ps JOIN g USING (h) JOIN tt USING (s)"""
+    ml = micro_log2_sql(
+        inner,
+        "(CAST(cs AS DOUBLE) / CAST(cg AS DOUBLE))"
+        " * (CAST(ng AS DOUBLE) / CAST(ns AS DOUBLE))",
+        keep=["s", "cs", "ns", "vocab"],
+        out="ml",
+    )
+    return f"""
+SELECT s AS source, max(ns)::BIGINT AS n_tokens,
+  max(vocab)::BIGINT AS vocab,
+  CAST(sum(cs * ml) AS BIGINT) AS kl_q20_sum
+FROM ({ml}) GROUP BY 1"""
+
+
+def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two co-purchase centrality signals
+    (PageRank + triangle counts) — the hybrid-retrieval combiner
+    (Cormack et al. 2009) in exact integer micro-units, as a pure
+    composition of two checked pipelines (the ann_recall doctrine).
+    Each list cuts to top-k via TakeOrdered BEFORE the k-row rank
+    window; fusion is a union + one tiny aggregate."""
+    from mvrepair.operators.linkage import rrf_fuse
+
+    pr = q_part_pagerank(spark, sf_dir).select(
+        "part_id", F.col("rank_micro").alias("score")
+    )
+    tri = q_part_triangles(spark, sf_dir).select(
+        "part_id", F.col("n_triangles").cast("long").alias("score")
+    )
+    return rrf_fuse(
+        [("pagerank", pr), ("triangles", tri)], id_col="part_id", k=100
+    )
+
+
+def _oracle_part_rank_fusion() -> str:
+    return f"""
+WITH pr AS ({_oracle_part_pagerank()}),
+tri AS ({_ORACLE_PART_TRIANGLES}),
+prk AS (
+  SELECT part_id, row_number() OVER (ORDER BY rank_micro DESC, part_id) AS r
+  FROM (SELECT * FROM pr ORDER BY rank_micro DESC, part_id LIMIT 100)),
+trk AS (
+  SELECT part_id, row_number() OVER (ORDER BY n_triangles DESC, part_id) AS r
+  FROM (SELECT * FROM tri ORDER BY n_triangles DESC, part_id LIMIT 100)),
+u AS (SELECT part_id, r, 'pagerank' AS l FROM prk
+      UNION ALL SELECT part_id, r, 'triangles' AS l FROM trk),
+f AS (
+  SELECT part_id,
+    CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_micro,
+    CAST(max(CASE WHEN l = 'pagerank' THEN r END) AS BIGINT)
+      AS rank_pagerank,
+    CAST(max(CASE WHEN l = 'triangles' THEN r END) AS BIGINT)
+      AS rank_triangles
+  FROM u GROUP BY 1)
+SELECT part_id, rrf_micro, rank_pagerank, rank_triangles
+FROM f ORDER BY rrf_micro DESC, part_id LIMIT 100"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -3681,6 +3769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,  # twin: events_hourly (same bucketed agg; spine+LOCF run on the bucket frame) — r8 family, rotation pending
         "part_triangles": q_part_triangles,  # twin: part_pagerank (same co-purchase edge derivation) — r8 family, rotation pending
         "cohort_retention": q_cohort_retention,  # twin: retained_customers (retention set algebra) — r8 family, rotation pending
+        "source_divergence": q_source_divergence,  # twin: corpus_profile + dsir (token-pass + micro_log2) — r8 family, rotation pending
+        "part_rank_fusion": q_part_rank_fusion,  # twin: part_pagerank + part_triangles (pure composition, the ann_recall doctrine) — r8 family, rotation pending
     }
 
 
@@ -3774,6 +3864,8 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill": _ORACLE_EVENTS_GAPFILL,
         "part_triangles": _ORACLE_PART_TRIANGLES,
         "cohort_retention": _ORACLE_COHORT_RETENTION,
+        "source_divergence": _oracle_source_divergence(),
+        "part_rank_fusion": _oracle_part_rank_fusion(),
         "repair_log_compact": _oracle_repair_log_compact(),
         "name_linkage": _oracle_name_linkage(),
         "basket_pairs": _oracle_basket_pairs(),

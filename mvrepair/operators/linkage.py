@@ -20,6 +20,7 @@ deeper-deletion meetings only ever ADD candidates, which the final exact
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from mvrepair.functions import stable_hash64
 
@@ -288,3 +289,58 @@ def triangle_counts(
     return verts.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def rrf_fuse(
+    lists: list[tuple[str, DataFrame]],
+    id_col: str = "id",
+    score_col: str = "score",
+    k: int = 100,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of top-k rankings —
+    the standard hybrid-retrieval combiner (lexical + dense, or any
+    ensemble of importance signals): each list contributes
+    ``1e6 div (c + rank)`` per item, in exact integer micro-units, so
+    the fused score is bit-identical across engines (the float
+    ``1/(c+r)`` sum would be order-dependent).
+
+    ``lists`` is ``[(name, df), ...]``; each df carries (``id_col``,
+    ``score_col``), higher score = better, ties broken by id ascending.
+    Output: ``id_col``, one nullable ``rank_<name>`` per input list
+    (1-based, NULL when the item missed that list's top-k), and
+    ``rrf_micro`` — the fused top-k by (rrf desc, id).
+
+    Scale shape: each input reduces to its top-k FIRST via
+    TakeOrderedAndProject (never a global sort of the full ranking);
+    the global row_number window then runs on the k-row frame (single
+    partition by construction — the key_skew tiny-frame precedent, k
+    rows at any corpus scale).  Fusion is a union + one hash aggregate
+    over <= len(lists)*k rows, and the final cut is TakeOrdered again.
+    """
+    ranked = []
+    for name, df in lists:
+        topk = df.orderBy(F.desc(score_col), F.asc(id_col)).limit(k)
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            topk.select(
+                F.col(id_col),
+                F.row_number().over(w).cast("long").alias("__r"),
+                F.lit(name).alias("__l"),
+            )
+        )
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    aggs = [
+        F.sum(F.expr(f"1000000 div ({int(c)} + __r)"))
+        .cast("long")
+        .alias("rrf_micro")
+    ] + [
+        F.max(F.when(F.col("__l") == name, F.col("__r")))
+        .cast("long")
+        .alias(f"rank_{name}")
+        for name, _ in lists
+    ]
+    fused = u.groupBy(id_col).agg(*aggs)
+    return fused.orderBy(F.desc("rrf_micro"), F.asc(id_col)).limit(k)

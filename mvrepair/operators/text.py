@@ -859,3 +859,85 @@ def bpe_merge_candidates(
         .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
         .limit(k)
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence of the unigram token distribution from
+    the whole-corpus distribution — the drift/contamination dashboard
+    number data-mixing pipelines watch ("is this crawl slice
+    distributionally unlike the corpus?"), and the exact-arithmetic
+    stand-in for the DoReMi-style domain-weight diagnostics.
+
+    KL(p_s || q) = Σ_t p_s(t) · log2(p_s(t) / q(t)) over the source's
+    token support, reported as ``kl_q20_sum`` = Σ_t c_st ·
+    micro_log2((c_st / c_t) · (N / N_s)) — an int64 in token·2^-20
+    log2-units (divide by n_tokens · 2^20 for bits/token).  Every factor
+    is either an exact integer or a correctly-rounded IEEE double
+    (division/multiplication only), and micro_log2 is the cross-engine-
+    exact quantizer, so both engines agree bit-for-bit; the two-division
+    ratio form keeps every intermediate within double range at ANY
+    corpus size (a c_st · N integer product would overflow int64 at
+    ~10 TB of tokens).  Also per source: ``n_tokens``, ``vocab``.
+
+    Scale shape: ONE corpus token pass (explode → 60-bit fingerprints →
+    (source, token) counts, map-side combinable); the global token
+    frequencies derive from THAT vocab-sized frame (groupBy __h — same
+    key, second small exchange), never a second corpus pass; per-source
+    totals and the grand total live on |sources|-row frames (the grand
+    total via an empty-partition window over the tiny frame — the
+    key_skew precedent); the contribution join keys on __h
+    (vocab-sized) with the totals broadcast.  The final rollup keys on
+    source — |sources| groups, combine-friendly.
+    """
+    from pyspark.sql.window import Window
+
+    from mvrepair.functions.exactlog import micro_log2
+    from mvrepair.operators.dedup import shingles  # deferred: dedup imports text
+
+    from pyspark import StorageLevel
+
+    inst = df.select(
+        F.col(source_col).alias("__s"),
+        F.explode(shingles(F.col(text_col), 1)).alias("__t"),
+    ).select("__s", stable_hash64(F.col("__t")).alias("__h"))
+    # persist the (source, token) count frame: it feeds the global
+    # frequencies, the per-source totals, AND the contribution join —
+    # without the cache each consumer re-runs the corpus token pass
+    # (the frame itself is vocab x sources, tiny relative to the corpus)
+    per_src = (
+        inst.groupBy("__s", "__h")
+        .agg(F.count(F.lit(1)).alias("__cs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    glob = per_src.groupBy("__h").agg(F.sum("__cs").alias("__cg"))
+    totals = per_src.groupBy("__s").agg(
+        F.sum("__cs").alias("__ns"), F.count(F.lit(1)).alias("__vocab")
+    )
+    w_all = Window.partitionBy()
+    totals = totals.select(
+        "__s", "__ns", "__vocab", F.sum("__ns").over(w_all).alias("__ng")
+    )
+    ratio = (
+        F.col("__cs").cast("double") / F.col("__cg").cast("double")
+    ) * (F.col("__ng").cast("double") / F.col("__ns").cast("double"))
+    contrib = (
+        per_src.join(glob, "__h")
+        .join(F.broadcast(totals), "__s")
+        .select(
+            "__s",
+            "__ns",
+            "__vocab",
+            (F.col("__cs") * micro_log2(ratio)).alias("__kl"),
+        )
+    )
+    return contrib.groupBy("__s").agg(
+        F.first("__ns").alias("n_tokens"),
+        F.first("__vocab").alias("vocab"),
+        F.sum("__kl").cast("long").alias("kl_q20_sum"),
+    ).select(
+        F.col("__s").alias("source"), "n_tokens", "vocab", "kl_q20_sum"
+    )

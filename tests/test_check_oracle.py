@@ -189,6 +189,8 @@ class TestRegistryOrderingContract:
         "events_gapfill": "events_hourly_stream",
         "part_triangles": "part_pagerank",
         "cohort_retention": "top_users_per_event",
+        "source_divergence": "dsir_scores",
+        "part_rank_fusion": "part_pagerank",
     }
 
     def test_every_family_within_driver_window(self):

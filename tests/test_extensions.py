@@ -2812,3 +2812,71 @@ def test_cohort_retention_matches_python_model(spark):
         (d3, 0): (1, 1_000_000),
         (d3, 1): (1, 1_000_000),
     }
+
+
+def test_source_divergence_matches_python_model(spark):
+    # exact-KL model: same token counts, same micro_log2 quantizer
+    from collections import Counter
+
+    from mvrepair.functions.exactlog import py_micro_log2
+    from mvrepair.operators.text import source_divergence
+
+    rows = [
+        ("A", "a b a c"),
+        ("A", "a d"),
+        ("B", "b b e"),
+        ("C", "a b c d e"),   # close to the global mix
+    ]
+    df = spark.createDataFrame(rows, ["source", "text"])
+    got = {
+        r["source"]: (r["n_tokens"], r["vocab"], r["kl_q20_sum"])
+        for r in source_divergence(df).collect()
+    }
+    per_src, glob = {}, Counter()
+    for s, text in rows:
+        c = per_src.setdefault(s, Counter())
+        for t in text.split(" "):
+            c[t] += 1
+            glob[t] += 1
+    ng = sum(glob.values())
+    want = {}
+    for s, c in per_src.items():
+        ns = sum(c.values())
+        kl = sum(
+            cs * py_micro_log2((cs / glob[t]) * (ng / ns))
+            for t, cs in c.items()
+        )
+        want[s] = (ns, len(c), kl)
+    assert got == want
+    # the near-global-mix source diverges least
+    assert want["C"][2] == min(v[2] for v in want.values())
+
+
+def test_rrf_fuse_model_and_misses(spark):
+    from mvrepair.operators.linkage import rrf_fuse
+
+    l1 = spark.createDataFrame(
+        [(1, 30), (2, 20), (3, 10), (4, 5)], ["id", "score"]
+    )
+    l2 = spark.createDataFrame(
+        [(2, 9), (3, 9), (5, 7)], ["id", "score"]  # tie at 9 -> id asc
+    )
+    got = {
+        r["id"]: (r["rrf_micro"], r["rank_a"], r["rank_b"])
+        for r in rrf_fuse(
+            [("a", l1), ("b", l2)], id_col="id", k=3
+        ).collect()
+    }
+    mic = lambda r: 1_000_000 // (60 + r)
+    # l1 top-3: 1,2,3 ; l2 ranks: 2->1, 3->2, 5->3 (tie by id)
+    full = {
+        1: (mic(1), 1, None),
+        2: (mic(2) + mic(1), 2, 1),
+        3: (mic(3) + mic(2), 3, 2),
+        5: (mic(3), None, 3),
+    }
+    want = dict(
+        sorted(full.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+    )
+    assert got == want
+    assert 4 not in got  # cut by l1's top-k before fusion
