@@ -3654,12 +3654,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 3 new algebras (deletion-variant fuzzy linkage, basket pair
     mining, transition matrix) displaced multimodal_meta /
     ann_cosine_topk / distinct_docs_kmv (driver-green r1-r7, frozen
-    fingerprints + local-gate rows).
+    fingerprints + local-gate rows).  Round-8 wave 2: quality
+    percentiles displaced top_revenue_orders, then gap-fill+LOCF,
+    triangle counting, cohort retention, and KL source-divergence
+    displaced mv_stats / text_quality / doc_repetition / doc_chunks —
+    each a true plan twin of a still-checked query (named in its
+    comment), driver-green r1-r7, frozen fingerprint + local-gate row.
+    part_rank_fusion stays past-window by the composition doctrine
+    (ann_recall precedent: both of its components are driver-checked).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
         "mv_classify": q_mv_classify,
-        "mv_stats": q_mv_stats,
         "mv_report_text": q_mv_report_text,
         # repair planning/apply (O13-O15)
         "mv_repair_upserts": q_mv_upserts,
@@ -3677,16 +3683,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,  # sessionization
         # text analysis
         "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
         "doc_splits": q_doc_splits,
         "bm25_rank": q_bm25_rank,
         "heavy_hitters": q_heavy_hitters,
-        # data-quality filters (repetition + substring duplication)
-        "doc_repetition": q_doc_repetition,
+        # data-quality filters (gram-hash family rep: substring dup)
         "substring_dupes": q_substring_dupes,
-        # training-sequence layout (packing + chunking)
+        # training-sequence layout (packing family rep)
         "pack_sequences": q_pack_sequences,
-        "doc_chunks": q_doc_chunks,
         # sampling / data selection (r6 families, promoted r7)
         "token_budget_fill": q_token_budget_fill,
         "dsir_scores": q_dsir_scores,
@@ -3721,6 +3724,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "part_pagerank": q_part_pagerank,
         "quality_percentiles": q_quality_percentiles,
+        # round-8 families (promoted r8): gap-fill, triangles, cohort, KL
+        "events_gapfill": q_events_gapfill,
+        "part_triangles": q_part_triangles,
+        "cohort_retention": q_cohort_retention,
+        "source_divergence": q_source_divergence,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
         # demoted in the round-8 rotation (driver-green through r7):
         "top_revenue_orders": q_top_revenue_orders,  # twin: regional_revenue (join + agg + TakeOrdered top-k over the same order/lineitem fact) — driver-green r1-r7
@@ -3766,11 +3774,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_upsert": q_index_upsert,  # twin: minhash_signatures (same signing pipeline) + corpus_diff (same diff shape, driver-checked)
         "nb_stream": q_nb_stream,  # twin: neardup_stream (same foreachBatch static-index shape) + nb_classify (the scoring algebra, driver-checked batch-side)
         "ann_recall": q_ann_recall,  # twin: ann_cosine_topk + ann_ivf_topk (pure composition of both checked pipelines + one id-keyed join)
-        "events_gapfill": q_events_gapfill,  # twin: events_hourly (same bucketed agg; spine+LOCF run on the bucket frame) — r8 family, rotation pending
-        "part_triangles": q_part_triangles,  # twin: part_pagerank (same co-purchase edge derivation) — r8 family, rotation pending
-        "cohort_retention": q_cohort_retention,  # twin: retained_customers (retention set algebra) — r8 family, rotation pending
-        "source_divergence": q_source_divergence,  # twin: corpus_profile + dsir (token-pass + micro_log2) — r8 family, rotation pending
-        "part_rank_fusion": q_part_rank_fusion,  # twin: part_pagerank + part_triangles (pure composition, the ann_recall doctrine) — r8 family, rotation pending
+        "part_rank_fusion": q_part_rank_fusion,  # twin: part_pagerank + part_triangles (pure composition of two checked pipelines, the ann_recall doctrine)
+        # demoted in the round-8 rotation wave 2 (driver-green r1-r7):
+        "mv_stats": q_mv_stats,  # twin: mv_classify (same prepared wide frame; stats is the single-pass observe agg) — driver-green r1-r7
+        "text_quality": q_text_quality,  # twin: quality_percentiles (same _quality_score_expr gate algebra, driver-checked) + text_stats (per-row projection) — driver-green r1-r7
+        "doc_repetition": q_doc_repetition,  # twin: substring_dupes (same doc-scoped gram-hash agg shape; the r6 verdict groups them as one family row) — driver-green r1-r7
+        "doc_chunks": q_doc_chunks,  # twin: pack_sequences (training-sequence layout family; chunking is its shuffle-free half) — driver-green r1-r7
     }
 
 

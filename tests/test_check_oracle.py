@@ -100,13 +100,14 @@ class TestRegistryOrderingContract:
         "range-interval-join": "sessions_in_maintenance",
         "sessionization": "event_sessions",
         "text": "text_stats",
-        "quality": "text_quality",
+        "quality": "quality_percentiles",  # r8: text_quality demoted; the gate algebra is driver-checked via its rank-normalization
         "splits": "doc_splits",
         "term-stats": "bm25_rank",
-        "repetition": "doc_repetition",
-        "substring-dup": "substring_dupes",
-        "packing": "pack_sequences",
-        "chunking": "doc_chunks",
+        # r8 merge: repetition + substring-dup are one doc-scoped
+        # gram-hash agg family (the r6 verdict's own grouping)
+        "repetition-substring-dup": "substring_dupes",
+        # r8 merge: packing + chunking are one training-layout family
+        "packing-chunking": "pack_sequences",
         "budget-fill": "token_budget_fill",
         "dsir": "dsir_scores",
         "dedup-exact": "dedup_exact",
@@ -134,6 +135,11 @@ class TestRegistryOrderingContract:
         "transition-matrix": "event_transitions",
         "pagerank": "part_pagerank",
         "rank-normalization": "quality_percentiles",
+        # round-8 wave-2 families
+        "gapfill-locf": "events_gapfill",
+        "triangles": "part_triangles",
+        "cohort-retention": "cohort_retention",
+        "kl-divergence": "source_divergence",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -161,7 +167,7 @@ class TestRegistryOrderingContract:
         "events_by_type_salted": "events_hourly_stream",
         "next_touch": "purchase_attribution",
         "retained_customers": "lapsed_customers",
-        "lang_scores": "text_quality",
+        "lang_scores": "text_stats",
         "text_scrub": "text_stats",
         "doc_fingerprint": "text_stats",
         "rolling_fingerprint": "text_stats",
@@ -169,10 +175,10 @@ class TestRegistryOrderingContract:
         "doc_sample": "doc_splits",
         "tfidf_topterms": "bm25_rank",
         "token_quantiles": "heavy_hitters",
-        "pretrain_corpus": "text_quality",
+        "pretrain_corpus": "quality_percentiles",
         "corpus_mix": "doc_splits",
         "dedup_keep_best": "dedup_clusters",
-        "quality_funnel": "text_quality",
+        "quality_funnel": "quality_percentiles",
         "training_order": "pack_sequences",
         "rare_tokens": "substring_dupes",
         "label_outliers": "kmeans_clusters",
@@ -185,12 +191,12 @@ class TestRegistryOrderingContract:
         "ann_cosine_topk": "ann_ivf_topk",
         "distinct_docs_kmv": "heavy_hitters",
         "top_revenue_orders": "regional_revenue",
-        # round-8 families pending rotation (local gate + pinned plans)
-        "events_gapfill": "events_hourly_stream",
-        "part_triangles": "part_pagerank",
-        "cohort_retention": "top_users_per_event",
-        "source_divergence": "dsir_scores",
         "part_rank_fusion": "part_pagerank",
+        # demoted in the round-8 rotation wave 2 (driver-green r1-r7):
+        "mv_stats": "mv_classify",
+        "text_quality": "quality_percentiles",
+        "doc_repetition": "substring_dupes",
+        "doc_chunks": "pack_sequences",
     }
 
     def test_every_family_within_driver_window(self):

@@ -408,36 +408,6 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                             "FileScan": 1, "MapInPandas": 1, "Project": 1},
     "multimodal_frames": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                           "FileScan": 1, "MapInPandas": 1, "Project": 1},
-    # ---- round-8 families pending rotation ----
-    # bucketed agg (the events_hourly shape) + spine Generate + two
-    # windows (global range over the per-key frame, LOCF) — all post-agg
-    "events_gapfill": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
-                       "BroadcastHashJoin": 1, "Exchange": 3,
-                       "FileScan": 2, "Filter": 2, "Generate": 1,
-                       "HashAggregate": 4, "Project": 7, "Sort": 1,
-                       "Window": 2},
-    # two user-keyed aggs + matrix window; join broadcasts the first-
-    # touch frame at fixture scale
-    "cohort_retention": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
-                         "BroadcastHashJoin": 1, "Exchange": 4,
-                         "FileScan": 2, "Filter": 2, "HashAggregate": 6,
-                         "Project": 5, "Sort": 1, "Window": 1},
-    # SUBSET pin (persist reprints the cached lineage per consumer —
-    # bookkeeping, not algebra): the stable skeleton is the wedge SMJ
-    # pair + closing join, the vertex-explode Generate, and the
-    # degree-union — and never a cartesian/BNLJ node
-    "part_triangles": {"Generate": 1, "Union": 6, "SortMergeJoin": 8,
-                       "CartesianProduct": 0,
-                       "BroadcastNestedLoopJoin": 0},
-    # one corpus token pass (persisted vocab-frame consumed 3x; the
-    # FileScan/Generate triples are the cached plan REPRINTED per
-    # consumer, not re-execution), micro_log2 fold in a projection
-    "source_divergence": {"AdaptiveSparkPlan": 4, "BroadcastExchange": 2,
-                          "BroadcastHashJoin": 2, "Exchange": 10,
-                          "FileScan": 3, "Filter": 3, "Generate": 3,
-                          "HashAggregate": 12, "InMemoryRelation": 3,
-                          "InMemoryTableScan": 3, "Project": 5,
-                          "Window": 1},
     # SUBSET pin (composes part_pagerank + part_triangles, whose cached
     # lineage reprints dominate the node multiset): the fusion skeleton
     # is 3 TakeOrdered cuts (2 list cuts + final), 2 k-row rank windows,
@@ -445,6 +415,22 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "part_rank_fusion": {"TakeOrderedAndProject": 3, "Window": 2,
                          "Union": 7, "CartesianProduct": 0,
                          "BroadcastNestedLoopJoin": 0},
+    # ---- demoted in the round-8 rotation wave 2 (driver-green r1-r7) ----
+    # single-pass observe agg over the same prepared wide frame as
+    # mv_classify (string accumulators force the SortAggregate pair)
+    "mv_stats": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 3,
+                 "Filter": 2, "HashAggregate": 2, "Project": 10,
+                 "Sort": 4, "SortAggregate": 4, "SortMergeJoin": 1,
+                 "Union": 1},
+    # per-row gate projection — the text_stats shape
+    "text_quality": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                     "Project": 2},
+    # doc-scoped gram-hash two-agg shape, twin substring_dupes
+    "doc_repetition": {"AdaptiveSparkPlan": 1, "Exchange": 4, "FileScan": 1,
+                       "Generate": 1, "HashAggregate": 6, "Project": 2},
+    # shuffle-free explode layout, twin pack_sequences
+    "doc_chunks": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                   "Generate": 1, "Project": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)

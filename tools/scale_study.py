@@ -264,6 +264,72 @@ def main() -> None:
 
         return quality_percentiles(df)
 
+    def _gapfill_op(df):
+        from mvrepair.operators.temporal import gapfill_locf
+
+        return gapfill_locf(df, key_col="event_type", ts_col="ts",
+                            value_col="value")
+
+    def _cohort_op(df):
+        from mvrepair.operators.temporal import cohort_retention
+
+        return cohort_retention(df, period="day")
+
+    def _sdiv_op(df):
+        from mvrepair.operators.text import source_divergence
+
+        return source_divergence(df)
+
+    def _edges_of(df):
+        items = df.select("l_orderkey", "l_partkey").dropDuplicates()
+        a = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_a")
+        )
+        bb = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_b")
+        )
+        return (
+            a.join(bb, "__b")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .select("item_a", "item_b")
+            .dropDuplicates(["item_a", "item_b"])
+        )
+
+    def _triangles_op(df):
+        from mvrepair.operators.linkage import triangle_counts
+
+        return triangle_counts(_edges_of(df))
+
+    def _fusion_op(df):
+        from mvrepair.operators.linkage import (
+            pagerank_micro, rrf_fuse, triangle_counts,
+        )
+
+        items = df.select("l_orderkey", "l_partkey").dropDuplicates()
+        a = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("src")
+        )
+        bb = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("dst")
+        )
+        edges = (
+            a.join(bb, "__b")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+        )
+        nodes = df.select(F.col("l_partkey").alias("id")).dropDuplicates()
+        pr = pagerank_micro(edges, nodes, iters=3).select(
+            F.col("id").alias("part_id"), F.col("rank_micro").alias("score")
+        )
+        tri = triangle_counts(_edges_of(df)).select(
+            F.col("node").alias("part_id"),
+            F.col("n_triangles").cast("long").alias("score"),
+        )
+        return rrf_fuse(
+            [("pagerank", pr), ("triangles", tri)], id_col="part_id", k=100
+        )
+
     def _pagerank_op(df):
         from mvrepair.operators.linkage import pagerank_micro
 
@@ -402,6 +468,20 @@ def main() -> None:
         # exact copies: same sources/classes, counts x k — the class
         # frame (and the broadcast) stays (sources x 4) at every factor
         "quality_percentiles(copies)": (True, _qpct_op),
+        # round-8 wave 2.  events copies (shifted user ids, same 30-day
+        # span): gapfill's spine stays types x hours at every factor —
+        # only the bucketed agg grows; cohort's matrix stays days^2
+        "events_gapfill(ev)": ("ev", _gapfill_op),
+        "cohort_retention(ev)": ("ev", _cohort_op),
+        # disjoint graph copies: k x nodes/edges/triangles, wedge width
+        # per vertex constant
+        "part_triangles(li2)": ("li2", _triangles_op),
+        # both centrality pipelines + the k-row fusion
+        "part_rank_fusion(li2)": ("li2", _fusion_op),
+        # prefixed copies: per-copy vocab disjoint, every (source, token)
+        # count exactly the base corpus's — the vocab frame grows k x,
+        # the KL join stays vocab-sized
+        "source_divergence": (False, _sdiv_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
