@@ -3585,6 +3585,109 @@ SELECT s AS source, max(ns)::BIGINT AS n_tokens,
 FROM ({ml}) GROUP BY 1"""
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase over the event stream:
+    users reaching each step (each step strictly after the user's
+    earliest completion of the previous one), with exact integer
+    micro-fraction conversions.  One user-keyed shuffle — the chained
+    step minima stack as Window operators on a single Exchange+Sort.
+    See temporal.py:funnel_steps."""
+    from mvrepair.operators.temporal import funnel_steps
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(ev, steps=["view", "click", "purchase"])
+
+
+_ORACLE_EVENT_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1),
+c AS (
+  SELECT 1 AS step, 'view' AS event_type,
+    (SELECT count(*) FROM s0)::BIGINT AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s1)::BIGINT
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s2)::BIGINT)
+SELECT step, event_type, n_users,
+  CASE WHEN first_n > 0 THEN (n_users * 1000000) // first_n END
+    AS conversion_micro,
+  CASE WHEN prev_n > 0 THEN (n_users * 1000000) // prev_n END
+    AS stepwise_micro
+FROM (
+  SELECT step, event_type, n_users,
+    max(CASE WHEN step = 1 THEN n_users END) OVER () AS first_n,
+    lag(n_users) OVER (ORDER BY step) AS prev_n
+  FROM c)"""
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-moving-average anomaly flags on the hourly event-count
+    series per type: a bucket is anomalous when its count exceeds 2x the
+    trailing 24h mean (exact cross-multiplied integers — no float means).
+    Only corpus-sized work is the bucketed count; the trailing RANGE
+    window runs on the types x hours frame.  See
+    temporal.py:moving_anomaly."""
+    from mvrepair.operators.temporal import moving_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    return moving_anomaly(ev)
+
+
+_ORACLE_EVENTS_ANOMALY = """
+WITH b AS (
+  SELECT event_type,
+    epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+    count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, idx * 3600000000 AS bucket_us, n,
+    sum(n) OVER tr AS tsum, count(n) OVER tr AS tcnt
+  FROM b
+  WINDOW tr AS (PARTITION BY event_type ORDER BY idx
+                RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, bucket_us, n,
+  coalesce(tsum, 0)::BIGINT AS trailing_sum,
+  tcnt::BIGINT AS trailing_buckets,
+  (CASE WHEN tcnt >= 6 AND tsum > 0
+    THEN (n * tcnt * 1000000) // tsum END)::BIGINT AS deviation_micro,
+  CASE WHEN tcnt >= 6 AND tsum > 0
+    THEN n * tcnt * 1000000 > 2000000 * tsum END AS is_anomaly
+FROM w"""
+
+
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inverted-index posting lists over the corpus: exact df per
+    token, first-20 posting doc-ids comma-joined, top-200 tokens by df.
+    Dedupe happens map-side BEFORE any token-keyed hotspot; the df and
+    rank windows share one token-keyed Exchange+Sort and the final fold
+    reuses it.  See text.py:posting_lists."""
+    from mvrepair.operators.text import posting_lists
+
+    return posting_lists(_docs(spark, sf_dir))
+
+
+_ORACLE_POSTING_LISTS = """
+WITH pairs AS (
+  SELECT DISTINCT token, doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents)),
+r AS (
+  SELECT token, doc_id,
+    count(*) OVER (PARTITION BY token) AS df,
+    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM pairs)
+SELECT token, df::BIGINT AS df, count(*)::BIGINT AS n_listed,
+  string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+FROM r WHERE rn <= 20 GROUP BY token, df
+HAVING df >= 2
+ORDER BY df DESC, token ASC LIMIT 200"""
+
+
 def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the two co-purchase centrality signals
     (PageRank + triangle counts) — the hybrid-retrieval combiner
@@ -3780,6 +3883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,  # twin: quality_percentiles (same _quality_score_expr gate algebra, driver-checked) + text_stats (per-row projection) — driver-green r1-r7
         "doc_repetition": q_doc_repetition,  # twin: substring_dupes (same doc-scoped gram-hash agg shape; the r6 verdict groups them as one family row) — driver-green r1-r7
         "doc_chunks": q_doc_chunks,  # twin: pack_sequences (training-sequence layout family; chunking is its shuffle-free half) — driver-green r1-r7
+        # round-8 wave-3 families (rotation pending):
+        "event_funnel": q_event_funnel,  # twin: purchase_attribution (same single user-keyed Exchange+Sort window algebra) + cohort_retention (first-touch step semantics, driver-checked)
+        "events_anomaly": q_events_anomaly,  # twin: events_gapfill (same bucketed agg + post-agg tiny-frame window, driver-checked)
+        "posting_lists": q_posting_lists,  # twin: heavy_hitters (same explode -> token-keyed agg + TakeOrdered cut, driver-checked)
     }
 
 
@@ -3875,6 +3982,9 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _ORACLE_COHORT_RETENTION,
         "source_divergence": _oracle_source_divergence(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
+        "event_funnel": _ORACLE_EVENT_FUNNEL,
+        "events_anomaly": _ORACLE_EVENTS_ANOMALY,
+        "posting_lists": _ORACLE_POSTING_LISTS,
         "repair_log_compact": _oracle_repair_log_compact(),
         "name_linkage": _oracle_name_linkage(),
         "basket_pairs": _oracle_basket_pairs(),

@@ -382,6 +382,144 @@ def gapfill_locf(
     )
 
 
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: of the users who performed ``steps[0]``,
+    how many later performed ``steps[1]``, then ``steps[2]`` strictly
+    after that, and so on — the product-analytics funnel where each step
+    must occur STRICTLY AFTER the user's earliest completion of the
+    previous step (the standard "first-touch" funnel semantics).
+
+    Output: one row per step — ``step`` (1-based), ``event_type``,
+    ``n_users`` (users reaching the step), ``conversion_micro``
+    (n_users * 1e6 div step-1 count) and ``stepwise_micro`` (vs the
+    previous step) — integer division of exact counts, bit-identical
+    across engines.
+
+    Scale shape: ONE user-keyed shuffle.  The chained per-user step
+    times s_i = min(ts WHERE type = steps[i] AND ts > s_{i-1}) are
+    whole-partition window aggregates over the SAME partitioning, so
+    Catalyst stacks k Window operators on one Exchange+Sort (no join
+    per step — the naive k-way self-join formulation shuffles the
+    corpus k times and explodes on hot users).  The per-user reduction
+    that follows reuses the window's partitioning (no second exchange),
+    and everything after the global count runs on the k-row step frame
+    (the ``key_skew`` tiny-frame precedent).
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    w_user = Window.partitionBy(key_col)
+    cur = df.select(key_col, ts_col, type_col)
+    prev: Column | None = None
+    for i, st in enumerate(steps):
+        cond = F.col(type_col) == st
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > prev)
+        cur = cur.withColumn(f"__s{i}", F.min(F.when(cond, F.col(ts_col))).over(w_user))
+        prev = F.col(f"__s{i}")
+    per_user = cur.groupBy(key_col).agg(
+        *[F.min(f"__s{i}").alias(f"__s{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
+        *[
+            F.count(f"__s{i}").cast("long").alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stack = F.expr(
+        "stack({n}, {args})".format(
+            n=len(steps),
+            args=", ".join(
+                f"{i + 1}, '{steps[i]}', __n{i}" for i in range(len(steps))
+            ),
+        )
+    ).alias("step", "event_type", "n_users")
+    tall = counts.select(stack)
+    w_all = Window.partitionBy()
+    w_ord = Window.partitionBy().orderBy("step")
+    tall = tall.withColumn(
+        "__first", F.max(F.when(F.col("step") == 1, F.col("n_users"))).over(w_all)
+    ).withColumn("__prev", F.lag("n_users").over(w_ord))
+    return tall.select(
+        "step",
+        "event_type",
+        "n_users",
+        F.when(F.col("__first") > 0, F.expr("n_users * 1000000 div __first"))
+        .cast("long")
+        .alias("conversion_micro"),
+        F.when(F.col("__prev") > 0, F.expr("n_users * 1000000 div __prev"))
+        .cast("long")
+        .alias("stepwise_micro"),
+    )
+
+
+def moving_anomaly(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_us: int = 3_600_000_000,
+    history: int = 24,
+    min_history: int = 6,
+    mult_micro: int = 2_000_000,
+) -> DataFrame:
+    """Trailing-moving-average anomaly flags on the bucketed event-count
+    series: bucket events per key, then flag buckets whose count exceeds
+    ``mult_micro``/1e6 times the trailing mean over the previous
+    ``history`` buckets (current bucket excluded; buckets with fewer
+    than ``min_history`` observed trailing buckets are unscored — NULL).
+
+    The comparison is exact cross-multiplied integers —
+    ``n * covered * 1e6 > mult_micro * trailing_sum`` — and the reported
+    ``deviation_micro`` (n vs trailing mean, micro-units) is integer
+    division, so the flags hash bit-identically across engines; no float
+    means, no libm.
+
+    Scale shape: the only corpus-sized work is the bucketed count (one
+    shuffle, map-side combine).  The trailing window runs on the bucket
+    frame (|keys| x |buckets| — thousands of rows at any corpus scale)
+    as a RANGE frame over the integer bucket index, so missing buckets
+    (hours with no events) widen the gap instead of silently shifting
+    the baseline the way a ROWS frame would.  Same post-agg tiny-frame
+    doctrine as ``gapfill_locf``/``key_skew``.
+    """
+    b = (
+        df.groupBy(key_col, _bin_of(F.unix_micros(F.col(ts_col)), bucket_us).alias("__idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_trail = (
+        Window.partitionBy(key_col)
+        .orderBy("__idx")
+        .rangeBetween(-history, -1)
+    )
+    scored = b.select(
+        F.col(key_col),
+        (F.col("__idx") * bucket_us).alias("bucket_us"),
+        "n",
+        F.sum("n").over(w_trail).alias("__tsum"),
+        F.count("n").over(w_trail).cast("long").alias("__tcnt"),
+    )
+    ok = (F.col("__tcnt") >= min_history) & (F.col("__tsum") > 0)
+    return scored.select(
+        key_col,
+        "bucket_us",
+        "n",
+        F.coalesce("__tsum", F.lit(0)).cast("long").alias("trailing_sum"),
+        F.col("__tcnt").alias("trailing_buckets"),
+        F.when(ok, F.expr("(n * __tcnt * 1000000) div __tsum"))
+        .cast("long")
+        .alias("deviation_micro"),
+        F.when(
+            ok,
+            F.expr(f"n * __tcnt * 1000000 > {mult_micro} * __tsum"),
+        ).alias("is_anomaly"),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     key_col: str = "user_id",

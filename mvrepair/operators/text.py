@@ -861,6 +861,74 @@ def bpe_merge_candidates(
     )
 
 
+def posting_lists(
+    df: DataFrame,
+    k_docs: int = 20,
+    min_df: int = 2,
+    top_tokens: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Capped inverted-index posting lists: for the ``top_tokens`` most
+    document-frequent tokens (df >= ``min_df``), the EXACT document
+    frequency plus the first ``k_docs`` posting doc-ids in ascending id
+    order, serialized as a comma-joined string (the hash-checkable
+    representation; consumers split on ',').
+
+    The cap is the scale contract: a stopword-grade token's full posting
+    list is corpus-sized, so materializing uncapped lists turns one hot
+    token into one hot task AND an output row of unbounded width.  df
+    stays exact (counted before the cap); only the listed prefix is
+    bounded.
+
+    Scale shape: explode → groupBy(token, doc) distinct pairs with
+    map-side combine (the dedupe happens BEFORE any token-keyed hotspot
+    can form — one (token, doc)-keyed exchange over the pair stream);
+    then one token-keyed exchange over the DEDUPED pair frame for the
+    df-count window + posting-rank window (both share the one
+    Exchange+Sort), and the final per-token fold reuses that
+    partitioning (collect_list over <= ``k_docs`` rows — bounded agg
+    buffers).  The top-tokens cut plans as TakeOrderedAndProject.
+    Deterministic total order: df desc, token asc.
+
+    Output: (token, df bigint, n_listed bigint, postings string).
+    """
+    from pyspark.sql.window import Window
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token", id_col)
+        .agg(F.lit(1))
+        .select("token", id_col)
+    )
+    w_df = Window.partitionBy("token")
+    w_rank = Window.partitionBy("token").orderBy(F.col(id_col).asc())
+    ranked = pairs.select(
+        "token",
+        F.col(id_col),
+        F.count(F.lit(1)).over(w_df).cast("long").alias("df"),
+        F.row_number().over(w_rank).alias("__rn"),
+    ).filter(F.col("__rn") <= k_docs)
+    folded = (
+        ranked.groupBy("token")
+        .agg(
+            F.max("df").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("n_listed"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list(F.col(id_col))),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    return folded.orderBy(F.col("df").desc(), F.col("token").asc()).limit(
+        top_tokens
+    )
+
+
 def source_divergence(
     df: DataFrame,
     text_col: str = "text",

@@ -197,6 +197,10 @@ class TestRegistryOrderingContract:
         "text_quality": "quality_percentiles",
         "doc_repetition": "substring_dupes",
         "doc_chunks": "pack_sequences",
+        # round-8 wave-3 families pending rotation (local gate + pinned plans)
+        "event_funnel": "purchase_attribution",
+        "events_anomaly": "events_gapfill",
+        "posting_lists": "heavy_hitters",
     }
 
     def test_every_family_within_driver_window(self):

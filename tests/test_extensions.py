@@ -2880,3 +2880,97 @@ def test_rrf_fuse_model_and_misses(spark):
     )
     assert got == want
     assert 4 not in got  # cut by l1's top-k before fusion
+
+
+def test_funnel_steps_ordered_semantics(spark):
+    # step i counts a user only when it happens STRICTLY AFTER the
+    # user's EARLIEST completion of step i-1 (first-touch semantics)
+    from datetime import datetime
+
+    from mvrepair.operators.temporal import funnel_steps
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: clean view -> click -> purchase
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2: click BEFORE view only -> reaches step 1, not step 2
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3: view only
+        (3, t(1), "view"),
+        # u4: purchase before click -> steps 1-2 only
+        (4, t(1), "view"), (4, t(2), "purchase"), (4, t(3), "click"),
+        # u5: never views; click+purchase don't count without step 1
+        (5, t(1), "click"), (5, t(2), "purchase"),
+        # u6: first view is AFTER its only click; second click later ok
+        (6, t(4), "view"), (6, t(2), "click"), (6, t(7), "click"),
+        (6, t(8), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {
+        r["step"]: (r["event_type"], r["n_users"],
+                    r["conversion_micro"], r["stepwise_micro"])
+        for r in funnel_steps(
+            df, steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    # step1: u1,u2,u3,u4,u6 = 5 ; step2: u1,u4,u6 = 3 ; step3: u1,u6 = 2
+    assert got == {
+        1: ("view", 5, 1_000_000, None),
+        2: ("click", 3, 3 * 1_000_000 // 5, 3 * 1_000_000 // 5),
+        3: ("purchase", 2, 2 * 1_000_000 // 5, 2 * 1_000_000 // 3),
+    }
+
+
+def test_moving_anomaly_range_frame_and_history_gate(spark):
+    # RANGE (not ROWS) trailing frame: a missing bucket widens the gap
+    # instead of pulling older buckets in; buckets with < min_history
+    # observed trailing buckets are unscored (NULL flag)
+    from datetime import datetime
+
+    from mvrepair.operators.temporal import moving_anomaly
+
+    h = lambda k: datetime(2024, 1, 1, k, 15, 0)
+    rows = []
+    # key A: hours 0,1,2 at n=2 each; hour 3 missing; hour 4 spikes 4x3
+    for hr, n in [(0, 2), (1, 2), (2, 2), (4, 12)]:
+        rows += [("A", h(hr))] * n
+    # key B: a single hour -> never enough history
+    rows += [("B", h(0))] * 3
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    got = {
+        (r["event_type"], r["bucket_us"] // 3_600_000_000): (
+            r["n"], r["trailing_sum"], r["trailing_buckets"],
+            r["deviation_micro"], r["is_anomaly"]
+        )
+        for r in moving_anomaly(df, history=3, min_history=2,
+                                mult_micro=2_000_000).collect()
+    }
+    base = 1704067200 // 3600
+    assert got[("A", base + 0)] == (2, 0, 0, None, None)
+    assert got[("A", base + 1)] == (2, 2, 1, None, None)  # < min_history
+    # hour 2 sees hours 0-1: mean 2, n=2 -> deviation exactly 1e6
+    assert got[("A", base + 2)] == (2, 4, 2, 1_000_000, False)
+    # hour 4's RANGE(-3,-1) frame covers hours 1-3 -> only 1,2 observed
+    # (hour 0 aged out; hour 3 missing): mean 2, n=12 -> 6x > 2x
+    assert got[("A", base + 4)] == (12, 4, 2, 6_000_000, True)
+    assert got[("B", base + 0)] == (3, 0, 0, None, None)
+
+
+def test_posting_lists_cap_order_and_df(spark):
+    from mvrepair.operators.text import posting_lists
+
+    docs = [
+        (2, "alpha beta"),
+        (10, "alpha beta"),
+        (1, "alpha gamma"),
+        (30, "alpha"),
+        (4, "delta"),  # df=1 -> filtered by min_df
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = posting_lists(df, k_docs=2, min_df=2, top_tokens=10).collect()
+    got = {r["token"]: (r["df"], r["n_listed"], r["postings"]) for r in rows}
+    # postings are NUMERICALLY sorted (1,2,10 -> "1,2") and capped at 2
+    # while df stays the exact uncapped count
+    assert got == {"alpha": (4, 2, "1,2"), "beta": (2, 2, "2,10")}
+    # deterministic output order: df desc, token asc
+    assert [r["token"] for r in rows] == ["alpha", "beta"]

@@ -431,6 +431,26 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # shuffle-free explode layout, twin pack_sequences
     "doc_chunks": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
                    "Generate": 1, "Project": 1},
+    # ---- round-8 wave-3 families (rotation pending) ----
+    # ONE user-keyed Exchange+Sort carrying all 3 chained step-min
+    # windows; the stack Generate + 2 rank windows run on the k-row
+    # step frame (second Exchange is the single-row global agg)
+    "event_funnel": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
+                     "Generate": 1, "HashAggregate": 4, "Project": 8,
+                     "Sort": 2, "Window": 5},
+    # bucketed count (one combine-friendly shuffle) + trailing RANGE
+    # window on the types x hours frame
+    "events_anomaly": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
+                       "HashAggregate": 2, "Project": 3, "Sort": 1,
+                       "Window": 1},
+    # (token,doc) dedupe agg -> token-keyed window pair with the rank
+    # cap pushed into WindowGroupLimit -> bounded collect_list fold
+    # (ObjectHashAggregate) -> TakeOrdered top-tokens cut
+    "posting_lists": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
+                      "Filter": 2, "Generate": 1, "HashAggregate": 2,
+                      "ObjectHashAggregate": 2, "Project": 1, "Sort": 2,
+                      "TakeOrderedAndProject": 1, "Window": 2,
+                      "WindowGroupLimit": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)

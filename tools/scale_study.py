@@ -45,7 +45,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_SCALE_MEM", "8g"),
+        )
         .config(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:TieredStopAtLevel=1",
@@ -330,6 +333,21 @@ def main() -> None:
             [("pagerank", pr), ("triangles", tri)], id_col="part_id", k=100
         )
 
+    def _funnel_op(df):
+        from mvrepair.operators.temporal import funnel_steps
+
+        return funnel_steps(df, steps=["view", "click", "purchase"])
+
+    def _anomaly_op(df):
+        from mvrepair.operators.temporal import moving_anomaly
+
+        return moving_anomaly(df)
+
+    def _postings_op(df):
+        from mvrepair.operators.text import posting_lists
+
+        return posting_lists(df)
+
     def _pagerank_op(df):
         from mvrepair.operators.linkage import pagerank_micro
 
@@ -482,6 +500,14 @@ def main() -> None:
         # count exactly the base corpus's — the vocab frame grows k x,
         # the KL join stays vocab-sized
         "source_divergence": (False, _sdiv_op),
+        # round-8 wave 3.  events copies (shifted user ids): funnel's
+        # per-user window partitions stay constant-size, k x users;
+        # anomaly's trailing window stays on the types x hours frame
+        "event_funnel(ev)": ("ev", _funnel_op),
+        "events_anomaly(ev)": ("ev", _anomaly_op),
+        # exact doc copies (shifted ids): vocabulary constant, df x k,
+        # posting cap bounds the fold at every factor
+        "posting_lists(copies)": (True, _postings_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
