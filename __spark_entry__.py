@@ -3688,6 +3688,51 @@ HAVING df >= 2
 ORDER BY df DESC, token ASC LIMIT 200"""
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 bigram collocations by exact quantized PMI (min support
+    5) — phrase mining over the corpus.  Two combine-friendly token
+    passes, support filter before the vocab-keyed frequency joins,
+    corpus totals as scalar subqueries over persisted count frames,
+    TakeOrdered cut.  See text.py:collocations."""
+    from mvrepair.operators.text import collocations
+
+    return collocations(_docs(spark, sf_dir))
+
+
+def _oracle_collocations() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    inner = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT t[i] AS x, t[i + 1] AS y, count(*) AS c_xy FROM (
+    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  GROUP BY 1, 2),
+uni AS (
+  SELECT tok AS t, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1)
+SELECT big.x, big.y, CAST(big.c_xy AS BIGINT) AS c_xy,
+  cx.c AS cx, cy.c AS cy,
+  (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n1,
+  (SELECT CAST(sum(c_xy) AS BIGINT) FROM big) AS nb
+FROM big
+JOIN uni cx ON cx.t = big.x
+JOIN uni cy ON cy.t = big.y
+WHERE big.c_xy >= 5"""
+    ml = micro_log2_sql(
+        inner,
+        "(CAST(c_xy AS DOUBLE) / CAST(cx AS DOUBLE))"
+        " * (CAST(n1 AS DOUBLE) / CAST(cy AS DOUBLE))"
+        " * (CAST(n1 AS DOUBLE) / CAST(nb AS DOUBLE))",
+        keep=["x", "y", "c_xy"],
+        out="pmi_q20",
+    )
+    return f"""
+SELECT x, y, c_xy, pmi_q20 FROM ({ml})
+ORDER BY pmi_q20 DESC, x ASC, y ASC LIMIT 100"""
+
+
 def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the two co-purchase centrality signals
     (PageRank + triangle counts) — the hybrid-retrieval combiner
@@ -3887,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": q_event_funnel,  # twin: purchase_attribution (same single user-keyed Exchange+Sort window algebra) + cohort_retention (first-touch step semantics, driver-checked)
         "events_anomaly": q_events_anomaly,  # twin: events_gapfill (same bucketed agg + post-agg tiny-frame window, driver-checked)
         "posting_lists": q_posting_lists,  # twin: heavy_hitters (same explode -> token-keyed agg + TakeOrdered cut, driver-checked)
+        "collocations": q_collocations,  # twin: heavy_hitters (token-agg + TakeOrdered) + source_divergence (the micro_log2 ratio scoring, driver-checked)
     }
 
 
@@ -3985,6 +4031,7 @@ def oracle_sql() -> dict[str, str]:
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,
         "posting_lists": _ORACLE_POSTING_LISTS,
+        "collocations": _oracle_collocations(),
         "repair_log_compact": _oracle_repair_log_compact(),
         "name_linkage": _oracle_name_linkage(),
         "basket_pairs": _oracle_basket_pairs(),

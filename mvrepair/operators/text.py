@@ -861,6 +861,95 @@ def bpe_merge_candidates(
     )
 
 
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information — the
+    classic phrase-mining signal ("new york" scores high because its
+    joint frequency dwarfs what its parts' frequencies predict).
+
+    pmi_q20 = micro_log2( (c_xy/c_x) · (N1/c_y) · (N1/Nb) ), the exact
+    quantized log2 of p(xy) / (p(x)·p(y)) with p(xy) = c_xy/Nb over
+    bigram instances and p(x) = c_x/N1 over unigram instances.  Every
+    factor is a correctly-rounded IEEE division of exact int64 counts,
+    multiplied in a FIXED left-to-right order mirrored by the SQL twin,
+    and micro_log2 is the cross-engine-exact quantizer — so the score
+    hashes bit-identically; the three-ratio form keeps every
+    intermediate within double range at any corpus size (a c_xy·N1·N1
+    integer product overflows int64 at ~10 GB of tokens).
+
+    Scale shape: two combine-friendly corpus token passes (bigram and
+    unigram counts — the shuffle carries per-partition partials, never
+    the token stream); the ``min_count`` support filter prunes the
+    bigram frame BEFORE any join; the two frequency joins key on single
+    tokens against the vocab-sized unigram frame (shuffle joins — the
+    vocabulary outgrows broadcast at 100 TB); the corpus totals inject
+    as true scalar subqueries over the PERSISTED count frames (no
+    driver-side eager count, no BNLJ 1-row join, no corpus-frame
+    single-partition window); the final cut is TakeOrderedAndProject.
+    Token strings ride the aggregation as GROUP KEYS only (never in
+    accumulator buffers — the SortAggregate trap).
+
+    Output: (x, y, c_xy bigint, pmi_q20 bigint), pmi desc, (x, y) asc.
+    """
+    from pyspark import StorageLevel
+
+    from mvrepair.functions.exactlog import micro_log2
+
+    toks = df.select(F.split(F.col(text_col), " ").alias("__toks"))
+    head = F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))")
+    tail = F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(head, tail, lambda a, b: F.struct(a.alias("x"), b.alias("y")))
+        ).alias("__p")
+    ).select(F.col("__p.x").alias("x"), F.col("__p.y").alias("y"))
+    big = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n1 = uni.select(F.sum("c").cast("long").alias("n")).scalar()
+    nb = big.select(F.sum("c_xy").cast("long").alias("n")).scalar()
+    cx = uni.select(F.col("t").alias("x"), F.col("c").alias("__cx"))
+    cy = uni.select(F.col("t").alias("y"), F.col("c").alias("__cy"))
+    ratio = (
+        (F.col("c_xy").cast("double") / F.col("__cx").cast("double"))
+        * (n1.cast("double") / F.col("__cy").cast("double"))
+        * (n1.cast("double") / nb.cast("double"))
+    )
+    # materialize the ratio BEFORE quantizing: the scalar subqueries
+    # (n1/nb) may not appear inside micro_log2's higher-order fold
+    # (Spark rejects subquery expressions within HOFs), so the ratio
+    # projects to a plain double column first
+    scored = (
+        big.filter(F.col("c_xy") >= min_count)
+        .join(cx, "x")
+        .join(cy, "y")
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            ratio.alias("__r"),
+        )
+        .select(
+            "x", "y", "c_xy", micro_log2(F.col("__r")).alias("pmi_q20")
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_q20").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(top_k)
+
+
 def posting_lists(
     df: DataFrame,
     k_docs: int = 20,

@@ -201,6 +201,7 @@ class TestRegistryOrderingContract:
         "event_funnel": "purchase_attribution",
         "events_anomaly": "events_gapfill",
         "posting_lists": "heavy_hitters",
+        "collocations": "heavy_hitters",
     }
 
     def test_every_family_within_driver_window(self):

@@ -2974,3 +2974,50 @@ def test_posting_lists_cap_order_and_df(spark):
     assert got == {"alpha": (4, 2, "1,2"), "beta": (2, 2, "2,10")}
     # deterministic output order: df desc, token asc
     assert [r["token"] for r in rows] == ["alpha", "beta"]
+
+
+def test_collocations_matches_python_pmi_model(spark):
+    from collections import Counter
+
+    from mvrepair.functions.exactlog import py_micro_log2
+    from mvrepair.operators.text import collocations
+
+    texts = [
+        "new york is big big",
+        "new york wins again",
+        "big apple city of new york",
+        "new day in york",
+        "",  # empty doc: no bigrams, one '' unigram
+    ]
+
+    def model(min_count):
+        uni, big = Counter(), Counter()
+        for t in texts:
+            ts = t.split(" ")
+            uni.update(ts)
+            big.update(zip(ts, ts[1:]))
+        n1, nb = sum(uni.values()), sum(big.values())
+        out = []
+        for (x, y), c in big.items():
+            if c < min_count:
+                continue
+            # same ratio form and association order as the operator
+            r = (c / uni[x]) * (n1 / uni[y]) * (n1 / nb)
+            out.append((x, y, c, py_micro_log2(r)))
+        out.sort(key=lambda t: (-t[3], t[0], t[1]))
+        return out
+
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    for min_count in (1, 2, 3):
+        got = [
+            (r["x"], r["y"], r["c_xy"], r["pmi_q20"])
+            for r in collocations(
+                df, min_count=min_count, top_k=50
+            ).collect()
+        ]
+        assert got == model(min_count), f"min_count={min_count}"
+    # "new york" (joint 3, parts frequent) must outrank a hapax pair of
+    # hapax parts?  no — hapax/hapax maximizes PMI; assert instead that
+    # the frequent-pair row is present with its exact support
+    row = [g for g in got if (g[0], g[1]) == ("new", "york")]
+    assert row and row[0][2] == 3

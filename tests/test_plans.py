@@ -451,6 +451,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                       "ObjectHashAggregate": 2, "Project": 1, "Sort": 2,
                       "TakeOrderedAndProject": 1, "Window": 2,
                       "WindowGroupLimit": 1},
+    # SUBSET pin (persisted count frames reprint their cached lineage
+    # per consumer; scalar-subquery/AQE bookkeeping shifts across
+    # versions): the stable skeleton is the single TakeOrdered cut and
+    # the DESIGN CLAIMS — no window anywhere (totals are scalar
+    # subqueries, not corpus-frame windows) and never a cartesian/BNLJ
+    "collocations": {"TakeOrderedAndProject": 1, "Window": 0,
+                     "CartesianProduct": 0,
+                     "BroadcastNestedLoopJoin": 0},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
@@ -510,7 +518,8 @@ def test_twin_fingerprint_table_covers_every_twin():
 # Entries whose plan string is an EXECUTED AQE plan: compare only the
 # node kinds the fingerprint lists (the stable algebra) and ignore AQE
 # bookkeeping nodes that shift across patch versions / fixture sizes.
-SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles", "part_rank_fusion"}
+SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
+                 "part_rank_fusion", "collocations"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))

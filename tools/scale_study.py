@@ -348,6 +348,11 @@ def main() -> None:
 
         return posting_lists(df)
 
+    def _colloc_op(df):
+        from mvrepair.operators.text import collocations
+
+        return collocations(df)
+
     def _pagerank_op(df):
         from mvrepair.operators.linkage import pagerank_micro
 
@@ -508,6 +513,10 @@ def main() -> None:
         # exact doc copies (shifted ids): vocabulary constant, df x k,
         # posting cap bounds the fold at every factor
         "posting_lists(copies)": (True, _postings_op),
+        # prefixed copies: per-copy vocab/bigram space disjoint, so both
+        # count frames grow k x while per-pair supports stay the base
+        # corpus's (constant join fan-in per key)
+        "collocations": (False, _colloc_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
