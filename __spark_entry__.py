@@ -3810,6 +3810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     comment), driver-green r1-r7, frozen fingerprint + local-gate row.
     part_rank_fusion stays past-window by the composition doctrine
     (ann_recall precedent: both of its components are driver-checked).
+    Round-8 wave 4: event_funnel, events_anomaly, posting_lists, and
+    collocations displaced heavy_hitters / mv_repair_apply /
+    mv_upserts_stream / dedup_exact_stream — each demoted entry a plan
+    twin of a still-checked query (named in its comment), driver-green
+    r1-r7, frozen fingerprint + local-gate row; streaming keeps one
+    driver-checked representative per distinct shape (stateful agg,
+    foreachBatch reconcile, static-index micro-batch).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -3817,7 +3824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_report_text": q_mv_report_text,
         # repair planning/apply (O13-O15)
         "mv_repair_upserts": q_mv_upserts,
-        "mv_repair_apply": q_mv_apply,
         "repair_log_compact": q_repair_log_compact,  # LWW durable-log compaction (r6 family, promoted r7)
         # analytics surface
         "pricing_summary": q_pricing_summary,
@@ -3833,7 +3839,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "doc_splits": q_doc_splits,
         "bm25_rank": q_bm25_rank,
-        "heavy_hitters": q_heavy_hitters,
         # data-quality filters (gram-hash family rep: substring dup)
         "substring_dupes": q_substring_dupes,
         # training-sequence layout (packing family rep)
@@ -3858,11 +3863,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "kmeans_clusters": q_kmeans_clusters,
         "semantic_dedup": q_semantic_dedup,
-        # streaming
+        # streaming (one per distinct streaming shape: stateful agg,
+        # foreachBatch reconcile, static-index micro-batch)
         "events_hourly_stream": q_events_hourly_stream,
-        "dedup_exact_stream": q_dedup_exact_stream,
         "mv_classify_stream": q_mv_classify_stream,
-        "mv_upserts_stream": q_mv_upserts_stream,
         "neardup_stream": q_neardup_stream,
         # multimodal
         "multimodal_decode": q_multimodal_decode,
@@ -3877,6 +3881,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_triangles": q_part_triangles,
         "cohort_retention": q_cohort_retention,
         "source_divergence": q_source_divergence,
+        # round-8 wave-3 families (promoted r8): funnel, anomaly,
+        # inverted index, PMI collocations
+        "event_funnel": q_event_funnel,
+        "events_anomaly": q_events_anomaly,
+        "posting_lists": q_posting_lists,
+        "collocations": q_collocations,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
         # demoted in the round-8 rotation (driver-green through r7):
         "top_revenue_orders": q_top_revenue_orders,  # twin: regional_revenue (join + agg + TakeOrdered top-k over the same order/lineitem fact) — driver-green r1-r7
@@ -3928,11 +3938,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,  # twin: quality_percentiles (same _quality_score_expr gate algebra, driver-checked) + text_stats (per-row projection) — driver-green r1-r7
         "doc_repetition": q_doc_repetition,  # twin: substring_dupes (same doc-scoped gram-hash agg shape; the r6 verdict groups them as one family row) — driver-green r1-r7
         "doc_chunks": q_doc_chunks,  # twin: pack_sequences (training-sequence layout family; chunking is its shuffle-free half) — driver-green r1-r7
-        # round-8 wave-3 families (rotation pending):
-        "event_funnel": q_event_funnel,  # twin: purchase_attribution (same single user-keyed Exchange+Sort window algebra) + cohort_retention (first-touch step semantics, driver-checked)
-        "events_anomaly": q_events_anomaly,  # twin: events_gapfill (same bucketed agg + post-agg tiny-frame window, driver-checked)
-        "posting_lists": q_posting_lists,  # twin: heavy_hitters (same explode -> token-keyed agg + TakeOrdered cut, driver-checked)
-        "collocations": q_collocations,  # twin: heavy_hitters (token-agg + TakeOrdered) + source_divergence (the micro_log2 ratio scoring, driver-checked)
+        # demoted in the round-8 rotation wave 4 (driver-green r1-r7):
+        "heavy_hitters": q_heavy_hitters,  # twin: posting_lists (same explode -> token-keyed agg + TakeOrdered cut, now driver-checked) — driver-green r1-r7
+        "mv_repair_apply": q_mv_apply,  # twin: mv_repair_upserts (same prepared repair frame; apply is its materialization pass) + mv_report_text (golden-format emission) — driver-green r1-r7
+        "mv_upserts_stream": q_mv_upserts_stream,  # twin: mv_classify_stream (same foreachBatch mv pipeline) + mv_repair_upserts (the repair algebra, driver-checked batch-side) — driver-green r1-r7
+        "dedup_exact_stream": q_dedup_exact_stream,  # twin: events_hourly_stream (same JVM-state stateful-agg shape) + dedup_exact (the dedup algebra, driver-checked batch-side) — driver-green r1-r7
     }
 
 

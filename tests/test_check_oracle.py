@@ -125,9 +125,13 @@ class TestRegistryOrderingContract:
         "kmeans": "kmeans_clusters",
         "semantic-dedup": "semantic_dedup",
         "streaming-agg": "events_hourly_stream",
-        "streaming-dedup": "dedup_exact_stream",
-        "streaming-reconcile": "mv_classify_stream",
-        "streaming-repair": "mv_upserts_stream",
+        # r8 wave-4 merge: the streaming DEDUP rep folds into the
+        # stateful-agg family (same JVM-state shape; the dedup algebra
+        # itself stays driver-checked via batch dedup_exact), and the
+        # streaming REPAIR rep folds into the foreachBatch-reconcile
+        # family (same pipeline shape; the repair algebra stays
+        # driver-checked via batch mv_repair_upserts)
+        "streaming-reconcile-repair": "mv_classify_stream",
         "streaming-neardup": "neardup_stream",
         "multimodal-decode": "multimodal_decode",
         "fuzzy-linkage": "name_linkage",
@@ -140,6 +144,11 @@ class TestRegistryOrderingContract:
         "triangles": "part_triangles",
         "cohort-retention": "cohort_retention",
         "kl-divergence": "source_divergence",
+        # round-8 wave-3 families (promoted in wave 4)
+        "funnel": "event_funnel",
+        "anomaly": "events_anomaly",
+        "posting-lists": "posting_lists",
+        "collocations": "collocations",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -149,11 +158,11 @@ class TestRegistryOrderingContract:
     # impossible: a new registry entry that is neither an in-window
     # family representative nor an assigned twin FAILS the suite.
     TWIN_OF = {
-        "mv_repair_deletes": "mv_repair_apply",
+        "mv_repair_deletes": "mv_repair_upserts",  # r8 wave 4: apply demoted; same prepared repair frame
         "purchase_context": "sessions_in_maintenance",
         "neardup_minhash_capped": "neardup_minhash",
         "ann_lsh_topk": "ann_ivf_topk",
-        "events_latest_stream": "dedup_exact_stream",
+        "events_latest_stream": "events_hourly_stream",  # r8 wave 4: dedup_exact_stream demoted; same stateful-agg shape
         "sessions_stream": "event_sessions",
         "multimodal_features": "multimodal_decode",
         "multimodal_frames": "multimodal_decode",
@@ -174,7 +183,7 @@ class TestRegistryOrderingContract:
         "token_counts": "text_stats",
         "doc_sample": "doc_splits",
         "tfidf_topterms": "bm25_rank",
-        "token_quantiles": "heavy_hitters",
+        "token_quantiles": "posting_lists",  # r8 wave 4: heavy_hitters demoted; same token-agg family
         "pretrain_corpus": "quality_percentiles",
         "corpus_mix": "doc_splits",
         "dedup_keep_best": "dedup_clusters",
@@ -182,14 +191,14 @@ class TestRegistryOrderingContract:
         "training_order": "pack_sequences",
         "rare_tokens": "substring_dupes",
         "label_outliers": "kmeans_clusters",
-        "bpe_merges": "heavy_hitters",
+        "bpe_merges": "collocations",  # r8 wave 4: heavy_hitters demoted; same adjacent-pair count + TakeOrdered shape
         "index_upsert": "corpus_diff",
         "nb_stream": "nb_classify",
         "ann_recall": "ann_ivf_topk",
         # demoted in the round-8 rotation (driver-green r1-r7):
         "multimodal_meta": "multimodal_decode",
         "ann_cosine_topk": "ann_ivf_topk",
-        "distinct_docs_kmv": "heavy_hitters",
+        "distinct_docs_kmv": "posting_lists",  # r8 wave 4: heavy_hitters demoted; same token-agg family
         "top_revenue_orders": "regional_revenue",
         "part_rank_fusion": "part_pagerank",
         # demoted in the round-8 rotation wave 2 (driver-green r1-r7):
@@ -197,11 +206,11 @@ class TestRegistryOrderingContract:
         "text_quality": "quality_percentiles",
         "doc_repetition": "substring_dupes",
         "doc_chunks": "pack_sequences",
-        # round-8 wave-3 families pending rotation (local gate + pinned plans)
-        "event_funnel": "purchase_attribution",
-        "events_anomaly": "events_gapfill",
-        "posting_lists": "heavy_hitters",
-        "collocations": "heavy_hitters",
+        # demoted in the round-8 rotation wave 4 (driver-green r1-r7):
+        "heavy_hitters": "posting_lists",
+        "mv_repair_apply": "mv_repair_upserts",
+        "mv_upserts_stream": "mv_classify_stream",
+        "dedup_exact_stream": "events_hourly_stream",
     }
 
     def test_every_family_within_driver_window(self):

@@ -431,34 +431,20 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # shuffle-free explode layout, twin pack_sequences
     "doc_chunks": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
                    "Generate": 1, "Project": 1},
-    # ---- round-8 wave-3 families (rotation pending) ----
-    # ONE user-keyed Exchange+Sort carrying all 3 chained step-min
-    # windows; the stack Generate + 2 rank windows run on the k-row
-    # step frame (second Exchange is the single-row global agg)
-    "event_funnel": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
-                     "Generate": 1, "HashAggregate": 4, "Project": 8,
-                     "Sort": 2, "Window": 5},
-    # bucketed count (one combine-friendly shuffle) + trailing RANGE
-    # window on the types x hours frame
-    "events_anomaly": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
-                       "HashAggregate": 2, "Project": 3, "Sort": 1,
-                       "Window": 1},
-    # (token,doc) dedupe agg -> token-keyed window pair with the rank
-    # cap pushed into WindowGroupLimit -> bounded collect_list fold
-    # (ObjectHashAggregate) -> TakeOrdered top-tokens cut
-    "posting_lists": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
-                      "Filter": 2, "Generate": 1, "HashAggregate": 2,
-                      "ObjectHashAggregate": 2, "Project": 1, "Sort": 2,
-                      "TakeOrderedAndProject": 1, "Window": 2,
-                      "WindowGroupLimit": 1},
-    # SUBSET pin (persisted count frames reprint their cached lineage
-    # per consumer; scalar-subquery/AQE bookkeeping shifts across
-    # versions): the stable skeleton is the single TakeOrdered cut and
-    # the DESIGN CLAIMS — no window anywhere (totals are scalar
-    # subqueries, not corpus-frame windows) and never a cartesian/BNLJ
-    "collocations": {"TakeOrderedAndProject": 1, "Window": 0,
-                     "CartesianProduct": 0,
-                     "BroadcastNestedLoopJoin": 0},
+    # ---- demoted in the round-8 rotation wave 4 (driver-green r1-r7) ----
+    # explode -> token-keyed agg + TakeOrdered cut, twin posting_lists
+    "heavy_hitters": {"AdaptiveSparkPlan": 1, "Exchange": 3, "FileScan": 1,
+                      "Generate": 1, "HashAggregate": 4,
+                      "TakeOrderedAndProject": 1},
+    # the upsert materialization pass over the same prepared repair
+    # frame as mv_repair_upserts (string accumulators -> SortAggregate)
+    "mv_repair_apply": {"AdaptiveSparkPlan": 1, "Exchange": 2,
+                        "FileScan": 3, "Filter": 3, "Project": 11,
+                        "Sort": 4, "SortAggregate": 4,
+                        "SortMergeJoin": 1, "Union": 1},
+    # streaming twins fingerprint the drained results table
+    "mv_upserts_stream": {"LocalTableScan": 1},
+    "dedup_exact_stream": {"LocalTableScan": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
@@ -519,13 +505,20 @@ def test_twin_fingerprint_table_covers_every_twin():
 # node kinds the fingerprint lists (the stable algebra) and ignore AQE
 # bookkeeping nodes that shift across patch versions / fixture sizes.
 SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
-                 "part_rank_fusion", "collocations"}
+                 "part_rank_fusion"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))
 def test_twin_plan_fingerprint(spark, sf_dir, name):
     import __spark_entry__ as e
 
+    # drop cached frames left by earlier tests (plan-audit CONSTRUCTS
+    # every registered query, and queries that persist() register their
+    # frames eagerly): Spark's cache manager substitutes a cached
+    # fragment into any later plan whose subtree matches, which would
+    # make these pins order-dependent (bpe_merges once inherited
+    # collocations' cached unigram frame this way)
+    spark.catalog.clearCache()
     got = _plan_node_multiset(e.queries()[name](spark, sf_dir))
     if name in SUBSET_PINNED:
         got = {k: got.get(k, 0) for k in TWIN_PLAN_FINGERPRINTS[name]}
