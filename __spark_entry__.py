@@ -3733,6 +3733,82 @@ SELECT x, y, c_xy, pmi_q20 FROM ({ml})
 ORDER BY pmi_q20 DESC, x ASC, y ASC LIMIT 100"""
 
 
+def q_jaccard_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall Jaccard >= 0.5 shingle-set similarity self-join over
+    the near-dup corpus via prefix filtering (Bayardo/PPJoin) — the
+    oracle brute-forces every O(n²) pair, so a green gate PROVES the
+    prefix filter loses no pair.  Same token universe (3-gram shingles)
+    and threshold as the LSH family, so the two candidate generators
+    are directly comparable.  See dedup.py:prefix_jaccard_pairs."""
+    from mvrepair.operators.dedup import prefix_jaccard_pairs
+
+    return prefix_jaccard_pairs(_neardup_corpus(spark, sf_dir), threshold=0.5)
+
+
+_ORACLE_JACCARD_JOIN_EXACT = f"""
+WITH tk AS (
+  SELECT doc_id,
+    list_distinct(list_transform({_SHINGLE_SQL},
+      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS tk
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        FROM ({_NEARDUP_CORPUS_SQL}))
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+    / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.5"""
+
+
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length interval coalescing: each event spans
+    [ts, ts + value minutes); per user, merge overlapping/touching
+    spans into maximal islands and report count / covered time /
+    longest island — exact µs integers, one user-keyed shuffle.  See
+    temporal.py:activity_islands."""
+    from mvrepair.operators.temporal import activity_islands
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (
+            F.unix_micros("ts")
+            + F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 60_000_000.0)
+            .cast("long")
+        ).alias("e_us"),
+    )
+    return activity_islands(
+        base, key_col="user_id", start_col="s_us", end_col="e_us"
+    )
+
+
+_ORACLE_ACTIVITY_ISLANDS = """
+WITH base AS (
+  SELECT user_id, epoch_us(ts) AS s,
+    epoch_us(ts) + CAST(floor(coalesce(value, 0) * 60000000) AS BIGINT) AS e
+  FROM events),
+w AS (
+  SELECT user_id, s, e,
+    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw
+  FROM (SELECT user_id, s, e,
+          max(e) OVER (PARTITION BY user_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM base)),
+i AS (
+  SELECT user_id,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl,
+    s, e
+  FROM w),
+p AS (SELECT user_id, isl, min(s) AS s0, max(e) AS e1 FROM i GROUP BY 1, 2)
+SELECT user_id, count(*)::BIGINT AS n_islands,
+  CAST(sum(e1 - s0) AS BIGINT) AS covered_us,
+  CAST(max(e1 - s0) AS BIGINT) AS max_island_us
+FROM p GROUP BY 1"""
+
+
 def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the two co-purchase centrality signals
     (PageRank + triangle counts) — the hybrid-retrieval combiner
@@ -3943,6 +4019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_repair_apply": q_mv_apply,  # twin: mv_repair_upserts (same prepared repair frame; apply is its materialization pass) + mv_report_text (golden-format emission) — driver-green r1-r7
         "mv_upserts_stream": q_mv_upserts_stream,  # twin: mv_classify_stream (same foreachBatch mv pipeline) + mv_repair_upserts (the repair algebra, driver-checked batch-side) — driver-green r1-r7
         "dedup_exact_stream": q_dedup_exact_stream,  # twin: events_hourly_stream (same JVM-state stateful-agg shape) + dedup_exact (the dedup algebra, driver-checked batch-side) — driver-green r1-r7
+        # round-8 wave-5 families (rotation pending):
+        "jaccard_join_exact": q_jaccard_join_exact,  # twin: neardup_minhash (same shingle -> candidate -> exact-verify composition; only the candidate generator differs, and the brute-force oracle proves its zero-loss claim)
+        "activity_islands": q_activity_islands,  # twin: event_funnel (same single user-keyed Exchange+Sort window stack) + event_sessions (the point-event cousin of the interval-union semantics, driver-checked)
     }
 
 
@@ -4042,6 +4121,8 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,
         "posting_lists": _ORACLE_POSTING_LISTS,
         "collocations": _oracle_collocations(),
+        "jaccard_join_exact": _ORACLE_JACCARD_JOIN_EXACT,
+        "activity_islands": _ORACLE_ACTIVITY_ISLANDS,
         "repair_log_compact": _oracle_repair_log_compact(),
         "name_linkage": _oracle_name_linkage(),
         "basket_pairs": _oracle_basket_pairs(),

@@ -520,6 +520,73 @@ def moving_anomaly(
     )
 
 
+def activity_islands(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "__start_us",
+    end_col: str = "__end_us",
+) -> DataFrame:
+    """Interval coalescing (gaps-and-islands) over VARIABLE-LENGTH
+    intervals: merge every key's overlapping/touching ``[start, end)``
+    intervals into maximal islands and report per key the island count,
+    total covered time, and longest island — the interval-union rollup
+    ("how much wall-clock was actually covered") that point-event
+    sessionization (``session_window``, which gaps on event POINTS with
+    one fixed timeout) cannot express: here each row carries its own
+    duration, so islands are unions of heterogeneous spans.
+
+    Semantics: intervals touching end-to-start merge (a gap must be
+    STRICTLY positive to split islands).  All arithmetic is exact µs
+    integers; output is bit-identical across engines.  Ordering is
+    (start, end): full-tie rows are identical intervals, so the
+    running-max flag and island ids are invariant under tie order.
+
+    Scale shape: ONE key-keyed Exchange+Sort carries both window passes
+    — the new-island flag (running max of prior interval ends, ROWS
+    UNBOUNDED PRECEDING..1 PRECEDING) and the island-id running sum —
+    and both the per-island and per-key aggregations reuse that
+    partitioning (HashPartitioning(key) clusters every (key, island)
+    group), so the whole operator is one shuffle.  Never a corpus-global
+    window, no self-join (the naive interval-merge formulation joins
+    intervals against themselves — quadratic per key on dense keys).
+    """
+    base = df.select(
+        F.col(key_col),
+        F.col(start_col).alias("__s"),
+        F.col(end_col).alias("__e"),
+    )
+    w_ord = Window.partitionBy(key_col).orderBy(F.asc("__s"), F.asc("__e"))
+    prev_max_end = F.max("__e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = base.select(
+        key_col,
+        "__s",
+        "__e",
+        F.when(
+            prev_max_end.isNull() | (F.col("__s") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("__new"),
+    )
+    islands = flagged.select(
+        key_col,
+        "__s",
+        "__e",
+        F.sum("__new")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__isl"),
+    )
+    per_island = islands.groupBy(key_col, "__isl").agg(
+        F.min("__s").alias("__is"), F.max("__e").alias("__ie")
+    )
+    return per_island.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum(F.col("__ie") - F.col("__is")).cast("long").alias("covered_us"),
+        F.max(F.col("__ie") - F.col("__is")).cast("long").alias("max_island_us"),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     key_col: str = "user_id",

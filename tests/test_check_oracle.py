@@ -211,6 +211,9 @@ class TestRegistryOrderingContract:
         "mv_repair_apply": "mv_repair_upserts",
         "mv_upserts_stream": "mv_classify_stream",
         "dedup_exact_stream": "events_hourly_stream",
+        # round-8 wave-5 families pending rotation (local gate + pinned plans)
+        "jaccard_join_exact": "neardup_minhash",
+        "activity_islands": "event_funnel",
     }
 
     def test_every_family_within_driver_window(self):

@@ -3021,3 +3021,75 @@ def test_collocations_matches_python_pmi_model(spark):
     # the frequent-pair row is present with its exact support
     row = [g for g in got if (g[0], g[1]) == ("new", "york")]
     assert row and row[0][2] == 3
+
+
+def test_prefix_jaccard_join_is_exact_vs_brute_force(spark):
+    # the zero-loss claim: prefix filtering + length filter must emit
+    # EXACTLY the brute-force O(n²) answer — including pairs right at
+    # the threshold boundary and pairs whose only shared tokens are
+    # corpus-frequent (caught because BOTH prefixes still overlap)
+    import random
+
+    from mvrepair.operators.dedup import prefix_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        m = rng.randint(2, 12)
+        docs.append((i, " ".join(rng.sample(vocab, m))))
+    # a few engineered near-dups and one exact dup
+    docs.append((100, docs[0][1] + " extra"))
+    docs.append((101, docs[1][1]))
+    # boundary pair: |A|=2, |B|=2, inter=1 -> J = 1/3; |A∩B|=2 of 3 -> 0.5
+    docs.append((102, "qq rr ss"))
+    docs.append((103, "qq rr tt"))  # J = 2/4 = 0.5, exactly at t
+
+    def brute(threshold):
+        sets = {i: set(t.split(" ")) for i, t in docs}
+        out = set()
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter / union >= threshold:
+                    out.add((a, b))
+        return out
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for t in (0.5, 0.34, 0.8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_jaccard_pairs(df, threshold=t, n=1).collect()
+        }
+        assert got == brute(t), f"threshold={t}"
+    assert (102, 103) in brute(0.5)  # the boundary pair really is at t
+
+
+def test_activity_islands_merge_semantics(spark):
+    from mvrepair.operators.temporal import activity_islands
+
+    rows = [
+        # user 1: [0,10) + [5,8) nested + [10,12) touching -> one island
+        # [0,12); then gap; [20,21) -> second island
+        (1, 0, 10), (1, 5, 8), (1, 10, 12), (1, 20, 21),
+        # user 2: zero-length interval at 5 inside [0,10) merges; a
+        # zero-length at 15 is its own (empty) island
+        (2, 0, 10), (2, 5, 5), (2, 15, 15),
+        # user 3: identical duplicate intervals -> one island
+        (3, 3, 7), (3, 3, 7),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "e"])
+    got = {
+        r["k"]: (r["n_islands"], r["covered_us"], r["max_island_us"])
+        for r in activity_islands(
+            df, key_col="k", start_col="s", end_col="e"
+        ).collect()
+    }
+    assert got == {
+        1: (2, 13, 12),   # [0,12) + [20,21)
+        2: (2, 10, 10),   # [0,10) + [15,15)
+        3: (1, 4, 4),
+    }

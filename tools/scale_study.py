@@ -353,6 +353,34 @@ def main() -> None:
 
         return collocations(df)
 
+    def _islands_op(df):
+        from mvrepair.operators.temporal import activity_islands
+
+        base = df.select(
+            "user_id",
+            F.unix_micros("ts").alias("s_us"),
+            (
+                F.unix_micros("ts")
+                + F.floor(
+                    F.coalesce(F.col("value"), F.lit(0.0)) * 60_000_000.0
+                ).cast("long")
+            ).alias("e_us"),
+        )
+        return activity_islands(
+            base, key_col="user_id", start_col="s_us", end_col="e_us"
+        )
+
+    def _jac_op(df):
+        from mvrepair.operators.dedup import prefix_jaccard_pairs
+
+        corpus = df.select("doc_id", "text").unionByName(
+            df.select(
+                (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                F.expr("substr(text, instr(text, ' ') + 1)").alias("text"),
+            )
+        )
+        return prefix_jaccard_pairs(corpus, threshold=0.5)
+
     def _pagerank_op(df):
         from mvrepair.operators.linkage import pagerank_micro
 
@@ -517,6 +545,12 @@ def main() -> None:
         # count frames grow k x while per-pair supports stay the base
         # corpus's (constant join fan-in per key)
         "collocations": (False, _colloc_op),
+        # prefixed copies: per-copy shingle space disjoint -> prefix
+        # buckets and true pairs both scale k x, never k²
+        "jaccard_exact": (False, _jac_op),
+        # events copies (shifted user ids): per-user interval streams
+        # stay constant-size, k x users on one key-keyed shuffle
+        "activity_islands(ev)": ("ev", _islands_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
