@@ -3893,24 +3893,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r1-r7, frozen fingerprint + local-gate row; streaming keeps one
     driver-checked representative per distinct shape (stateful agg,
     foreachBatch reconcile, static-index micro-batch).
+    Round-8 wave 5: jaccard_join_exact (exact-recall similarity join —
+    a genuinely new candidate-generation algebra: prefix+positional
+    filtering) and activity_islands (variable-length interval
+    coalescing — gaps-and-islands, inexpressible as session_window)
+    displaced mv_report_text / top_users_per_event — both true plan
+    twins of still-checked queries (named in their comments),
+    driver-green r1-r7, frozen fingerprint + local-gate row.
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
         "mv_classify": q_mv_classify,
-        "mv_report_text": q_mv_report_text,
         # repair planning/apply (O13-O15)
         "mv_repair_upserts": q_mv_upserts,
         "repair_log_compact": q_repair_log_compact,  # LWW durable-log compaction (r6 family, promoted r7)
         # analytics surface
         "pricing_summary": q_pricing_summary,
         "regional_revenue": q_regional_revenue,
-        "top_users_per_event": q_top_users_per_event,
         "orders_rollup": q_orders_rollup,
         "lapsed_customers": q_lapsed_customers,
         # temporal joins (one per distinct join algorithm)
         "purchase_attribution": q_purchase_attribution,  # as-of join
         "sessions_in_maintenance": q_sessions_in_maintenance,  # range/interval overlap
         "event_sessions": q_event_sessions,  # sessionization
+        "activity_islands": q_activity_islands,  # variable-length interval coalescing (r8 wave 5)
         # text analysis
         "text_stats": q_text_stats,
         "doc_splits": q_doc_splits,
@@ -3926,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
         "simhash_neardup": q_simhash_neardup,
+        "jaccard_join_exact": q_jaccard_join_exact,  # exact-recall prefix+positional-filter join (r8 wave 5)
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,  # r6 family, promoted r7
         "span_dedup": q_span_dedup,  # r6 family, promoted r7
@@ -3982,7 +3989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pre-round-7 twins:
         "events_hourly": q_events_hourly,  # twin: events_hourly_stream (checked; same agg, batch formulation) + pricing_summary (plain groupBy agg family)
         "minhash_signatures": q_minhash_signatures,  # twin: neardup_minhash (runs the identical signature pipeline as its first stage)
-        "events_latest": q_events_latest,  # twin: events_latest_stream (same keep-newest-per-key result, streaming formulation checked) + top_users_per_event (rank-window family)
+        "events_latest": q_events_latest,  # twin: events_latest_stream (same keep-newest-per-key result, streaming formulation checked) + posting_lists (rank-window WindowGroupLimit family, driver-checked)
         "corpus_profile": q_corpus_profile,  # twin: pricing_summary (multi-metric groupBy agg)
         "simhash": q_simhash,  # twin: simhash_neardup (consumes the same signature algebra)
         "split_contamination": q_split_contamination,  # twin: doc_splits (hash-bucket membership); cross-split checks also via contamination_ngram
@@ -4019,9 +4026,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_repair_apply": q_mv_apply,  # twin: mv_repair_upserts (same prepared repair frame; apply is its materialization pass) + mv_report_text (golden-format emission) — driver-green r1-r7
         "mv_upserts_stream": q_mv_upserts_stream,  # twin: mv_classify_stream (same foreachBatch mv pipeline) + mv_repair_upserts (the repair algebra, driver-checked batch-side) — driver-green r1-r7
         "dedup_exact_stream": q_dedup_exact_stream,  # twin: events_hourly_stream (same JVM-state stateful-agg shape) + dedup_exact (the dedup algebra, driver-checked batch-side) — driver-green r1-r7
-        # round-8 wave-5 families (rotation pending):
-        "jaccard_join_exact": q_jaccard_join_exact,  # twin: neardup_minhash (same shingle -> candidate -> exact-verify composition; only the candidate generator differs, and the brute-force oracle proves its zero-loss claim)
-        "activity_islands": q_activity_islands,  # twin: event_funnel (same single user-keyed Exchange+Sort window stack) + event_sessions (the point-event cousin of the interval-union semantics, driver-checked)
+        # demoted in the round-8 rotation wave 5 (driver-green r1-r7):
+        "mv_report_text": q_mv_report_text,  # twin: mv_classify (same prepared reconcile frame; report is its golden-format projection) + mv_repair_apply precedent (SortAggregate string-accumulator shape) — driver-green r1-r7
+        "top_users_per_event": q_top_users_per_event,  # twin: posting_lists (same rank-window WindowGroupLimit cap, driver-checked) + regional_revenue (agg+top-k family) — driver-green r1-r7
     }
 
 

@@ -149,6 +149,9 @@ class TestRegistryOrderingContract:
         "anomaly": "events_anomaly",
         "posting-lists": "posting_lists",
         "collocations": "collocations",
+        # round-8 wave-5 families
+        "jaccard-join-exact": "jaccard_join_exact",
+        "interval-coalescing": "activity_islands",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -168,7 +171,7 @@ class TestRegistryOrderingContract:
         "multimodal_frames": "multimodal_decode",
         "events_hourly": "events_hourly_stream",
         "minhash_signatures": "neardup_minhash",
-        "events_latest": "top_users_per_event",
+        "events_latest": "posting_lists",
         "corpus_profile": "pricing_summary",
         "simhash": "simhash_neardup",
         "split_contamination": "doc_splits",
@@ -211,9 +214,9 @@ class TestRegistryOrderingContract:
         "mv_repair_apply": "mv_repair_upserts",
         "mv_upserts_stream": "mv_classify_stream",
         "dedup_exact_stream": "events_hourly_stream",
-        # round-8 wave-5 families pending rotation (local gate + pinned plans)
-        "jaccard_join_exact": "neardup_minhash",
-        "activity_islands": "event_funnel",
+        # demoted in the round-8 rotation wave 5 (driver-green r1-r7):
+        "mv_report_text": "mv_classify",
+        "top_users_per_event": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

@@ -445,17 +445,21 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # streaming twins fingerprint the drained results table
     "mv_upserts_stream": {"LocalTableScan": 1},
     "dedup_exact_stream": {"LocalTableScan": 1},
-    # SUBSET pin (eager-materialized like its LSH siblings: the
-    # returned persisted frame reprints its full executed AQE lineage,
-    # all bookkeeping): pin the design claims — the prefix filter is
-    # equi-join-only, never a cartesian/BNLJ candidate generator
-    "jaccard_join_exact": {"CartesianProduct": 0,
-                           "BroadcastNestedLoopJoin": 0},
-    # the one-shuffle islands design claim: ONE Exchange carries the
-    # flag window, the island-id window, and both reusing aggregations
-    "activity_islands": {"AdaptiveSparkPlan": 1, "Exchange": 1,
-                         "FileScan": 1, "HashAggregate": 4,
-                         "Project": 4, "Sort": 1, "Window": 2},
+    # ---- demoted in the round-8 rotation wave 5 (driver-green r1-r7) ----
+    # SUBSET pin (long concat expressions wrap the plan text, so only
+    # the stable algebra nodes are listed): the golden-format projection
+    # over the same reconcile frame as mv_classify — one SMJ, the
+    # string-accumulator SortAggregate quartet, never a nested loop
+    "mv_report_text": {"Exchange": 2, "FileScan": 3, "Filter": 3,
+                       "SortAggregate": 4, "SortMergeJoin": 1,
+                       "Union": 1, "CartesianProduct": 0,
+                       "BroadcastNestedLoopJoin": 0},
+    # rank-window top-k per event type — the posting_lists
+    # WindowGroupLimit shape (in-window)
+    "top_users_per_event": {"AdaptiveSparkPlan": 1, "Exchange": 2,
+                            "FileScan": 1, "Filter": 1,
+                            "HashAggregate": 2, "Sort": 2, "Window": 1,
+                            "WindowGroupLimit": 2},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
@@ -516,7 +520,7 @@ def test_twin_fingerprint_table_covers_every_twin():
 # node kinds the fingerprint lists (the stable algebra) and ignore AQE
 # bookkeeping nodes that shift across patch versions / fixture sizes.
 SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
-                 "part_rank_fusion", "jaccard_join_exact"}
+                 "part_rank_fusion", "mv_report_text"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))
