@@ -3809,6 +3809,79 @@ SELECT user_id, count(*)::BIGINT AS n_islands,
 FROM p GROUP BY 1"""
 
 
+def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts on (minimize retail price, minimize
+    size): the best price/size trade-off frontier.  The dominance
+    semantics would naively be a non-equi self-join (CartesianProduct);
+    the 2-D sort-based form reduces it to ONE map-combinable groupBy +
+    a window over the reduced per-price frame + one equi-join back —
+    the corpus is scanned once and never globally sorted.  See
+    dominance.py:skyline_2d."""
+    from mvrepair.operators.dominance import skyline_2d
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    return skyline_2d(
+        part, x="p_retailprice", y="p_size", keep=["p_partkey", "p_name"]
+    ).orderBy("p_retailprice", "p_partkey")
+
+
+_ORACLE_PART_SKYLINE = """
+SELECT p_partkey, p_name, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+ORDER BY p_retailprice, p_partkey"""
+
+
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring of every document under the corpus's
+    own count-trained hashed-bigram model (the CCNet quality-filter
+    shape, Wenzek et al. 2020) — exact q20 integer log2-loss, the
+    training run itself hash-checked.  Two corpus scans, zero
+    corpus-sized shuffles: the model exchange is bucket-bounded (≤B²)
+    and scoring map-side-joins the broadcast weight table.  See
+    lm.py:bigram_lm_scores."""
+    from mvrepair.operators.lm import bigram_lm_scores
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return bigram_lm_scores(d, buckets=1024)
+
+
+def _oracle_doc_perplexity() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    ml = micro_log2_sql(
+        "SELECT b1, b2, ct, tot FROM w0",
+        "(CAST(ct + 1 AS DOUBLE) / CAST(tot + 1024 AS DOUBLE))",
+        keep=["b1", "b2"],
+        out="w",
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+inst AS (
+  SELECT doc_id,
+    CAST(concat('0x', substr(md5(a[i]), 1, 15)) AS BIGINT) % 1024 AS b1,
+    CAST(concat('0x', substr(md5(a[i + 1]), 1, 15)) AS BIGINT) % 1024 AS b2
+  FROM toks, unnest(generate_series(1, len(a) - 1)) AS u(i)
+  WHERE len(a) >= 2),
+cb AS (SELECT b1, b2, count(*) AS ct FROM inst GROUP BY 1, 2),
+w0 AS (SELECT b1, b2, ct,
+         CAST(sum(ct) OVER (PARTITION BY b1) AS BIGINT) AS tot FROM cb),
+m AS ({ml})
+SELECT inst.doc_id, count(*)::BIGINT AS n_bigrams,
+  CAST(-sum(m.w) AS BIGINT) AS nll_q20,
+  CAST(-sum(m.w) AS BIGINT) // count(*) AS bpt_q20
+FROM inst JOIN m USING (b1, b2)
+GROUP BY 1"""
+
+
 def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the two co-purchase centrality signals
     (PageRank + triangle counts) — the hybrid-retrieval combiner
@@ -3909,8 +3982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_log_compact": q_repair_log_compact,  # LWW durable-log compaction (r6 family, promoted r7)
         # analytics surface
         "pricing_summary": q_pricing_summary,
-        "regional_revenue": q_regional_revenue,
         "orders_rollup": q_orders_rollup,
+        "part_skyline": q_part_skyline,  # Pareto-dominance frontier (r8 wave 6)
         "lapsed_customers": q_lapsed_customers,
         # temporal joins (one per distinct join algorithm)
         "purchase_attribution": q_purchase_attribution,  # as-of join
@@ -3972,7 +4045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations": q_collocations,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
         # demoted in the round-8 rotation (driver-green through r7):
-        "top_revenue_orders": q_top_revenue_orders,  # twin: regional_revenue (join + agg + TakeOrdered top-k over the same order/lineitem fact) — driver-green r1-r7
+        "top_revenue_orders": q_top_revenue_orders,  # twin: pricing_summary (fact-agg family; the dim joins broadcast-prune above it, same shape as regional_revenue's pinned plan) — driver-green r1-r7
         "rolling_fingerprint": q_rolling_fingerprint,  # twin: text_stats (join-free per-row projection — the token_counts/text_scrub precedent) — driver-green r1-r7
         "multimodal_meta": q_multimodal_meta,  # twin: multimodal_decode (same Arrow mapInPandas plumbing; meta is the projection half of decode) — driver-green r1-r7
         "ann_cosine_topk": q_ann_topk,  # twin: ann_ivf_topk (top-k rerank shape) + ann_recall (runs the identical brute pipeline as its first component, local gate) — driver-green r1-r7
@@ -4028,7 +4101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stream": q_dedup_exact_stream,  # twin: events_hourly_stream (same JVM-state stateful-agg shape) + dedup_exact (the dedup algebra, driver-checked batch-side) — driver-green r1-r7
         # demoted in the round-8 rotation wave 5 (driver-green r1-r7):
         "mv_report_text": q_mv_report_text,  # twin: mv_classify (same prepared reconcile frame; report is its golden-format projection) + mv_repair_apply precedent (SortAggregate string-accumulator shape) — driver-green r1-r7
-        "top_users_per_event": q_top_users_per_event,  # twin: posting_lists (same rank-window WindowGroupLimit cap, driver-checked) + regional_revenue (agg+top-k family) — driver-green r1-r7
+        "top_users_per_event": q_top_users_per_event,  # twin: posting_lists (same rank-window WindowGroupLimit cap, driver-checked) — driver-green r1-r7
+        # demoted in the round-8 rotation wave 6 (driver-green r1-r7):
+        "regional_revenue": q_regional_revenue,  # twin: pricing_summary (multi-metric groupBy agg, driver-checked; the dims join broadcast-prunes above it — the top_revenue_orders shape, pinned) — driver-green r1-r7
+        # round-8 wave-6 additions (composition/twin doctrine):
+        "doc_perplexity": q_doc_perplexity,  # twin: nb_classify (same count-trained broadcast-model scoring algebra — bucketed hashes, micro_log2 smoothing, per-doc integer rollup; bigram context instead of class conditioning)
     }
 
 
@@ -4052,6 +4129,8 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type_salted": _ORACLE_EVENTS_SALTED,
         "top_users_per_event": _ORACLE_TOP_USERS,
         "orders_rollup": _ORACLE_ORDERS_ROLLUP,
+        "part_skyline": _ORACLE_PART_SKYLINE,
+        "doc_perplexity": _oracle_doc_perplexity(),
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "purchase_context": _ORACLE_PURCHASE_CONTEXT,
         "events_latest": _ORACLE_EVENTS_LATEST,

@@ -152,6 +152,8 @@ class TestRegistryOrderingContract:
         # round-8 wave-5 families
         "jaccard-join-exact": "jaccard_join_exact",
         "interval-coalescing": "activity_islands",
+        # round-8 wave-6 families
+        "skyline-dominance": "part_skyline",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -202,7 +204,7 @@ class TestRegistryOrderingContract:
         "multimodal_meta": "multimodal_decode",
         "ann_cosine_topk": "ann_ivf_topk",
         "distinct_docs_kmv": "posting_lists",  # r8 wave 4: heavy_hitters demoted; same token-agg family
-        "top_revenue_orders": "regional_revenue",
+        "top_revenue_orders": "pricing_summary",
         "part_rank_fusion": "part_pagerank",
         # demoted in the round-8 rotation wave 2 (driver-green r1-r7):
         "mv_stats": "mv_classify",
@@ -217,6 +219,10 @@ class TestRegistryOrderingContract:
         # demoted in the round-8 rotation wave 5 (driver-green r1-r7):
         "mv_report_text": "mv_classify",
         "top_users_per_event": "posting_lists",
+        # demoted in the round-8 rotation wave 6 (driver-green r1-r7):
+        "regional_revenue": "pricing_summary",
+        # round-8 wave-6 additions (twin doctrine):
+        "doc_perplexity": "nb_classify",
     }
 
     def test_every_family_within_driver_window(self):

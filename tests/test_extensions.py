@@ -3093,3 +3093,113 @@ def test_activity_islands_merge_semantics(spark):
         2: (2, 10, 10),   # [0,10) + [15,15)
         3: (1, 4, 4),
     }
+
+
+def test_skyline_2d_semantics(spark):
+    """Dominance is strict-somewhere: duplicates both survive, equal-x
+    points keep only the min-y one, and any point with a cheaper-or-equal
+    neighbor at lower-or-equal y on both axes (strict on one) drops."""
+    from mvrepair.operators.dominance import skyline_2d
+
+    rows = [
+        # (id, price, size)
+        (1, 10.0, 5),   # skyline (cheapest)
+        (2, 10.0, 7),   # dominated by 1 (same x, larger y)
+        (3, 12.0, 5),   # dominated by 1 (larger x, same y)
+        (4, 12.0, 3),   # skyline (cheaper y than anything cheaper)
+        (5, 12.0, 3),   # duplicate of 4 -> both survive
+        (6, 15.0, 3),   # dominated by 4 (same y, higher x)
+        (7, 15.0, 1),   # skyline
+        (8, 20.0, 1),   # dominated by 7
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = sorted(
+        r["id"] for r in skyline_2d(df, x="x", y="y", keep=["id"]).collect()
+    )
+    assert got == [1, 4, 5, 7]
+
+
+def test_skyline_2d_matches_brute_force(spark):
+    """Pseudo-random grid vs the O(n²) dominance definition."""
+    from mvrepair.operators.dominance import skyline_2d
+
+    pts = [
+        (i, float((i * 7919) % 97), (i * 6007) % 53) for i in range(300)
+    ]
+    brute = [
+        (i, x, y)
+        for (i, x, y) in pts
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y)
+            for (_, qx, qy) in pts
+        )
+    ]
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = sorted(
+        (r["id"], r["x"], r["y"])
+        for r in skyline_2d(df, x="x", y="y", keep=["id"]).collect()
+    )
+    assert got == sorted(brute)
+
+
+def test_skyline_2d_no_cartesian(spark):
+    """The whole point: dominance WITHOUT a non-equi self-join."""
+    from mvrepair.operators.dominance import skyline_2d
+
+    df = spark.createDataFrame([(1, 1.0, 1)], ["id", "x", "y"])
+    plan = (
+        skyline_2d(df, x="x", y="y", keep=["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_scores_matches_python_model(spark):
+    """Exact-model check: hashed-bigram add-one LM vs a plain-Python
+    replica built on py_micro_log2 (the cross-engine-exact quantizer).
+    Small bucket count forces hash collisions on purpose."""
+    import hashlib
+    from collections import Counter
+
+    from mvrepair.functions.exactlog import py_micro_log2
+    from mvrepair.operators.lm import bigram_lm_scores
+
+    B = 16
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "a dog barked at the cat and the dog ran"),
+        (4, "single"),          # no bigram -> absent from output
+        (5, "the the the the"),  # repeated-pair counts
+    ]
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % B
+
+    insts, cb = {}, Counter()
+    for d, text in docs:
+        toks = text.split(" ")
+        ps = [(h(toks[i]), h(toks[i + 1])) for i in range(len(toks) - 1)]
+        insts[d] = ps
+        cb.update(ps)
+    ctx = Counter()
+    for (b1, _), c in cb.items():
+        ctx[b1] += c
+    w = {
+        k: py_micro_log2((c + 1) / (ctx[k[0]] + B)) for k, c in cb.items()
+    }
+    expect = {}
+    for d, ps in insts.items():
+        if not ps:
+            continue
+        nll = -sum(w[p] for p in ps)
+        expect[d] = (len(ps), nll, nll // len(ps))
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_q20"], r["bpt_q20"])
+        for r in bigram_lm_scores(df, buckets=B).collect()
+    }
+    assert got == expect
+    assert 4 not in got

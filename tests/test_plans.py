@@ -460,6 +460,21 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                             "FileScan": 1, "Filter": 1,
                             "HashAggregate": 2, "Sort": 2, "Window": 1,
                             "WindowGroupLimit": 2},
+    # ---- demoted in the round-8 rotation wave 6 (driver-green r1-r7) ----
+    # broadcast-dim star join pruned above one fact agg — the
+    # pricing_summary agg with top_revenue_orders' pinned join shape
+    "regional_revenue": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 5,
+                         "BroadcastHashJoin": 5, "Exchange": 1,
+                         "FileScan": 6, "Filter": 6, "HashAggregate": 2,
+                         "Project": 6},
+    # count-trained broadcast-model scoring, twin nb_classify: ONE
+    # BroadcastHashJoin (the weight table), the model exchange
+    # bucket-bounded, no corpus-sized shuffle of raw instances
+    "doc_perplexity": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                       "BroadcastHashJoin": 1, "Exchange": 5,
+                       "FileScan": 2, "Filter": 3, "Generate": 2,
+                       "HashAggregate": 4, "Project": 6, "Sort": 1,
+                       "Window": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
