@@ -3511,6 +3511,69 @@ u AS (SELECT a AS part_id FROM t
 SELECT part_id, count(*)::BIGINT AS n_triangles FROM u GROUP BY 1"""
 
 
+KCORE_K = 4
+KCORE_ROUNDS = 3
+KCORE_SUPPORT = 2
+
+
+def q_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling over the support-filtered co-purchase graph
+    (edges = part pairs co-purchased in ≥2 baskets): the graph-
+    degeneracy community signal, as fixed-round hash-checkable
+    iteration (the pagerank doctrine — the oracle unrolls the identical
+    peel recurrence).  Per round: one O(E) degree agg + two semi-joins
+    against the surviving-node frame, localCheckpoint'd.  See
+    linkage.py:kcore_peel."""
+    from mvrepair.operators.linkage import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_b")
+    )
+    edges = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= KCORE_SUPPORT)
+        .select("item_a", "item_b")
+    )
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS).select(
+        F.col("node").alias("part_id"), "deg"
+    )
+
+
+def _oracle_part_kcore() -> str:
+    rounds = []
+    prev = "e0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"a{i} AS (SELECT n FROM (SELECT x AS n FROM {prev}"
+            f" UNION ALL SELECT y FROM {prev}) GROUP BY 1"
+            f" HAVING count(*) >= {KCORE_K}),\n"
+            f"e{i} AS (SELECT x, y FROM {prev}"
+            f" WHERE x IN (SELECT n FROM a{i})"
+            f" AND y IN (SELECT n FROM a{i}))"
+        )
+        prev = f"e{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+e0 AS (SELECT a.i AS x, bb.i AS y
+       FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+       GROUP BY 1, 2 HAVING count(*) >= {KCORE_SUPPORT}),
+{body}
+SELECT part_id, count(*)::BIGINT AS deg
+FROM (SELECT x AS part_id FROM {prev} UNION ALL SELECT y FROM {prev})
+GROUP BY 1"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix over the event stream: users
     bucketed by first-event day, counted once per active day, with
@@ -4106,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,  # twin: pricing_summary (multi-metric groupBy agg, driver-checked; the dims join broadcast-prunes above it — the top_revenue_orders shape, pinned) — driver-green r1-r7
         # round-8 wave-6 additions (composition/twin doctrine):
         "doc_perplexity": q_doc_perplexity,  # twin: nb_classify (same count-trained broadcast-model scoring algebra — bucketed hashes, micro_log2 smoothing, per-doc integer rollup; bigram context instead of class conditioning)
+        "part_kcore": q_part_kcore,  # twin: part_pagerank (same fixed-round checkpointed O(E)-per-iteration graph loop over the same co-purchase edges; peeling filter instead of rank propagation)
     }
 
 
@@ -4131,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": _ORACLE_ORDERS_ROLLUP,
         "part_skyline": _ORACLE_PART_SKYLINE,
         "doc_perplexity": _oracle_doc_perplexity(),
+        "part_kcore": _oracle_part_kcore(),
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "purchase_context": _ORACLE_PURCHASE_CONTEXT,
         "events_latest": _ORACLE_EVENTS_LATEST,

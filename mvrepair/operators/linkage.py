@@ -344,3 +344,58 @@ def rrf_fuse(
     ]
     fused = u.groupBy(id_col).agg(*aggs)
     return fused.orderBy(F.desc("rrf_micro"), F.asc(id_col)).limit(k)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    a_col: str = "item_a",
+    b_col: str = "item_b",
+    k: int = 3,
+    rounds: int = 3,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list (one row
+    per edge, ``a_col < b_col``, no duplicates) — graph degeneracy as a
+    hash-checkable pipeline.
+
+    The k-core is the maximal subgraph where every node has degree ≥ k;
+    the standard algorithm peels nodes of degree < k and repeats until
+    fixpoint.  Like ``pagerank_micro``, the round count here is FIXED by
+    convention (not convergence-tested) so a SQL oracle can unroll the
+    identical recurrence; at a fixed ``rounds`` the result is the
+    textbook upper approximation that converges from above (every true
+    k-core member always survives — peeling only removes nodes that can
+    never re-qualify).  Output: ``node, deg`` over the surviving edge
+    set after ``rounds`` peels.
+
+    Scale shape, per round: ONE combine-friendly degree aggregation over
+    the surviving edges (O(E) shuffle) + two semi-joins of edges against
+    the |V|-sized surviving-node frame (AQE broadcasts it when small).
+    Each round ``localCheckpoint``s — the edge frame appears on both
+    sides of the next round's plan, so without truncation the lineage
+    doubles per round (the connected_components rule).  Total cost:
+    ``rounds`` × O(E), no window, no driver-side state.
+    """
+    e = edges.select(
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        ends = e.select(F.col("__a").alias("__n")).unionAll(
+            e.select(F.col("__b").alias("__n"))
+        )
+        alive = (
+            ends.groupBy("__n")
+            .agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("__n")
+        )
+        e = (
+            e.join(alive.withColumnRenamed("__n", "__a"), "__a", "semi")
+            .join(alive.withColumnRenamed("__n", "__b"), "__b", "semi")
+            .localCheckpoint(eager=True)
+        )
+    ends = e.select(F.col("__a").alias("node")).unionAll(
+        e.select(F.col("__b").alias("node"))
+    )
+    return ends.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )

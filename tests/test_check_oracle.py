@@ -223,6 +223,7 @@ class TestRegistryOrderingContract:
         "regional_revenue": "pricing_summary",
         # round-8 wave-6 additions (twin doctrine):
         "doc_perplexity": "nb_classify",
+        "part_kcore": "part_pagerank",
     }
 
     def test_every_family_within_driver_window(self):

@@ -3203,3 +3203,32 @@ def test_bigram_lm_scores_matches_python_model(spark):
     }
     assert got == expect
     assert 4 not in got
+
+
+def test_kcore_peel_cascade_semantics(spark):
+    """Peeling cascades: removing a chain's endpoints re-exposes its
+    interior, round by round; a clique at degree >= k never peels."""
+    from mvrepair.operators.linkage import kcore_peel
+
+    # triangle {1,2,3} (all degree 2) + chain 3-4, 4-5, 5-6
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["item_a", "item_b"])
+
+    # k=2, enough rounds: chain peels back to the triangle
+    got = {
+        r["node"]: r["deg"]
+        for r in kcore_peel(df, k=2, rounds=3).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # fixed-round semantics: one round only peels the current leaves
+    got1 = {
+        r["node"]: r["deg"]
+        for r in kcore_peel(df, k=2, rounds=1).collect()
+    }
+    # round 1 removes node 6 (deg 1); 5 survives with deg 1 (not yet
+    # re-checked) — the upper-approximation contract
+    assert got1 == {1: 2, 2: 2, 3: 3, 4: 2, 5: 1}
+
+    # k above the max degree empties the graph
+    assert kcore_peel(df, k=5, rounds=2).count() == 0

@@ -475,6 +475,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                        "FileScan": 2, "Filter": 3, "Generate": 2,
                        "HashAggregate": 4, "Project": 6, "Sort": 1,
                        "Window": 1},
+    # fixed-round checkpointed peel, twin part_pagerank: the returned
+    # plan is the final degree agg over the round-3 localCheckpoint
+    # (Scan ExistingRDD x2) — the per-round joins live behind the
+    # checkpoint, exactly like the components loop
+    "part_kcore": {"AdaptiveSparkPlan": 1, "Exchange": 1,
+                   "HashAggregate": 2, "Project": 2, "Scan": 2,
+                   "Union": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
