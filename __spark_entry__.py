@@ -1037,6 +1037,65 @@ WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
     / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5"""
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration grid of the MinHash estimator vs exact Jaccard over
+    every LSH candidate pair: (signature matches 0..16, exact-Jaccard
+    decile, pair count).  The pre-flight audit that decides whether the
+    16-hash/4-band config is trustworthy before a 100 TB dedup run —
+    pure composition of the checked candidate/signature/verify stages
+    (the ann_recall doctrine).  See dedup.py:minhash_calibration."""
+    return D.minhash_calibration(_neardup_corpus(spark, sf_dir))
+
+
+def _oracle_minhash_calibration() -> str:
+    p = D.MINHASH_P
+    band_selects = " UNION ALL ".join(
+        f"""SELECT doc_id, {b} AS band_idx,
+               concat_ws('_', {", ".join(f"sig_{b * D.ROWS_PER_BAND + r}" for r in range(D.ROWS_PER_BAND))}) AS band_sig
+        FROM sigs"""
+        for b in range(D.N_BANDS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN sa.sig_{i} = sb.sig_{i} THEN 1 ELSE 0 END)"
+        for i in range(D.N_HASHES)
+    )
+    return f"""
+WITH corpus AS ({_NEARDUP_CORPUS_SQL}),
+tokens AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_SHINGLE_SQL}),
+                        t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}) AS hs
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus)
+),
+sigs AS (
+  SELECT doc_id, {_minhash_sig_exprs()} FROM tokens
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+),
+toks AS (
+  SELECT doc_id, list_distinct({_SHINGLE_SQL}) AS tk
+  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM ({_NEARDUP_CORPUS_SQL}))
+),
+grid AS (
+  SELECT CAST({match_sum} AS BIGINT) AS matches,
+    CAST(len(list_intersect(ta.tk, tb.tk)) AS BIGINT) AS i,
+    CAST(len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))
+      AS BIGINT) AS u
+  FROM cand
+  JOIN sigs sa ON cand.id_a = sa.doc_id
+  JOIN sigs sb ON cand.id_b = sb.doc_id
+  JOIN toks ta ON cand.id_a = ta.doc_id
+  JOIN toks tb ON cand.id_b = tb.doc_id
+  WHERE len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)) > 0)
+SELECT matches, (10 * i) // u AS jaccard_decile,
+  count(*)::BIGINT AS n_pairs
+FROM grid GROUP BY 1, 2"""
+
+
 NEARDUP_CAP = 2  # max ids per LSH bucket in the capped query
 
 
@@ -4170,6 +4229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 wave-6 additions (composition/twin doctrine):
         "doc_perplexity": q_doc_perplexity,  # twin: nb_classify (same count-trained broadcast-model scoring algebra — bucketed hashes, micro_log2 smoothing, per-doc integer rollup; bigram context instead of class conditioning)
         "part_kcore": q_part_kcore,  # twin: part_pagerank (same fixed-round checkpointed O(E)-per-iteration graph loop over the same co-purchase edges; peeling filter instead of rank propagation)
+        "minhash_calibration": q_minhash_calibration,  # twin: neardup_minhash (pure composition of its candidate/signature/verify stages + one ≤187-row rollup — the ann_recall doctrine)
     }
 
 
@@ -4196,6 +4256,7 @@ def oracle_sql() -> dict[str, str]:
         "part_skyline": _ORACLE_PART_SKYLINE,
         "doc_perplexity": _oracle_doc_perplexity(),
         "part_kcore": _oracle_part_kcore(),
+        "minhash_calibration": _oracle_minhash_calibration(),
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "purchase_context": _ORACLE_PURCHASE_CONTEXT,
         "events_latest": _ORACLE_EVENTS_LATEST,

@@ -1268,3 +1268,95 @@ def apply_keep_decisions(
         keepers.select(F.col(keep_col).alias(id_col)), id_col, "left_anti"
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def minhash_calibration(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Sketch-accuracy audit of the MinHash estimator itself: for EVERY
+    LSH candidate pair (unfiltered — below-threshold candidates are the
+    interesting part), histogram signature agreement against exact
+    Jaccard.
+
+    Output: ``matches`` (0..16 agreeing signature components — the
+    MinHash estimate of Jaccard in 16ths), ``jaccard_decile``
+    ((10·|A∩B|) div |A∪B| — the exact value, integer-quantized),
+    ``n_pairs``.  The grid is the calibration table you'd plot to
+    decide whether the 16-hash/4-band configuration is trustworthy at a
+    given threshold before a 100 TB dedup run — E[matches/16] = true
+    Jaccard, so mass should concentrate near the diagonal; off-diagonal
+    mass at high deciles = recall risk, at low deciles = wasted verify
+    work.  Pure composition of three checked stages (candidate
+    generation, signatures, exact verify) plus one ≤17×11-row rollup.
+
+    Scale shape: identical to ``ngram_jaccard_pairs`` (the shingle pass
+    runs once, persisted, feeding candidates + signatures + both verify
+    joins; the pair side of every verify join is candidate-sized); the
+    final histogram is a combine-friendly aggregate to ≤187 rows.  Like
+    its twin, the internal-cache path is EAGER and releases the
+    corpus-sized shingle cache before returning.
+    """
+    spark = df.sparkSession
+    _AQE_CACHE_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    old = spark.conf.get(_AQE_CACHE_KEY, None)
+    spark.conf.set(_AQE_CACHE_KEY, "true")
+    owned = shingle_tokens(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cands = minhash_candidate_pairs(df, text_col, id_col, n, toks=owned)
+        sigs = minhash_signatures(df, text_col, id_col, n, toks=owned)
+        sa = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(N_HASHES)],
+        )
+        sb = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"sig_{i}").alias(f"__b{i}") for i in range(N_HASHES)],
+        )
+        ta = owned.select(
+            F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta")
+        )
+        tb = owned.select(
+            F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb")
+        )
+        matches = sum(
+            F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+            for i in range(N_HASHES)
+        ).cast("long")
+        inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+        union = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+        grid = (
+            cands.join(sa, "id_a")
+            .join(sb, "id_b")
+            .join(ta, "id_a")
+            .join(tb, "id_b")
+            .select(
+                matches.alias("matches"),
+                inter.cast("long").alias("__i"),
+                union.cast("long").alias("__u"),
+            )
+            .filter(F.col("__u") > 0)
+            .select(
+                "matches",
+                F.expr("(10 * __i) DIV __u").alias("jaccard_decile"),
+            )
+            .groupBy("matches", "jaccard_decile")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            grid.count()  # materialize while the shingle cache is hot
+        except Exception:
+            grid.unpersist()
+            raise
+    finally:
+        owned.unpersist()
+        if old is None:
+            spark.conf.unset(_AQE_CACHE_KEY)
+        else:
+            spark.conf.set(_AQE_CACHE_KEY, old)
+    return grid

@@ -224,6 +224,7 @@ class TestRegistryOrderingContract:
         # round-8 wave-6 additions (twin doctrine):
         "doc_perplexity": "nb_classify",
         "part_kcore": "part_pagerank",
+        "minhash_calibration": "neardup_minhash",
     }
 
     def test_every_family_within_driver_window(self):

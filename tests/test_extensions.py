@@ -3232,3 +3232,22 @@ def test_kcore_peel_cascade_semantics(spark):
 
     # k above the max degree empties the graph
     assert kcore_peel(df, k=5, rounds=2).count() == 0
+
+
+def test_minhash_calibration_grid(spark):
+    """Identical docs land on the (16, 10) diagonal cell; disjoint docs
+    that collide in no band produce no cell at all."""
+    from mvrepair.operators.dedup import minhash_calibration
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),       # exact dup of 1
+        (3, "one two three four five six seven eight"),    # unrelated
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    grid = {
+        (r["matches"], r["jaccard_decile"]): r["n_pairs"]
+        for r in minhash_calibration(df).collect()
+    }
+    assert grid.get((16, 10)) == 1          # the duplicate pair
+    assert all(m == 16 for (m, _) in grid)  # no spurious candidates

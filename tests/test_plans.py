@@ -482,6 +482,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "part_kcore": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                    "HashAggregate": 2, "Project": 2, "Scan": 2,
                    "Union": 1},
+    # SUBSET pin (eager-materialized like its LSH siblings): the
+    # composition claim — candidates come from the banded equi-join,
+    # never a cartesian/BNLJ generator
+    "minhash_calibration": {"CartesianProduct": 0,
+                            "BroadcastNestedLoopJoin": 0},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
@@ -542,7 +547,8 @@ def test_twin_fingerprint_table_covers_every_twin():
 # node kinds the fingerprint lists (the stable algebra) and ignore AQE
 # bookkeeping nodes that shift across patch versions / fixture sizes.
 SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
-                 "part_rank_fusion", "mv_report_text"}
+                 "part_rank_fusion", "mv_report_text",
+                 "minhash_calibration"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))
