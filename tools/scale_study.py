@@ -400,6 +400,38 @@ def main() -> None:
         nodes = df.select(F.col("l_partkey").alias("id")).dropDuplicates()
         return pagerank_micro(edges, nodes, iters=3)
 
+    def _perplexity_op(df):
+        from mvrepair.operators.lm import bigram_lm_scores
+
+        return bigram_lm_scores(df, buckets=1024)
+
+    def _skyline_op(df):
+        from mvrepair.operators.dominance import skyline_2d
+
+        return skyline_2d(
+            df, x="p_retailprice", y="p_size", keep=["p_partkey", "p_name"]
+        )
+
+    def _kcore_op(df):
+        from mvrepair.operators.linkage import kcore_peel
+
+        items = df.select("l_orderkey", "l_partkey").dropDuplicates()
+        a = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_a")
+        )
+        bb = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_b")
+        )
+        edges = (
+            a.join(bb, "__b")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") >= 2)
+            .select("item_a", "item_b")
+        )
+        return kcore_peel(edges, k=4, rounds=3)
+
     def _ann_recall_op(df):
         queries = df.filter(
             (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)
@@ -551,6 +583,19 @@ def main() -> None:
         # events copies (shifted user ids): per-user interval streams
         # stay constant-size, k x users on one key-keyed shuffle
         "activity_islands(ev)": ("ev", _islands_op),
+        # round-8 wave 6.  exact copies: the bigram-bucket model frame is
+        # B²-bounded at every factor — only the token pass and per-doc
+        # scoring grow with volume (the nb_classify doctrine)
+        "doc_perplexity(copies)": (True, _perplexity_op),
+        # part copies (shifted ids, values unchanged): per-price min and
+        # the reduced window frame stay constant-size; survivors x k
+        "part_skyline(pt)": ("pt", _skyline_op),
+        # disjoint graph copies: k x nodes/edges, peel rounds fixed —
+        # measures the per-round degree agg + semi-joins
+        "part_kcore(li2)": ("li2", _kcore_op),
+        # prefixed copies: per-copy shingle space disjoint -> candidate
+        # pairs scale k x; the grid rollup stays <=187 rows
+        "minhash_calibration": (False, lambda df: D.minhash_calibration(df)),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
@@ -585,6 +630,8 @@ def main() -> None:
             )
         if kind == "ev":
             return inflate_generic("events", "user_id", k)
+        if kind == "pt":
+            return inflate_generic("part", "p_partkey", k)
         return inflate(k, bool(kind))
 
     # untimed warmup: JIT, codegen caches, parquet-footer paths
