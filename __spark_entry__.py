@@ -3387,6 +3387,72 @@ SELECT src, dst, n,
 FROM c"""
 
 
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 length-3 event-type paths over per-user streams — the
+    behavioral trigram table; both lead() columns ride one user-keyed
+    Exchange+Sort, path counts are map-side combinable over the
+    |types|³-bounded space, the cut is TakeOrderedAndProject.  See
+    temporal.py:event_paths."""
+    from mvrepair.operators.temporal import event_paths
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return event_paths(ev, k=25)
+
+
+_ORACLE_EVENT_PATHS = """
+WITH s AS (
+  SELECT event_type AS step_1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS step_2,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS step_3
+  FROM events)
+SELECT step_1, step_2, step_3, count(*)::BIGINT AS n
+FROM s WHERE step_3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, step_1, step_2, step_3 LIMIT 25"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 validity intervals from the event stream: per user,
+    consecutive equal event-type runs collapse to [valid_from_us,
+    valid_to_us) rows, last run open — CDC log → queryable history.
+    One user-keyed Exchange carries the lag flag, the run-id running
+    sum, AND the per-run aggregate; the closing timestamp is a lead over
+    the runs frame.  See temporal.py:scd2_history."""
+    from mvrepair.operators.temporal import scd2_history
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    return scd2_history(ev)
+
+
+_ORACLE_SCD2_HISTORY = """
+WITH f AS (
+  SELECT user_id, event_id, event_type AS v, epoch_us(ts) AS t,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, v, t,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM f),
+runs AS (
+  SELECT user_id, run, min(v) AS value, min(t) AS valid_from_us,
+    count(*)::BIGINT AS n_events
+  FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(run AS BIGINT) AS run_seq, value, valid_from_us,
+  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run)
+    AS valid_to_us,
+  n_events
+FROM runs"""
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc percentile rank of the quality score within its source —
     rank normalization for cross-source thresholds ("keep each source's
@@ -4230,6 +4296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity": q_doc_perplexity,  # twin: nb_classify (same count-trained broadcast-model scoring algebra — bucketed hashes, micro_log2 smoothing, per-doc integer rollup; bigram context instead of class conditioning)
         "part_kcore": q_part_kcore,  # twin: part_pagerank (same fixed-round checkpointed O(E)-per-iteration graph loop over the same co-purchase edges; peeling filter instead of rank propagation)
         "minhash_calibration": q_minhash_calibration,  # twin: neardup_minhash (pure composition of its candidate/signature/verify stages + one ≤187-row rollup — the ann_recall doctrine)
+        "event_paths": q_event_paths,  # twin: event_transitions (same one user-keyed Exchange+Sort lead() stack + bounded-space count; trigram instead of bigram, TakeOrdered cut)
+        "scd2_history": q_scd2_history,  # twin: activity_islands (the equality cousin of the islands algebra: same flag-window + running-sum-run-id + per-run aggregate on one user-keyed Exchange)
     }
 
 
@@ -4257,6 +4325,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_perplexity": _oracle_doc_perplexity(),
         "part_kcore": _oracle_part_kcore(),
         "minhash_calibration": _oracle_minhash_calibration(),
+        "event_paths": _ORACLE_EVENT_PATHS,
+        "scd2_history": _ORACLE_SCD2_HISTORY,
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "purchase_context": _ORACLE_PURCHASE_CONTEXT,
         "events_latest": _ORACLE_EVENTS_LATEST,

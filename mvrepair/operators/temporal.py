@@ -655,3 +655,112 @@ def cohort_retention(
         "n_users",
         F.expr("__num div __den").cast("long").alias("retention_micro"),
     )
+
+
+def event_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    k: int = 25,
+) -> DataFrame:
+    """Top-k most frequent length-3 event-type paths over per-key
+    streams — the behavioral trigram table (event_transitions is its
+    first-order cousin): "what three-step journeys dominate?".
+
+    Per key, events order by (ts, id) — the id tie-break makes
+    simultaneous events deterministic — and every window of 3
+    consecutive events counts once.  Ties in the top-k break by the
+    path itself, so the cut is deterministic.
+
+    Scale shape: BOTH lead() columns ride ONE key-keyed Exchange+Sort
+    (same window spec → one Window operator), the path count is
+    map-side combinable over the |types|³-bounded path space, and the
+    top-k is TakeOrderedAndProject — never a global sort.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    steps = (
+        df.select(
+            F.col(key_col),
+            F.col(type_col).alias("step_1"),
+            F.col(ts_col),
+            F.col(id_col),
+        )
+        .withColumn("step_2", F.lead("step_1", 1).over(w))
+        .withColumn("step_3", F.lead("step_1", 2).over(w))
+        .filter(F.col("step_3").isNotNull())
+    )
+    counts = steps.groupBy("step_1", "step_2", "step_3").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.orderBy(
+        F.desc("n"), F.asc("step_1"), F.asc("step_2"), F.asc("step_3")
+    ).limit(k)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event stream:
+    per key, collapse CONSECUTIVE runs of the same value into validity
+    intervals ``[valid_from_us, valid_to_us)`` — the change-data-capture
+    compaction that turns an append-only log into a queryable history
+    table.  The last run per key is open (``valid_to_us`` NULL).
+
+    Run-length encoding is the equality cousin of the interval-overlap
+    islands algebra (``activity_islands``): a run starts where the value
+    differs from its predecessor (lag), run ids are the running sum of
+    start flags, and each (key, run) aggregates once.
+
+    Scale shape: ONE key-keyed Exchange+Sort carries the lag flag
+    window, the run-id running-sum window, AND the (key, run) aggregate
+    (HashPartitioning(key) satisfies the (key, run) clustering — rows of
+    one run never straddle partitions); the closing ``valid_to_us`` is a
+    lead() over the RUNS frame (one row per run, not per event).  Exact
+    µs integers; no corpus-sized second shuffle.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc("__t"), F.asc("__id"))
+    flagged = df.select(
+        F.col(key_col),
+        F.col(type_col).alias("__v"),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(id_col).alias("__id"),
+    ).select(
+        key_col,
+        "__v",
+        "__t",
+        "__id",
+        F.when(
+            F.lag("__v").over(w).isNull()
+            | (F.lag("__v").over(w) != F.col("__v")),
+            1,
+        )
+        .otherwise(0)
+        .alias("__new"),
+    )
+    runs = flagged.select(
+        key_col,
+        "__v",
+        "__t",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__run"),
+    ).groupBy(key_col, "__run").agg(
+        F.first("__v").alias("value"),
+        F.min("__t").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy(key_col).orderBy(F.asc("__run"))
+    return runs.select(
+        F.col(key_col),
+        F.col("__run").cast("long").alias("run_seq"),
+        "value",
+        "valid_from_us",
+        F.lead("valid_from_us").over(wr).alias("valid_to_us"),
+        "n_events",
+    )

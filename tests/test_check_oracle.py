@@ -225,6 +225,8 @@ class TestRegistryOrderingContract:
         "doc_perplexity": "nb_classify",
         "part_kcore": "part_pagerank",
         "minhash_calibration": "neardup_minhash",
+        "event_paths": "event_transitions",
+        "scd2_history": "activity_islands",
     }
 
     def test_every_family_within_driver_window(self):

@@ -3251,3 +3251,64 @@ def test_minhash_calibration_grid(spark):
     }
     assert grid.get((16, 10)) == 1          # the duplicate pair
     assert all(m == 16 for (m, _) in grid)  # no spurious candidates
+
+
+def test_scd2_history_run_semantics(spark):
+    """Consecutive equal values collapse; a value RETURNING later opens
+    a new run (SCD2, not a distinct list); last run per key is open."""
+    from mvrepair.operators.temporal import scd2_history
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, ts(0), 1, "free"),
+        (2, ts(10), 1, "free"),
+        (3, ts(20), 1, "pro"),
+        (4, ts(30), 1, "free"),   # returns -> third run
+        (5, ts(5), 2, "trial"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        (r["user_id"], r["run_seq"]): (
+            r["value"], r["valid_from_us"], r["valid_to_us"], r["n_events"]
+        )
+        for r in scd2_history(df).collect()
+    }
+    base = int(dt.datetime(2024, 1, 1).timestamp()) * 1_000_000
+    assert got == {
+        (1, 1): ("free", base, base + 20_000_000, 2),
+        (1, 2): ("pro", base + 20_000_000, base + 30_000_000, 1),
+        (1, 3): ("free", base + 30_000_000, None, 1),
+        (2, 1): ("trial", base + 5_000_000, None, 1),
+    }
+
+
+def test_event_paths_ordering_and_cut(spark):
+    """Paths follow the (ts, event_id) order; the top-k cut breaks count
+    ties by the path itself."""
+    from mvrepair.operators.temporal import event_paths
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        (1, ts(0), 1, "a"), (2, ts(1), 1, "b"), (3, ts(2), 1, "c"),
+        (4, ts(3), 1, "d"),
+        # user 2: same ts for 2 events -> event_id breaks the tie
+        (5, ts(0), 2, "a"), (7, ts(1), 2, "c"), (6, ts(1), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = [
+        (r["step_1"], r["step_2"], r["step_3"], r["n"])
+        for r in event_paths(df, k=2).collect()
+    ]
+    # user 1 yields abc, bcd; user 2 yields abc (id order: 5,6,7)
+    assert got == [("a", "b", "c", 2), ("b", "c", "d", 1)]

@@ -487,6 +487,17 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # never a cartesian/BNLJ generator
     "minhash_calibration": {"CartesianProduct": 0,
                             "BroadcastNestedLoopJoin": 0},
+    # one user-keyed Exchange+Sort lead stack + bounded path count +
+    # TakeOrdered cut, twin event_transitions
+    "event_paths": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
+                    "Filter": 1, "HashAggregate": 2, "Project": 2,
+                    "Sort": 1, "TakeOrderedAndProject": 1, "Window": 1},
+    # the one-shuffle run-length claim: ONE Exchange carries the lag
+    # flag, the run-id running sum, the per-run aggregate (string
+    # first() -> SortAggregate), and the runs-frame lead
+    "scd2_history": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
+                     "Project": 4, "Sort": 2, "SortAggregate": 2,
+                     "Window": 3},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
