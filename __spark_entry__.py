@@ -4076,14 +4076,53 @@ def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Cormack et al. 2009) in exact integer micro-units, as a pure
     composition of two checked pipelines (the ann_recall doctrine).
     Each list cuts to top-k via TakeOrdered BEFORE the k-row rank
-    window; fusion is a union + one tiny aggregate."""
-    from mvrepair.operators.linkage import rrf_fuse
+    window; fusion is a union + one tiny aggregate.
 
-    pr = q_part_pagerank(spark, sf_dir).select(
-        "part_id", F.col("rank_micro").alias("score")
+    The undirected co-purchase edge frame is derived ONCE and persisted
+    — both components consumed it independently before (r8: the bench's
+    single most expensive entry, 24.5 s, was recomputing the lineitem
+    self-join + dedup per component; one shared |E|-sized cache removes
+    the second fact-table pass, and the directed pagerank edges are just
+    the persisted frame unioned with its swap).  Results are unchanged:
+    the directed set (both orientations of every unordered pair) is
+    exactly what the per-component derivation produced."""
+    from pyspark import StorageLevel
+
+    from mvrepair.operators.linkage import (
+        pagerank_micro,
+        rrf_fuse,
+        triangle_counts,
     )
-    tri = q_part_triangles(spark, sf_dir).select(
-        "part_id", F.col("n_triangles").cast("long").alias("score")
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_b")
+    )
+    und = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .select("item_a", "item_b")
+        .dropDuplicates(["item_a", "item_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    directed = und.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )
+    nodes = load_table(spark, sf_dir, "part").select("p_partkey")
+    pr = pagerank_micro(
+        directed, nodes, id_col="p_partkey", iters=PAGERANK_ITERS
+    ).select(F.col("id").alias("part_id"), F.col("rank_micro").alias("score"))
+    tri = triangle_counts(und).select(
+        F.col("node").alias("part_id"),
+        F.col("n_triangles").cast("long").alias("score"),
     )
     return rrf_fuse(
         [("pagerank", pr), ("triangles", tri)], id_col="part_id", k=100
@@ -4131,7 +4170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compaction).  Entries past position 50 are deliberate PLAN TWINS of
     an already-checked query (same physical plan shape, different
     parameters) — each one's twin is named in a comment — and remain
-    under the local gate (`tools/check_oracle.py` verifies all 86).
+    under the local gate (`tools/check_oracle.py` verifies every entry).
     Round-7 rotation: the 8 genuinely-new round-6 algebras displaced 8
     true plan twins (each demoted entry was driver-hash-green through
     round 6 — CORRECTNESS_r06.json — and keeps a frozen plan
