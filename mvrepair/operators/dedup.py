@@ -362,31 +362,40 @@ def prefix_jaccard_pairs(
       form) cannot verify and are dropped IN the join;
     - length filter: ``min_size * 1e6 >= t_micro * max_size``.
 
-    Scale shape: one distinct-token pass persisted as the (doc, hash)
-    instance frame; frequency groupBy (vocab-sized, map-side
-    combinable, 8-byte keys); ONE doc-keyed Exchange+Sort carrying the
-    rank/set-size windows AND the sorted-hash-array fold the verify
-    step joins against; prefix self-join keyed on rare-token
-    fingerprints; exact set verify (``jaccard_verify`` on the compact
-    long arrays) only on surviving candidates.  The pair result
-    persists (small); the instance frame is released before returning
-    (the ngram_jaccard_pairs cache lifecycle).
+    Scale shape: one SHUFFLE-FREE distinct-fingerprint pass persisted
+    as the per-doc (doc, hash-array) set frame (row-local
+    array_distinct — no explode+groupBy dedup exchange); frequency
+    groupBy (vocab-sized, map-side combinable, 8-byte keys); ONE
+    doc-keyed Exchange+Sort carrying the rank/set-size windows; prefix
+    self-join keyed on rare-token fingerprints; exact set verify
+    (``jaccard_verify`` on per-row-sorted compact long arrays) only on
+    surviving candidates.  The pair result persists (small); the set
+    frame is released before returning (the ngram_jaccard_pairs cache
+    lifecycle).
 
     Output: (id_a, id_b, jaccard double), id_a < id_b, jaccard >= t.
     """
     t_micro = int(round(threshold * 1_000_000))
-    # distinct (doc, fingerprint) instances: the per-doc shingle arrays
-    # are distinct, but fingerprint collisions within a doc must merge
-    # (the hash SET is the set universe end to end)
-    inst = (
+    # per-doc DISTINCT fingerprint sets, computed row-locally: the
+    # shingle arrays are already distinct strings, so hashing + one
+    # array_distinct (fingerprint collisions within a doc must merge —
+    # the hash SET is the set universe end to end) needs NO shuffle.
+    # The first version deduped via explode + groupBy(doc, h) — a
+    # corpus-sized exchange of every shingle instance that profiling at
+    # sf0.1 showed to be HALF the query's wall time; the per-row form
+    # removes it (and the collect_list re-assembly shuffle the verify
+    # arrays needed) outright.
+    arrs = (
         shingle_tokens(df, text_col, id_col, n=n)
-        .select(F.col(id_col), F.explode("__toks").alias("__t"))
-        .select(F.col(id_col), stable_hash64(F.col("__t")).alias("__h"))
-        .groupBy(id_col, "__h")
-        .agg(F.lit(1))
-        .select(id_col, "__h")
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform("__toks", lambda t: stable_hash64(t))
+            ).alias("__hs"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    inst = arrs.select(F.col(id_col), F.explode("__hs").alias("__h"))
     try:
         from pyspark.sql.window import Window
 
@@ -439,21 +448,21 @@ def prefix_jaccard_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
         # verify against compact sorted fingerprint arrays (8-byte
-        # elements), folded on the SAME doc-keyed partitioning
-        htoks = inst.groupBy(id_col).agg(
-            F.sort_array(F.collect_list("__h")).alias("__toks")
+        # elements) — a per-row sort of the cached set arrays
+        htoks = arrs.select(
+            F.col(id_col), F.sort_array("__hs").alias("__toks")
         )
         out = jaccard_verify(
             cands, df, text_col, id_col, threshold, n=n, toks=htoks
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            out.count()  # materialize while the instance cache is hot
+            out.count()  # materialize while the set cache is hot
         except Exception:
             out.unpersist()
             raise
         return out
     finally:
-        inst.unpersist()
+        arrs.unpersist()
 
 
 def jaccard_verify(

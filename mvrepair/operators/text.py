@@ -970,25 +970,27 @@ def posting_lists(
     stays exact (counted before the cap); only the listed prefix is
     bounded.
 
-    Scale shape: explode → groupBy(token, doc) distinct pairs with
-    map-side combine (the dedupe happens BEFORE any token-keyed hotspot
-    can form — one (token, doc)-keyed exchange over the pair stream);
-    then one token-keyed exchange over the DEDUPED pair frame for the
-    df-count window + posting-rank window (both share the one
-    Exchange+Sort), and the final per-token fold reuses that
-    partitioning (collect_list over <= ``k_docs`` rows — bounded agg
-    buffers).  The top-tokens cut plans as TakeOrderedAndProject.
-    Deterministic total order: df desc, token asc.
+    Scale shape: per-row ``array_distinct`` → explode — a (token, doc)
+    pair can only originate from its own doc's row, so row-local dedupe
+    IS global dedupe and the pair stream needs NO dedup exchange at all
+    (the first version shuffled every pair through a groupBy(token, doc)
+    first — a corpus-sized exchange the prefix-join profiling flagged as
+    pure overhead); then one token-keyed exchange for the df-count
+    window + posting-rank window (both share the one Exchange+Sort),
+    and the final per-token fold reuses that partitioning (collect_list
+    over <= ``k_docs`` rows — bounded agg buffers).  The top-tokens cut
+    plans as TakeOrderedAndProject.  Deterministic total order: df
+    desc, token asc.
 
     Output: (token, df bigint, n_listed bigint, postings string).
     """
     from pyspark.sql.window import Window
 
-    pairs = (
-        df.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
-        .groupBy("token", id_col)
-        .agg(F.lit(1))
-        .select("token", id_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias(
+            "token"
+        ),
     )
     w_df = Window.partitionBy("token")
     w_rank = Window.partitionBy("token").orderBy(F.col(id_col).asc())
