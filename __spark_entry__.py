@@ -3699,6 +3699,84 @@ FROM (SELECT x AS part_id FROM {prev} UNION ALL SELECT y FROM {prev})
 GROUP BY 1"""
 
 
+SIMILAR_PARTS_T = 0.6
+
+
+def q_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"Customers who bought X also bought Y"-grade NODE similarity:
+    part pairs whose co-purchase NEIGHBORHOODS overlap (Jaccard of
+    adjacency sets >= 0.6) — the item-item collaborative-filtering
+    primitive.  Reuses the exact-recall prefix-filtered set-similarity
+    join VERBATIM on a different domain: each part's neighbor list
+    renders as a whitespace-joined string, so adjacency sets ARE
+    1-gram token sets and `prefix_jaccard_pairs(n=1)` applies unchanged
+    (one operator, two domains — text shingles and graph
+    neighborhoods).  The brute-force oracle again proves zero lost
+    pairs.  Edge derivation = the support-2 co-purchase graph
+    (part_kcore's)."""
+    from mvrepair.operators.dedup import prefix_jaccard_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_b")
+    )
+    edges = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .filter(F.col("__w") >= KCORE_SUPPORT)
+        .select("item_a", "item_b")
+    )
+    both = edges.select(
+        F.col("item_a").alias("node"), F.col("item_b").alias("nb")
+    ).unionByName(
+        edges.select(F.col("item_b").alias("node"), F.col("item_a").alias("nb"))
+    )
+    adj = both.groupBy("node").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list("nb")), lambda x: x.cast("string")
+            ),
+        ).alias("text")
+    )
+    return prefix_jaccard_pairs(
+        adj, threshold=SIMILAR_PARTS_T, id_col="node", n=1
+    ).select(
+        F.col("id_a").alias("part_a"),
+        F.col("id_b").alias("part_b"),
+        "jaccard",
+    )
+
+
+def _oracle_similar_parts() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+e AS (SELECT a.i AS x, bb.i AS y
+      FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2 HAVING count(*) >= {KCORE_SUPPORT}),
+adj AS (
+  SELECT node,
+    list_distinct(list_transform(list_sort(list(nb)),
+      v -> CAST(concat('0x', substr(md5(CAST(v AS VARCHAR)), 1, 15))
+                AS BIGINT))) AS hs
+  FROM (SELECT x AS node, y AS nb FROM e UNION ALL SELECT y, x FROM e)
+  GROUP BY 1)
+SELECT a.node AS part_a, b.node AS part_b,
+  CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+    / len(list_distinct(a.hs || b.hs)) AS jaccard
+FROM adj a JOIN adj b ON a.node < b.node
+WHERE CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+    / len(list_distinct(a.hs || b.hs)) >= {SIMILAR_PARTS_T}"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix over the event stream: users
     bucketed by first-event day, counted once per active day, with
@@ -4337,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_calibration": q_minhash_calibration,  # twin: neardup_minhash (pure composition of its candidate/signature/verify stages + one ≤187-row rollup — the ann_recall doctrine)
         "event_paths": q_event_paths,  # twin: event_transitions (same one user-keyed Exchange+Sort lead() stack + bounded-space count; trigram instead of bigram, TakeOrdered cut)
         "scd2_history": q_scd2_history,  # twin: activity_islands (the equality cousin of the islands algebra: same flag-window + running-sum-run-id + per-run aggregate on one user-keyed Exchange)
+        "similar_parts": q_similar_parts,  # twin: jaccard_join_exact (the IDENTICAL prefix-filtered set-similarity operator, applied to adjacency sets instead of shingle sets; edges = part_kcore's support-2 graph, driver-checked)
     }
 
 
@@ -4366,6 +4445,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_calibration": _oracle_minhash_calibration(),
         "event_paths": _ORACLE_EVENT_PATHS,
         "scd2_history": _ORACLE_SCD2_HISTORY,
+        "similar_parts": _oracle_similar_parts(),
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "purchase_context": _ORACLE_PURCHASE_CONTEXT,
         "events_latest": _ORACLE_EVENTS_LATEST,

@@ -227,6 +227,7 @@ class TestRegistryOrderingContract:
         "minhash_calibration": "neardup_minhash",
         "event_paths": "event_transitions",
         "scd2_history": "activity_islands",
+        "similar_parts": "jaccard_join_exact",
     }
 
     def test_every_family_within_driver_window(self):

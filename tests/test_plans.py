@@ -498,6 +498,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "scd2_history": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
                      "Project": 4, "Sort": 2, "SortAggregate": 2,
                      "Window": 3},
+    # SUBSET pin (eager-materialized like its prefix-join twin): the
+    # same zero-loss candidate generator, never a cartesian/BNLJ
+    "similar_parts": {"CartesianProduct": 0,
+                      "BroadcastNestedLoopJoin": 0},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
@@ -559,7 +563,7 @@ def test_twin_fingerprint_table_covers_every_twin():
 # bookkeeping nodes that shift across patch versions / fixture sizes.
 SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
                  "part_rank_fusion", "mv_report_text",
-                 "minhash_calibration"}
+                 "minhash_calibration", "similar_parts"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))
