@@ -1521,6 +1521,73 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEAKAGE_SPLITS = [("train", 0, 80), ("val", 80, 90), ("test", 90, 100)]
+
+
+def q_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split SEMANTIC contamination audit: embedding-cosine
+    near-dup pairs (the SemDeDup-grade signal) bucketed by which
+    train/val/test splits the two sides landed in — the leakage report
+    a pipeline checks before trusting eval numbers (exact-text
+    contamination is `split_contamination`; this catches paraphrase-
+    level leaks exact digests miss).  Pure composition: the checked
+    LSH-bucketed cosine pair pipeline + the hash_split assignment + one
+    ≤6-row rollup.  Output: (split_a <= split_b, n_pairs)."""
+    from mvrepair.operators.sampling import hash_split
+
+    corpus = _neardup_embeddings(spark, sf_dir)
+    pairs = S.cosine_neardup_pairs(corpus, dim=64, threshold=0.9)
+    sp = hash_split(
+        corpus.select("vec_id"), id_col="vec_id", splits=_LEAKAGE_SPLITS
+    )
+    a = sp.select(F.col("vec_id").alias("id_a"), F.col("split").alias("__sa"))
+    b = sp.select(F.col("vec_id").alias("id_b"), F.col("split").alias("__sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("split_a"),
+            F.greatest("__sa", "__sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def _oracle_semantic_leakage() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        )
+
+    return f"""
+WITH corpus AS ({_NEARDUP_EMB_SQL}),
+b AS (
+  SELECT vec_id, qv, {_lsh_bucket_sql()} AS bucket
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM corpus)
+),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+  WHERE CAST({dot('l', 'r')} AS DOUBLE)
+    / (sqrt(CAST({dot('l', 'l')} AS DOUBLE))
+       * sqrt(CAST({dot('r', 'r')} AS DOUBLE))) >= 0.9
+),
+sp AS (
+  SELECT vec_id,
+    CASE WHEN bb < 80 THEN 'train' WHEN bb < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM (SELECT vec_id,
+          CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100 AS bb
+        FROM corpus))
+SELECT least(sa.split, sb.split) AS split_a,
+  greatest(sa.split, sb.split) AS split_b, count(*)::BIGINT AS n_pairs
+FROM pairs JOIN sp sa ON pairs.id_a = sa.vec_id
+JOIN sp sb ON pairs.id_b = sb.vec_id
+GROUP BY 1, 2"""
+
+
 KMEANS_K, KMEANS_ITERS = 8, 3
 
 
@@ -4416,6 +4483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,  # twin: event_transitions (same one user-keyed Exchange+Sort lead() stack + bounded-space count; trigram instead of bigram, TakeOrdered cut)
         "scd2_history": q_scd2_history,  # twin: activity_islands (the equality cousin of the islands algebra: same flag-window + running-sum-run-id + per-run aggregate on one user-keyed Exchange)
         "similar_parts": q_similar_parts,  # twin: jaccard_join_exact (the IDENTICAL prefix-filtered set-similarity operator, applied to adjacency sets instead of shingle sets; edges = part_kcore's support-2 graph, driver-checked)
+        "semantic_leakage": q_semantic_leakage,  # twin: embedding_neardup (pure composition: the identical LSH-bucketed cosine pair pipeline + hash_split flags + a ≤6-row rollup — the ann_recall doctrine)
     }
 
 
@@ -4446,6 +4514,7 @@ def oracle_sql() -> dict[str, str]:
         "event_paths": _ORACLE_EVENT_PATHS,
         "scd2_history": _ORACLE_SCD2_HISTORY,
         "similar_parts": _oracle_similar_parts(),
+        "semantic_leakage": _oracle_semantic_leakage(),
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "purchase_context": _ORACLE_PURCHASE_CONTEXT,
         "events_latest": _ORACLE_EVENTS_LATEST,

@@ -228,6 +228,7 @@ class TestRegistryOrderingContract:
         "event_paths": "event_transitions",
         "scd2_history": "activity_islands",
         "similar_parts": "jaccard_join_exact",
+        "semantic_leakage": "embedding_neardup",
     }
 
     def test_every_family_within_driver_window(self):

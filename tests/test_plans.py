@@ -502,6 +502,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # same zero-loss candidate generator, never a cartesian/BNLJ
     "similar_parts": {"CartesianProduct": 0,
                       "BroadcastNestedLoopJoin": 0},
+    # SUBSET pin: the composition claim — the cosine pair generator is
+    # the bucket equi-join, the split joins are id-keyed equi-joins
+    "semantic_leakage": {"CartesianProduct": 0,
+                         "BroadcastNestedLoopJoin": 0},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
@@ -563,7 +567,8 @@ def test_twin_fingerprint_table_covers_every_twin():
 # bookkeeping nodes that shift across patch versions / fixture sizes.
 SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
                  "part_rank_fusion", "mv_report_text",
-                 "minhash_calibration", "similar_parts"}
+                 "minhash_calibration", "similar_parts",
+                 "semantic_leakage"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))
