@@ -51,6 +51,7 @@ def _prepare(
     vec_col: str,
     out_id: str,
     dim: int | None = None,
+    n_planes: int = 8,
 ) -> DataFrame:
     """Per-side precompute for vector joins: quantized ints + norm (+ LSH
     bucket when ``dim`` is given).
@@ -69,7 +70,9 @@ def _prepare(
         "__norm", F.sqrt(_dot(F.col("__qv"), F.col("__qv")).cast("double"))
     )
     if dim is not None:
-        out = out.withColumn("__bucket", _bucket_from_qv(F.col("__qv"), dim))
+        out = out.withColumn(
+            "__bucket", _bucket_from_qv(F.col("__qv"), dim, n_planes)
+        )
     return out
 
 
@@ -138,8 +141,18 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if (v >> 16) & 1 else -1
 
 
-def _bucket_from_qv(qv: Column, dim: int) -> Column:
-    """8-bit hyperplane bucket from an already-quantized int64 array.
+def _bucket_from_qv(qv: Column, dim: int, n_planes: int = _N_PLANES) -> Column:
+    """Hyperplane bucket (``n_planes`` bits, default 8) from an
+    already-quantized int64 array.
+
+    ``n_planes`` is the CAPACITY knob of every LSH-bucketed vector join:
+    a b-member bucket emits b·(b-1)/2 candidate pairs, so at fixed plane
+    count the candidate join is QUADRATIC in corpus size once the 2^planes
+    bucket space saturates (the scale study measured exactly this on a
+    30× corpus against the fixed 8-bit space).  Production sizing: planes
+    ≈ log2(N / target_bucket_size) — bucket bits track corpus size, the
+    same way shuffle partitions do.  The default stays 8 so every
+    oracle-checked query's semantics (and hash) are unchanged.
 
     Signs live in one array literal per plane and the projection is a
     zip_with + fold — a ~40-node expression tree instead of ~2000 explicit
@@ -149,7 +162,7 @@ def _bucket_from_qv(qv: Column, dim: int) -> Column:
     bucket ids are unchanged.
     """
     bucket = F.lit(0)
-    for p in range(_N_PLANES):
+    for p in range(n_planes):
         signs = F.lit([_plane_sign(p, d) for d in range(dim)])
         prods = F.zip_with(qv, signs, lambda x, s: x * s)
         proj = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
@@ -172,6 +185,8 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
+    n_planes: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
 
@@ -180,8 +195,28 @@ def cosine_neardup_pairs(
     ≥ threshold verifies.  The self-join is an equi-join on the bucket id —
     one shuffle by bucket, never a cross product.  Output:
     (id_a < id_b, cosine_micro).
+
+    ``max_bucket`` is the SCALE valve (the MinHash `_cap_buckets`
+    doctrine applied to the vector path): a bucket holding b vectors
+    emits b·(b-1)/2 pairs, so k exact copies of one hot embedding at
+    100 TB — boilerplate pages, default avatars — turn one bucket into
+    a quadratic pair bomb.  When set, buckets larger than ``max_bucket``
+    are dropped before the self-join (such buckets carry no
+    discriminative signal; the scale study MEASURED the uncapped
+    failure: identical-copy inflation drove the pair join to exponent
+    1.94).  ``None`` (the default, and what every oracle-checked query
+    uses) keeps exact semantics.
     """
-    b = _prepare(corpus, id_col, vec_col, id_col, dim=dim)
+    b = _prepare(corpus, id_col, vec_col, id_col, dim=dim, n_planes=n_planes)
+    if max_bucket is not None:
+        sizes = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
+        b = (
+            b.join(
+                sizes.filter(F.col("__bn") <= max_bucket).select("__bucket"),
+                "__bucket",
+                "semi",
+            )
+        )
     lhs, rhs = b.alias("l"), b.alias("r")
     return (
         lhs.join(

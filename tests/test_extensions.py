@@ -3312,3 +3312,68 @@ def test_event_paths_ordering_and_cut(spark):
     ]
     # user 1 yields abc, bcd; user 2 yields abc (id order: 5,6,7)
     assert got == [("a", "b", "c", 2), ("b", "c", "d", 1)]
+
+
+def test_semantic_leakage_grid(spark):
+    """A known near-dup pair lands in the grid cell of its two sides'
+    hash splits; orthogonal vectors contribute nothing."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators.sampling import hash_split
+    from mvrepair.operators import similarity as S
+
+    dim = 64
+    def vec(i, scale=1.0):
+        v = [0.0] * dim
+        v[i % dim] = scale
+        return v
+
+    rows = [
+        (1, vec(0)), (2, vec(0, 0.5)),      # cosine 1.0 pair
+        (3, vec(1)), (4, vec(2)),            # orthogonal to everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    splits = [("train", 0, 80), ("val", 80, 90), ("test", 90, 100)]
+    pairs = S.cosine_neardup_pairs(df, dim=dim, threshold=0.9)
+    sp = hash_split(df.select("vec_id"), id_col="vec_id", splits=splits)
+    a = sp.select(F.col("vec_id").alias("id_a"), F.col("split").alias("sa"))
+    b = sp.select(F.col("vec_id").alias("id_b"), F.col("split").alias("sb"))
+    got = {
+        (r["split_a"], r["split_b"]): r["n_pairs"]
+        for r in pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    }
+
+    def split_of(i):
+        bkt = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        return "train" if bkt < 80 else ("val" if bkt < 90 else "test")
+
+    expect_cell = tuple(sorted([split_of(1), split_of(2)]))
+    assert got == {expect_cell: 1}
+
+
+def test_cosine_neardup_max_bucket_cap(spark):
+    """Degenerate buckets (k copies of one hot vector) drop under the
+    cap; normal pairs survive."""
+    from mvrepair.operators import similarity as S
+
+    dim = 64
+    hot = [1.0] + [0.0] * (dim - 1)
+    other = [0.0, 3.0] + [0.0] * (dim - 2)
+    rows = [(i, hot) for i in range(5)] + [(10, other), (11, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = S.cosine_neardup_pairs(df, dim=dim, threshold=0.9)
+    assert uncapped.count() == 10 + 1  # C(5,2) hot pairs + the other pair
+
+    capped = S.cosine_neardup_pairs(df, dim=dim, threshold=0.9, max_bucket=3)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(10, 11)}  # the 5-copy bucket dropped whole

@@ -149,6 +149,42 @@ def main() -> None:
         ).write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def inflate_emb_disjoint(k: int):
+        # PAIR-producing embedding ops need DISJOINT copies (the same
+        # doctrine as the prefixed-token documents inflator): identical
+        # vectors under shifted ids would form k² cross-copy near-dup
+        # pairs per original — a correct answer to a question the study
+        # isn't asking (measured: semantic_leakage "exponent 1.94" on
+        # the identical-copy inflator).  Rolling each copy's components
+        # by i preserves norms and within-copy pair structure exactly
+        # while cross-copy cosines stay far below threshold.
+        rest = [c for c in emb_base.columns if c not in ("vec_id", "embedding")]
+        parts = []
+        for i in range(k):
+            emb = (
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i),
+                    F.slice("embedding", 1, i),
+                )
+                if i
+                else F.col("embedding")
+            )
+            parts.append(
+                emb_base.select(
+                    (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                    emb.alias("embedding"),
+                    *rest,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        path = f"/tmp/mvrepair_scale_embroll_{k}.parquet"
+        out.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     def _tbf(df, k):
         from mvrepair.operators.sampling import token_budget_fill
 
@@ -432,6 +468,83 @@ def main() -> None:
         )
         return kcore_peel(edges, k=4, rounds=3)
 
+    def _similar_op(df):
+        from mvrepair.operators.dedup import prefix_jaccard_pairs
+
+        items = df.select("l_orderkey", "l_partkey").dropDuplicates()
+        a = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_a")
+        )
+        bb = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("item_b")
+        )
+        edges = (
+            a.join(bb, "__b")
+            .filter(F.col("item_a") < F.col("item_b"))
+            .groupBy("item_a", "item_b")
+            .agg(F.count(F.lit(1)).alias("__w"))
+            .filter(F.col("__w") >= 2)
+            .select("item_a", "item_b")
+        )
+        both = edges.select(
+            F.col("item_a").alias("node"), F.col("item_b").alias("nb")
+        ).unionByName(
+            edges.select(
+                F.col("item_b").alias("node"), F.col("item_a").alias("nb")
+            )
+        )
+        adj = both.groupBy("node").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list("nb")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("text")
+        )
+        return prefix_jaccard_pairs(adj, threshold=0.6, id_col="node", n=1)
+
+    def _leakage_op(df, k):
+        from mvrepair.operators.sampling import hash_split
+
+        # production sizing: LSH bucket bits track corpus size (planes ≈
+        # log2(N / target_bucket)); a FIXED 8-bit space saturates at 30×
+        # and the candidate join goes quadratic in bucket occupancy —
+        # measured before this knob existed: 2.5 → 2320 s, exponent 1.94
+        n_planes = 8 + max(0, (k - 1)).bit_length()
+        variant = df.select(
+            (F.col("vec_id") + 500_000_000).alias("vec_id"),
+            F.concat(
+                F.array(-F.element_at("embedding", 1)),
+                F.slice("embedding", 2, F.size("embedding") - 1),
+            ).alias("embedding"),
+        )
+        corpus = df.select("vec_id", "embedding").unionByName(variant)
+        pairs = S.cosine_neardup_pairs(
+            corpus, dim=64, threshold=0.9, n_planes=n_planes
+        )
+        sp = hash_split(
+            corpus.select("vec_id"),
+            id_col="vec_id",
+            splits=[("train", 0, 80), ("val", 80, 90), ("test", 90, 100)],
+        )
+        a = sp.select(
+            F.col("vec_id").alias("id_a"), F.col("split").alias("__sa")
+        )
+        bsp = sp.select(
+            F.col("vec_id").alias("id_b"), F.col("split").alias("__sb")
+        )
+        return (
+            pairs.join(a, "id_a")
+            .join(bsp, "id_b")
+            .select(
+                F.least("__sa", "__sb").alias("split_a"),
+                F.greatest("__sa", "__sb").alias("split_b"),
+            )
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+
     def _ann_recall_op(df):
         queries = df.filter(
             (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)
@@ -596,6 +709,13 @@ def main() -> None:
         # prefixed copies: per-copy shingle space disjoint -> candidate
         # pairs scale k x; the grid rollup stays <=187 rows
         "minhash_calibration": (False, lambda df: D.minhash_calibration(df)),
+        # disjoint graph copies: adjacency sets (and similar pairs) per
+        # copy are the base graph's — the prefix join on a k x node set
+        "similar_parts(li2)": ("li2", _similar_op),
+        # component-rolled embedding copies (disjoint in cosine space):
+        # near-dup pairs scale k x — one perturbed variant per vector
+        # per copy; identical-copy inflation would measure k² OUTPUT
+        "semantic_leakage(embroll)": ("embroll", _leakage_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
@@ -632,6 +752,8 @@ def main() -> None:
             return inflate_generic("events", "user_id", k)
         if kind == "pt":
             return inflate_generic("part", "p_partkey", k)
+        if kind == "embroll":
+            return inflate_emb_disjoint(k)
         return inflate(k, bool(kind))
 
     # untimed warmup: JIT, codegen caches, parquet-footer paths
