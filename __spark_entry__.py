@@ -4345,6 +4345,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     displaced mv_report_text / top_users_per_event — both true plan
     twins of still-checked queries (named in their comments),
     driver-green r1-r7, frozen fingerprint + local-gate row.
+    Round-8 wave 6: part_skyline (Pareto dominance — a genuinely new
+    algebra: the sort-based closed form of a non-equi dominance join)
+    displaced regional_revenue (twin: pricing_summary, same fact-agg
+    with broadcast-dim pruning).  The other wave-6 additions are twins
+    or compositions of driver-checked pipelines by construction
+    (doc_perplexity/nb_classify, part_kcore/part_pagerank,
+    minhash_calibration/neardup_minhash, event_paths/event_transitions,
+    scd2_history/activity_islands, similar_parts/jaccard_join_exact,
+    semantic_leakage/embedding_neardup) and sit past-window with frozen
+    fingerprints + local-gate rows.
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
