@@ -3703,6 +3703,57 @@ u AS (SELECT a AS part_id FROM t
 SELECT part_id, count(*)::BIGINT AS n_triangles FROM u GROUP BY 1"""
 
 
+_PRIORITIES = [
+    ("1-URGENT", "n_urgent"),
+    ("2-HIGH", "n_high"),
+    ("3-MEDIUM", "n_medium"),
+    ("4-NOT SPECIFIED", "n_notspec"),
+    ("5-LOW", "n_low"),
+]
+
+
+def q_orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: monthly order counts transposed across the 5 order
+    priorities — the classic wide dashboard matrix, via Spark's native
+    `groupBy().pivot()` (PivotFirst; the values list is supplied, so no
+    extra distinct-collection job runs).  The transpose cousin of the
+    rollup/cube grouping-sets block in the 'absent surface'.  Missing
+    cells coalesce to 0 (Spark's pivot yields NULL for an empty cell;
+    the oracle's FILTER count yields 0).  One fact-agg exchange keyed
+    on the month — the pivot itself is conditional aggregation, not a
+    second shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.select(
+            F.unix_micros(F.date_trunc("month", "o_orderdate")).alias(
+                "month_us"
+            ),
+            "o_orderpriority",
+        )
+        .groupBy("month_us")
+        .pivot("o_orderpriority", [p for p, _ in _PRIORITIES])
+        .count()
+    )
+    return piv.select(
+        "month_us",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("long").alias(a)
+            for p, a in _PRIORITIES
+        ],
+    ).orderBy("month_us")
+
+
+def _oracle_orders_pivot() -> str:
+    cells = ",\n  ".join(
+        f"CAST(count(*) FILTER (o_orderpriority = '{p}') AS BIGINT) AS {a}"
+        for p, a in _PRIORITIES
+    )
+    return f"""
+SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+  {cells}
+FROM orders GROUP BY 1 ORDER BY month_us"""
+
+
 KCORE_K = 4
 KCORE_ROUNDS = 3
 KCORE_SUPPORT = 2
@@ -4494,6 +4545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,  # twin: activity_islands (the equality cousin of the islands algebra: same flag-window + running-sum-run-id + per-run aggregate on one user-keyed Exchange)
         "similar_parts": q_similar_parts,  # twin: jaccard_join_exact (the IDENTICAL prefix-filtered set-similarity operator, applied to adjacency sets instead of shingle sets; edges = part_kcore's support-2 graph, driver-checked)
         "semantic_leakage": q_semantic_leakage,  # twin: embedding_neardup (pure composition: the identical LSH-bucketed cosine pair pipeline + hash_split flags + a ≤6-row rollup — the ann_recall doctrine)
+        "orders_pivot": q_orders_pivot,  # twin: orders_rollup (the grouping-sets block's transpose: same one fact-agg exchange, conditional aggregation instead of Expand)
     }
 
 
@@ -4525,6 +4577,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": _ORACLE_SCD2_HISTORY,
         "similar_parts": _oracle_similar_parts(),
         "semantic_leakage": _oracle_semantic_leakage(),
+        "orders_pivot": _oracle_orders_pivot(),
         "orders_cube": _ORACLE_ORDERS_CUBE,
         "purchase_context": _ORACLE_PURCHASE_CONTEXT,
         "events_latest": _ORACLE_EVENTS_LATEST,

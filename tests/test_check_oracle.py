@@ -229,6 +229,7 @@ class TestRegistryOrderingContract:
         "scd2_history": "activity_islands",
         "similar_parts": "jaccard_join_exact",
         "semantic_leakage": "embedding_neardup",
+        "orders_pivot": "orders_rollup",
     }
 
     def test_every_family_within_driver_window(self):

@@ -506,6 +506,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # the bucket equi-join, the split joins are id-keyed equi-joins
     "semantic_leakage": {"CartesianProduct": 0,
                          "BroadcastNestedLoopJoin": 0},
+    # native pivot: PivotFirst two-level agg pair (count -> pivot) on
+    # one fact exchange + the ordered output's range exchange — the
+    # grouping-sets block's transpose, twin orders_rollup
+    "orders_pivot": {"AdaptiveSparkPlan": 1, "Exchange": 3,
+                     "FileScan": 1, "HashAggregate": 4, "Project": 2,
+                     "Sort": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
