@@ -4320,9 +4320,17 @@ def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_id"),
         F.col("n_triangles").cast("long").alias("score"),
     )
-    return rrf_fuse(
+    fused = rrf_fuse(
         [("pagerank", pr), ("triangles", tri)], id_col="part_id", k=100
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        fused.count()  # materialize while the edge cache is hot
+    except Exception:
+        fused.unpersist()
+        raise
+    finally:
+        und.unpersist()
+    return fused
 
 
 def _oracle_part_rank_fusion() -> str:
@@ -4406,6 +4414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scd2_history/activity_islands, similar_parts/jaccard_join_exact,
     semantic_leakage/embedding_neardup) and sit past-window with frozen
     fingerprints + local-gate rows.
+    Round-9 rotation: orders_pivot promoted (native PivotFirst is a
+    genuinely distinct physical operator — its pinned plan differed
+    from any rollup twin; r8 verdict item #4), displacing
+    simhash_neardup, whose banded-signature bucket-join shape is the
+    plan twin of the still-checked neardup_minhash (and whose signature
+    algebra stays local-gated via `simhash`).
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -4416,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # analytics surface
         "pricing_summary": q_pricing_summary,
         "orders_rollup": q_orders_rollup,
+        "orders_pivot": q_orders_pivot,  # native PivotFirst transpose (promoted r9)
         "part_skyline": q_part_skyline,  # Pareto-dominance frontier (r8 wave 6)
         "lapsed_customers": q_lapsed_customers,
         # temporal joins (one per distinct join algorithm)
@@ -4437,7 +4452,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
-        "simhash_neardup": q_simhash_neardup,
         "jaccard_join_exact": q_jaccard_join_exact,  # exact-recall prefix+positional-filter join (r8 wave 5)
         "dedup_clusters": q_dedup_clusters,
         "dedup_apply": q_dedup_apply,  # r6 family, promoted r7
@@ -4545,7 +4559,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,  # twin: activity_islands (the equality cousin of the islands algebra: same flag-window + running-sum-run-id + per-run aggregate on one user-keyed Exchange)
         "similar_parts": q_similar_parts,  # twin: jaccard_join_exact (the IDENTICAL prefix-filtered set-similarity operator, applied to adjacency sets instead of shingle sets; edges = part_kcore's support-2 graph, driver-checked)
         "semantic_leakage": q_semantic_leakage,  # twin: embedding_neardup (pure composition: the identical LSH-bucketed cosine pair pipeline + hash_split flags + a ≤6-row rollup — the ann_recall doctrine)
-        "orders_pivot": q_orders_pivot,  # twin: orders_rollup (the grouping-sets block's transpose: same one fact-agg exchange, conditional aggregation instead of Expand)
+        # demoted in the round-9 rotation (driver-green r1-r8), making
+        # room for orders_pivot (native PivotFirst — a genuinely
+        # distinct physical operator, r8 verdict item #4):
+        "simhash_neardup": q_simhash_neardup,  # twin: neardup_minhash (same banded-signature -> bucket equi-join -> verify shape; simhash signs instead of minhash rows) + simhash (the signature algebra itself, local gate) — driver-green r1-r8
     }
 
 

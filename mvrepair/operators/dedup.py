@@ -373,6 +373,13 @@ def prefix_jaccard_pairs(
     frame is released before returning (the ngram_jaccard_pairs cache
     lifecycle).
 
+    PRECONDITION: ``id_col`` is unique per row (one row per document).
+    Row-local ``array_distinct`` equals global (doc, hash) dedupe only
+    under that invariant — duplicate doc rows would inflate token
+    document frequencies (skewing the prefix order) and duplicate the
+    per-doc set frame rows feeding the verify join.  Every corpus table
+    in this repo satisfies it; dedupe upstream if yours doesn't.
+
     Output: (id_a, id_b, jaccard double), id_a < id_b, jaccard >= t.
     """
     t_micro = int(round(threshold * 1_000_000))

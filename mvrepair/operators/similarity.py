@@ -208,7 +208,18 @@ def cosine_neardup_pairs(
     uses) keeps exact semantics.
     """
     b = _prepare(corpus, id_col, vec_col, id_col, dim=dim, n_planes=n_planes)
+    owned = None
     if max_bucket is not None:
+        # The quantize + n-plane bucket fold in _prepare is the heaviest
+        # per-row expression in the pipeline; without a persist its
+        # lineage re-runs for `sizes` and AGAIN for both sides of the
+        # self-join — a 3x scan in exactly the at-scale path the cap
+        # exists to protect.  Persist once; release after the pair frame
+        # materializes (the prefix_jaccard_pairs cache lifecycle).
+        from pyspark import StorageLevel
+
+        owned = b.persist(StorageLevel.MEMORY_AND_DISK)
+        b = owned
         sizes = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
         b = (
             b.join(
@@ -218,7 +229,7 @@ def cosine_neardup_pairs(
             )
         )
     lhs, rhs = b.alias("l"), b.alias("r")
-    return (
+    out = (
         lhs.join(
             rhs,
             on=[
@@ -238,6 +249,18 @@ def cosine_neardup_pairs(
             F.floor(F.col("__sim") * 1_000_000).cast("long").alias("cosine_micro"),
         )
     )
+    if owned is not None:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out.count()  # materialize while the bucketed frame is hot
+        except Exception:
+            out.unpersist()
+            raise
+        finally:
+            owned.unpersist()
+    return out
 
 
 def ivf_topk(

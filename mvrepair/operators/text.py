@@ -982,6 +982,14 @@ def posting_lists(
     plans as TakeOrderedAndProject.  Deterministic total order: df
     desc, token asc.
 
+    PRECONDITION: ``id_col`` is unique per row (one row per document).
+    The row-local-equals-global-dedupe argument depends on it: with
+    duplicate doc rows the old groupBy(token, doc) form merged
+    (token, doc) pairs across rows, while per-row ``array_distinct``
+    would double-count df and emit duplicate postings.  Every corpus
+    table in this repo (and the driver's ``documents`` fixture)
+    satisfies it; dedupe upstream if yours doesn't.
+
     Output: (token, df bigint, n_listed bigint, postings string).
     """
     from pyspark.sql.window import Window

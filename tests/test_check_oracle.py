@@ -111,8 +111,11 @@ class TestRegistryOrderingContract:
         "budget-fill": "token_budget_fill",
         "dsir": "dsir_scores",
         "dedup-exact": "dedup_exact",
-        "minhash-lsh": "neardup_minhash",
-        "simhash": "simhash_neardup",
+        # r9 merge: simhash_neardup demoted for orders_pivot — the
+        # simhash near-dup pipeline is a plan twin of the minhash
+        # banded path (signature -> band-bucket equi-join -> verify),
+        # so both signature families share one window rep
+        "minhash-lsh-simhash": "neardup_minhash",
         "components": "dedup_clusters",
         "dedup-apply": "dedup_apply",
         "span-dedup": "span_dedup",
@@ -154,6 +157,8 @@ class TestRegistryOrderingContract:
         "interval-coalescing": "activity_islands",
         # round-8 wave-6 families
         "skyline-dominance": "part_skyline",
+        # round-9 promotion (r8 verdict item #4): native PivotFirst
+        "pivot": "orders_pivot",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -175,7 +180,7 @@ class TestRegistryOrderingContract:
         "minhash_signatures": "neardup_minhash",
         "events_latest": "posting_lists",
         "corpus_profile": "pricing_summary",
-        "simhash": "simhash_neardup",
+        "simhash": "neardup_minhash",  # r9: simhash_neardup demoted; signature algebra rides the banded-signature family rep
         "split_contamination": "doc_splits",
         "orders_cube": "orders_rollup",
         "events_by_type_salted": "events_hourly_stream",
@@ -229,7 +234,9 @@ class TestRegistryOrderingContract:
         "scd2_history": "activity_islands",
         "similar_parts": "jaccard_join_exact",
         "semantic_leakage": "embedding_neardup",
-        "orders_pivot": "orders_rollup",
+        # demoted in the round-9 rotation (driver-green r1-r8), making
+        # room for orders_pivot's promotion:
+        "simhash_neardup": "neardup_minhash",
     }
 
     def test_every_family_within_driver_window(self):

@@ -409,11 +409,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "multimodal_frames": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                           "FileScan": 1, "MapInPandas": 1, "Project": 1},
     # SUBSET pin (composes part_pagerank + part_triangles, whose cached
-    # lineage reprints dominate the node multiset): the fusion skeleton
-    # is 3 TakeOrdered cuts (2 list cuts + final), 2 k-row rank windows,
-    # and the list union — never a cartesian/BNLJ node
-    "part_rank_fusion": {"TakeOrderedAndProject": 3, "Window": 2,
-                         "Union": 7, "CartesianProduct": 0,
+    # lineage reprints dominate the node multiset): r9 — the query now
+    # eagerly materializes the fused result so the shared co-purchase
+    # edge cache can be released before returning (r8 ADVICE), which
+    # makes the printed plan an executed-AQE string whose TakeOrdered/
+    # Window/Union counts vary with reprints; the stable invariant is
+    # the semantic_leakage precedent — never a cartesian/BNLJ node
+    "part_rank_fusion": {"CartesianProduct": 0,
                          "BroadcastNestedLoopJoin": 0},
     # ---- demoted in the round-8 rotation wave 2 (driver-green r1-r7) ----
     # single-pass observe agg over the same prepared wide frame as
@@ -506,12 +508,15 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # the bucket equi-join, the split joins are id-keyed equi-joins
     "semantic_leakage": {"CartesianProduct": 0,
                          "BroadcastNestedLoopJoin": 0},
-    # native pivot: PivotFirst two-level agg pair (count -> pivot) on
-    # one fact exchange + the ordered output's range exchange — the
-    # grouping-sets block's transpose, twin orders_rollup
-    "orders_pivot": {"AdaptiveSparkPlan": 1, "Exchange": 3,
-                     "FileScan": 1, "HashAggregate": 4, "Project": 2,
-                     "Sort": 1},
+    # demoted in the round-9 rotation for orders_pivot's promotion
+    # (driver-green r1-r8): banded-signature -> band-bucket equi-join
+    # -> exact-sign verify, the same shape as the in-window
+    # neardup_minhash; the ObjectHashAggregate pair is the per-band
+    # collect of candidate buckets
+    "simhash_neardup": {"AdaptiveSparkPlan": 1, "Exchange": 5,
+                        "FileScan": 2, "Filter": 2, "Generate": 3,
+                        "HashAggregate": 4, "ObjectHashAggregate": 2,
+                        "Project": 5, "Union": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
