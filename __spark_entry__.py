@@ -149,28 +149,52 @@ def q_repair_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     superseding snapshot re-plans half the keys with bumped writetimes;
     compaction keeps the winning cell per (MV key, column) via one
     combine-friendly max_by(struct) — never a window — and reports how
-    many older cells each winner shadowed."""
+    many older cells each winner shadowed.
+
+    The superseding snapshot is synthesized ROW-LOCALLY: each planned
+    cell explodes into itself plus (for even order keys) its bumped v2
+    twin, so the classify + upsert-planner lineage runs ONCE.  The
+    original union-of-two-branches form recomputed that whole upstream
+    pipeline per branch — at 100 TB the log-producing scan is the cost,
+    and a compaction harness must not double it (r8 verdict item #1:
+    the doubled lineage was the named suspect for this query's
+    artifact-noise swings; now it structurally can't be)."""
     from mvrepair.operators.repair import compact_repair_log
 
     wide = classify(
         P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(), window=P.WINDOW
     )
     cells = plan_upserts(wide, P.spec())
-    bumped = cells.filter(F.col("o_orderkey") % 2 == 0).select(
+    payload = F.struct(
         "o_custkey",
         "o_orderkey",
         "column",
         "column_type",
+        "value",
+        "writetime",
+        "ttl",
+        "flavor",
+    )
+    v2 = F.struct(
+        F.col("o_custkey"),
+        F.col("o_orderkey"),
+        F.col("column"),
+        F.col("column_type"),
         F.concat(F.lit("v2:"), F.coalesce(F.col("value"), F.lit(""))).alias(
             "value"
         ),
         (F.col("writetime") + 1000).alias("writetime"),
-        "ttl",
-        "flavor",
+        F.col("ttl"),
+        F.col("flavor"),
     )
-    return compact_repair_log(
-        cells.unionByName(bumped), ["o_custkey", "o_orderkey"]
-    )
+    log = cells.select(
+        F.explode(
+            F.when(F.col("o_orderkey") % 2 == 0, F.array(payload, v2)).otherwise(
+                F.array(payload)
+            )
+        ).alias("__c")
+    ).select("__c.*")
+    return compact_repair_log(log, ["o_custkey", "o_orderkey"])
 
 
 def _oracle_repair_log_compact() -> str:
@@ -4198,8 +4222,12 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     size): the best price/size trade-off frontier.  The dominance
     semantics would naively be a non-equi self-join (CartesianProduct);
     the 2-D sort-based form reduces it to ONE map-combinable groupBy +
-    a window over the reduced per-price frame + one equi-join back —
-    the corpus is scanned once and never globally sorted.  See
+    a bucket-decomposed running min over the reduced per-price frame
+    (r9: no single-partition window over the per-x frame — the
+    token_budget_fill two-level recipe) + one equi-join back — the
+    corpus is scanned once and never globally sorted.  bucket_width=64
+    puts the fixture's ~1200-wide price domain across ~19 buckets (the
+    4096 default is sized for wide integer domains).  See
     dominance.py:skyline_2d."""
     from mvrepair.operators.dominance import skyline_2d
 
@@ -4207,7 +4235,11 @@ def q_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", "p_name", "p_retailprice", "p_size"
     )
     return skyline_2d(
-        part, x="p_retailprice", y="p_size", keep=["p_partkey", "p_name"]
+        part,
+        x="p_retailprice",
+        y="p_size",
+        keep=["p_partkey", "p_name"],
+        bucket_width=64,
     ).orderBy("p_retailprice", "p_partkey")
 
 

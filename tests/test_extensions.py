@@ -3155,6 +3155,75 @@ def test_skyline_2d_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_skyline_2d_all_distinct_x_bucketed_equals_brute(spark):
+    """The r8 verdict #2 adversarial fixture: EVERY x distinct, so the
+    per-x frame is corpus-sized and the old single-partition running-min
+    window was one sort task.  The bucket decomposition must (a) agree
+    with the O(n²) dominance definition on such data at several widths
+    (boundary widths 1 -> fallback, 2, 7, 4096 -> one bucket), and
+    (b) agree with the fallback path exactly."""
+    from mvrepair.operators.dominance import skyline_2d
+
+    # all-distinct integer x; y bounces so the skyline is nontrivial
+    pts = [(i, i * 3 + (i * 7919) % 5, (i * 6007) % 53) for i in range(400)]
+    assert len({x for _, x, _ in pts}) == len(pts)
+    brute = sorted(
+        (i, x, y)
+        for (i, x, y) in pts
+        if not any(
+            qx <= x and qy <= y and (qx < x or qy < y)
+            for (_, qx, qy) in pts
+        )
+    )
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    for width in (1, 2, 7, 4096):
+        got = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in skyline_2d(
+                df, x="x", y="y", keep=["id"], bucket_width=width
+            ).collect()
+        )
+        assert got == brute, f"bucket_width={width} diverged from brute"
+
+
+def test_skyline_2d_no_unpartitioned_window_over_per_x_frame(spark):
+    """Plan pin for the r8 verdict #2 fix: on numeric x the only
+    unpartitioned window runs over the BUCKET frame (one agg below it);
+    every window over the per-x frame is partitioned by the bucket key.
+    The fallback (non-numeric x) keeps the old single-partition shape."""
+    from mvrepair.operators.dominance import skyline_2d
+
+    df = spark.createDataFrame([(1, 1.0, 1)], ["id", "x", "y"])
+    plan = (
+        skyline_2d(df, x="x", y="y", keep=["id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    windows = re.findall(r"Window \[.*", plan)
+    assert windows, "expected window nodes in the skyline plan"
+    # a windowspecdefinition with NO partition clause starts its arg
+    # list with an ordering expression ("col ASC/DESC ..."); a
+    # partitioned one starts with the bare partition column
+    unpartitioned = [
+        w
+        for w in windows
+        for first_arg in [
+            re.search(r"windowspecdefinition\(([^,]*),", w).group(1)
+        ]
+        if " ASC" in first_arg or " DESC" in first_arg
+    ]
+    # exactly one unpartitioned window — the bucket-frame prefix min —
+    # and it must compute over __bmin (the per-bucket aggregate), never
+    # over __min_y (the per-x frame)
+    assert len(unpartitioned) == 1, plan
+    assert "__bmin" in unpartitioned[0], unpartitioned[0]
+    # string x -> fallback single-partition window still works
+    df2 = spark.createDataFrame([("a", 1)], ["x", "y"])
+    got = skyline_2d(df2, x="x", y="y").collect()
+    assert [(r["x"], r["y"]) for r in got] == [("a", 1)]
+
+
 def test_bigram_lm_scores_matches_python_model(spark):
     """Exact-model check: hashed-bigram add-one LM vs a plain-Python
     replica built on py_micro_log2 (the cross-engine-exact quantizer).
