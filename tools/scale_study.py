@@ -406,6 +406,20 @@ def main() -> None:
             base, key_col="user_id", start_col="s_us", end_col="e_us"
         )
 
+    def _paths_op(df):
+        from mvrepair.operators.temporal import event_paths
+
+        return event_paths(
+            df.select("event_id", "ts", "user_id", "event_type"), k=25
+        )
+
+    def _scd2_op(df):
+        from mvrepair.operators.temporal import scd2_history
+
+        return scd2_history(
+            df.select("event_id", "ts", "user_id", "event_type")
+        )
+
     def _jac_op(df):
         from mvrepair.operators.dedup import prefix_jaccard_pairs
 
@@ -696,6 +710,11 @@ def main() -> None:
         # events copies (shifted user ids): per-user interval streams
         # stay constant-size, k x users on one key-keyed shuffle
         "activity_islands(ev)": ("ev", _islands_op),
+        # r9 (r8 verdict #5): direct rows for the two entries that rode
+        # the event-copy families by argument — k x users, constant
+        # per-user stream, one user-keyed exchange each
+        "event_paths(ev)": ("ev", _paths_op),
+        "scd2_history(ev)": ("ev", _scd2_op),
         # round-8 wave 6.  exact copies: the bigram-bucket model frame is
         # B²-bounded at every factor — only the token pass and per-doc
         # scoring grow with volume (the nb_classify doctrine)
