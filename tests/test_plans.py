@@ -517,6 +517,22 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                         "FileScan": 2, "Filter": 2, "Generate": 3,
                         "HashAggregate": 4, "ObjectHashAggregate": 2,
                         "Project": 5, "Union": 1},
+    # demoted in the round-9 rotation for zorder_layout's promotion
+    # (driver-green r1-r8): one token pass -> bucket-count model frame
+    # -> broadcast-join scoring + per-doc rollup, the same count-trained
+    # broadcast-model shape as the in-window nb_classify (the
+    # doc_perplexity twin doctrine)
+    "dsir_scores": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                    "BroadcastHashJoin": 1, "Exchange": 7,
+                    "FileScan": 2, "Generate": 2, "HashAggregate": 8,
+                    "Project": 5, "Window": 1},
+    # demoted in the round-9 rotation for pq_topk's promotion
+    # (driver-green r1-r8): EAGER operator (computes + caches its
+    # result), so the printed plan is an executed-AQE string — SUBSET
+    # pin on the no-cartesian invariant, the part_rank_fusion precedent;
+    # its kmeans build is the in-window kmeans_clusters verbatim
+    "semantic_dedup": {"CartesianProduct": 0,
+                       "BroadcastNestedLoopJoin": 0},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
@@ -579,7 +595,7 @@ def test_twin_fingerprint_table_covers_every_twin():
 SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
                  "part_rank_fusion", "mv_report_text",
                  "minhash_calibration", "similar_parts",
-                 "semantic_leakage"}
+                 "semantic_leakage", "semantic_dedup"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))

@@ -406,6 +406,32 @@ def main() -> None:
             base, key_col="user_id", start_col="s_us", end_col="e_us"
         )
 
+    def _zorder_op(df):
+        from mvrepair.operators.layout import zorder_layout
+
+        return zorder_layout(
+            df.select("l_partkey", "l_suppkey"),
+            ["l_partkey", "l_suppkey"],
+            bits=8,
+            bucket_bits=6,
+        )
+
+    def _pq_op(df):
+        from mvrepair.operators.similarity import pq_ivf_topk, pq_train
+
+        books = pq_train(df, dim=64, m=4, k=16, iters=3)
+        # FIXED query workload (base-copy ids only): the scaling question
+        # is corpus growth at constant queries — letting the query set
+        # grow k x alongside the k x inverted lists would measure a k²
+        # candidate product, an artifact of the study not the operator
+        queries = df.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)
+        )
+        return pq_ivf_topk(
+            df, queries, dim=64, codebooks=books, k=5,
+            n_centroids=16, n_probe=4,
+        )
+
     def _paths_op(df):
         from mvrepair.operators.temporal import event_paths
 
@@ -715,6 +741,12 @@ def main() -> None:
         # per-user stream, one user-keyed exchange each
         "event_paths(ev)": ("ev", _paths_op),
         "scd2_history(ev)": ("ev", _scd2_op),
+        # r9 families: map-side Morton interleave + bounded bucket agg;
+        # IVF-PQ trains on k x vectors and scores k x queries against
+        # k x candidates per probe list — both linear by construction,
+        # measured to keep the claim honest
+        "zorder_layout(li)": ("li", _zorder_op),
+        "pq_topk(embroll)": ("embroll", _pq_op),
         # round-8 wave 6.  exact copies: the bigram-bucket model frame is
         # B²-bounded at every factor — only the token pass and per-doc
         # scoring grow with volume (the nb_classify doctrine)
