@@ -817,6 +817,52 @@ SELECT doc_id, lang FROM documents
 WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 100"""
 
 
+WSAMPLE_N = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES
+    priority sampling): the top-100 documents by the exact-integer
+    priority key under token-count weights — "sample docs proportional
+    to length, reproducibly, in one pass", the sampling mode between
+    doc_sample's fixed rate and token_budget_fill's greedy prefix.  One
+    map-side projection + TakeOrderedAndProject; see
+    sampling.weighted_sample."""
+    from mvrepair.operators.sampling import weighted_sample
+    from mvrepair.operators.text import tokenize
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    return weighted_sample(
+        d,
+        n=WSAMPLE_N,
+        weight=F.size(tokenize(F.col("text"))),
+        keep=["source"],
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    m = 1 << 31
+    inner = f"""
+SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS w,
+  ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+    % {m}) + 1) / CAST({m} AS DOUBLE) AS u
+FROM documents"""
+    ladder = micro_log2_sql(
+        inner, "u", keep=["doc_id", "source", "w"], out="l2"
+    )
+    return f"""
+SELECT source, doc_id, w AS weight,
+  CAST((l2 * 1000000 - (l2 * 1000000) % w) / w AS BIGINT) AS priority
+FROM ({ladder}) WHERE w > 0
+ORDER BY priority DESC, doc_id LIMIT {WSAMPLE_N}"""
+
+
 def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination check on the duplicated corpus: eval docs
     whose exact text also appears (under another doc_id) in train."""
@@ -4783,6 +4829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted in the round-9 rotation (driver-green r1-r8), making
         # room for pq_topk (compressed-domain ADC scoring algebra):
         "semantic_dedup": q_semantic_dedup,  # twin: kmeans_clusters (the identical trained-centroid replay + assignment, driver-checked; the within-cluster prior-neighbor sweep adds one cluster-keyed rank window — the posting_lists WindowGroupLimit family) — driver-green r1-r8
+        # round-9 addition (twin doctrine):
+        "weighted_sample": q_weighted_sample,  # twin: posting_lists (per-row projection + the same TakeOrderedAndProject cut — the distinct_docs_kmv precedent); the micro_log2 ladder algebra is driver-checked via nb_classify/source_divergence
     }
 
 
@@ -4825,6 +4873,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_scores": _oracle_lang_scores(),
         "doc_splits": _ORACLE_DOC_SPLITS,
         "doc_sample": _ORACLE_DOC_SAMPLE,
+        "weighted_sample": _oracle_weighted_sample(),
         "split_contamination": _ORACLE_CONTAMINATION,
         "corpus_profile": _ORACLE_CORPUS_PROFILE,
         "pretrain_corpus": _ORACLE_PRETRAIN,

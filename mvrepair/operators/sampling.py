@@ -454,3 +454,72 @@ def quality_percentiles(
         .cast("long")
         .alias("pct_micro"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight: Column,
+    id_col: str = "doc_id",
+    keep: list[str] | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis-Spirakis A-ES
+    priority sampling (Inf. Process. Lett. 2006): every row gets key
+    u^(1/w) for a uniform u, and the top-n keys ARE a weighted sample
+    without replacement.  The pretraining-data use case is "sample
+    documents proportional to token count / quality weight,
+    reproducibly, in one pass" — the sampling mode corpus builds use
+    between the rate-based ``doc_sample`` (fixed fraction per bucket)
+    and the greedy ``token_budget_fill`` (take the best prefix).
+
+    Engine-portable exact arithmetic end to end:
+
+    - u = ((stable_hash64(id) mod 2^31) + 1) / 2^31 — a dyadic rational
+      in (0, 1], exactly representable, identical in any engine
+      (seedless and reproducible: the id IS the randomness, the
+      corpus-diff/doc_sample convention);
+    - the A-ES key is monotone in log2(u)/w, so rows are ranked by
+      ``priority = (micro_log2(u) * scale) div w`` — micro_log2 is the
+      repo's bit-exact quantized log2, the products stay well inside
+      int64 (|micro_log2| <= 64e6 · scale = 6.4e13), and the division
+      truncates identically in Spark (`div` semantics, here as the
+      subtract-remainder form) and DuckDB (`//`);
+    - ties (same quantized priority) break on ascending id.
+
+    Quantization makes this a DEFINED sampling design, not an
+    approximation of one: the keys are a deterministic monotone
+    function of (u, w), which is all A-ES requires — two engines (and a
+    rerun tomorrow) select the identical sample.
+
+    Scale shape: one map-side projection (hash + the fixed 11-step
+    micro_log2 ladder per row) + TakeOrderedAndProject for the top-n —
+    no shuffle wider than n rows, no window over the corpus.  Rows with
+    non-positive weight are excluded (a zero-weight row has key 0 in
+    A-ES — never sampled — and its log form would divide by zero).
+
+    Output: (*keep, id_col, weight bigint, priority bigint), the n
+    sampled rows, priority desc / id asc.
+    """
+    from mvrepair.functions.exactlog import micro_log2
+
+    keep = keep if keep is not None else []
+    m = 1 << 31
+    pm = stable_hash64(F.col(id_col).cast("string")) % F.lit(m)
+    u = (pm + 1).cast("double") / F.lit(float(m))
+    w = weight.cast("long")
+    ls = micro_log2(u) * F.lit(int(scale))
+    # truncating integer division, sign-portable: a - a % w is exactly
+    # divisible, the double quotient of exact int64s <= 6.4e13 is exact
+    priority = ((ls - ls % w) / w).cast("long")
+    return (
+        df.select(
+            *keep,
+            F.col(id_col),
+            w.alias("weight"),
+            priority.alias("priority"),
+        )
+        .filter(F.col("weight") > 0)
+        .orderBy(F.col("priority").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

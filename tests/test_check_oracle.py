@@ -253,6 +253,9 @@ class TestRegistryOrderingContract:
         # demoted in the round-9 rotation (driver-green r1-r8), making
         # room for pq_topk's promotion:
         "semantic_dedup": "kmeans_clusters",
+        # round-9 addition (twin doctrine): per-row hash+ladder
+        # projection + TakeOrdered cut, the distinct_docs_kmv shape
+        "weighted_sample": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

@@ -3319,6 +3319,62 @@ def test_zorder_normalization_endpoints_exact(spark):
     assert 0 <= got[1] <= 255
 
 
+def test_weighted_sample_matches_python_aes(spark):
+    """A-ES priority sampling vs a plain-Python replica built on
+    py_micro_log2 and the same md5-based uniform — the exact-arithmetic
+    contract, including the truncating key division and id tie-break."""
+    import hashlib
+    import math
+
+    from mvrepair.functions.exactlog import py_micro_log2
+    from mvrepair.operators.sampling import weighted_sample
+
+    import pyspark.sql.functions as SF
+
+    rows = [(i, (i * 13) % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [
+        (r["doc_id"], r["weight"], r["priority"])
+        for r in weighted_sample(
+            df, n=20, weight=SF.col("w"), id_col="doc_id"
+        ).collect()
+    ]
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    m = 1 << 31
+    expect = []
+    for i, w in rows:
+        u = ((h60(str(i)) % m) + 1) / m
+        ls = py_micro_log2(u) * 1_000_000
+        prio = int(math.trunc((ls - math.fmod(ls, w)) / w))
+        expect.append((-prio, i, w))
+    expect.sort()
+    assert got == [(i, w, -np) for np, i, w in expect[:20]]
+
+
+def test_weighted_sample_priority_monotone_in_weight(spark):
+    """Same u (same id), larger weight -> priority closer to zero (more
+    likely sampled) — the defining A-ES property, preserved by the
+    quantized key."""
+    from mvrepair.operators.sampling import weighted_sample
+
+    import pyspark.sql.functions as SF
+
+    df = spark.createDataFrame(
+        [(1, 1), (1, 5), (1, 50), (1, 5000)], ["doc_id", "w"]
+    )
+    ps = [
+        r["priority"]
+        for r in weighted_sample(df, n=4, weight=SF.col("w"), id_col="doc_id")
+        .orderBy("weight")
+        .collect()
+    ]
+    # priorities are negative; monotone non-decreasing with weight
+    assert ps == sorted(ps) and all(p <= 0 for p in ps)
+
+
 def test_pq_ivf_topk_matches_python_adc(spark):
     """IVF-PQ vs a plain-Python replica of the whole compressed-domain
     pipeline: quantize, per-subspace cosine-argmax encode against the

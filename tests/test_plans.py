@@ -533,6 +533,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # its kmeans build is the in-window kmeans_clusters verbatim
     "semantic_dedup": {"CartesianProduct": 0,
                        "BroadcastNestedLoopJoin": 0},
+    # round-9 addition: A-ES priority sampling — one map-side hash +
+    # micro_log2-ladder projection and the top-n cut, nothing else
+    # (the Exchange is the _spread round-robin below the scan)
+    "weighted_sample": {"AdaptiveSparkPlan": 1, "Exchange": 1,
+                        "FileScan": 1, "Filter": 1, "Project": 2,
+                        "TakeOrderedAndProject": 1},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
