@@ -1374,11 +1374,15 @@ FROM documents"""
 # similarity-search family
 # ---------------------------------------------------------------------------
 
-def _lsh_bucket_sql(qv: str = "qv") -> str:
-    """DuckDB twin of similarity.lsh_bucket on a quantized int64 list col."""
+def _lsh_bucket_sql(qv: str = "qv", table: int = 0) -> str:
+    """DuckDB twin of similarity.lsh_bucket on a quantized int64 list
+    col; ``table`` picks the same disjoint plane slice as
+    ``_bucket_from_qv(..., table=t)``."""
     terms = []
     for p in range(S._N_PLANES):
-        signs = ", ".join(str(S._plane_sign(p, d)) for d in range(64))
+        signs = ", ".join(
+            str(S._plane_sign(table * S._N_PLANES + p, d)) for d in range(64)
+        )
         terms.append(
             f"CASE WHEN list_sum(list_transform(range(1, 65),"
             f" i -> {qv}[i] * (list_value({signs}))[i])) > 0"
@@ -1920,6 +1924,54 @@ scored AS (
   FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 )
 SELECT id_a, id_b, CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM scored WHERE sim >= 0.9"""
+
+
+NEARDUP_N_TABLES = 2
+
+
+def q_embedding_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table (banded) LSH near-dup pairs on the perturbed corpus —
+    the RECALL lever the round-9 plane-sizing study isolated: a pair is
+    a candidate when it collides in ANY of the independent hash tables
+    (recall 1-(1-p^b)^T vs p^b), exact verify keeps precision at 1.  A
+    superset of embedding_neardup's pairs by construction.  See
+    similarity.cosine_neardup_pairs_banded."""
+    return S.cosine_neardup_pairs_banded(
+        _neardup_embeddings(spark, sf_dir),
+        dim=64,
+        threshold=0.9,
+        n_tables=NEARDUP_N_TABLES,
+    )
+
+
+def _oracle_embedding_neardup_banded() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        )
+
+    buckets = ", ".join(
+        f"{_lsh_bucket_sql(table=t)} AS bucket_{t}"
+        for t in range(NEARDUP_N_TABLES)
+    )
+    branches = "\nUNION ALL\n".join(
+        f"""  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+    CAST({dot('l', 'r')} AS DOUBLE)
+      / (sqrt(CAST({dot('l', 'l')} AS DOUBLE)) * sqrt(CAST({dot('r', 'r')} AS DOUBLE))) AS sim
+  FROM b l JOIN b r ON l.bucket_{t} = r.bucket_{t} AND l.vec_id < r.vec_id"""
+        for t in range(NEARDUP_N_TABLES)
+    )
+    return f"""
+WITH corpus AS ({_NEARDUP_EMB_SQL}),
+b AS (
+  SELECT vec_id, qv, {buckets}
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM corpus)
+),
+scored AS (
+{branches}
+)
+SELECT DISTINCT id_a, id_b, CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
 FROM scored WHERE sim >= 0.9"""
 
 
@@ -4831,6 +4883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,  # twin: kmeans_clusters (the identical trained-centroid replay + assignment, driver-checked; the within-cluster prior-neighbor sweep adds one cluster-keyed rank window — the posting_lists WindowGroupLimit family) — driver-green r1-r8
         # round-9 addition (twin doctrine):
         "weighted_sample": q_weighted_sample,  # twin: posting_lists (per-row projection + the same TakeOrderedAndProject cut — the distinct_docs_kmv precedent); the micro_log2 ladder algebra is driver-checked via nb_classify/source_divergence
+        "embedding_neardup_banded": q_embedding_neardup_banded,  # twin: embedding_neardup (the identical bucket equi-join + exact verify, run per table and unioned; table 0 IS the checked single-table operator)
     }
 
 
@@ -4906,6 +4959,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _oracle_ann_lsh_topk(),
         "ann_ivf_topk": _oracle_ann_ivf_topk(),
         "embedding_neardup": _oracle_embedding_neardup(),
+        "embedding_neardup_banded": _oracle_embedding_neardup_banded(),
         "kmeans_clusters": _oracle_kmeans_clusters(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "pq_topk": _oracle_pq_topk(),

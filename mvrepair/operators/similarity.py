@@ -143,7 +143,9 @@ def _plane_sign(plane: int, dim: int) -> int:
     return 1 if (v >> 16) & 1 else -1
 
 
-def _bucket_from_qv(qv: Column, dim: int, n_planes: int = _N_PLANES) -> Column:
+def _bucket_from_qv(
+    qv: Column, dim: int, n_planes: int = _N_PLANES, table: int = 0
+) -> Column:
     """Hyperplane bucket (``n_planes`` bits, default 8) from an
     already-quantized int64 array.
 
@@ -165,7 +167,13 @@ def _bucket_from_qv(qv: Column, dim: int, n_planes: int = _N_PLANES) -> Column:
     """
     bucket = F.lit(0)
     for p in range(n_planes):
-        signs = F.lit([_plane_sign(p, d) for d in range(dim)])
+        # table t>0 draws its planes from a disjoint region of the
+        # deterministic plane sequence (offset t*n_planes), so every
+        # table is an independent hash family and table 0 is
+        # byte-identical to the historical single-table bucket
+        signs = F.lit(
+            [_plane_sign(table * n_planes + p, d) for d in range(dim)]
+        )
         prods = F.zip_with(qv, signs, lambda x, s: x * s)
         proj = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
@@ -975,3 +983,85 @@ def pq_ivf_topk(
         )
     )
     return _ranked(scored, k)
+
+
+def cosine_neardup_pairs_banded(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_tables: int = 2,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Multi-table (banded) hyperplane-LSH near-dup pairs — the RECALL
+    lever of the vector pair join (classic LSH amplification: OR over
+    ``n_tables`` independent hash tables).
+
+    The plane-sizing study (PERF.md round 9) measured the division of
+    labor: ``n_planes`` buys bucket CAPACITY (mean occupancy constant as
+    N grows), ``max_bucket`` buys tail safety on clustered data, and
+    recall — which drifts down as planes grow, since every plane
+    multiplies a pair's same-bucket probability by P(sign agree) < 1 —
+    belongs to BANDING.  A pair is a candidate when it collides in ANY
+    table, lifting recall from p^b to 1-(1-p^b)^T; exact verification
+    keeps precision at 1 regardless.
+
+    Each table t hashes with its own disjoint slice of the
+    deterministic plane sequence (planes t·n_planes .. t·n_planes+b-1),
+    so table 0 reproduces the single-table operator exactly and
+    ``n_tables=1`` IS ``cosine_neardup_pairs``.
+
+    Scale shape: the quantized projection computes per table as a
+    map-side expression; candidates are ``n_tables`` bucket equi-joins
+    unioned, deduped on the pair key before output (the same pair can
+    collide in several tables), verified with the standard exact
+    quantized cosine.  Cost is ~``n_tables``× the single-table join —
+    the textbook recall/cost trade, priced linearly.  ``max_bucket``
+    applies per table (a bucket degenerate in one table may be
+    discriminative in another).
+
+    Output: (id_a < id_b, cosine_micro), distinct pairs.
+    """
+    base = _prepare(corpus, id_col, vec_col, id_col)
+    branches = []
+    for t in range(n_tables):
+        b = base.withColumn(
+            "__bucket", _bucket_from_qv(F.col("__qv"), dim, n_planes, table=t)
+        )
+        if max_bucket is not None:
+            sizes = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
+            b = b.join(
+                sizes.filter(F.col("__bn") <= max_bucket).select("__bucket"),
+                "__bucket",
+                "semi",
+            )
+        lhs, rhs = b.alias("l"), b.alias("r")
+        branches.append(
+            lhs.join(
+                rhs,
+                on=[
+                    F.col("l.__bucket") == F.col("r.__bucket"),
+                    F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+                ],
+            ).select(
+                F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                _pair_sim("l", "r").alias("__sim"),
+            )
+        )
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return (
+        out.filter(F.col("__sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(F.col("__sim") * 1_000_000).cast("long").alias(
+                "cosine_micro"
+            ),
+        )
+    )

@@ -256,6 +256,9 @@ class TestRegistryOrderingContract:
         # round-9 addition (twin doctrine): per-row hash+ladder
         # projection + TakeOrdered cut, the distinct_docs_kmv shape
         "weighted_sample": "posting_lists",
+        # round-9 addition: per-table bucket join + union, table 0 IS
+        # the checked single-table operator
+        "embedding_neardup_banded": "embedding_neardup",
     }
 
     def test_every_family_within_driver_window(self):

@@ -539,6 +539,15 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "weighted_sample": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                         "FileScan": 1, "Filter": 1, "Project": 2,
                         "TakeOrderedAndProject": 1},
+    # round-9 addition: 2 per-table bucket equi-joins (broadcast at
+    # fixture scale) unioned + the pair-dedup agg — embedding_neardup's
+    # shape per table; never a cartesian
+    "embedding_neardup_banded": {"AdaptiveSparkPlan": 1,
+                                 "BroadcastExchange": 2,
+                                 "BroadcastHashJoin": 2, "Exchange": 9,
+                                 "FileScan": 8, "Filter": 8,
+                                 "HashAggregate": 2, "Project": 18,
+                                 "Union": 5},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
