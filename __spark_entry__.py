@@ -1674,6 +1674,54 @@ FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0) q
 LEFT JOIN h USING (query_id)"""
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality audit for the COMPRESSED-domain path: recall@5 of
+    IVF-PQ (trained codebooks, ADC scoring) against the exact
+    brute-force top-k, per query — quantifies what the 64x compression
+    costs in rank fidelity, the number that sizes m/k before anyone
+    trusts PQ codes (the ann_recall doctrine applied to pq_topk; pure
+    composition of two checked pipelines + one id-keyed join)."""
+    emb = _spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = S.cosine_topk(emb, queries, k=5)
+    books = S.pq_train(emb, dim=64, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS)
+    pq = S.pq_ivf_topk(
+        emb, queries, dim=64, codebooks=books, k=5, n_centroids=16, n_probe=4
+    )
+    hits = (
+        brute.select("query_id", "neighbor_id")
+        .join(pq.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    spine = queries.select(F.col("vec_id").alias("query_id"))
+    return spine.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) * 1000000 / 5)
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
+def _oracle_pq_recall() -> str:
+    return f"""
+WITH brute AS ({_oracle_ann_topk()}),
+pq AS ({_oracle_pq_topk()}),
+h AS (
+  SELECT b.query_id, count(*) AS n
+  FROM brute b JOIN pq i
+    ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+  GROUP BY 1)
+SELECT q.query_id,
+  coalesce(h.n, 0)::BIGINT AS n_hits,
+  (coalesce(h.n, 0) * 1000000 // 5)::BIGINT AS recall_micro
+FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0) q
+LEFT JOIN h USING (query_id)"""
+
+
 def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (first component negated, id+1e6).
 
@@ -4884,6 +4932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-9 addition (twin doctrine):
         "weighted_sample": q_weighted_sample,  # twin: posting_lists (per-row projection + the same TakeOrderedAndProject cut — the distinct_docs_kmv precedent); the micro_log2 ladder algebra is driver-checked via nb_classify/source_divergence
         "embedding_neardup_banded": q_embedding_neardup_banded,  # twin: embedding_neardup (the identical bucket equi-join + exact verify, run per table and unioned; table 0 IS the checked single-table operator)
+        "pq_recall": q_pq_recall,  # twin: pq_topk (pure composition of the checked brute + pq pipelines + one id-keyed join — the ann_recall doctrine, which sits past-window the same way)
     }
 
 
@@ -4963,6 +5012,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _oracle_kmeans_clusters(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "pq_topk": _oracle_pq_topk(),
+        "pq_recall": _oracle_pq_recall(),
         "events_hourly_stream": _ORACLE_EVENTS_HOURLY,
         "dedup_exact_stream": _ORACLE_DEDUP_STREAM,
         "mv_classify_stream": _oracle_mv_classify_stream(),

@@ -259,6 +259,9 @@ class TestRegistryOrderingContract:
         # round-9 addition: per-table bucket join + union, table 0 IS
         # the checked single-table operator
         "embedding_neardup_banded": "embedding_neardup",
+        # round-9 addition: composition of checked pipelines (the
+        # ann_recall doctrine)
+        "pq_recall": "pq_topk",
     }
 
     def test_every_family_within_driver_window(self):

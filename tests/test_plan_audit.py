@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",   # labeled brute-force baseline: broadcast crossJoin
     "embedding_neardup",  # same brute-force pairwise scorer underneath
     "ann_recall",        # composes the brute-force baseline by definition
+    "pq_recall",         # composes the brute-force baseline by definition
 }
 
 # streaming-backed entries run a real micro-batch when the fn is called —

@@ -548,6 +548,15 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                                  "FileScan": 8, "Filter": 8,
                                  "HashAggregate": 2, "Project": 18,
                                  "Union": 5},
+    # round-9 addition: brute top-k (the one LABELED BNLJ, BNLJ_ALLOWED)
+    # + the pq rank pipeline + one id-keyed hit join — ann_recall's
+    # composition shape over the pq path
+    "pq_recall": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2,
+                  "BroadcastHashJoin": 1, "BroadcastNestedLoopJoin": 1,
+                  "Exchange": 11, "FileScan": 5, "Filter": 7,
+                  "Generate": 1, "HashAggregate": 2, "Project": 17,
+                  "Sort": 8, "SortMergeJoin": 2, "Window": 2,
+                  "WindowGroupLimit": 4},
     # ---- demoted in the round-8 rotation (driver-green through r7) ----
     # join + agg + TakeOrdered top-k over the order/lineitem fact — the
     # regional_revenue shape (in-window)
