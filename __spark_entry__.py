@@ -537,6 +537,61 @@ SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+SLIDE_MIN = 15  # sliding step (minutes); window length stays 1 hour
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING-window aggregation — Spark's native sliding ``F.window``
+    (1-hour windows every 15 minutes): each event lands in 4
+    overlapping windows, so trailing-hour metrics refresh at
+    15-minute granularity instead of snapping to hour boundaries (the
+    dashboard/alerting shape; the streaming engine runs the identical
+    expression incrementally).  Physically the window generator is an
+    Expand/Generate of the 4 slot assignments — a row-local explode —
+    followed by the same map-side-combinable agg as the tumbling query:
+    nothing shuffles more than the (window, type) groups.  Exact sums
+    via the decimal(18,6) convention; window starts ship as unix
+    micros."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", f"{SLIDE_MIN} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _oracle_events_sliding() -> str:
+    # each ts belongs to the 4 hopping windows whose starts are the
+    # slide-aligned points in (ts - 1h, ts]: start = slide_floor(ts) -
+    # k*slide for k in 0..3 — replayed with a 4-row offset series
+    slide_us = SLIDE_MIN * 60 * 1_000_000
+    return f"""
+WITH off AS (SELECT unnest(range(4)) AS k),
+slotted AS (
+  SELECT (epoch_us(ts) // {slide_us}) * {slide_us} - k * {slide_us}
+           AS w_start_us,
+         event_type, value
+  FROM events, off
+)
+SELECT w_start_us, event_type,
+  count(*) AS n_events,
+  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM slotted GROUP BY 1, 2"""
+
+
 def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase attributed to the latest
     prior-or-equal click/view by the same user (union+window formulation —
@@ -2067,6 +2122,30 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
     return spark.table("__events_hourly_stream")
+
+
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sliding: the native hopping window
+    running incrementally (each event updates 4 overlapping window
+    states in the JVM state store).  availableNow + complete mode
+    drains the directory in one run, so the result equals the batch
+    query and shares its DuckDB oracle."""
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_events_sliding
+
+    sdf = streaming_events_sliding(
+        load_stream(spark, sf_dir, "events"), slide_minutes=SLIDE_MIN
+    )
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__events_sliding_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("__events_sliding_stream")
 
 
 def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4933,6 +5012,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,  # twin: posting_lists (per-row projection + the same TakeOrderedAndProject cut — the distinct_docs_kmv precedent); the micro_log2 ladder algebra is driver-checked via nb_classify/source_divergence
         "embedding_neardup_banded": q_embedding_neardup_banded,  # twin: embedding_neardup (the identical bucket equi-join + exact verify, run per table and unioned; table 0 IS the checked single-table operator)
         "pq_recall": q_pq_recall,  # twin: pq_topk (pure composition of the checked brute + pq pipelines + one id-keyed join — the ann_recall doctrine, which sits past-window the same way)
+        "events_sliding": q_events_sliding,  # twin: events_hourly_stream (the identical F.window agg — hopping slide adds a row-local 4-slot Expand below the same groupBy; events_hourly precedent)
+        "events_sliding_stream": q_events_sliding_stream,  # twin: events_hourly_stream (the same JVM-state windowed-agg shape; result equals the batch events_sliding by availableNow drain and shares its oracle verbatim)
     }
 
 
@@ -4948,6 +5029,8 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": _ORACLE_TOP_REVENUE,
         "regional_revenue": _ORACLE_REGIONAL,
         "events_hourly": _ORACLE_EVENTS_HOURLY,
+        "events_sliding": _oracle_events_sliding(),
+        "events_sliding_stream": _oracle_events_sliding(),
         "purchase_attribution": _ORACLE_PURCHASE_ATTRIBUTION,
         "next_touch": _ORACLE_NEXT_TOUCH,
         "event_sessions": _ORACLE_EVENT_SESSIONS,

@@ -61,6 +61,38 @@ def streaming_events_hourly(
     )
 
 
+def streaming_events_sliding(
+    stream: DataFrame,
+    slide_minutes: int = 15,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming HOPPING-window per-type aggregation: the identical
+    sliding ``F.window`` expression as the batch ``events_sliding``
+    query, run incrementally — each event updates its 4 overlapping
+    window states, the watermark retires windows whose end has passed.
+    Same decimal-exact sums, same unix-micros window starts, so an
+    availableNow drain equals the batch twin and shares its oracle."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", f"{slide_minutes} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup_native(
     stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

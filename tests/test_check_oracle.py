@@ -262,6 +262,12 @@ class TestRegistryOrderingContract:
         # round-9 addition: composition of checked pipelines (the
         # ann_recall doctrine)
         "pq_recall": "pq_topk",
+        # round-9 addition: the same native F.window agg as the
+        # streaming rep, with a row-local 4-slot Expand below it
+        "events_sliding": "events_hourly_stream",
+        # round-9 addition: the streaming formulation (same JVM-state
+        # windowed-agg shape; oracle shared with events_sliding)
+        "events_sliding_stream": "events_hourly_stream",
     }
 
     def test_every_family_within_driver_window(self):

@@ -548,6 +548,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                                  "FileScan": 8, "Filter": 8,
                                  "HashAggregate": 2, "Project": 18,
                                  "Union": 5},
+    # round-9 addition: native hopping window — the tumbling agg's
+    # plan plus exactly one row-local Expand (the 4 slot assignments)
+    "events_sliding": {"AdaptiveSparkPlan": 1, "Exchange": 1,
+                       "Expand": 1, "FileScan": 1, "Filter": 1,
+                       "HashAggregate": 2, "Project": 1},
+    # round-9 addition: streaming hopping window — like the other
+    # streaming twins the returned frame is a drained memory sink
+    "events_sliding_stream": {"LocalTableScan": 1},
     # round-9 addition: brute top-k (the one LABELED BNLJ, BNLJ_ALLOWED)
     # + the pq rank pipeline + one id-keyed hit join — ann_recall's
     # composition shape over the pq path
