@@ -432,6 +432,52 @@ def main() -> None:
             n_centroids=16, n_probe=4,
         )
 
+    def _sliding_op(df):
+        return (
+            df.groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("w_start_us"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    def _wsample_op(df):
+        from mvrepair.operators.sampling import weighted_sample
+        from mvrepair.operators.text import tokenize
+
+        return weighted_sample(
+            df, n=100, weight=F.size(tokenize(F.col("text"))),
+            keep=["source"],
+        )
+
+    def _banded_op(df, k):
+        from mvrepair.operators.similarity import cosine_neardup_pairs_banded
+
+        # FULL production config: plane count by the sizing rule
+        # (planes ≈ log2(N/target), the _leakage_op convention) AND the
+        # max_bucket tail cap — the round-9 lsh_sizing_study measured
+        # that plane count alone cannot bound hot buckets on clustered
+        # embeddings (near-parallel clusters share a bucket at any plane
+        # count, tail ∝ N): uncapped this row measures exponent 2.11
+        # (16.2 -> 165.8 s at 10x->30x), exactly the documented
+        # intrinsic Σ(tail²); capped it measures banding's own cost.
+        n_planes = 8 + max(0, (k - 1)).bit_length()
+        return cosine_neardup_pairs_banded(
+            df, dim=64, threshold=0.9, n_tables=2, n_planes=n_planes,
+            max_bucket=128,
+        )
+
     def _paths_op(df):
         from mvrepair.operators.temporal import event_paths
 
@@ -747,6 +793,12 @@ def main() -> None:
         # measured to keep the claim honest
         "zorder_layout(li)": ("li", _zorder_op),
         "pq_topk(embroll)": ("embroll", _pq_op),
+        "events_sliding(ev)": ("ev", _sliding_op),
+        "weighted_sample(docs)": (False, _wsample_op),
+        # note: 2 tables, NO cap — the study corpus is disjoint-rolled so
+        # the bucket tail stays bounded; clustered-data tails are the
+        # lsh_sizing_study's subject, capped there
+        "embedding_neardup_banded(embroll)": ("embroll", _banded_op),
         # round-8 wave 6.  exact copies: the bigram-bucket model frame is
         # B²-bounded at every factor — only the token pass and per-doc
         # scoring grow with volume (the nb_classify doctrine)
