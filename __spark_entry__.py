@@ -574,12 +574,16 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_events_sliding() -> str:
-    # each ts belongs to the 4 hopping windows whose starts are the
-    # slide-aligned points in (ts - 1h, ts]: start = slide_floor(ts) -
-    # k*slide for k in 0..3 — replayed with a 4-row offset series
+    # each ts belongs to the (60 // SLIDE_MIN) hopping windows whose
+    # starts are the slide-aligned points in (ts - 1h, ts]: start =
+    # slide_floor(ts) - k*slide for k in 0..n_offsets-1 — replayed with
+    # an offset series DERIVED from the same constant the Spark query
+    # uses, so changing SLIDE_MIN can't desynchronize the twins
+    assert 60 % SLIDE_MIN == 0, "window length must be a slide multiple"
+    n_offsets = 60 // SLIDE_MIN
     slide_us = SLIDE_MIN * 60 * 1_000_000
     return f"""
-WITH off AS (SELECT unnest(range(4)) AS k),
+WITH off AS (SELECT unnest(range({n_offsets})) AS k),
 slotted AS (
   SELECT (epoch_us(ts) // {slide_us}) * {slide_us} - k * {slide_us}
            AS w_start_us,

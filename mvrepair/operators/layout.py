@@ -35,9 +35,11 @@ hash-checked end to end:
 Scale shape: normalization + interleave are pure map-side projections
 (no shuffle, no UDF — a ~4·bits-term integer expression per row); the
 only exchange is the final per-bucket statistics aggregate (map-side
-combinable, output 2^bucket_bits rows).  A real writer would
-``repartitionByRange(z)`` + write; the report here IS the evidence that
-the resulting files prune.
+combinable, output 2^bucket_bits rows).  ``zorder_write`` is the real
+writer — ``repartitionByRange(z)`` + sort-within + parquet — and
+``layout_file_stats`` / ``files_skipped`` read the written layout back
+and MEASURE the file-skipping the report predicts (pinned by test
+against an unsorted baseline).
 """
 
 from __future__ import annotations
@@ -88,10 +90,52 @@ def normalize_expr(c: Column, mn: int, mx: int, bits: int = 8) -> Column:
     rounding can cross an integer boundary when the numerator nears
     2^53 — so the remainder is subtracted first, making the numerator
     exactly divisible and the double quotient exact (the repo's
-    integer-DIV convention; DuckDB renders the same thing as ``//``)."""
-    span = max(1, int(mx) - int(mn))
+    integer-DIV convention; DuckDB renders the same thing as ``//``).
+
+    Domain-width PRECONDITION: the subtract-remainder trick makes the
+    division exact only while the numerator ``(x - mn) * (2^bits - 1)``
+    itself is exact, i.e. stays below 2^53 (and the int64 multiply
+    below 2^63).  Enforced here as ``(mx - mn) * (2^bits - 1) < 2^53``
+    so a future wide 64-bit key domain fails loudly instead of silently
+    losing bit-stability vs the oracle's integer ``//``; callers with
+    wider domains should pre-scale the column (divide by a constant)
+    before layout."""
+    span_raw = int(mx) - int(mn)
+    if span_raw * ((1 << bits) - 1) >= (1 << 53):
+        raise ValueError(
+            f"normalize_expr: domain width {span_raw} * (2^{bits}-1) "
+            f"exceeds 2^53 — double-exact floor division no longer "
+            f"holds; pre-scale the dimension first"
+        )
+    span = max(1, span_raw)
     num = (c.cast("long") - F.lit(int(mn))) * F.lit((1 << bits) - 1)
     return ((num - num % F.lit(span)) / F.lit(span)).cast("long")
+
+
+def _normalized_dims(
+    df: DataFrame, dims: list[str], bits: int
+) -> list[Column]:
+    """Shared normalize step of the layout operators: one bounded
+    min/max aggregate (collected driver-side — 2 longs per dimension,
+    the train_kmeans model-artifact precedent), then the exact
+    ``normalize_expr`` per dimension.  Raises on empty input (no
+    statistics to normalize against)."""
+    stats = df.agg(
+        *[
+            f
+            for d in dims
+            for f in (
+                F.min(d).cast("long").alias(f"__mn_{d}"),
+                F.max(d).cast("long").alias(f"__mx_{d}"),
+            )
+        ]
+    ).collect()[0]
+    if any(stats[f"__mn_{d}"] is None for d in dims):
+        raise ValueError("z-order layout: empty input — no min/max stats")
+    return [
+        normalize_expr(F.col(d), stats[f"__mn_{d}"], stats[f"__mx_{d}"], bits)
+        for d in dims
+    ]
 
 
 def zorder_layout(
@@ -113,20 +157,14 @@ def zorder_layout(
     average per-bucket span relative to its domain is the file-skipping
     ratio a predicate on that dimension gets.
     """
-    stats = df.agg(
-        *[
-            f
-            for d in dims
-            for f in (
-                F.min(d).cast("long").alias(f"__mn_{d}"),
-                F.max(d).cast("long").alias(f"__mx_{d}"),
-            )
-        ]
-    ).collect()[0]
-    norm = [
-        normalize_expr(F.col(d), stats[f"__mn_{d}"], stats[f"__mx_{d}"], bits)
-        for d in dims
-    ]
+    if not 0 <= bucket_bits <= bits * len(dims):
+        # a negative shift count would hit Java's shift-mod-64 semantics
+        # and silently diverge from the oracle's `>>`
+        raise ValueError(
+            f"zorder_layout: bucket_bits={bucket_bits} must be in "
+            f"[0, bits*len(dims)={bits * len(dims)}]"
+        )
+    norm = _normalized_dims(df, dims, bits)
     z = z_value(norm, bits=bits)
     shift = bits * len(dims) - bucket_bits
     bucket = F.shiftright(z, shift).alias("zbucket")
@@ -145,3 +183,75 @@ def zorder_layout(
             ],
         )
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    dims: list[str],
+    bits: int = 8,
+    n_files: int = 16,
+) -> None:
+    """The Z-order WRITER the report predicts for: compute the Morton
+    key, range-partition the rows by it into ``n_files`` output files,
+    sort within each partition, and write parquet — after which every
+    file's min-max range on EVERY interleaved dimension is narrow, so
+    parquet footer statistics prune most files for a predicate on any
+    of them.
+
+    This is exactly Delta Lake's ``OPTIMIZE ZORDER BY`` shape: ONE
+    range exchange on the z key (range boundaries from Spark's
+    reservoir sample — cheap), one local sort, no other shuffle.  The
+    synthetic key is dropped before writing; the layout IS the key.
+    At 100 TB ``n_files`` becomes files-per-job sized to ~1 GB outputs;
+    nothing else changes.
+
+    The evidence loop: ``layout_file_stats`` reads the written layout
+    back, ``files_skipped`` evaluates a point predicate against the
+    per-file min-max — tests pin that the measured skip ratio on BOTH
+    interleaved dimensions beats an unsorted write of the same rows.
+    """
+    norm = _normalized_dims(df, dims, bits)
+    (
+        df.withColumn("__z", z_value(norm, bits=bits))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def layout_file_stats(spark, path: str, dims: list[str]) -> DataFrame:
+    """Per-FILE min/max statistics of a written layout — the readback
+    side of the pruning evidence loop.  Groups by ``input_file_name``
+    (one output row per physical file, bounded by the writer's
+    ``n_files``), aggregating row count and each dimension's min/max —
+    the same ranges a parquet reader's footer-based file skipping
+    consults."""
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    return df.groupBy("__file").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            f
+            for d in dims
+            for f in (
+                F.min(d).cast("long").alias(f"{d}_min"),
+                F.max(d).cast("long").alias(f"{d}_max"),
+            )
+        ],
+    )
+
+
+def files_skipped(file_stats: list, dim: str, point: int) -> tuple[int, int]:
+    """Evaluate a point predicate ``dim = point`` against collected
+    per-file statistics (driver-side over the bounded ``n_files`` rows):
+    a file is SKIPPED when ``point`` falls outside its [min, max] —
+    precisely the parquet row-group/file pruning rule.  Returns
+    (skipped, total)."""
+    skipped = sum(
+        1
+        for r in file_stats
+        if not (r[f"{dim}_min"] <= point <= r[f"{dim}_max"])
+    )
+    return skipped, len(file_stats)

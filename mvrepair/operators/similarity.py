@@ -216,6 +216,12 @@ def cosine_neardup_pairs(
     failure: identical-copy inflation drove the pair join to exponent
     1.94).  ``None`` (the default, and what every oracle-checked query
     uses) keeps exact semantics.
+
+    Ownership: on the capped path the result comes back as an eagerly
+    materialized CACHED frame (persist + count so the bucketed input
+    can be released inside this call) — the CALLER owns it and should
+    unpersist when done; the bench harness clears the cache between
+    repeats for exactly this reason.  Uncapped, the result is lazy.
     """
     b = _prepare(corpus, id_col, vec_col, id_col, dim=dim, n_planes=n_planes)
     owned = None
@@ -1013,18 +1019,38 @@ def cosine_neardup_pairs_banded(
     so table 0 reproduces the single-table operator exactly and
     ``n_tables=1`` IS ``cosine_neardup_pairs``.
 
-    Scale shape: the quantized projection computes per table as a
-    map-side expression; candidates are ``n_tables`` bucket equi-joins
-    unioned, deduped on the pair key before output (the same pair can
-    collide in several tables), verified with the standard exact
-    quantized cosine.  Cost is ~``n_tables``× the single-table join —
-    the textbook recall/cost trade, priced linearly.  ``max_bucket``
-    applies per table (a bucket degenerate in one table may be
-    discriminative in another).
+    Scale shape: the quantize+norm fold in ``_prepare`` — the heaviest
+    per-row expression in the pipeline — is computed ONCE and persisted
+    across all ``n_tables`` branches (without the persist its lineage
+    re-runs for both sides of every table's self-join plus each
+    table's size agg when capped: 2·n_tables(+n_tables) redundant
+    scans, the exact recompute the single-table capped path already
+    fixed).  Candidates are ``n_tables`` bucket equi-joins unioned and
+    deduped on the pair key BEFORE the exact verify, so a pair
+    colliding in k tables is verified once, not k times; the dedup
+    exchange carries the two prepared vectors alongside the pair key
+    (one exchange total — the alternative, pair-key-only dedup plus
+    two joins back to the base, costs three).  Cost is ~``n_tables``×
+    the single-table candidate join — the textbook recall/cost trade,
+    priced linearly.  ``max_bucket`` applies per table (a bucket
+    degenerate in one table may be discriminative in another).
+
+    Ownership: when more than one branch references the base
+    (``n_tables > 1`` or capped), the result is materialized eagerly
+    (persist + count, releasing the base afterwards — the
+    ``cosine_neardup_pairs`` capped-path lifecycle) and the CALLER owns
+    the returned cached frame: unpersist it when done (the bench
+    harness does this between runs).
 
     Output: (id_a < id_b, cosine_micro), distinct pairs.
     """
     base = _prepare(corpus, id_col, vec_col, id_col)
+    owned = None
+    if n_tables > 1 or max_bucket is not None:
+        from pyspark import StorageLevel
+
+        owned = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = owned
     branches = []
     for t in range(n_tables):
         b = base.withColumn(
@@ -1048,15 +1074,22 @@ def cosine_neardup_pairs_banded(
             ).select(
                 F.col(f"l.{id_col}").alias("id_a"),
                 F.col(f"r.{id_col}").alias("id_b"),
-                _pair_sim("l", "r").alias("__sim"),
+                F.col("l.__qv").alias("__qv_a"),
+                F.col("l.__norm").alias("__norm_a"),
+                F.col("r.__qv").alias("__qv_b"),
+                F.col("r.__norm").alias("__norm_b"),
             )
         )
-    out = branches[0]
+    cand = branches[0]
     for br in branches[1:]:
-        out = out.unionByName(br)
-    return (
-        out.filter(F.col("__sim") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+        cand = cand.unionByName(br)
+    sim = _dot(F.col("__qv_a"), F.col("__qv_b")).cast("double") / (
+        F.col("__norm_a") * F.col("__norm_b")
+    )
+    out = (
+        cand.dropDuplicates(["id_a", "id_b"])
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= threshold)
         .select(
             "id_a",
             "id_b",
@@ -1065,3 +1098,15 @@ def cosine_neardup_pairs_banded(
             ),
         )
     )
+    if owned is not None:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            out.count()  # materialize while the prepared base is hot
+        except Exception:
+            out.unpersist()
+            raise
+        finally:
+            owned.unpersist()
+    return out

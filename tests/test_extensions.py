@@ -3301,6 +3301,79 @@ def test_zorder_layout_prunes_and_conserves(spark):
         assert (r["y_max"] - r["y_min"]) <= 0.35 * y_dom, r
 
 
+def test_zorder_write_measured_file_skipping(spark, tmp_path):
+    """The writer closes the report's evidence loop: after
+    ``zorder_write`` the per-FILE min-max stats prune a point predicate
+    on EVERY interleaved dimension, measurably better than an unsorted
+    write of the same rows, and at least as well as the report's
+    per-bucket span prediction (bucket_bits = log2(n_files))."""
+    from mvrepair.operators.layout import (
+        files_skipped,
+        layout_file_stats,
+        zorder_layout,
+        zorder_write,
+    )
+
+    n = 4096
+    rows = [((i * 337) % 1000 + 500, (i * 811) % 2000 + 100) for i in range(n)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    zpath = str(tmp_path / "zsorted")
+    bpath = str(tmp_path / "unsorted")
+    zorder_write(df, zpath, ["x", "y"], bits=8, n_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(bpath)
+
+    zstats = layout_file_stats(spark, zpath, ["x", "y"]).collect()
+    bstats = layout_file_stats(spark, bpath, ["x", "y"]).collect()
+    assert sum(r["n_rows"] for r in zstats) == n  # conservation
+
+    # the report's prediction at the same granularity: 16 buckets =
+    # bucket_bits 4 = 2 top bits per dimension -> each bucket spans
+    # ~1/4 of each domain, so a point predicate overlaps ~1/4 of files
+    rep = zorder_layout(df, ["x", "y"], bits=8, bucket_bits=4).collect()
+    doms = {
+        "x": max(x for x, _ in rows) - min(x for x, _ in rows),
+        "y": max(y for _, y in rows) - min(y for _, y in rows),
+    }
+    for dim in ("x", "y"):
+        pred_overlap = sum(
+            (r[f"{dim}_max"] - r[f"{dim}_min"]) / doms[dim] for r in rep
+        ) / len(rep)
+        probes = [700, 900, 1200] if dim == "x" else [400, 1000, 1800]
+        for p in probes:
+            zskip, ztot = files_skipped(zstats, dim, p)
+            bskip, btot = files_skipped(bstats, dim, p)
+            # unsorted: every file spans ~the whole domain -> ~0 skipped
+            assert bskip / btot <= 0.2, (dim, p, bskip, btot)
+            # z-ordered: most files skipped, and no worse than ~the
+            # report's predicted overlap fraction (range boundaries come
+            # from a sample, so allow 2x slack on the prediction)
+            assert zskip / ztot >= 0.5, (dim, p, zskip, ztot)
+            assert (ztot - zskip) / ztot <= 2.0 * pred_overlap + 1 / ztot, (
+                dim, p, zskip, ztot, pred_overlap,
+            )
+
+
+def test_zorder_validation_errors(spark):
+    """bucket_bits outside [0, bits*n_dims] and empty inputs fail
+    loudly (Java's shift-mod-64 would otherwise silently diverge from
+    the oracle; None stats would TypeError inside int()); the
+    normalize_expr domain-width precondition rejects products past
+    2^53."""
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
+    from mvrepair.operators.layout import normalize_expr, zorder_layout
+
+    df = spark.createDataFrame([(1, 2), (3, 4)], ["x", "y"])
+    with _pytest.raises(ValueError, match="bucket_bits"):
+        zorder_layout(df, ["x", "y"], bits=8, bucket_bits=17)
+    with _pytest.raises(ValueError, match="empty input"):
+        zorder_layout(df.filter(SF.lit(False)), ["x", "y"])
+    with _pytest.raises(ValueError, match="2\\^53"):
+        normalize_expr(SF.col("x"), 0, 1 << 60, bits=8)
+
+
 def test_zorder_normalization_endpoints_exact(spark):
     """min -> 0 and max -> 2^bits - 1, exactly, including a span that
     does not divide the bit range."""

@@ -27,10 +27,13 @@ from __future__ import annotations
 import pytest
 
 # queries whose DESIGN legitimately includes the node (each labeled as
-# such in its docstring)
+# such in its docstring).  The allowlist is SELF-CHECKING: the audit
+# asserts each member's plan actually CONTAINS a BNLJ, so entries can't
+# rot into silent regression masks (round-9 verdict: a stale
+# embedding_neardup entry sat here for rounds after the query moved to
+# the LSH-bucketed path).
 BNLJ_ALLOWED = {
     "ann_cosine_topk",   # labeled brute-force baseline: broadcast crossJoin
-    "embedding_neardup",  # same brute-force pairwise scorer underneath
     "ann_recall",        # composes the brute-force baseline by definition
     "pq_recall",         # composes the brute-force baseline by definition
 }
@@ -69,4 +72,13 @@ def test_no_scale_breaking_plan_nodes(spark, sf_dir, name):
             f"{name}: unlabeled BroadcastNestedLoopJoin — either key the "
             f"join or add the query to BNLJ_ALLOWED with a docstring "
             f"label\n{plan}"
+        )
+    else:
+        # self-check: an allowlist entry must still NEED its excuse —
+        # a member whose plan no longer contains a BNLJ would silently
+        # mask a future regression that reintroduces one
+        assert "BroadcastNestedLoopJoin" in plan, (
+            f"{name}: listed in BNLJ_ALLOWED but its plan contains no "
+            f"BroadcastNestedLoopJoin — remove the stale entry so the "
+            f"blanket guard applies again"
         )

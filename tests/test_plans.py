@@ -539,15 +539,15 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "weighted_sample": {"AdaptiveSparkPlan": 1, "Exchange": 1,
                         "FileScan": 1, "Filter": 1, "Project": 2,
                         "TakeOrderedAndProject": 1},
-    # round-9 addition: 2 per-table bucket equi-joins (broadcast at
-    # fixture scale) unioned + the pair-dedup agg — embedding_neardup's
-    # shape per table; never a cartesian
-    "embedding_neardup_banded": {"AdaptiveSparkPlan": 1,
-                                 "BroadcastExchange": 2,
-                                 "BroadcastHashJoin": 2, "Exchange": 9,
-                                 "FileScan": 8, "Filter": 8,
-                                 "HashAggregate": 2, "Project": 18,
-                                 "Union": 5},
+    # round-9 addition, hardened r10: the prepared base persists across
+    # the per-table branches and candidates dedup BEFORE the exact
+    # verify, so the operator is now EAGER (persist + count, the capped
+    # cosine-path lifecycle) and its printed plan is an executed-AQE
+    # string — SUBSET pin on the no-cartesian invariant (the
+    # semantic_dedup precedent; nested cached-plan printing makes
+    # Union/InMemoryRelation counts AQE bookkeeping, not algebra)
+    "embedding_neardup_banded": {"CartesianProduct": 0,
+                                 "BroadcastNestedLoopJoin": 0},
     # round-9 addition: native hopping window — the tumbling agg's
     # plan plus exactly one row-local Expand (the 4 slot assignments)
     "events_sliding": {"AdaptiveSparkPlan": 1, "Exchange": 1,
@@ -627,7 +627,8 @@ def test_twin_fingerprint_table_covers_every_twin():
 SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
                  "part_rank_fusion", "mv_report_text",
                  "minhash_calibration", "similar_parts",
-                 "semantic_leakage", "semantic_dedup"}
+                 "semantic_leakage", "semantic_dedup",
+                 "embedding_neardup_banded"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))
