@@ -830,6 +830,7 @@ def pq_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011): coarse inverted lists prune the
     candidate set, PRODUCT-QUANTIZED codes score it — the memory-scale
@@ -855,24 +856,29 @@ def pq_ivf_topk(
     by its codeword); ``ann_recall``-style audits quantify it the same
     way they do for the other ANN paths.
 
-    Coarse build: ``n_centroids`` lowest-id corpus vectors (the
-    ``ivf_topk`` deterministic seedless convention); pass a
-    ``train_kmeans`` artifact through ``ivf_topk`` when a trained coarse
-    quantizer is wanted — the PQ layer is independent of that choice.
+    Coarse build: ``coarse`` (a ``train_kmeans`` artifact, cid = list
+    index — the production configuration: the scale study notes corpus
+    growth grows ``n_centroids``, and trained centroids keep inverted
+    lists balanced where lowest-id seeds can't) when given; otherwise
+    the ``n_centroids`` lowest-id corpus vectors (the ``ivf_topk``
+    deterministic seedless convention).  The PQ layer is independent of
+    that choice.
     """
     m = len(codebooks)
     sub = dim // m
-    rows = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cqv")
+    if coarse is None:
+        rows = (
+            corpus.orderBy(F.col(id_col))
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cid"), _quant(F.col(vec_col)).alias("cqv")
+            )
+            .collect()
         )
-        .collect()
-    )
-    cent_lits = _centroid_lits_pairs(
-        [(int(r["cid"]), [int(x) for x in r["cqv"]]) for r in rows]
-    )
+        pairs = [(int(r["cid"]), [int(x) for x in r["cqv"]]) for r in rows]
+    else:
+        pairs = list(enumerate(coarse))
+    cent_lits = _centroid_lits_pairs(pairs)
     book_lits = [_pq_book_lits(b) for b in codebooks]
 
     def cent_sims(prefix: str) -> Column:

@@ -120,13 +120,23 @@ class TestRegistryOrderingContract:
         # so both signature families share one window rep
         "minhash-lsh-simhash": "neardup_minhash",
         "components": "dedup_clusters",
-        "dedup-apply": "dedup_apply",
+        # r10 merge: dedup_apply demoted for orders_bloom_prune — apply
+        # is a pure composition (the ann_recall doctrine): the identical
+        # checkpointed components loop (dedup_clusters, in-window) + the
+        # keep-best argmax + anti-join materialization (the
+        # dedup_keep_best / lapsed_customers shapes)
+        "dedup-apply": "dedup_clusters",
         "span-dedup": "span_dedup",
         "decontamination": "contamination_ngram",
         "snapshot-diff": "corpus_diff",
         "key-skew": "key_skew",
         "nbayes": "nb_classify",
-        "ann-bucketed": "ann_ivf_topk",
+        # r10 merge: ann_ivf_topk demoted for events_sliding — the IVF
+        # coarse-probe equi-join + _ranked WindowGroupLimit cut is
+        # pq_topk's candidate generator verbatim (pq adds only map-side
+        # code/ADC projections), so both bucketed-ANN shapes share the
+        # compressed-domain rep
+        "ann-bucketed": "pq_topk",
         "embedding-neardup": "embedding_neardup",
         "kmeans": "kmeans_clusters",
         # r9 merge: semantic_dedup demoted for pq_topk — its trained
@@ -169,6 +179,12 @@ class TestRegistryOrderingContract:
         "zorder-layout": "zorder_layout",
         # round-9 family: product-quantized compressed-domain ANN
         "pq-ann": "pq_topk",
+        # round-10 promotion (r9 verdict item #6): native hopping
+        # window — Expand below the agg is a distinct physical shape
+        "hopping-window": "events_sliding",
+        # round-10 family: deterministic Bloom semi-join reduction —
+        # bitmap build + map-side bit-test pruning below an exact join
+        "bloom-semijoin": "orders_bloom_prune",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -181,7 +197,7 @@ class TestRegistryOrderingContract:
         "mv_repair_deletes": "mv_repair_upserts",  # r8 wave 4: apply demoted; same prepared repair frame
         "purchase_context": "sessions_in_maintenance",
         "neardup_minhash_capped": "neardup_minhash",
-        "ann_lsh_topk": "ann_ivf_topk",
+        "ann_lsh_topk": "pq_topk",  # r10: ann_ivf_topk demoted; bucket-prune + rerank rides the compressed-domain rep
         "events_latest_stream": "events_hourly_stream",  # r8 wave 4: dedup_exact_stream demoted; same stateful-agg shape
         "sessions_stream": "event_sessions",
         "multimodal_features": "multimodal_decode",
@@ -214,10 +230,10 @@ class TestRegistryOrderingContract:
         "bpe_merges": "collocations",  # r8 wave 4: heavy_hitters demoted; same adjacent-pair count + TakeOrdered shape
         "index_upsert": "corpus_diff",
         "nb_stream": "nb_classify",
-        "ann_recall": "ann_ivf_topk",
+        "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):
         "multimodal_meta": "multimodal_decode",
-        "ann_cosine_topk": "ann_ivf_topk",
+        "ann_cosine_topk": "pq_topk",  # r10: ann_ivf_topk demoted; the _ranked top-k cut rides the pq rep
         "distinct_docs_kmv": "posting_lists",  # r8 wave 4: heavy_hitters demoted; same token-agg family
         "top_revenue_orders": "pricing_summary",
         "part_rank_fusion": "part_pagerank",
@@ -262,12 +278,24 @@ class TestRegistryOrderingContract:
         # round-9 addition: composition of checked pipelines (the
         # ann_recall doctrine)
         "pq_recall": "pq_topk",
-        # round-9 addition: the same native F.window agg as the
-        # streaming rep, with a row-local 4-slot Expand below it
-        "events_sliding": "events_hourly_stream",
-        # round-9 addition: the streaming formulation (same JVM-state
-        # windowed-agg shape; oracle shared with events_sliding)
-        "events_sliding_stream": "events_hourly_stream",
+        # round-9 addition, retargeted r10 (events_sliding promoted):
+        # the streaming formulation of the identical hopping-window agg
+        # (same JVM-state windowed-agg shape; oracle shared verbatim)
+        "events_sliding_stream": "events_sliding",
+        # demoted in the round-10 rotation (driver-green r1-r9), making
+        # room for events_sliding's promotion: the coarse-probe
+        # equi-join + _ranked cut is pq_topk's candidate generator
+        # verbatim
+        "ann_ivf_topk": "pq_topk",
+        # round-10 addition: the production IVF-PQ configuration — the
+        # identical pq pipeline with the coarse layer swapped to the
+        # trained (kmeans_clusters-verbatim) centroid artifact
+        "pq_topk_trained": "pq_topk",
+        # demoted in the round-10 rotation (driver-green r1-r9), making
+        # room for orders_bloom_prune's promotion: apply is the
+        # checkpointed components loop (its twin) + the keep-best
+        # argmax + anti-join materialization — the composition doctrine
+        "dedup_apply": "dedup_clusters",
     }
 
     def test_every_family_within_driver_window(self):

@@ -3392,6 +3392,45 @@ def test_zorder_normalization_endpoints_exact(spark):
     assert 0 <= got[1] <= 255
 
 
+def test_bloom_semijoin_no_false_negatives_and_fp_rate(spark):
+    """The Bloom reduction's load-bearing properties: (a) NO false
+    negatives — every fact row whose key IS in the dim survives the
+    prune (this is what makes bloom-prune + exact join semantically
+    identical to the plain join); (b) the false-positive rate on
+    non-member keys tracks the (1-e^(-kn/m))^k design prediction;
+    (c) the prune is a map-side Filter — no join, no shuffle, no UDF
+    in its plan."""
+    import math
+
+    from mvrepair.operators.sketch import bloom_semijoin
+
+    m_bits, k_hashes = 1024, 4
+    dim = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    fact = spark.createDataFrame(
+        [(i, i % 7) for i in range(4000)], ["k", "v"]
+    )
+    pruned = bloom_semijoin(fact, "k", dim, "k", m_bits, k_hashes)
+    kept = {r["k"] for r in pruned.collect()}
+    members = set(range(100))
+    assert members <= kept  # (a) zero false negatives, exhaustively
+    fp = len(kept - members) / (4000 - 100)
+    predicted = (1 - math.exp(-k_hashes * 100 / m_bits)) ** k_hashes
+    assert fp <= 3 * predicted + 0.01, (fp, predicted)  # (b)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    for node in ("Join", "Exchange", "BatchEvalPython"):  # (c)
+        assert node not in plan, plan
+
+
+def test_bloom_build_rejects_bad_width(spark):
+    from mvrepair.operators.sketch import bloom_build
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1,)], ["k"])
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(df, "k", m_bits=100)
+
+
 def test_banded_neardup_superset_and_table0_identity(spark):
     """Banding is OR-amplification: the n_tables=2 pair set contains the
     single-table set (superset), and n_tables=1 is bit-identical to

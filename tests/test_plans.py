@@ -548,14 +548,35 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # Union/InMemoryRelation counts AQE bookkeeping, not algebra)
     "embedding_neardup_banded": {"CartesianProduct": 0,
                                  "BroadcastNestedLoopJoin": 0},
-    # round-9 addition: native hopping window — the tumbling agg's
-    # plan plus exactly one row-local Expand (the 4 slot assignments)
-    "events_sliding": {"AdaptiveSparkPlan": 1, "Exchange": 1,
-                       "Expand": 1, "FileScan": 1, "Filter": 1,
-                       "HashAggregate": 2, "Project": 1},
     # round-9 addition: streaming hopping window — like the other
     # streaming twins the returned frame is a drained memory sink
+    # (batch twin events_sliding promoted r10)
     "events_sliding_stream": {"LocalTableScan": 1},
+    # demoted in the round-10 rotation for events_sliding's promotion
+    # (driver-green r1-r9): the coarse-probe equi-join (broadcast at
+    # fixture scale) + exact rerank + _ranked WindowGroupLimit cut —
+    # pq_topk's candidate generator verbatim
+    "ann_ivf_topk": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                     "BroadcastHashJoin": 1, "Exchange": 3,
+                     "FileScan": 2, "Filter": 3, "Generate": 1,
+                     "Project": 7, "Sort": 2, "Window": 1,
+                     "WindowGroupLimit": 2},
+    # round-10 addition: trained-coarse IVF-PQ — the identical pq
+    # pipeline (one extra map-side Project for the trained-centroid
+    # scoring literal), twin pq_topk
+    "pq_topk_trained": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                        "BroadcastHashJoin": 1, "Exchange": 3,
+                        "FileScan": 2, "Filter": 3, "Generate": 1,
+                        "Project": 8, "Sort": 2, "Window": 1,
+                        "WindowGroupLimit": 2},
+    # demoted in the round-10 rotation for orders_bloom_prune's
+    # promotion (driver-green r1-r9): EAGER operator (the components
+    # loop localCheckpoints), so the printed plan is an executed-AQE
+    # string — SUBSET pin on the no-cartesian invariant, the
+    # semantic_dedup precedent; its components loop is the in-window
+    # dedup_clusters verbatim
+    "dedup_apply": {"CartesianProduct": 0,
+                    "BroadcastNestedLoopJoin": 0},
     # round-9 addition: brute top-k (the one LABELED BNLJ, BNLJ_ALLOWED)
     # + the pq rank pipeline + one id-keyed hit join — ann_recall's
     # composition shape over the pq path
@@ -628,7 +649,7 @@ SUBSET_PINNED = {"neardup_minhash_capped", "part_triangles",
                  "part_rank_fusion", "mv_report_text",
                  "minhash_calibration", "similar_parts",
                  "semantic_leakage", "semantic_dedup",
-                 "embedding_neardup_banded"}
+                 "embedding_neardup_banded", "dedup_apply"}
 
 
 @pytest.mark.parametrize("name", sorted(TWIN_PLAN_FINGERPRINTS))

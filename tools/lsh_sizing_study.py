@@ -21,6 +21,13 @@ BY THE RULE per cell — never hand-picked — measuring
 - max/mean bucket occupancy — the mechanism (the rule exists to hold
   occupancy constant as N grows).
 
+Round 10 (r9 verdict #1) adds the PRODUCTION-CONFIG cells the r9 table
+lacked: per factor, recall + wall of the full production stack —
+rule planes + ``max_bucket=128`` cap + 3-table banding
+(``cosine_neardup_pairs_banded``) — alongside the same-config
+single-table capped cells, so the recall the banding buys BACK from
+the cap/planes is measured at every scale, not just argued.
+
 Usage: python tools/lsh_sizing_study.py [sf_dir] [factors...]
 Prints one JSON line; PERF.md records the table.
 """
@@ -39,6 +46,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TARGET_BUCKET = 16
 THRESHOLD = 0.9
 DIM = 64
+# the production configuration (PERF.md r9: "production sizing is
+# therefore rule + cap"; banding is the recall lever on top)
+PROD_CAP = 128
+PROD_TABLES = 3
 
 
 def planes_by_rule(n_vectors: int) -> int:
@@ -214,12 +225,48 @@ def main() -> None:
             cell["true_basis"] = "k x 1x brute (3x verified zero cross-copy)"
         if "true" in cell and cell["true"]:
             cell["recall"] = round(cell["found"] / cell["true"], 4)
+        # production-config cells: same rule planes, cap, single-table
+        # vs 3-table banded — both operators are EAGER on these paths
+        # (persist + count inside), so the timed call includes
+        # materialization; unpersist releases the caller-owned frame
+        t0 = time.monotonic()
+        scap = S.cosine_neardup_pairs(
+            df, dim=DIM, threshold=THRESHOLD, n_planes=planes,
+            max_bucket=PROD_CAP,
+        )
+        sfound = scap.count()
+        swall = round(time.monotonic() - t0, 2)
+        scap.unpersist()
+        t0 = time.monotonic()
+        banded = S.cosine_neardup_pairs_banded(
+            df, dim=DIM, threshold=THRESHOLD, n_tables=PROD_TABLES,
+            n_planes=planes, max_bucket=PROD_CAP,
+        )
+        bfound = banded.count()
+        bwall = round(time.monotonic() - t0, 2)
+        banded.unpersist()
+        cell["capped_1table"] = {"found": sfound, "wall_s": swall}
+        cell["capped_banded"] = {
+            "found": bfound, "wall_s": bwall, "n_tables": PROD_TABLES,
+            "max_bucket": PROD_CAP,
+        }
+        if "true" in cell and cell["true"]:
+            cell["capped_1table"]["recall"] = round(sfound / cell["true"], 4)
+            cell["capped_banded"]["recall"] = round(bfound / cell["true"], 4)
         res[str(k)] = cell
         print(k, cell, file=sys.stderr)
 
     lo, hi = str(factors[-2]), str(factors[-1])
     res["wall_exponent"] = round(
         math.log(res[hi]["wall_s"] / res[lo]["wall_s"])
+        / math.log(factors[-1] / factors[-2]),
+        2,
+    )
+    res["banded_wall_exponent"] = round(
+        math.log(
+            res[hi]["capped_banded"]["wall_s"]
+            / res[lo]["capped_banded"]["wall_s"]
+        )
         / math.log(factors[-1] / factors[-2]),
         2,
     )

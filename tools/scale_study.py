@@ -432,6 +432,85 @@ def main() -> None:
             n_centroids=16, n_probe=4,
         )
 
+    def _pq_trained_op(df):
+        from mvrepair.operators.similarity import (
+            pq_ivf_topk,
+            pq_train,
+            train_kmeans,
+        )
+
+        books = pq_train(df, dim=64, m=4, k=16, iters=3)
+        coarse = train_kmeans(df, k=16, iters=3)
+        queries = df.filter(
+            (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10_000_000)
+        )
+        return pq_ivf_topk(
+            df, queries, dim=64, codebooks=books, k=5,
+            n_centroids=16, n_probe=4, coarse=coarse,
+        )
+
+    def _zwrite_op(df):
+        # writer + readback: repartitionByRange on the Morton key, write
+        # parquet, then the per-file min-max stats frame — the timed
+        # cell covers the real write path end to end
+        from mvrepair.operators.layout import layout_file_stats, zorder_write
+
+        path = "/tmp/mvrepair_scale_zwrite.parquet"
+        zorder_write(
+            df.select("l_partkey", "l_suppkey"),
+            path,
+            ["l_partkey", "l_suppkey"],
+            bits=8,
+            n_files=64,
+        )
+        return layout_file_stats(
+            df.sparkSession, path, ["l_partkey", "l_suppkey"]
+        )
+
+    def _bloom_op(df):
+        from mvrepair.operators.sketch import bloom_semijoin
+
+        cust = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        pruned = bloom_semijoin(
+            df, "o_custkey", cust, "c_custkey", m_bits=8192, k_hashes=4
+        )
+        return (
+            pruned.join(cust, pruned["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_totalprice"),
+            )
+        )
+
+    def _nobloom_op(df):
+        # control row for orders_bloom_prune: the identical join + agg
+        # WITHOUT the bitmap prune — at fixture scale the dim broadcasts,
+        # so this prices what the bloom's k md5 tests cost when there is
+        # no shuffle to save (the bloom's domain is the
+        # non-broadcastable dim)
+        cust = (
+            load_table(spark, sf_dir, "customer")
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+        )
+        return (
+            df.join(cust, df["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_totalprice"),
+            )
+        )
+
     def _sliding_op(df):
         return (
             df.groupBy(
@@ -793,6 +872,19 @@ def main() -> None:
         # measured to keep the claim honest
         "zorder_layout(li)": ("li", _zorder_op),
         "pq_topk(embroll)": ("embroll", _pq_op),
+        # round 10: trained coarse quantizer — same pipeline + one more
+        # driver-looped kmeans chain over the full-dim corpus
+        "pq_topk_trained(embroll)": ("embroll", _pq_trained_op),
+        # round 10: the Z-order WRITER (range exchange + sort + parquet
+        # write + per-file stats readback) — the report's 0.60 exponent
+        # covered only the map-side report
+        "zorder_write(li)": ("li", _zwrite_op),
+        # round 10: bloom semi-join reduction — fact copies grow k x
+        # (shifted order keys, SAME custkeys) against a FIXED dim, so
+        # the bitmap build is constant and the measured cell is the
+        # map-side prune + exact join at constant selectivity
+        "orders_bloom_prune(ord)": ("ord", _bloom_op),
+        "orders_join_nobloom(ord)": ("ord", _nobloom_op),
         "events_sliding(ev)": ("ev", _sliding_op),
         "weighted_sample(docs)": (False, _wsample_op),
         # note: 2 tables, NO cap — the study corpus is disjoint-rolled so
@@ -853,6 +945,10 @@ def main() -> None:
             )
         if kind == "ev":
             return inflate_generic("events", "user_id", k)
+        if kind == "ord":
+            # k x fact rows, custkeys UNSHIFTED: constant join
+            # selectivity against the fixed customer dim
+            return inflate_generic("orders", "o_orderkey", k)
         if kind == "pt":
             return inflate_generic("part", "p_partkey", k)
         if kind == "embroll":
