@@ -817,6 +817,103 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY o_orderpriority"""
 
 
+def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom bitmap's OWN audit, value-checked cross-engine: one
+    row counting the fact scan, the rows the bitmap keeps, the true
+    members, and the false positives — with a DuckDB oracle that
+    REPLAYS the bitmap from scratch (same salted-md5 positions, same
+    bit_or word fold, same mask test), so the filter algebra itself is
+    hash-checked, not just the exactness-preserving end result
+    (orders_bloom_prune checks that; this pins the pruning layer the
+    way minhash_calibration pins the LSH layer).  Zero false negatives
+    is structural — kept ⊇ members — and the checked counts prove it:
+    n_kept = n_members + n_false_pos."""
+    from mvrepair.operators.sketch import bloom_build, bloom_might_contain
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    words = bloom_build(cust, "c_custkey", BLOOM_M_BITS, BLOOM_K_HASHES)
+    kept = bloom_might_contain(
+        F.col("o_custkey"), words, BLOOM_M_BITS, BLOOM_K_HASHES
+    )
+    member = F.col("c_custkey").isNotNull()
+    one = F.lit(1).cast("long")
+    return (
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "left"
+        )
+        .select(kept.alias("__kept"), member.alias("__member"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fact"),
+            F.sum(F.when(F.col("__kept"), one).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("__member"), one).otherwise(0)).alias(
+                "n_members"
+            ),
+            F.sum(
+                F.when(F.col("__kept") & ~F.col("__member"), one).otherwise(0)
+            ).alias("n_false_pos"),
+        )
+    )
+
+
+def _oracle_bloom_prune_stats() -> str:
+    m, k = BLOOM_M_BITS, BLOOM_K_HASHES
+
+    def pos(key: str, salt: str) -> str:
+        # the Spark side renders concat(cast(key as string), '#b<i>');
+        # 15 hex md5 digits parsed base-16 is the repo hash convention
+        return (
+            f"(CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || '#b' "
+            f"|| {salt}), 1, 15) AS BIGINT) % {m})"
+        )
+
+    # the k membership tests, each fully parenthesized (the zorder <<
+    # lesson); pow2 is the signed-int64 mask list (bit 63 = sign bit)
+    tests = " AND ".join(
+        f"((wl[(({pos('f.o_custkey', str(i))}) // 64) + 1]"
+        f" & pl[(({pos('f.o_custkey', str(i))}) % 64) + 1]) <> 0)"
+        for i in range(k)
+    )
+    h = pos("c_custkey", "i")
+    return f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+pow2 AS (
+  SELECT list(CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                   ELSE (CAST(1 AS BIGINT) << b) END ORDER BY b) AS pl
+  FROM (SELECT unnest(range(64)) AS b)
+),
+pos AS (
+  SELECT DISTINCT {h} AS p
+  FROM dim, (SELECT unnest(range({k})) AS i)
+),
+wordsparse AS (
+  SELECT p // 64 AS w, bit_or(pl[(p % 64) + 1]) AS word
+  FROM pos, pow2 GROUP BY p // 64, pl
+),
+words AS (
+  SELECT list(coalesce(word, 0) ORDER BY s.w) AS wl
+  FROM (SELECT unnest(range({m // 64})) AS w) s
+  LEFT JOIN wordsparse ON s.w = wordsparse.w
+),
+fact AS (
+  SELECT (c.c_custkey IS NOT NULL) AS member, ({tests}) AS kept
+  FROM (SELECT o_custkey FROM orders) f
+  LEFT JOIN dim c ON f.o_custkey = c.c_custkey, words, pow2
+)
+SELECT count(*) AS n_fact,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+  CAST(sum(CASE WHEN kept AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos
+FROM fact"""
+
+
 # ---------------------------------------------------------------------------
 # text-analysis family
 # ---------------------------------------------------------------------------
@@ -5143,6 +5240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted in the round-10 rotation (driver-green r1-r9), making
         # room for orders_bloom_prune's promotion:
         "dedup_apply": q_dedup_apply,  # twin: dedup_clusters (the identical checkpointed components loop is its first stage; the keep-best argmax + anti-join materialization on top are the dedup_keep_best/lapsed_customers shapes — the composition doctrine) — driver-green r1-r9
+        # round-10 addition: the bitmap's own audit — the oracle
+        # REPLAYS the bloom from scratch (salted-md5 positions, bit_or
+        # word fold, mask test), the minhash_calibration doctrine
+        "bloom_prune_stats": q_bloom_prune_stats,  # twin: orders_bloom_prune (the identical build + map-side membership test, counted instead of joined-through)
     }
 
 
@@ -5183,6 +5284,7 @@ def oracle_sql() -> dict[str, str]:
         "lapsed_customers": _ORACLE_LAPSED,
         "retained_customers": _ORACLE_RETAINED,
         "orders_bloom_prune": _ORACLE_BLOOM_PRUNE,
+        "bloom_prune_stats": _oracle_bloom_prune_stats(),
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "lang_scores": _oracle_lang_scores(),

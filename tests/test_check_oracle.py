@@ -296,6 +296,9 @@ class TestRegistryOrderingContract:
         # checkpointed components loop (its twin) + the keep-best
         # argmax + anti-join materialization — the composition doctrine
         "dedup_apply": "dedup_clusters",
+        # round-10 addition: the bitmap's own audit (oracle replays the
+        # bloom from scratch) — the identical build + membership test
+        "bloom_prune_stats": "orders_bloom_prune",
     }
 
     def test_every_family_within_driver_window(self):

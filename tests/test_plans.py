@@ -577,6 +577,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # dedup_clusters verbatim
     "dedup_apply": {"CartesianProduct": 0,
                     "BroadcastNestedLoopJoin": 0},
+    # round-10 addition: the bitmap audit — the same map-side
+    # membership projection as its twin, counted through one broadcast
+    # left join + a single one-row aggregate (the bloom build's two
+    # bounded jobs run before the returned plan, like train_kmeans)
+    "bloom_prune_stats": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1,
+                          "BroadcastHashJoin": 1, "Exchange": 1,
+                          "FileScan": 2, "Filter": 1,
+                          "HashAggregate": 2, "Project": 2},
     # round-9 addition: brute top-k (the one LABELED BNLJ, BNLJ_ALLOWED)
     # + the pq rank pipeline + one id-keyed hit join — ann_recall's
     # composition shape over the pq path
