@@ -764,7 +764,11 @@ INTERSECT
 SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001"""
 
 
-BLOOM_M_BITS, BLOOM_K_HASHES = 8192, 4
+# m sized by the bloom rule m ≈ 8·n for the sf0.1 bench corpus's ~3k
+# qualifying keys (4 KB bitmap), FIXED rather than auto-sized so the
+# bloom_prune_stats oracle replays the identical bitmap at every sf
+# (at smaller sf it is merely over-sized: FP → 0, still hash-checked)
+BLOOM_M_BITS, BLOOM_K_HASHES = 32768, 4
 
 
 def q_orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:

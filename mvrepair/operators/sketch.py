@@ -158,7 +158,7 @@ def bloom_semijoin(
     fact_key: str,
     dim: DataFrame,
     dim_key: str,
-    m_bits: int = 8192,
+    m_bits: int | None = None,
     k_hashes: int = 4,
 ) -> DataFrame:
     """Prune ``fact`` to rows whose key MIGHT be in ``dim``'s key set
@@ -167,7 +167,22 @@ def bloom_semijoin(
     exactly — the join's semantics are unchanged, its input is a
     fraction of the scan.  At 100 TB this is the shuffle you don't pay:
     the bitmap is m/8 bytes regardless of dim row width, so it applies
-    precisely where broadcast-hash-join can't."""
+    precisely where broadcast-hash-join can't.
+
+    SIZING matters twice, not once (measured at sf0.1): an undersized
+    bitmap (n >> m/8) doesn't just leak false positives through to the
+    exact join — it makes the PRUNE itself slower, because each of the
+    k tests passes with probability ≈ the fraction of set bits, so the
+    short-circuiting AND stops rejecting early (at 77% bits set the
+    average row pays ~4 hashes instead of ~1.6 and 35% of non-members
+    leak).  ``m_bits=None`` (default) applies the rule
+    m = next_pow2(8·n) floored at 512 — one count() over the dim, the
+    same bounded pre-pass the build's position collect already is."""
+    if m_bits is None:
+        n = dim.count()
+        m_bits = 512
+        while m_bits < 8 * max(1, n):
+            m_bits *= 2
     words = bloom_build(dim, dim_key, m_bits, k_hashes)
     return fact.filter(
         bloom_might_contain(F.col(fact_key), words, m_bits, k_hashes)

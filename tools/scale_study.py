@@ -476,7 +476,7 @@ def main() -> None:
             .select("c_custkey")
         )
         pruned = bloom_semijoin(
-            df, "o_custkey", cust, "c_custkey", m_bits=8192, k_hashes=4
+            df, "o_custkey", cust, "c_custkey", m_bits=None, k_hashes=4
         )
         return (
             pruned.join(cust, pruned["o_custkey"] == cust["c_custkey"])
