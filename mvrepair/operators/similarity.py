@@ -1089,12 +1089,16 @@ def cosine_neardup_pairs_banded(
     cand = branches[0]
     for br in branches[1:]:
         cand = cand.unionByName(br)
+    if n_tables > 1:
+        # a pair can collide in several tables; within ONE table each
+        # row has exactly one bucket, so single-table pairs are already
+        # unique and the dedup exchange would be pure waste there
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     sim = _dot(F.col("__qv_a"), F.col("__qv_b")).cast("double") / (
         F.col("__norm_a") * F.col("__norm_b")
     )
     out = (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .withColumn("__sim", sim)
+        cand.withColumn("__sim", sim)
         .filter(F.col("__sim") >= threshold)
         .select(
             "id_a",
