@@ -769,6 +769,11 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2001"""
 # bloom_prune_stats oracle replays the identical bitmap at every sf
 # (at smaller sf it is merely over-sized: FP → 0, still hash-checked)
 BLOOM_M_BITS, BLOOM_K_HASHES = 32768, 4
+# the AUDIT runs a deliberately TIGHT bitmap (m ≈ 7·n at the sf0.01
+# correctness gate: ~4% FP ≈ dozens of rows) so the false-positive SET
+# the oracle replays is non-empty at the checked scale — a right-sized
+# bitmap would hash-check the FP branch only vacuously
+BLOOM_AUDIT_M_BITS = 2048
 
 
 def q_orders_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,9 +845,11 @@ def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    words = bloom_build(cust, "c_custkey", BLOOM_M_BITS, BLOOM_K_HASHES)
+    words = bloom_build(
+        cust, "c_custkey", BLOOM_AUDIT_M_BITS, BLOOM_K_HASHES
+    )
     kept = bloom_might_contain(
-        F.col("o_custkey"), words, BLOOM_M_BITS, BLOOM_K_HASHES
+        F.col("o_custkey"), words, BLOOM_AUDIT_M_BITS, BLOOM_K_HASHES
     )
     member = F.col("c_custkey").isNotNull()
     one = F.lit(1).cast("long")
@@ -865,7 +872,7 @@ def q_bloom_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_bloom_prune_stats() -> str:
-    m, k = BLOOM_M_BITS, BLOOM_K_HASHES
+    m, k = BLOOM_AUDIT_M_BITS, BLOOM_K_HASHES
 
     def pos(key: str, salt: str) -> str:
         # the Spark side renders concat(cast(key as string), '#b<i>');
