@@ -1083,6 +1083,98 @@ FROM ({ladder}) WHERE w > 0
 ORDER BY priority DESC, doc_id LIMIT {WSAMPLE_N}"""
 
 
+WSAMPLE_PER_SOURCE = 20
+
+
+def q_weighted_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement: the identical
+    A-ES priority key of weighted_sample ranked WITHIN each source —
+    "best-20 docs per source by token weight, reproducibly" (per-source
+    caps are how corpus mixes are specced; a global top-n lets one
+    giant source crowd out the rest).  One map-side projection + ONE
+    source-keyed exchange under a rank window Spark executes as
+    WindowGroupLimit (per-partition top-n BEFORE the shuffle — the
+    posting_lists shape).  See sampling.weighted_sample_per_group."""
+    from mvrepair.operators.sampling import weighted_sample_per_group
+    from mvrepair.operators.text import tokenize
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    return weighted_sample_per_group(
+        d,
+        n_per_group=WSAMPLE_PER_SOURCE,
+        weight=F.size(tokenize(F.col("text"))),
+        group_col="source",
+    )
+
+
+def _oracle_weighted_sample_by_source() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    m = 1 << 31
+    inner = f"""
+SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS w,
+  ((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+    % {m}) + 1) / CAST({m} AS DOUBLE) AS u
+FROM documents"""
+    ladder = micro_log2_sql(
+        inner, "u", keep=["doc_id", "source", "w"], out="l2"
+    )
+    return f"""
+SELECT source, doc_id, weight, priority, rank::INTEGER AS rank FROM (
+  SELECT source, doc_id, w AS weight, priority,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY priority DESC, doc_id) AS rank
+  FROM (
+    SELECT source, doc_id, w,
+      CAST((l2 * 1000000 - (l2 * 1000000) % w) / w AS BIGINT) AS priority
+    FROM ({ladder}) WHERE w > 0)
+) WHERE rank <= {WSAMPLE_PER_SOURCE}"""
+
+
+def q_source_vocab_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE KMV vocabulary sketches — distinct-token estimates per
+    corpus source in one pass, the profile a mix designer reads before
+    weighting sources (grouped form of distinct_docs_kmv; same
+    deterministic md5 bottom-k estimator, per-group rank window with
+    WindowGroupLimit pre-shuffle cut).  See sketch.kmv_distinct_by."""
+    from mvrepair.operators.sketch import kmv_distinct_by
+    from mvrepair.operators.text import tokenize
+
+    d = _spread(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
+    toks = d.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    return kmv_distinct_by(toks, "source", "tok", k=64)
+
+
+_ORACLE_SOURCE_VOCAB_KMV = """
+WITH t AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT DISTINCT source,
+    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+  FROM t WHERE tok IS NOT NULL
+),
+b AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+)
+SELECT source, 64::INTEGER AS k, count(*)::BIGINT AS n_seen,
+  max(h)::BIGINT AS kth_min,
+  CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+       ELSE 63.0 * 1152921504606846976.0 / CAST(max(h) AS DOUBLE)
+  END AS est_distinct
+FROM b WHERE rn <= 64 GROUP BY source"""
+
+
 def q_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination check on the duplicated corpus: eval docs
     whose exact text also appears (under another doc_id) in train."""
@@ -5255,6 +5347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # REPLAYS the bloom from scratch (salted-md5 positions, bit_or
         # word fold, mask test), the minhash_calibration doctrine
         "bloom_prune_stats": q_bloom_prune_stats,  # twin: orders_bloom_prune (the identical build + map-side membership test, counted instead of joined-through)
+        # round-10 additions (twin doctrine): grouped forms of checked
+        # per-corpus operators — same projection algebra under one
+        # group-keyed rank window (the posting_lists WindowGroupLimit
+        # shape)
+        "weighted_sample_by_source": q_weighted_sample_by_source,  # twin: posting_lists (rank-window cap) + weighted_sample (the identical A-ES priority projection, local gate)
+        "source_vocab_kmv": q_source_vocab_kmv,  # twin: posting_lists (token explode -> group-keyed rank window cap; the estimator algebra is the distinct_docs_kmv row, local gate)
     }
 
 
@@ -5296,6 +5394,8 @@ def oracle_sql() -> dict[str, str]:
         "retained_customers": _ORACLE_RETAINED,
         "orders_bloom_prune": _ORACLE_BLOOM_PRUNE,
         "bloom_prune_stats": _oracle_bloom_prune_stats(),
+        "weighted_sample_by_source": _oracle_weighted_sample_by_source(),
+        "source_vocab_kmv": _ORACLE_SOURCE_VOCAB_KMV,
         "text_stats": _ORACLE_TEXT_STATS,
         "text_quality": _ORACLE_TEXT_QUALITY,
         "lang_scores": _oracle_lang_scores(),

@@ -243,35 +243,6 @@ def layout_file_stats(spark, path: str, dims: list[str]) -> DataFrame:
     )
 
 
-def bucketed_write(
-    df: DataFrame,
-    table: str,
-    key_col: str,
-    n_buckets: int,
-    sort_col: str | None = None,
-) -> None:
-    """Hive-style BUCKETED table write — the co-location lever for
-    repeated large-x-large joins: both sides written with the same
-    bucket count on the join key hash-partition identically on disk, so
-    a later equi-join on that key plans with ZERO Exchange (each task
-    reads bucket i of both sides; with ``sort_col`` = the key the
-    per-bucket sort is on disk too and the SortMergeJoin needs no Sort
-    either).  At 100 TB this converts every recurring fact-fact join
-    from two corpus-sized shuffles into a metadata decision made once
-    at write time — the same trade Z-order makes for scans, made here
-    for joins.  Spark's native ``bucketBy`` (Hive bucketing spec);
-    pinned by test: the bucketed join's physical plan contains no
-    Exchange and its result equals the plain join's.
-
-    (``saveAsTable`` is required — bucket metadata lives in the
-    catalog, not the parquet footers; plain ``.parquet(path)`` writes
-    cannot carry it.)"""
-    w = df.write.bucketBy(n_buckets, key_col)
-    if sort_col is not None:
-        w = w.sortBy(sort_col)
-    w.format("parquet").mode("overwrite").saveAsTable(table)
-
-
 def files_skipped(file_stats: list, dim: str, point: int) -> tuple[int, int]:
     """Evaluate a point predicate ``dim = point`` against collected
     per-file statistics (driver-side over the bounded ``n_files`` rows):

@@ -523,3 +523,59 @@ def weighted_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    n_per_group: int,
+    weight: Column,
+    group_col: str,
+    id_col: str = "doc_id",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement: the A-ES
+    priority key of ``weighted_sample`` ranked WITHIN each stratum — the
+    corpus-build mode "best-n documents per source, proportional to
+    weight, reproducible" (a global top-n lets one giant stratum crowd
+    out every small one; per-source caps are how real mixes are specced,
+    cf. the corpus_mix weights).
+
+    Identical exact arithmetic to ``weighted_sample`` (same dyadic u,
+    same micro_log2 ladder, same truncating division, same ties), so a
+    stratum's sample equals what ``weighted_sample`` would pick from
+    that stratum alone — pinned by test.
+
+    Scale shape: the same one map-side projection, then ONE exchange on
+    ``group_col`` under a rank window that Spark executes as
+    WindowGroupLimit (per-partition top-n pushdown BEFORE the shuffle,
+    the posting_lists shape) — never a corpus-wide sort, state bounded
+    by n_per_group per stratum.
+    """
+    from pyspark.sql.window import Window
+
+    from mvrepair.functions.exactlog import micro_log2
+
+    m = 1 << 31
+    pm = stable_hash64(F.col(id_col).cast("string")) % F.lit(m)
+    u = (pm + 1).cast("double") / F.lit(float(m))
+    w = weight.cast("long")
+    ls = micro_log2(u) * F.lit(int(scale))
+    priority = ((ls - ls % w) / w).cast("long")
+    win = Window.partitionBy(group_col).orderBy(
+        F.col("priority").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            F.col(id_col),
+            w.alias("weight"),
+            priority.alias("priority"),
+        )
+        .filter(F.col("weight") > 0)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= n_per_group)
+        .select(
+            group_col, id_col, "weight", "priority",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -60,6 +60,54 @@ def kmv_distinct(
     )
 
 
+def kmv_distinct_by(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-GROUP KMV distinct-count sketches — one row per group with
+    the same estimator as ``kmv_distinct`` (per-source vocabulary /
+    distinct-user counts, the profile a mix designer reads before
+    weighting sources).
+
+    Scale shape: distinct (group, hash) pairs, then ONE exchange on the
+    group under a rank window Spark executes as WindowGroupLimit — the
+    per-partition top-k cut runs BEFORE the shuffle, so at most
+    ``partitions x k`` rows per group move, never the corpus (the
+    grouped form of the bottom-k TakeOrdered; sketches stay mergeable
+    by construction: the union of two groups' bottom-k sets bottom-k's
+    to the merged sketch).
+
+    Output: (group_col, k int, n_seen bigint, kth_min bigint,
+    est_distinct double), one row per group.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 3:
+        raise ValueError("KMV needs k >= 3 (variance is 1/sqrt(k-2))")
+    hashes = (
+        df.select(
+            F.col(group_col),
+            stable_hash64(F.col(col).cast("string")).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    win = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    bottom = hashes.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= k
+    )
+    est: Column = F.when(
+        F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / F.max("h").cast("double")
+    )
+    return bottom.groupBy(group_col).agg(
+        F.lit(k).cast("int").alias("k"),
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("h").alias("kth_min"),
+        est.alias("est_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom semi-join reduction (runtime row-filter, made explicit)
 # ---------------------------------------------------------------------------

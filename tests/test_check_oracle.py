@@ -299,6 +299,12 @@ class TestRegistryOrderingContract:
         # round-10 addition: the bitmap's own audit (oracle replays the
         # bloom from scratch) — the identical build + membership test
         "bloom_prune_stats": "orders_bloom_prune",
+        # round-10 additions: grouped forms — the same projection
+        # algebra under one group-keyed rank window (WindowGroupLimit),
+        # the posting_lists shape; the projection algebras themselves
+        # stay locally gated via weighted_sample / distinct_docs_kmv
+        "weighted_sample_by_source": "posting_lists",
+        "source_vocab_kmv": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

@@ -3354,47 +3354,6 @@ def test_zorder_write_measured_file_skipping(spark, tmp_path):
             )
 
 
-def test_bucketed_write_join_plans_no_exchange(spark):
-    """The bucketing claim, machine-checked: two tables written with
-    the same bucket count on the join key join with ZERO Exchange in
-    the physical plan (each task reads matching buckets of both sides),
-    and the result multiset equals the plain shuffled join's — the
-    write-once-join-free trade a 100 TB pipeline makes for recurring
-    fact-fact joins."""
-    import pyspark.sql.functions as SF
-
-    from mvrepair.operators.layout import bucketed_write
-
-    a = spark.createDataFrame(
-        [(i, i * 10) for i in range(1000)], ["k", "va"]
-    )
-    b = spark.createDataFrame(
-        [(i % 500, i) for i in range(2000)], ["k", "vb"]
-    )
-    bucketed_write(a, "bkt_a", "k", 8, sort_col="k")
-    bucketed_write(b, "bkt_b", "k", 8, sort_col="k")
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        # bucketing is the BIG-side lever: the planner only consults it
-        # for sort-merge joins, so pin SMJ (at real scale neither fact
-        # side broadcasts — this conf is the test's stand-in for size)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
-        joined = ta.join(tb, "k").select("k", "va", "vb")
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan  # the whole point
-        got = {(r["k"], r["va"], r["vb"]) for r in joined.collect()}
-        want = {
-            (r["k"], r["va"], r["vb"])
-            for r in a.join(b, "k").select("k", "va", "vb").collect()
-        }
-        assert got == want
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS bkt_a")
-        spark.sql("DROP TABLE IF EXISTS bkt_b")
-
-
 def test_zorder_validation_errors(spark):
     """bucket_bits outside [0, bits*n_dims] and empty inputs fail
     loudly (Java's shift-mod-64 would otherwise silently diverge from
@@ -3431,6 +3390,68 @@ def test_zorder_normalization_endpoints_exact(spark):
     ]
     assert got[0] == 0 and got[2] == 255
     assert 0 <= got[1] <= 255
+
+
+def test_weighted_sample_per_group_matches_per_stratum_global(spark):
+    """The stratified sampler's defining property: each stratum's
+    sample equals what the GLOBAL A-ES sampler would pick from that
+    stratum alone (identical priority arithmetic, identical ties) —
+    so per-group caps change allocation, never the within-stratum
+    design."""
+    import pyspark.sql.functions as SF
+
+    from mvrepair.operators.sampling import (
+        weighted_sample,
+        weighted_sample_per_group,
+    )
+
+    rows = [
+        (i, ["alpha", "beta", "gamma"][i % 3], (i * 37) % 50 + 1)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+    grouped = weighted_sample_per_group(
+        df, n_per_group=7, weight=SF.col("w"), group_col="source"
+    ).collect()
+    for src in ("alpha", "beta", "gamma"):
+        got = [
+            (r["doc_id"], r["weight"], r["priority"])
+            for r in sorted(
+                (r for r in grouped if r["source"] == src),
+                key=lambda r: r["rank"],
+            )
+        ]
+        want = [
+            (r["doc_id"], r["weight"], r["priority"])
+            for r in weighted_sample(
+                df.filter(SF.col("source") == src),
+                n=7,
+                weight=SF.col("w"),
+            ).collect()
+        ]
+        assert got == want, src
+
+
+def test_kmv_distinct_by_matches_per_group_global(spark):
+    """Per-group KMV rows equal the global kmv_distinct run on each
+    group alone — grouping changes the execution shape (one rank
+    window instead of per-group jobs), never the estimator."""
+    from mvrepair.operators.sketch import kmv_distinct, kmv_distinct_by
+
+    rows = [
+        (f"g{i % 2}", f"tok{(i * 7) % 40}" if i % 2 else f"t{i % 90}")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    by = {r["g"]: r for r in kmv_distinct_by(df, "g", "v", k=16).collect()}
+    import pyspark.sql.functions as SF
+
+    for g in ("g0", "g1"):
+        solo = kmv_distinct(df.filter(SF.col("g") == g), "v", k=16).collect()[0]
+        got = by[g]
+        assert (got["n_seen"], got["kth_min"], got["est_distinct"]) == (
+            solo["n_seen"], solo["kth_min"], solo["est_distinct"]
+        ), g
 
 
 def test_bloom_semijoin_no_false_negatives_and_fp_rate(spark):

@@ -585,6 +585,19 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "BroadcastHashJoin": 1, "Exchange": 1,
                           "FileScan": 2, "Filter": 1,
                           "HashAggregate": 2, "Project": 2},
+    # round-10 addition: the A-ES projection under ONE source-keyed
+    # rank window — WindowGroupLimit x2 is the pre-shuffle partial +
+    # final top-n cut (the posting_lists shape)
+    "weighted_sample_by_source": {"AdaptiveSparkPlan": 1, "Exchange": 2,
+                                  "FileScan": 1, "Filter": 2,
+                                  "Project": 2, "Sort": 2, "Window": 1,
+                                  "WindowGroupLimit": 2},
+    # round-10 addition: token explode -> distinct (group, hash) ->
+    # the same group-keyed rank-window cut -> per-group estimator agg
+    "source_vocab_kmv": {"AdaptiveSparkPlan": 1, "Exchange": 3,
+                         "FileScan": 1, "Filter": 2, "Generate": 1,
+                         "HashAggregate": 4, "Project": 3, "Sort": 2,
+                         "Window": 1, "WindowGroupLimit": 2},
     # round-9 addition: brute top-k (the one LABELED BNLJ, BNLJ_ALLOWED)
     # + the pq rank pipeline + one id-keyed hit join — ann_recall's
     # composition shape over the pq path
