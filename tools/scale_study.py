@@ -489,6 +489,24 @@ def main() -> None:
             )
         )
 
+    def _wsample_grouped_op(df):
+        from mvrepair.operators.sampling import weighted_sample_per_group
+        from mvrepair.operators.text import tokenize
+
+        return weighted_sample_per_group(
+            df, n_per_group=20,
+            weight=F.size(tokenize(F.col("text"))), group_col="source",
+        )
+
+    def _vocab_kmv_op(df):
+        from mvrepair.operators.sketch import kmv_distinct_by
+        from mvrepair.operators.text import tokenize
+
+        toks = df.select(
+            "source", F.explode(tokenize(F.col("text"))).alias("tok")
+        )
+        return kmv_distinct_by(toks, "source", "tok", k=64)
+
     def _nobloom_op(df):
         # control row for orders_bloom_prune: the identical join + agg
         # WITHOUT the bitmap prune — at fixture scale the dim broadcasts,
@@ -885,6 +903,12 @@ def main() -> None:
         # map-side prune + exact join at constant selectivity
         "orders_bloom_prune(ord)": ("ord", _bloom_op),
         "orders_join_nobloom(ord)": ("ord", _nobloom_op),
+        # round 10: grouped forms — prefixed copies keep per-copy token
+        # sets disjoint (constant vocab density per row); the group key
+        # stays the 20-source set, so per-group state is constant and
+        # the WindowGroupLimit pre-cut is the lever under test
+        "weighted_sample_by_source(docs)": (False, _wsample_grouped_op),
+        "source_vocab_kmv(docs)": (False, _vocab_kmv_op),
         "events_sliding(ev)": ("ev", _sliding_op),
         "weighted_sample(docs)": (False, _wsample_op),
         # note: 2 tables, NO cap — the study corpus is disjoint-rolled so
