@@ -376,6 +376,123 @@ WHERE (mp AND problem IN ('CONSISTENT','SKIPPED','INCONSISTENT'))
 
 
 # ---------------------------------------------------------------------------
+# merkle range-digest family: Cassandra anti-entropy's own algorithm,
+# Spark-first — find WHERE the replicas diverge (2^depth digest rows, one
+# map-combinable agg per side) before paying the row-level compare, which
+# then runs over the dirty buckets only.  See operators/merkle.py for the
+# 100 TB rationale (repair cost ∝ divergence, not table size).
+# ---------------------------------------------------------------------------
+
+MERKLE_DEPTH = 10  # 1024 token-range buckets
+
+# engine-portable string rendering of the pair's key/value columns:
+# bigints/strings cast directly, doubles through DECIMAL(18,2) (identical
+# text in Spark and DuckDB; raw double→string scientific-notation formats
+# differ between engines), timestamps through unix_micros
+_MERKLE_KEYS = ["o_custkey", "o_orderkey"]
+_MERKLE_VALS = ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+def _merkle_render(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("o_totalprice"),
+        F.unix_micros("o_orderdate").cast("string").alias("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+
+
+def q_mv_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 surface: the mismatched token-range buckets with both
+    sides' counts and xor digests — what Cassandra's validation compaction
+    exchanges between replicas, as one tiny DataFrame."""
+    from mvrepair.operators.merkle import merkle_diff
+
+    return merkle_diff(
+        _merkle_render(P.base_df(spark, sf_dir)),
+        _merkle_render(P.mv_df(spark, sf_dir)),
+        _MERKLE_KEYS,
+        _MERKLE_VALS,
+        MERKLE_DEPTH,
+    )
+
+
+def q_mv_merkle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full merkle pipeline: digest diff → driver-side dirty-bucket list
+    (the tree exchange) → IN-filter-pruned row-level digest compare.
+    The key set equals window-free ``classify``'s non-CONSISTENT keys
+    (pinned in tests/test_merkle.py)."""
+    from mvrepair.operators.merkle import merkle_repair_keys
+
+    return merkle_repair_keys(
+        _merkle_render(P.base_df(spark, sf_dir)),
+        _merkle_render(P.mv_df(spark, sf_dir)),
+        _MERKLE_KEYS,
+        _MERKLE_VALS,
+        MERKLE_DEPTH,
+    )
+
+
+def _oracle_merkle_cte() -> str:
+    """CTEs ``tb``/``tm``: the rendered pair with (token, digest) —
+    the identical md5 fold ``operators.merkle.canonical_row`` computes."""
+    from mvrepair.operators.merkle import oracle_canonical_sql
+
+    token, digest = oracle_canonical_sql(
+        ["o_custkey", "o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    render = """
+  SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,
+         CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+         o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+         CAST(epoch_us(o_orderdate) AS VARCHAR) AS o_orderdate,
+         o_orderpriority
+  FROM {src}"""
+    return f"""{P.oracle_pair_cte()},
+rb AS ({render.format(src='ob')}),
+rm AS ({render.format(src='om')}),
+tb AS (SELECT *, {token} AS token, {digest} AS digest FROM rb),
+tm AS (SELECT *, {token} AS token, {digest} AS digest FROM rm),
+db AS (SELECT token >> {60 - MERKLE_DEPTH} AS bucket, count(*)::BIGINT AS n_rows,
+              bit_xor(digest) AS xor_digest FROM tb GROUP BY 1),
+dm AS (SELECT token >> {60 - MERKLE_DEPTH} AS bucket, count(*)::BIGINT AS n_rows,
+              bit_xor(digest) AS xor_digest FROM tm GROUP BY 1),
+dirty AS (
+  SELECT coalesce(db.bucket, dm.bucket) AS bucket,
+         db.n_rows AS base_rows, dm.n_rows AS mv_rows,
+         db.xor_digest AS base_digest, dm.xor_digest AS mv_digest
+  FROM db FULL OUTER JOIN dm ON db.bucket = dm.bucket
+  WHERE db.n_rows IS DISTINCT FROM dm.n_rows
+     OR db.xor_digest IS DISTINCT FROM dm.xor_digest)"""
+
+
+def _oracle_mv_merkle_diff() -> str:
+    return f"""WITH {_oracle_merkle_cte()}
+SELECT bucket, base_rows, mv_rows, base_digest, mv_digest FROM dirty"""
+
+
+def _oracle_mv_merkle_keys() -> str:
+    shift = 60 - MERKLE_DEPTH
+    return f"""WITH {_oracle_merkle_cte()},
+pb AS (SELECT o_custkey, o_orderkey, digest FROM tb
+       WHERE token >> {shift} IN (SELECT bucket FROM dirty)),
+pm AS (SELECT o_custkey, o_orderkey, digest FROM tm
+       WHERE token >> {shift} IN (SELECT bucket FROM dirty))
+SELECT coalesce(pb.o_custkey, pm.o_custkey) AS o_custkey,
+       coalesce(pb.o_orderkey, pm.o_orderkey) AS o_orderkey,
+       CASE WHEN pm.digest IS NULL THEN 'MISSING_IN_MV_TABLE'
+            WHEN pb.digest IS NULL THEN 'MISSING_IN_BASE_TABLE'
+            ELSE 'INCONSISTENT' END AS status
+FROM pb FULL OUTER JOIN pm
+  ON pb.o_custkey = pm.o_custkey AND pb.o_orderkey = pm.o_orderkey
+WHERE pb.digest IS DISTINCT FROM pm.digest"""
+
+
+# ---------------------------------------------------------------------------
 # analytics family (aggregations / joins / windows — "absent" rows of §2,
 # exposed as first-class Spark surface)
 # ---------------------------------------------------------------------------
@@ -5209,7 +5326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,  # r6 family, promoted r7
         "contamination_ngram": q_contamination_ngram,
         # snapshot versioning + shuffle diagnostics + classification (r6, promoted r7)
-        "corpus_diff": q_corpus_diff,
+        # r10 promotion: merkle range-digest reconcile (Cassandra
+        # anti-entropy's algorithm) takes corpus_diff's slot — corpus_diff
+        # is a true plan twin of mv_classify (full-outer join + existence
+        # classification on digest rows, the O8/O9 shape) and the merkle
+        # drill stage subsumes its row-level digest-compare join
+        "mv_merkle_keys": q_mv_merkle_keys,
         "key_skew": q_key_skew,
         "nb_classify": q_nb_classify,
         # similarity search + clustering
@@ -5353,6 +5475,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape)
         "weighted_sample_by_source": q_weighted_sample_by_source,  # twin: posting_lists (rank-window cap) + weighted_sample (the identical A-ES priority projection, local gate)
         "source_vocab_kmv": q_source_vocab_kmv,  # twin: posting_lists (token explode -> group-keyed rank window cap; the estimator algebra is the distinct_docs_kmv row, local gate)
+        # round-10 wave 2: merkle family stage-1 surface (the digest
+        # frames mv_merkle_keys diffs, exposed as their own report)
+        "mv_merkle_diff": q_mv_merkle_diff,  # twin: mv_merkle_keys (its literal stage-1 prefix)
+        # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
+        # promotion: the row-level digest full-outer join + existence
+        # classification is the mv_classify O8/O9 shape
+        "corpus_diff": q_corpus_diff,  # twin: mv_classify
     }
 
 
@@ -5458,6 +5587,8 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout": _oracle_zorder_layout(),
         "bpe_merges": _oracle_bpe_merges(),
         "corpus_diff": _ORACLE_CORPUS_DIFF,
+        "mv_merkle_keys": _oracle_mv_merkle_keys(),
+        "mv_merkle_diff": _oracle_mv_merkle_diff(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -1,0 +1,221 @@
+"""Merkle range-digest reconciliation: find WHERE two replicas diverge
+before paying for a row-level compare.
+
+Apache Cassandra's own anti-entropy repair (``MerkleTree.java`` /
+``Validator.java`` in the public Cassandra tree) never ships rows to
+compare replicas: each replica hashes its rows into token-range leaves,
+the trees are exchanged, and only ranges whose digests differ are
+streamed.  The reference job (MvSync.java:300-347) skips that stage and
+full-outer-joins every row of base and MV — correct, but at 100 TB the
+shuffle moves the ~97% of rows that were already consistent.
+
+This module is the Spark-first version of the Cassandra design:
+
+1. ``range_digests``: one map-side-combinable aggregate folds every row
+   into ``2^depth`` (token-range bucket → xor-of-row-digests, count)
+   rows.  XOR is commutative/associative, so partial aggregation
+   happens before the (tiny) shuffle — the full table crosses the wire
+   as at most ``partitions × 2^depth`` pre-combined rows, never as rows.
+   (XOR of per-row hashes is exactly how Cassandra folds rows into a
+   Merkle leaf.)
+2. ``merkle_diff``: full-outer join of the two digest frames —
+   ``2^depth`` rows a side, broadcastable at any table size — keeping
+   only buckets whose (count, digest) differ.
+3. ``merkle_repair_keys``: broadcast the mismatched bucket ids back as
+   a semi-join filter on both sides, then run the row-level digest
+   compare over ONLY those buckets.  Repair cost becomes proportional
+   to the divergence, not the table size: with d% of buckets dirty the
+   expensive row-level exchange sees ~d% of the data.
+
+Determinism: tokens and row digests use the repo-wide md5
+``stable_hash64`` and the xor fold, so a DuckDB oracle replays every
+intermediate bit-for-bit (``oracle_digest_sql`` emits the matching SQL
+expressions).  No engine-private hash (xxhash64, HLL++ registers)
+appears anywhere in the lineage.
+
+Scale shape: stage 1 is scan + partial-agg (no row shuffle); stage 2
+joins two ≤2^depth-row frames; stage 3's row-level join is pruned by a
+broadcast IN-filter pushed to the scans.  Depth tunes the tradeoff:
+deeper trees localize divergence better but grow the digest exchange —
+Cassandra uses 2^15 leaves per range for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from mvrepair.functions import stable_hash64
+
+SEP = chr(31)  # unit separator: cannot appear in the rendered values
+NULL_SENTINEL = chr(0) + "null"
+TOKEN_BITS = 60  # stable_hash64 domain
+
+
+def canonical_row(key_cols: list[str], val_cols: list[str]) -> tuple:
+    """(token, digest) column pair for one row.
+
+    ``key_cols``/``val_cols`` must already be STRING-rendered by the
+    caller (decimal-cast doubles, unix_micros timestamps) so that the
+    rendering is engine-portable; this function only concatenates and
+    hashes.  Nulls map to a sentinel that cannot collide with a real
+    value (it contains NUL).
+    """
+    def safe(c: str):
+        return F.coalesce(F.col(c), F.lit(NULL_SENTINEL))
+
+    token = stable_hash64(F.concat_ws(SEP, *[safe(c) for c in key_cols]))
+    digest = stable_hash64(
+        F.concat_ws(SEP, *[safe(c) for c in key_cols + val_cols])
+    )
+    return token, digest
+
+
+def with_token_digest(
+    df: DataFrame, key_cols: list[str], val_cols: list[str]
+) -> DataFrame:
+    """Project ``df`` to (token, digest) plus the key columns."""
+    token, digest = canonical_row(key_cols, val_cols)
+    return df.select(
+        *key_cols, token.alias("token"), digest.alias("digest")
+    )
+
+
+def range_digests(
+    df: DataFrame, key_cols: list[str], val_cols: list[str], depth: int
+) -> DataFrame:
+    """Per-token-range digest frame: (bucket, n_rows, xor_digest).
+
+    One aggregate over the table; map-side combine reduces each input
+    partition to ≤2^depth rows before the exchange.
+    """
+    if not 0 < depth <= 20:
+        raise ValueError("depth must be in (0, 20] — 2^depth digest rows")
+    rows = with_token_digest(df, key_cols, val_cols)
+    return (
+        rows.select(
+            F.shiftright("token", TOKEN_BITS - depth).alias("bucket"),
+            "digest",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(digest)").alias("xor_digest"),
+        )
+    )
+
+
+def merkle_diff(
+    base: DataFrame,
+    mv: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    depth: int,
+) -> DataFrame:
+    """Buckets where the two sides' digests disagree.
+
+    Output: (bucket, base_rows, mv_rows, base_digest, mv_digest) —
+    a bucket appears iff its row count or xor digest differs (missing
+    buckets surface as null count/digest on the absent side).
+    """
+    db = range_digests(base, key_cols, val_cols, depth)
+    dm = range_digests(mv, key_cols, val_cols, depth)
+    joined = db.alias("b").join(dm.alias("m"), on="bucket", how="full_outer")
+    return joined.filter(
+        F.expr("b.n_rows IS DISTINCT FROM m.n_rows")
+        | F.expr("b.xor_digest IS DISTINCT FROM m.xor_digest")
+    ).select(
+        "bucket",
+        F.col("b.n_rows").alias("base_rows"),
+        F.col("m.n_rows").alias("mv_rows"),
+        F.col("b.xor_digest").alias("base_digest"),
+        F.col("m.xor_digest").alias("mv_digest"),
+    )
+
+
+def merkle_repair_keys(
+    base: DataFrame,
+    mv: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    depth: int,
+    max_inlist: int = 8192,
+) -> DataFrame:
+    """Row-level divergence, computed over mismatched buckets ONLY.
+
+    Pipeline: digest diff → collect the dirty bucket ids to the driver
+    (Cassandra's tree-exchange step: the coordinator learns which
+    ranges disagree; the list is divergence-sized, NOT table-sized —
+    ≤ the number of dirty buckets ≤ 2^depth) → filter both sides at the
+    scan with a literal IN-list (pushable below the exchange) → per-key
+    full-outer digest compare over the surviving rows.  Each table is
+    scanned exactly twice: once into the digest agg, once pruned into
+    the drill — no third pass, no digest-stage recompute.
+
+    Output per diverging key: the key columns plus ``status`` in
+    {MISSING_IN_MV_TABLE, MISSING_IN_BASE_TABLE, INCONSISTENT} — the
+    labels intentionally match ``reconcile.classify`` (O9/O11
+    semantics) so the two pipelines are interchangeable downstream; a
+    window-free ``classify`` over the same pair yields the same key set
+    (pinned in tests/test_merkle.py).
+
+    Eager: the digest stage runs at call time (the collect is the
+    algorithm's coordination point, like ``train_kmeans``'s centroid
+    artifact).  Above ``max_inlist`` dirty buckets the filter switches
+    from an IN-literal to a broadcast semi-join on a driver-local
+    DataFrame — same pruning, no giant expression tree.
+    """
+    spark = base.sparkSession
+    dirty_ids = sorted(
+        r["bucket"]
+        for r in merkle_diff(base, mv, key_cols, val_cols, depth)
+        .select("bucket")
+        .collect()
+    )
+
+    def prune(df: DataFrame) -> DataFrame:
+        rows = with_token_digest(df, key_cols, val_cols).withColumn(
+            "bucket", F.shiftright("token", TOKEN_BITS - depth)
+        )
+        if not dirty_ids:
+            return rows.filter(F.lit(False))
+        if len(dirty_ids) <= max_inlist:
+            return rows.filter(F.col("bucket").isin(dirty_ids))
+        lst = spark.createDataFrame(
+            [(i,) for i in dirty_ids], "bucket bigint"
+        )
+        return rows.join(F.broadcast(lst), on="bucket", how="left_semi")
+
+    b = prune(base).alias("b")
+    m = prune(mv).alias("m")
+    joined = b.join(m, on=key_cols, how="full_outer")
+    status = (
+        F.when(F.expr("m.digest IS NULL"), F.lit("MISSING_IN_MV_TABLE"))
+        .when(F.expr("b.digest IS NULL"), F.lit("MISSING_IN_BASE_TABLE"))
+        .otherwise(F.lit("INCONSISTENT"))
+    )
+    return joined.filter(F.expr("b.digest IS DISTINCT FROM m.digest")).select(
+        *key_cols, status.alias("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle helpers: the identical hash/bucket algebra as portable SQL
+# ---------------------------------------------------------------------------
+
+def oracle_hash_sql(expr: str) -> str:
+    """stable_hash64 of a SQL string expression, DuckDB syntax."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def oracle_canonical_sql(
+    key_exprs: list[str], val_exprs: list[str]
+) -> tuple[str, str]:
+    """(token, digest) SQL expression pair matching ``canonical_row``."""
+    def safe(e: str) -> str:
+        return f"coalesce({e}, chr(0) || 'null')"
+
+    keys = ", ".join(safe(e) for e in key_exprs)
+    allc = ", ".join(safe(e) for e in key_exprs + val_exprs)
+    token = oracle_hash_sql(f"concat_ws(chr(31), {keys})")
+    digest = oracle_hash_sql(f"concat_ws(chr(31), {allc})")
+    return token, digest

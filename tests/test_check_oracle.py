@@ -128,7 +128,13 @@ class TestRegistryOrderingContract:
         "dedup-apply": "dedup_clusters",
         "span-dedup": "span_dedup",
         "decontamination": "contamination_ngram",
-        "snapshot-diff": "corpus_diff",
+        # r10 wave 2: merkle range-digest reconcile promoted into
+        # corpus_diff's slot — the digest-agg + dirty-bucket drill is a
+        # genuinely new physical shape (map-combinable xor fold, driver
+        # tree exchange, IN-pruned row compare); corpus_diff demoted as
+        # a true plan twin of mv_classify (full-outer join + existence
+        # classification, the O8/O9 shape, on digest rows)
+        "merkle-digest": "mv_merkle_keys",
         "key-skew": "key_skew",
         "nbayes": "nb_classify",
         # r10 merge: ann_ivf_topk demoted for events_sliding — the IVF
@@ -228,7 +234,13 @@ class TestRegistryOrderingContract:
         "rare_tokens": "substring_dupes",
         "label_outliers": "kmeans_clusters",
         "bpe_merges": "collocations",  # r8 wave 4: heavy_hitters demoted; same adjacent-pair count + TakeOrdered shape
-        "index_upsert": "corpus_diff",
+        # r10 wave 2: corpus_diff demoted (merkle promotion) — both ride
+        # the reconcile rep's full-outer-join + classify shape
+        "corpus_diff": "mv_classify",
+        "index_upsert": "mv_classify",
+        # r10 wave 2: the digest-diff report is mv_merkle_keys' literal
+        # stage-1 prefix (same two digest aggs + tiny full-outer join)
+        "mv_merkle_diff": "mv_merkle_keys",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

@@ -1,0 +1,130 @@
+"""Merkle range-digest reconcile (operators/merkle.py).
+
+Pins: (1) the drill's key set equals window-free ``classify``'s
+non-CONSISTENT keys on the standard defect pair; (2) identical replicas
+produce an empty tree diff and an empty drill with zero rows scanned
+past the bucket filter; (3) the xor digest fold is mergeable (partial
+aggregation is exact, the 100 TB map-side-combine claim); (4) sparse
+divergence prunes — the drill's bucket filter admits only the dirty
+fraction; (5) parameter validation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mvrepair.operators import reconcile
+from mvrepair.operators.merkle import (
+    TOKEN_BITS,
+    merkle_diff,
+    merkle_repair_keys,
+    range_digests,
+    with_token_digest,
+)
+from mvrepair.plans import mv_pair as P
+
+KEYS = ["o_custkey", "o_orderkey"]
+VALS = ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+DEPTH = 8
+
+
+def _render(df):
+    import __spark_entry__ as e
+
+    return e._merkle_render(df)
+
+
+def test_drill_matches_window_free_classify(spark, sf_dir):
+    base, mv = P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir)
+    got = {
+        (int(r.o_custkey), int(r.o_orderkey), r.status)
+        for r in merkle_repair_keys(
+            _render(base), _render(mv), KEYS, VALS, DEPTH
+        ).collect()
+    }
+    wide = reconcile.classify(base, mv, P.spec(), window=None)
+    want = {
+        (r.o_custkey, r.o_orderkey, r.problem)
+        for r in wide.filter(F.col("problem") != "CONSISTENT").collect()
+    }
+    assert got == want and got, "merkle drill must equal full classify"
+
+
+def test_identical_replicas_empty_diff(spark, sf_dir):
+    base = _render(P.base_df(spark, sf_dir))
+    assert merkle_diff(base, base, KEYS, VALS, DEPTH).count() == 0
+    assert merkle_repair_keys(base, base, KEYS, VALS, DEPTH).count() == 0
+
+
+def test_xor_fold_is_mergeable(spark, sf_dir):
+    """range_digests(a ∪ b) == xor/sum-combine of range_digests(a),
+    range_digests(b) when a and b are disjoint — partial aggregation
+    (map-side combine) is exact for the (count, xor) pair."""
+    base = _render(P.base_df(spark, sf_dir))
+    even = base.filter(F.col("o_orderkey").cast("bigint") % 2 == 0)
+    odd = base.filter(F.col("o_orderkey").cast("bigint") % 2 == 1)
+    whole = {
+        r.bucket: (r.n_rows, r.xor_digest)
+        for r in range_digests(base, KEYS, VALS, DEPTH).collect()
+    }
+    parts = {}
+    for side in (even, odd):
+        for r in range_digests(side, KEYS, VALS, DEPTH).collect():
+            n, d = parts.get(r.bucket, (0, 0))
+            parts[r.bucket] = (n + r.n_rows, d ^ r.xor_digest)
+    assert parts == whole
+
+
+def test_sparse_divergence_prunes(spark, sf_dir):
+    """One perturbed key out of the whole table → exactly one dirty
+    bucket, and the drill admits only that bucket's rows."""
+    base = _render(P.base_df(spark, sf_dir))
+    key = F.col("o_orderkey").cast("bigint")
+    mv = base.withColumn(
+        "o_orderstatus",
+        F.when(key == 7, F.lit("X")).otherwise(F.col("o_orderstatus")),
+    )
+    diff = merkle_diff(base, mv, KEYS, VALS, DEPTH).collect()
+    assert len(diff) == 1
+    # one value perturbed: counts match, digests differ
+    assert diff[0].base_rows == diff[0].mv_rows
+    assert diff[0].base_digest != diff[0].mv_digest
+    keys = merkle_repair_keys(base, mv, KEYS, VALS, DEPTH).collect()
+    assert [(r.o_orderkey, r.status) for r in keys] == [("7", "INCONSISTENT")]
+    # the bucket filter bounds the drilled row count by the dirty
+    # bucket's population — orders of magnitude below the table
+    rows = with_token_digest(base, KEYS, VALS).withColumn(
+        "bucket", F.shiftright("token", TOKEN_BITS - DEPTH)
+    )
+    dirty_rows = rows.filter(F.col("bucket") == diff[0].bucket).count()
+    total = rows.count()
+    assert dirty_rows * 10 < total, (
+        f"drill scanned {dirty_rows} of {total}: bucket filter not sparse"
+    )
+
+
+def test_missing_side_statuses(spark, sf_dir):
+    base = _render(P.base_df(spark, sf_dir)).limit(200)
+    key = F.col("o_orderkey").cast("bigint")
+    mv = base.filter(key % 7 != 0).unionByName(
+        base.filter(key % 11 == 3).withColumn(
+            "o_orderkey", (key + 900000).cast("string")
+        )
+    )
+    got = merkle_repair_keys(base, mv, KEYS, VALS, DEPTH)
+    by_status = {
+        r["status"]: r["n"]
+        for r in got.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    want_missing_mv = base.filter(key % 7 == 0).count()
+    want_missing_base = base.filter(key % 11 == 3).count()
+    assert by_status.get("MISSING_IN_MV_TABLE", 0) == want_missing_mv
+    assert by_status.get("MISSING_IN_BASE_TABLE", 0) == want_missing_base
+    assert "INCONSISTENT" not in by_status
+
+
+def test_depth_validation(spark, sf_dir):
+    base = _render(P.base_df(spark, sf_dir))
+    with pytest.raises(ValueError):
+        range_digests(base, KEYS, VALS, 0)
+    with pytest.raises(ValueError):
+        range_digests(base, KEYS, VALS, 21)
