@@ -3551,6 +3551,59 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-register HLL: per-event-type distinct event_id sketches
+    plus an 'ALL' row built by MERGING the per-type registers
+    (register-wise max) — never re-reading the table.  That merge is the
+    100 TB property: per-shard/per-day sketches (128 longs each) union
+    into the global estimate; KMV (distinct_docs_kmv) covers the
+    bottom-k family, this covers the register family, both on the
+    engine-portable md5 hash rather than Spark-private HLL++ state."""
+    from mvrepair.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    regs = SK.hll_registers(ev, "event_id", ["event_type"])
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("event_type"), "register", "rho")
+    )
+    return SK.hll_fold(regs.unionByName(merged), ["event_type"])
+
+
+def _oracle_events_hll() -> str:
+    from mvrepair.operators.sketch import HLL_M, HLL_P, HLL_RAW_NUM, _HLL_RMAX
+
+    sb = 60 - HLL_P
+    mask = (1 << sb) - 1
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+  FROM events),
+r AS (
+  SELECT event_type, hh >> {sb} AS register,
+         CASE WHEN (hh & {mask}) = 0 THEN {sb + 1}
+              ELSE {sb} - (length(bin(hh & {mask})) - 1) END AS rho
+  FROM h),
+regs AS (
+  SELECT event_type, register, max(rho) AS rho FROM r GROUP BY 1, 2
+  UNION ALL
+  SELECT 'ALL' AS event_type, register, max(rho) AS rho
+  FROM (SELECT event_type, register, max(rho) AS rho FROM r GROUP BY 1, 2)
+  GROUP BY 2),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS regs_set,
+         sum(1::BIGINT << ({_HLL_RMAX} - rho))::BIGINT AS s_present
+  FROM regs GROUP BY 1)
+SELECT event_type, {HLL_M} AS m, regs_set,
+       {HLL_M} - regs_set AS zero_regs,
+       s_present + ({HLL_M} - regs_set) * {1 << _HLL_RMAX} AS s_scaled,
+       {HLL_RAW_NUM!r} / CAST(s_present + ({HLL_M} - regs_set) * {1 << _HLL_RMAX} AS DOUBLE)
+         AS est_distinct
+FROM agg"""
+
+
 _ORACLE_KEY_SKEW = """
 WITH c AS (SELECT user_id, count(*) AS sz FROM events GROUP BY user_id),
 h AS (SELECT sz, count(*) AS k FROM c GROUP BY sz),
@@ -5478,6 +5531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 wave 2: merkle family stage-1 surface (the digest
         # frames mv_merkle_keys diffs, exposed as their own report)
         "mv_merkle_diff": q_mv_merkle_diff,  # twin: mv_merkle_keys (its literal stage-1 prefix)
+        "events_hll": q_events_hll,  # twin: key_skew (the identical two-level bucket-keyed reduction: per-bucket max fold -> per-group summary); estimator algebra locally gated like distinct_docs_kmv
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -5589,6 +5643,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": _ORACLE_CORPUS_DIFF,
         "mv_merkle_keys": _oracle_mv_merkle_keys(),
         "mv_merkle_diff": _oracle_mv_merkle_diff(),
+        "events_hll": _oracle_events_hll(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

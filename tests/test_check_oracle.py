@@ -241,6 +241,11 @@ class TestRegistryOrderingContract:
         # r10 wave 2: the digest-diff report is mv_merkle_keys' literal
         # stage-1 prefix (same two digest aggs + tiny full-outer join)
         "mv_merkle_diff": "mv_merkle_keys",
+        # r10 wave 2: register-family sketch — the identical two-level
+        # bucket-keyed reduction as the skew profile (per-bucket max
+        # fold -> per-group summary); the estimator algebra itself is
+        # locally gated, the distinct_docs_kmv doctrine
+        "events_hll": "key_skew",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

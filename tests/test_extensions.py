@@ -3948,3 +3948,46 @@ def test_cosine_neardup_max_bucket_cap(spark):
     capped = S.cosine_neardup_pairs(df, dim=dim, threshold=0.9, max_bucket=3)
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert got == {(10, 11)}  # the 5-copy bucket dropped whole
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Register-wise max-merge of per-group sketches == sketching the
+    union directly — the mergeability contract (partial aggregation /
+    shard union) that makes the sketch usable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators.sketch import hll_fold, hll_registers
+
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("u"), F.col("id")).alias("v"),
+    )
+    per_group = hll_registers(df, "v", ["g"])
+    merged = {
+        (r.register, r.rho)
+        for r in per_group.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .collect()
+    }
+    direct = {
+        (r.register, r.rho) for r in hll_registers(df, "v").collect()
+    }
+    assert merged == direct
+    est = hll_fold(hll_registers(df, "v")).collect()[0]
+    assert est.regs_set + est.zero_regs == est.m == 128
+    # raw estimator (no bias correction): allow 3 standard errors
+    assert abs(est.est_distinct - 5000) / 5000 < 3 * 1.04 / (128 ** 0.5)
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators.sketch import hll_registers
+
+    base = spark.range(1000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("v")
+    )
+    doubled = base.unionAll(base)
+    a = sorted(map(tuple, hll_registers(base, "v").collect()))
+    b = sorted(map(tuple, hll_registers(doubled, "v").collect()))
+    assert a == b
