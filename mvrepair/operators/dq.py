@@ -1,0 +1,99 @@
+"""Declarative data-quality checks: a Deequ-style constraint report in
+ONE pass over the table.
+
+A 100 TB ingest pipeline validates before it processes: completeness of
+required columns, key uniqueness, domain rules (value ranges,
+cross-column order).  The open-source pattern (AWS Deequ, Great
+Expectations) compiles every declared check into one aggregate so the
+table is scanned once regardless of how many constraints ride along —
+that is the whole design here: each check contributes aggregate
+expressions to a single ``agg()``, the verdict row explodes into a
+(check, value, passed) report, and the only exchange is the final
+single-row combine (map-side partials all the way).
+
+Uniqueness checks add exact ``count(distinct …)`` aggregates; Spark
+plans multi-distinct via Expand (row multiplication by the number of
+distinct groups) — the canonical exact plan, preferred here over
+``approx_count_distinct`` because HLL++ register state is
+engine-private and unverifiable (use ``sketch.hll_registers`` when an
+estimate is enough).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class DQCheck:
+    """One constraint: a bigint metric aggregate + a pass predicate
+    evaluated on the aggregated row (may reference other metrics via
+    their check names)."""
+
+    name: str
+    metric: Column
+    passed: Column
+
+
+def completeness(col: str) -> DQCheck:
+    """Metric: null count; passes when every row has the value."""
+    n_null = F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).cast("bigint")
+    return DQCheck(f"complete({col})", n_null, F.col(f"complete({col})") == 0)
+
+
+def unique(cols: list[str]) -> DQCheck:
+    """Metric: distinct combinations; passes when it equals the row
+    count (a primary-key check; null-free keys assumed — nulls collapse
+    under count distinct)."""
+    name = f"unique({','.join(cols)})"
+    return DQCheck(
+        name,
+        F.count_distinct(*[F.col(c) for c in cols]).cast("bigint"),
+        F.col(name) == F.col("n_rows"),
+    )
+
+
+def satisfies(rule: str, predicate: Column) -> DQCheck:
+    """Metric: violation count of a row-level predicate; passes at 0."""
+    name = f"satisfies({rule})"
+    violations = F.sum(
+        F.when(predicate, 0).otherwise(1)  # null predicate = violation
+    ).cast("bigint")
+    return DQCheck(name, violations, F.col(name) == 0)
+
+
+def dq_report(df: DataFrame, checks: list[DQCheck]) -> DataFrame:
+    """Run every check in one aggregate pass.
+
+    Output: (check string, value bigint, passed boolean) — one row per
+    check plus a leading ``n_rows`` row (value = table size, passed =
+    non-empty).
+    """
+    if not checks:
+        raise ValueError("dq_report needs at least one check")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate check names: {names}")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[c.metric.alias(c.name) for c in checks],
+    )
+    entries = [
+        F.struct(
+            F.lit("n_rows").alias("check"),
+            F.col("n_rows").alias("value"),
+            (F.col("n_rows") > 0).alias("passed"),
+        )
+    ] + [
+        F.struct(
+            F.lit(c.name).alias("check"),
+            F.col(c.name).alias("value"),
+            c.passed.alias("passed"),
+        )
+        for c in checks
+    ]
+    return agg.select(F.explode(F.array(*entries)).alias("__c")).select(
+        "__c.check", "__c.value", "__c.passed"
+    )

@@ -246,6 +246,10 @@ class TestRegistryOrderingContract:
         # fold -> per-group summary); the estimator algebra itself is
         # locally gated, the distinct_docs_kmv doctrine
         "events_hll": "key_skew",
+        # r10 wave 2: declarative DQ gate — one hash-aggregate pass
+        # (the pricing_summary shape) exploded into a (check, value,
+        # passed) verdict report (the mv_stats counter doctrine)
+        "lineitem_dq": "pricing_summary",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

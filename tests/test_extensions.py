@@ -3991,3 +3991,58 @@ def test_hll_duplicates_do_not_move_registers(spark):
     a = sorted(map(tuple, hll_registers(base, "v").collect()))
     b = sorted(map(tuple, hll_registers(doubled, "v").collect()))
     assert a == b
+
+
+def test_dq_report_verdicts_and_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators import dq
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 7.0), (2, None, -1.0)],
+        "id bigint, name string, score double",
+    )
+    checks = [
+        dq.completeness("id"),
+        dq.completeness("name"),
+        dq.unique(["id"]),
+        dq.satisfies("score_positive", F.col("score") > 0),
+    ]
+    rows = {r.check: (r.value, r.passed) for r in dq.dq_report(df, checks).collect()}
+    assert rows["n_rows"] == (3, True)
+    assert rows["complete(id)"] == (0, True)
+    assert rows["complete(name)"] == (1, False)
+    assert rows["unique(id)"] == (2, False)
+    assert rows["satisfies(score_positive)"] == (1, False)
+    # single pass: exactly one Aggregate subtree feeds the explode
+    plan = dq.dq_report(df, checks)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2, plan  # partial+final at most
+
+
+def test_dq_null_predicate_counts_as_violation(spark):
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators import dq
+
+    df = spark.createDataFrame([(None,), (5.0,)], "x double")
+    rows = {
+        r.check: (r.value, r.passed)
+        for r in dq.dq_report(df, [dq.satisfies("x_pos", F.col("x") > 0)]).collect()
+    }
+    assert rows["satisfies(x_pos)"] == (1, False)
+
+
+def test_dq_rejects_empty_and_duplicate_checks(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators import dq
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        dq.dq_report(df, [])
+    with pytest.raises(ValueError):
+        dq.dq_report(
+            df,
+            [dq.completeness("id"), dq.completeness("id")],
+        )
