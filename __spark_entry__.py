@@ -2543,6 +2543,38 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("__events_hourly_stream")
 
 
+def q_mv_merkle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the merkle digest stage: base rows fold into
+    per-token-range (count, xor) JVM state — O(2^depth) state total at
+    any stream volume, keeping the anti-entropy digests continuously
+    warm.  availableNow + complete mode drains the directory, so the
+    result equals batch ``range_digests`` over the base side and is
+    checked against the same DuckDB replay."""
+    from mvrepair.streaming.incremental import streaming_range_digests
+
+    sdf = streaming_range_digests(
+        _merkle_render(P.base_stream_df(spark, sf_dir)),
+        _MERKLE_KEYS,
+        _MERKLE_VALS,
+        MERKLE_DEPTH,
+    )
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__mv_merkle_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("__mv_merkle_stream")
+
+
+def _oracle_mv_merkle_stream() -> str:
+    return f"""WITH {_oracle_merkle_cte()}
+SELECT bucket, n_rows, xor_digest FROM db"""
+
+
 def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_sliding: the native hopping window
     running incrementally (each event updates 4 overlapping window
@@ -5584,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_merkle_diff": q_mv_merkle_diff,  # twin: mv_merkle_keys (its literal stage-1 prefix)
         "events_hll": q_events_hll,  # twin: key_skew (the identical two-level bucket-keyed reduction: per-bucket max fold -> per-group summary); estimator algebra locally gated like distinct_docs_kmv
         "lineitem_dq": q_lineitem_dq,  # twin: pricing_summary (one hash-aggregate pass; the verdict explode is the mv_stats/key_skew (stat,value) report shape)
+        "mv_merkle_stream": q_mv_merkle_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the digest algebra is mv_merkle_keys' stage 1, checked in-window
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -5697,6 +5730,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_merkle_diff": _oracle_mv_merkle_diff(),
         "events_hll": _oracle_events_hll(),
         "lineitem_dq": _ORACLE_LINEITEM_DQ,
+        "mv_merkle_stream": _oracle_mv_merkle_stream(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -394,3 +394,39 @@ def streaming_reconcile_against_static(
     return wide.filter(F.col("problem") != "CONSISTENT").select(
         *pk, "problem", "diff_column", "diff_type", "base_value", "mv_value"
     )
+
+
+def streaming_range_digests(
+    stream: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    depth: int,
+) -> DataFrame:
+    """Continuously-maintained Merkle range digests: the EXACT batch
+    ``operators.merkle.range_digests`` expression over a stream.
+
+    Each arriving row folds into its token-range bucket's (count, xor)
+    state in the JVM state store — O(2^depth) state TOTAL, independent
+    of stream volume, because xor and count are commutative monoids.
+    This is what makes continuous anti-entropy affordable: the digest
+    side of ``merkle_diff`` stays warm at all times and a repair cycle
+    only ever drills the buckets the live digests say diverged, instead
+    of starting from a cold 100 TB validation scan.  (Columns must be
+    pre-rendered to strings by the caller, as in the batch operator.)
+    """
+    from mvrepair.operators.merkle import TOKEN_BITS, with_token_digest
+
+    if not 0 < depth <= 20:
+        raise ValueError("depth must be in (0, 20] — 2^depth digest rows")
+    rows = with_token_digest(stream, key_cols, val_cols)
+    return (
+        rows.select(
+            F.shiftright("token", TOKEN_BITS - depth).alias("bucket"),
+            "digest",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(digest)").alias("xor_digest"),
+        )
+    )

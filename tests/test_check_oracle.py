@@ -250,6 +250,10 @@ class TestRegistryOrderingContract:
         # (the pricing_summary shape) exploded into a (check, value,
         # passed) verdict report (the mv_stats counter doctrine)
         "lineitem_dq": "pricing_summary",
+        # r10 wave 2: continuously-maintained merkle digests — the same
+        # JVM-state keyed-agg shape as the streaming-agg rep; the digest
+        # algebra itself is mv_merkle_keys' in-window stage 1
+        "mv_merkle_stream": "events_hourly_stream",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

@@ -128,3 +128,48 @@ def test_depth_validation(spark, sf_dir):
         range_digests(base, KEYS, VALS, 0)
     with pytest.raises(ValueError):
         range_digests(base, KEYS, VALS, 21)
+
+
+def test_streaming_digests_fold_incrementally(spark, tmp_path):
+    """Multi-microbatch streaming fold == batch range_digests: each
+    microbatch updates per-bucket (count, xor) state rather than
+    recomputing — xor/count being commutative monoids is the whole
+    claim, so force >1 microbatch with maxFilesPerTrigger=1."""
+    from pyspark.sql import functions as F
+
+    from mvrepair.streaming.incremental import streaming_range_digests
+
+    src = str(tmp_path / "rows")
+    df = spark.range(2000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k"),
+        F.concat(F.lit("v"), (F.col("id") % 37)).alias("v"),
+    )
+    df.repartition(4).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) > 1
+
+    stream = (
+        spark.readStream.schema("k string, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_range_digests(stream, ["k"], ["v"], depth=6)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("__merkle_fold_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None  # stream actually ran
+    got = {
+        r.bucket: (r.n_rows, r.xor_digest)
+        for r in spark.table("__merkle_fold_test").collect()
+    }
+    want = {
+        r.bucket: (r.n_rows, r.xor_digest)
+        for r in range_digests(
+            spark.read.parquet(src), ["k"], ["v"], 6
+        ).collect()
+    }
+    assert got == want and len(got) > 1

@@ -749,6 +749,92 @@ def main() -> None:
             F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
         )
 
+    def _merkle_pair(df, dense: bool):
+        # base/MV pair from an inflated orders frame: the standard
+        # mv_pair defect derivation when dense (defect count ∝ volume);
+        # when sparse, a FIXED-SIZE defect set (copy-0 keys < 2000 only)
+        # so divergence stays constant-absolute while the table grows —
+        # the merkle claim under test is that the drill stage's cost
+        # follows divergence, not volume.  Orphan offset 500M: clear of
+        # the 10M copy shift (copy-i keys live in [i*10M, i*10M+~n)).
+        base = df.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        )
+        k = F.col("o_orderkey")
+        if dense:
+            hit_price, hit_prio, hit_drop, hit_orph = (
+                k % 89 == 5, k % 91 == 7, k % 97 == 3, k % 101 == 11,
+            )
+        else:
+            hit_price = (k < 2000) & (k % 4 == 0)
+            hit_prio = (k < 2000) & (k % 4 == 1)
+            hit_drop = (k < 2000) & (k % 4 == 2)
+            hit_orph = (k < 2000) & (k % 4 == 3)
+        body = (
+            base.filter(~hit_drop)
+            .withColumn(
+                "o_totalprice",
+                F.when(hit_price, F.col("o_totalprice") + 1.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .withColumn(
+                "o_orderpriority",
+                F.when(hit_prio, F.lit("9-REPAIRME")).otherwise(
+                    F.col("o_orderpriority")
+                ),
+            )
+        )
+        orphans = base.filter(hit_orph).withColumn(
+            "o_orderkey", k + 500_000_000
+        )
+        return base, body.unionByName(orphans)
+
+    def _merkle_op(df, dense=True):
+        import __spark_entry__ as e
+        from mvrepair.operators.merkle import merkle_repair_keys
+
+        base, mv = _merkle_pair(df, dense)
+        return merkle_repair_keys(
+            e._merkle_render(base), e._merkle_render(mv),
+            ["o_custkey", "o_orderkey"],
+            ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+            depth=10,
+        )
+
+    def _hll_op(df):
+        from mvrepair.operators.sketch import hll_fold, hll_registers
+
+        regs = hll_registers(
+            df.select("event_type", "event_id"), "event_id", ["event_type"]
+        )
+        merged = (
+            regs.groupBy("register")
+            .agg(F.max("rho").alias("rho"))
+            .select(F.lit("ALL").alias("event_type"), "register", "rho")
+        )
+        return hll_fold(regs.unionByName(merged), ["event_type"])
+
+    def _dq_op(df):
+        from mvrepair.operators import dq
+
+        return dq.dq_report(
+            df,
+            [
+                dq.completeness("l_orderkey"),
+                dq.completeness("l_quantity"),
+                dq.unique(["l_orderkey", "l_linenumber"]),
+                dq.satisfies(
+                    "quantity_range", F.col("l_quantity").between(1, 50)
+                ),
+                dq.satisfies(
+                    "discount_range", F.col("l_discount").between(0.0, 0.1)
+                ),
+                dq.satisfies("price_positive", F.col("l_extendedprice") > 0),
+            ],
+        )
+
     OPS = {
         "dedup_exact(copies)": (True, lambda df: D.exact_dedup(df)),
         "repetition_stats": (False, lambda df: X.repetition_stats(df)),
@@ -935,6 +1021,21 @@ def main() -> None:
         # near-dup pairs scale k x — one perturbed variant per vector
         # per copy; identical-copy inflation would measure k² OUTPUT
         "semantic_leakage(embroll)": ("embroll", _leakage_op),
+        # round-10 wave 2.  merkle under volume-proportional divergence
+        # (the standard mv_pair defect mods: ~4% of rows per copy —
+        # every bucket dirty, drill sees everything; honest worst case,
+        # expect ~linear) vs FIXED-absolute divergence (2000 copy-0
+        # keys: digest stage grows, drill stays constant — the
+        # cost-∝-divergence claim, expect the gap between the two rows
+        # to widen with k)
+        "mv_merkle_dense(ord)": ("ord", lambda df: _merkle_op(df, True)),
+        "mv_merkle_sparse(ord)": ("ord", lambda df: _merkle_op(df, False)),
+        # events copies: sketch state is 128 registers per type at every
+        # factor — the row under test is the scan+partial-agg growth
+        "events_hll(ev)": ("ev", _hll_op),
+        # one-pass DQ aggregate; the countDistinct Expand doubles scan
+        # rows but stays map-combinable
+        "lineitem_dq(li)": ("li", _dq_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
