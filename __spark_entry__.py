@@ -3634,6 +3634,50 @@ UNION ALL SELECT 'satisfies(price_positive)', s_price, s_price = 0 FROM a
 UNION ALL SELECT 'satisfies(returnflag_domain)', s_rf, s_rf = 0 FROM a"""
 
 
+def q_mv_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate-view maintenance (operators/maintenance.py):
+    the stored per-customer view (built WITHOUT the o_orderkey%13==2
+    rows) absorbs those rows as an insert-only delta via the mergeable-
+    state union + re-aggregate.  The oracle is the FULL recompute over
+    all of orders — the query is correct iff the incremental fold is
+    semantically exact, which is the operator's whole claim (refresh
+    cost ∝ delta, never a 100 TB base rescan)."""
+    from mvrepair.operators.maintenance import aggregate_view, refresh_aggregate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast(_DEC18).alias("price"),
+        F.unix_micros("o_orderdate").alias("odate_us"),
+    )
+    measures = [
+        ("n_orders", "count", ""),
+        ("sum_price", "sum", "price"),
+        ("min_odate_us", "min", "odate_us"),
+        ("max_odate_us", "max", "odate_us"),
+    ]
+    is_delta = F.col("o_orderkey") % 13 == 2
+    stored = aggregate_view(orders.filter(~is_delta), ["o_custkey"], measures)
+    out = refresh_aggregate(
+        stored, orders.filter(is_delta), ["o_custkey"], measures
+    )
+    return out.select(
+        "o_custkey",
+        "n_orders",
+        F.col("sum_price").cast("double").alias("sum_price"),
+        "min_odate_us",
+        "max_odate_us",
+    )
+
+
+_ORACLE_MV_AGG_REFRESH = """
+SELECT o_custkey, count(*)::BIGINT AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+  min(epoch_us(o_orderdate)) AS min_odate_us,
+  max(epoch_us(o_orderdate)) AS max_odate_us
+FROM orders GROUP BY 1"""
+
+
 def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-register HLL: per-event-type distinct event_id sketches
     plus an 'ALL' row built by MERGING the per-type registers
@@ -5617,6 +5661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll": q_events_hll,  # twin: key_skew (the identical two-level bucket-keyed reduction: per-bucket max fold -> per-group summary); estimator algebra locally gated like distinct_docs_kmv
         "lineitem_dq": q_lineitem_dq,  # twin: pricing_summary (one hash-aggregate pass; the verdict explode is the mv_stats/key_skew (stat,value) report shape)
         "mv_merkle_stream": q_mv_merkle_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the digest algebra is mv_merkle_keys' stage 1, checked in-window
+        "mv_agg_refresh": q_mv_agg_refresh,  # twin: pricing_summary (map-combinable hash-agg pipeline: agg -> union -> re-agg, no join); oracle = full recompute, so the hash gate proves incremental exactness
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -5731,6 +5776,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll": _oracle_events_hll(),
         "lineitem_dq": _ORACLE_LINEITEM_DQ,
         "mv_merkle_stream": _oracle_mv_merkle_stream(),
+        "mv_agg_refresh": _ORACLE_MV_AGG_REFRESH,
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -254,6 +254,11 @@ class TestRegistryOrderingContract:
         # JVM-state keyed-agg shape as the streaming-agg rep; the digest
         # algebra itself is mv_merkle_keys' in-window stage 1
         "mv_merkle_stream": "events_hourly_stream",
+        # r10 wave 2: incremental view maintenance — a pure map-
+        # combinable hash-agg pipeline (agg -> union of partial states
+        # -> re-agg), the pricing_summary shape; its oracle is the full
+        # recompute, so the driver hash gates incremental exactness
+        "mv_agg_refresh": "pricing_summary",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

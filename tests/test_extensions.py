@@ -4046,3 +4046,70 @@ def test_dq_rejects_empty_and_duplicate_checks(spark):
             df,
             [dq.completeness("id"), dq.completeness("id")],
         )
+
+
+def test_refresh_aggregate_equals_recompute_property(spark):
+    """Property-style: for several random delta splits, folding the
+    delta into the view built without it reproduces the full recompute
+    exactly — count/sum (exact decimal) and min/max bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators.maintenance import (
+        aggregate_view,
+        refresh_aggregate,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 41).alias("k"),
+        F.col("id").cast("decimal(18,2)").alias("amount"),
+        (F.col("id") * 7 % 1000).alias("stamp"),
+    )
+    measures = [
+        ("n", "count", ""),
+        ("total", "sum", "amount"),
+        ("lo", "min", "stamp"),
+        ("hi", "max", "stamp"),
+    ]
+    want = sorted(
+        map(tuple, aggregate_view(df, ["k"], measures).collect())
+    )
+    for mod, rem in [(7, 0), (13, 5), (2, 1)]:
+        is_delta = F.col("id") % mod == rem
+        stored = aggregate_view(df.filter(~is_delta), ["k"], measures)
+        got = sorted(
+            map(
+                tuple,
+                refresh_aggregate(
+                    stored, df.filter(is_delta), ["k"], measures
+                ).collect(),
+            )
+        )
+        assert got == want, f"delta id%{mod}=={rem} diverged"
+
+
+def test_refresh_aggregate_new_keys_appear(spark):
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators.maintenance import (
+        aggregate_view,
+        refresh_aggregate,
+    )
+
+    measures = [("n", "count", "")]
+    old = spark.createDataFrame([(1,), (1,), (2,)], "k bigint")
+    new = spark.createDataFrame([(2,), (3,)], "k bigint")
+    stored = aggregate_view(old, ["k"], measures)
+    rows = {
+        r.k: r.n
+        for r in refresh_aggregate(stored, new, ["k"], measures).collect()
+    }
+    assert rows == {1: 2, 2: 2, 3: 1}
+
+
+def test_aggregate_view_rejects_unknown_kind(spark):
+    import pytest
+
+    from mvrepair.operators.maintenance import aggregate_view
+
+    with pytest.raises(ValueError):
+        aggregate_view(spark.range(3), ["id"], [("x", "avg", "id")])

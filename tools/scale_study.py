@@ -767,10 +767,17 @@ def main() -> None:
                 k % 89 == 5, k % 91 == 7, k % 97 == 3, k % 101 == 11,
             )
         else:
-            hit_price = (k < 2000) & (k % 4 == 0)
-            hit_prio = (k < 2000) & (k % 4 == 1)
-            hit_drop = (k < 2000) & (k % 4 == 2)
-            hit_orph = (k < 2000) & (k % 4 == 3)
+            # 64 dirty keys — comfortably below the 1024-bucket tree, so
+            # the drill's IN-filter can actually prune (a first cut used
+            # 2000 keys, which hash-saturate ~85% of the 1024 buckets:
+            # the "sparse" row then measured the dense plan and landed
+            # within noise of it — divergence must be sparse RELATIVE TO
+            # THE TREE for merkle to pay, which is exactly the operator's
+            # documented premise)
+            hit_price = (k < 64) & (k % 4 == 0)
+            hit_prio = (k < 64) & (k % 4 == 1)
+            hit_drop = (k < 64) & (k % 4 == 2)
+            hit_orph = (k < 64) & (k % 4 == 3)
         body = (
             base.filter(~hit_drop)
             .withColumn(
