@@ -3680,22 +3680,18 @@ FROM orders GROUP BY 1"""
 
 def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-register HLL: per-event-type distinct event_id sketches
-    plus an 'ALL' row built by MERGING the per-type registers
-    (register-wise max) — never re-reading the table.  That merge is the
-    100 TB property: per-shard/per-day sketches (128 longs each) union
-    into the global estimate; KMV (distinct_docs_kmv) covers the
-    bottom-k family, this covers the register family, both on the
-    engine-portable md5 hash rather than Spark-private HLL++ state."""
+    plus the merged 'ALL' row, both from ONE table pass (GROUPING SETS —
+    the Expand doubles pre-agg rows map-side; register-wise max IS the
+    sketch merge).  That merge is the 100 TB property: per-shard/per-day
+    sketches (128 longs each) union into the global estimate; KMV
+    (distinct_docs_kmv) covers the bottom-k family, this covers the
+    register family, both on the engine-portable md5 hash rather than
+    Spark-private HLL++ state."""
     from mvrepair.operators import sketch as SK
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
-    regs = SK.hll_registers(ev, "event_id", ["event_type"])
-    merged = (
-        regs.groupBy("register")
-        .agg(F.max("rho").alias("rho"))
-        .select(F.lit("ALL").alias("event_type"), "register", "rho")
-    )
-    return SK.hll_fold(regs.unionByName(merged), ["event_type"])
+    regs = SK.hll_registers_with_total(ev, "event_id", "event_type")
+    return SK.hll_fold(regs, ["event_type"])
 
 
 def _oracle_events_hll() -> str:
@@ -3714,11 +3710,9 @@ r AS (
               ELSE {sb} - (length(bin(hh & {mask})) - 1) END AS rho
   FROM h),
 regs AS (
-  SELECT event_type, register, max(rho) AS rho FROM r GROUP BY 1, 2
-  UNION ALL
-  SELECT 'ALL' AS event_type, register, max(rho) AS rho
-  FROM (SELECT event_type, register, max(rho) AS rho FROM r GROUP BY 1, 2)
-  GROUP BY 2),
+  SELECT coalesce(event_type, 'ALL') AS event_type, register,
+         max(rho) AS rho
+  FROM r GROUP BY GROUPING SETS ((event_type, register), (register))),
 agg AS (
   SELECT event_type, count(*)::BIGINT AS regs_set,
          sum(1::BIGINT << ({_HLL_RMAX} - rho))::BIGINT AS s_present

@@ -364,6 +364,20 @@ def hll_registers(
     registers equals sketching the union directly.
     """
     group_cols = group_cols or []
+    return (
+        hll_rows(df, col, group_cols)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_rows(
+    df: DataFrame, col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Pre-aggregation projection: (group_cols…, register, rho) per row
+    — pure map-side column algebra, exposed so callers can aggregate it
+    under grouping sets / windows without a second scan."""
+    group_cols = group_cols or []
     suffix_bits = 60 - HLL_P
     h = stable_hash64(F.col(col).cast("string"))
     suffix = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
@@ -371,14 +385,34 @@ def hll_registers(
     rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
         F.lit(suffix_bits) - (blen - F.lit(1))
     )
-    return (
-        df.select(
-            *group_cols,
-            F.shiftright(h, suffix_bits).alias("register"),
-            rho.alias("rho"),
-        )
-        .groupBy(*group_cols, "register")
-        .agg(F.max("rho").alias("rho"))
+    return df.select(
+        *group_cols,
+        F.shiftright(h, suffix_bits).alias("register"),
+        rho.alias("rho"),
+    )
+
+
+def hll_registers_with_total(
+    df: DataFrame, col: str, group_col: str, total_label: str = "ALL"
+) -> DataFrame:
+    """Per-group register frames PLUS the merged total — in ONE table
+    pass via GROUPING SETS ((group, register), (register)): the Expand
+    doubles pre-agg rows map-side instead of a second corpus scan (a
+    first cut unioned two aggregates over the same source, which planned
+    two FileScans).  The total row is labeled ``total_label``; merging
+    here is the register-wise max the grouping set computes — identical
+    to folding the per-group sketches, pinned in tests.  Assumes
+    ``group_col`` is non-null (the grouping-set null marks the total
+    row; a null data group would merge into it).
+    """
+    rows = hll_rows(df, col, [group_col])
+    regs = rows.groupingSets(
+        [[group_col, "register"], ["register"]], group_col, "register"
+    ).agg(F.max("rho").alias("rho"))
+    return regs.select(
+        F.coalesce(F.col(group_col), F.lit(total_label)).alias(group_col),
+        "register",
+        "rho",
     )
 
 

@@ -4113,3 +4113,43 @@ def test_aggregate_view_rejects_unknown_kind(spark):
 
     with pytest.raises(ValueError):
         aggregate_view(spark.range(3), ["id"], [("x", "avg", "id")])
+
+
+def test_hll_grouping_sets_total_single_scan(spark):
+    """The grouped+total register frame (a) matches merging per-group
+    sketches, (b) plans exactly ONE FileScan — the one-pass claim."""
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators.sketch import (
+        hll_registers,
+        hll_registers_with_total,
+    )
+
+    df = spark.range(4000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        F.concat(F.lit("x"), F.col("id")).alias("v"),
+    )
+    got = {
+        (r.g, r.register): r.rho
+        for r in hll_registers_with_total(df, "v", "g").collect()
+    }
+    per = hll_registers(df, "v", ["g"])
+    want = {(r.g, r.register): r.rho for r in per.collect()}
+    for r in (
+        per.groupBy("register").agg(F.max("rho").alias("rho")).collect()
+    ):
+        want[("ALL", r.register)] = r.rho
+    assert got == want
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/t")
+        plan = (
+            hll_registers_with_total(spark.read.parquet(f"{d}/t"), "v", "g")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan

@@ -268,6 +268,25 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
+    # round-10 wave 2 twins
+    "corpus_diff": {"AdaptiveSparkPlan": 1, "Project": 4, "SortMergeJoin": 1,
+                    "Sort": 2, "Exchange": 5, "FileScan": 3, "Union": 1,
+                    "Filter": 2},
+    "mv_merkle_diff": {"AdaptiveSparkPlan": 1, "Project": 7, "Filter": 3,
+                       "SortMergeJoin": 1, "Sort": 2, "HashAggregate": 4,
+                       "Exchange": 2, "FileScan": 3, "Union": 1},
+    # one FileScan + Expand: the grouping-sets single-pass pin
+    "events_hll": {"AdaptiveSparkPlan": 1, "Project": 2, "HashAggregate": 4,
+                   "Exchange": 2, "Expand": 1, "FileScan": 1},
+    # one FileScan + Expand (the multi-distinct), 2-level agg only
+    "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
+                    "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
+    # streaming twins fingerprint the drained results table
+    "mv_merkle_stream": {"LocalTableScan": 1},
+    # agg -> union of partial states -> re-agg; no join anywhere
+    "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
+                       "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
+                       "FileScan": 2},
     "events_hourly": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
                       "Filter": 1, "HashAggregate": 2, "Project": 2},
     "minhash_signatures": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,

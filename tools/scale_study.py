@@ -811,17 +811,15 @@ def main() -> None:
         )
 
     def _hll_op(df):
-        from mvrepair.operators.sketch import hll_fold, hll_registers
+        from mvrepair.operators.sketch import (
+            hll_fold,
+            hll_registers_with_total,
+        )
 
-        regs = hll_registers(
-            df.select("event_type", "event_id"), "event_id", ["event_type"]
+        regs = hll_registers_with_total(
+            df.select("event_type", "event_id"), "event_id", "event_type"
         )
-        merged = (
-            regs.groupBy("register")
-            .agg(F.max("rho").alias("rho"))
-            .select(F.lit("ALL").alias("event_type"), "register", "rho")
-        )
-        return hll_fold(regs.unionByName(merged), ["event_type"])
+        return hll_fold(regs, ["event_type"])
 
     def _dq_op(df):
         from mvrepair.operators import dq
