@@ -475,6 +475,115 @@ def _oracle_mv_merkle_diff() -> str:
 SELECT bucket, base_rows, mv_rows, base_digest, mv_digest FROM dirty"""
 
 
+def q_mv_quorum_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-replica quorum reconcile (operators/merkle.merkle_quorum):
+    replica 2 perturbs o_totalprice on %89==5 keys, replica 3 perturbs
+    o_orderpriority on %83==7 and drops %97==3 — every defect hits ONE
+    replica, so the majority digest identifies both the broken replica
+    and the repair direction (Cassandra read-repair semantics); keys hit
+    by two defect classes at once resolve to NO_QUORUM (1/1/1 vote)."""
+    from mvrepair.operators.merkle import merkle_quorum
+
+    base = P.base_df(spark, sf_dir)
+    k = F.col("o_orderkey")
+    r2 = base.withColumn(
+        "o_totalprice",
+        F.when(k % 89 == 5, F.col("o_totalprice") + 1.0).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    r3 = base.filter(k % 97 != 3).withColumn(
+        "o_orderpriority",
+        F.when(k % 83 == 7, F.lit("9-REPAIRME")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return merkle_quorum(
+        [_merkle_render(r) for r in (base, r2, r3)],
+        _MERKLE_KEYS,
+        _MERKLE_VALS,
+        MERKLE_DEPTH,
+    )
+
+
+def _oracle_mv_quorum_repair() -> str:
+    from mvrepair.operators.merkle import oracle_canonical_sql
+
+    token, digest = oracle_canonical_sql(
+        ["o_custkey", "o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    render = """
+  SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,
+         CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+         o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+         CAST(epoch_us(o_orderdate) AS VARCHAR) AS o_orderdate,
+         o_orderpriority
+  FROM {src}"""
+    shift = 60 - MERKLE_DEPTH
+    return f"""WITH
+o2 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 5 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders),
+o3 AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+         CASE WHEN o_orderkey % 83 = 7 THEN '9-REPAIRME'
+              ELSE o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 3),
+q1 AS ({render.format(src='orders')}),
+q2 AS ({render.format(src='o2')}),
+q3 AS ({render.format(src='o3')}),
+tq AS (
+  SELECT 1 AS replica, o_custkey, o_orderkey,
+         {token} AS token, {digest} AS digest FROM q1
+  UNION ALL
+  SELECT 2, o_custkey, o_orderkey, {token}, {digest} FROM q2
+  UNION ALL
+  SELECT 3, o_custkey, o_orderkey, {token}, {digest} FROM q3),
+b AS (SELECT replica, token >> {shift} AS bucket, o_custkey, o_orderkey,
+             digest FROM tq),
+dirty AS (
+  SELECT bucket FROM (
+    SELECT replica, bucket, count(*)::BIGINT AS n, bit_xor(digest) AS x
+    FROM b GROUP BY 1, 2)
+  GROUP BY bucket
+  HAVING count(*) <> 3 OR count(DISTINCT (n, x)) > 1),
+pruned AS (
+  SELECT replica, o_custkey, o_orderkey, digest FROM b
+  WHERE bucket IN (SELECT bucket FROM dirty)),
+grid AS (
+  SELECT g.o_custkey, g.o_orderkey, r.replica
+  FROM (SELECT DISTINCT o_custkey, o_orderkey FROM pruned) g
+  CROSS JOIN (VALUES (1), (2), (3)) r(replica)),
+filled AS (
+  SELECT grid.o_custkey, grid.o_orderkey, grid.replica,
+         coalesce(p.digest, -1) AS digest
+  FROM grid LEFT JOIN pruned p
+    ON grid.o_custkey = p.o_custkey AND grid.o_orderkey = p.o_orderkey
+   AND grid.replica = p.replica),
+variants AS (
+  SELECT o_custkey, o_orderkey, digest, count(*)::BIGINT AS votes
+  FROM filled GROUP BY 1, 2, 3),
+winner AS (
+  SELECT o_custkey, o_orderkey, votes AS winner_votes,
+         digest AS winner_digest,
+         row_number() OVER (PARTITION BY o_custkey, o_orderkey
+                            ORDER BY votes DESC, digest DESC) AS rn
+  FROM variants)
+SELECT f.o_custkey, f.o_orderkey, f.replica, f.digest AS replica_digest,
+       w.winner_digest, w.winner_votes::INTEGER AS winner_votes,
+       CASE WHEN w.winner_votes * 2 > 3 THEN 'QUORUM_OUTVOTED'
+            ELSE 'NO_QUORUM' END AS status
+FROM filled f
+JOIN (SELECT * FROM winner WHERE rn = 1) w
+  ON f.o_custkey = w.o_custkey AND f.o_orderkey = w.o_orderkey
+WHERE f.digest <> w.winner_digest OR w.winner_votes * 2 <= 3"""
+
+
 def _oracle_mv_merkle_keys() -> str:
     shift = 60 - MERKLE_DEPTH
     return f"""WITH {_oracle_merkle_cte()},
@@ -5656,6 +5765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_dq": q_lineitem_dq,  # twin: pricing_summary (one hash-aggregate pass; the verdict explode is the mv_stats/key_skew (stat,value) report shape)
         "mv_merkle_stream": q_mv_merkle_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the digest algebra is mv_merkle_keys' stage 1, checked in-window
         "mv_agg_refresh": q_mv_agg_refresh,  # twin: pricing_summary (map-combinable hash-agg pipeline: agg -> union -> re-agg, no join); oracle = full recompute, so the hash gate proves incremental exactness
+        "mv_quorum_repair": q_mv_quorum_repair,  # twin: mv_merkle_keys (the identical two-phase digest + dirty-bucket drill, plus the vote aggs over the pruned frame)
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -5771,6 +5881,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_dq": _ORACLE_LINEITEM_DQ,
         "mv_merkle_stream": _oracle_mv_merkle_stream(),
         "mv_agg_refresh": _ORACLE_MV_AGG_REFRESH,
+        "mv_quorum_repair": _oracle_mv_quorum_repair(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -259,6 +259,10 @@ class TestRegistryOrderingContract:
         # -> re-agg), the pricing_summary shape; its oracle is the full
         # recompute, so the driver hash gates incremental exactness
         "mv_agg_refresh": "pricing_summary",
+        # r10 wave 2: N-replica quorum vote — the identical two-phase
+        # digest + dirty-bucket drill as the merkle rep, plus tiny vote
+        # aggregates over the pruned frame
+        "mv_quorum_repair": "mv_merkle_keys",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

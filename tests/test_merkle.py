@@ -173,3 +173,53 @@ def test_streaming_digests_fold_incrementally(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 1
+
+
+def test_quorum_majority_and_no_quorum(spark):
+    """Hand-built 3-replica fixture: (a) a value defect on one replica
+    is OUTVOTED 2-1 with the winner being the agreeing digest; (b) a
+    missing row is an insert repair (absence sentinel loses 2-1);
+    (c) three-way disagreement is NO_QUORUM; (d) agreeing keys emit
+    nothing."""
+    from mvrepair.operators.merkle import merkle_quorum, with_token_digest
+
+    def rep(rows):
+        return spark.createDataFrame(rows, "k string, v string")
+
+    r1 = rep([("a", "1"), ("b", "2"), ("c", "3"), ("d", "4")])
+    r2 = rep([("a", "1"), ("b", "X"), ("c", "3"), ("d", "5")])
+    r3 = rep([("a", "1"), ("b", "2"), ("d", "6")])  # c missing
+    out = merkle_quorum([r1, r2, r3], ["k"], ["v"], depth=6)
+    rows = {(r.k, r.replica): r for r in out.collect()}
+
+    assert set(rows) == {("b", 2), ("c", 3), ("d", 1), ("d", 2), ("d", 3)}
+    assert rows[("b", 2)].status == "QUORUM_OUTVOTED"
+    assert rows[("b", 2)].winner_votes == 2
+    good_b = with_token_digest(
+        r1.filter("k = 'b'"), ["k"], ["v"]
+    ).collect()[0].digest
+    assert rows[("b", 2)].winner_digest == good_b
+    assert rows[("c", 3)].status == "QUORUM_OUTVOTED"
+    assert rows[("c", 3)].replica_digest == -1  # missing -> insert repair
+    for i in (1, 2, 3):
+        assert rows[("d", i)].status == "NO_QUORUM"
+
+
+def test_quorum_identical_replicas_empty(spark, sf_dir):
+    import __spark_entry__ as e
+
+    base = e._merkle_render(P.base_df(spark, sf_dir))
+    out = merkle_quorum_safe = __import__(
+        "mvrepair.operators.merkle", fromlist=["merkle_quorum"]
+    ).merkle_quorum([base, base, base], KEYS, VALS, DEPTH)
+    assert out.count() == 0
+
+
+def test_quorum_validation(spark):
+    import pytest as _pytest
+
+    from mvrepair.operators.merkle import merkle_quorum
+
+    df = spark.createDataFrame([("a", "1")], "k string, v string")
+    with _pytest.raises(ValueError):
+        merkle_quorum([df], ["k"], ["v"], 6)

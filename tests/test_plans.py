@@ -287,6 +287,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
                        "FileScan": 2},
+    # post-prune working set checkpointed: 4 in-memory Scans, zero
+    # source re-reads (uncut this planned 12 FileScans for 3 replicas)
+    "mv_quorum_repair": {"AdaptiveSparkPlan": 1, "Project": 6,
+                         "SortMergeJoin": 1, "Sort": 2,
+                         "BroadcastHashJoin": 2, "Generate": 2,
+                         "HashAggregate": 6, "Exchange": 2, "Filter": 4,
+                         "Scan": 4, "BroadcastExchange": 2,
+                         "SortAggregate": 2},
     "events_hourly": {"AdaptiveSparkPlan": 1, "Exchange": 1, "FileScan": 1,
                       "Filter": 1, "HashAggregate": 2, "Project": 2},
     "minhash_signatures": {"AdaptiveSparkPlan": 1, "Exchange": 2, "FileScan": 1,
