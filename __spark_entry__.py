@@ -4588,6 +4588,91 @@ SELECT user_id, CAST(run AS BIGINT) AS run_seq, value, valid_from_us,
 FROM runs"""
 
 
+def q_purchase_state_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store temporal-correctness
+    primitive: each purchase is enriched with the SCD-2 dimension
+    version VALID AT ITS TIMESTAMP (the user's last non-purchase
+    activity run), never a later one — the leakage an ordinary join on
+    user_id would introduce into training data.  Composition of two
+    checked pipelines (the ann_recall doctrine): scd2_history builds the
+    validity intervals, asof_join (backward, inclusive) picks the
+    version with the greatest valid_from ≤ ts.  Runs partition time per
+    user, so valid_from-asof implies ts < valid_to with no interval
+    check; same-instant boundary ties (two runs sharing a valid_from
+    when timestamps collide at a run boundary) are pre-resolved to the
+    latest run_seq so the operator is deterministic on ANY input, not
+    just collision-free fixtures.  One run-frame window + the as-of's
+    single user-keyed shuffle."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    from mvrepair.operators.temporal import scd2_history
+
+    dim = scd2_history(ev.filter(F.col("event_type") != "purchase"))
+    versions = (
+        dim.groupBy("user_id", "valid_from_us")
+        .agg(F.max(F.struct("run_seq", "value")).alias("w"))
+        .select(
+            "user_id",
+            F.col("valid_from_us").alias("t_us"),
+            F.col("w.run_seq").alias("run_seq"),
+            F.col("w.value").alias("value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    out = T.asof_join(
+        purchases,
+        versions,
+        key_cols=["user_id"],
+        ts_col="t_us",
+        payload_cols=["run_seq", "value", "t_us"],
+        tiebreak_col="run_seq",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("asof_run_seq").alias("state_seq"),
+        F.col("asof_value").alias("state"),
+        F.col("asof_t_us").alias("state_since_us"),
+    )
+
+
+_ORACLE_PURCHASE_STATE_PIT = """
+WITH f AS (
+  SELECT user_id, event_id, event_type AS v, epoch_us(ts) AS t,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS nw
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+r AS (
+  SELECT user_id, v, t,
+    sum(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM f),
+runs AS (
+  SELECT user_id, CAST(run AS BIGINT) AS run_seq, min(v) AS value,
+         min(t) AS valid_from_us
+  FROM r GROUP BY 1, 2),
+versions AS (
+  -- boundary-tie dedup: run_seq is unique per (user, run), so max +
+  -- arg_max equals the Spark side's lexicographic struct max
+  SELECT user_id, valid_from_us AS t_us,
+         max(run_seq) AS run_seq,
+         arg_max(value, run_seq) AS value
+  FROM runs GROUP BY 1, 2),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+  WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.t_us,
+       v.run_seq AS state_seq, v.value AS state,
+       v.t_us AS state_since_us
+FROM p ASOF LEFT JOIN versions v
+  ON p.user_id = v.user_id AND p.t_us >= v.t_us"""
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc percentile rank of the quality score within its source —
     rank normalization for cross-source thresholds ("keep each source's
@@ -5766,6 +5851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_merkle_stream": q_mv_merkle_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the digest algebra is mv_merkle_keys' stage 1, checked in-window
         "mv_agg_refresh": q_mv_agg_refresh,  # twin: pricing_summary (map-combinable hash-agg pipeline: agg -> union -> re-agg, no join); oracle = full recompute, so the hash gate proves incremental exactness
         "mv_quorum_repair": q_mv_quorum_repair,  # twin: mv_merkle_keys (the identical two-phase digest + dirty-bucket drill, plus the vote aggs over the pruned frame)
+        "purchase_state_pit": q_purchase_state_pit,  # twin: purchase_attribution (the identical union+window as-of shape) composed with scd2_history's run encoding (checked via its own local gate; the activity_islands family)
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -5882,6 +5968,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_merkle_stream": _oracle_mv_merkle_stream(),
         "mv_agg_refresh": _ORACLE_MV_AGG_REFRESH,
         "mv_quorum_repair": _oracle_mv_quorum_repair(),
+        "purchase_state_pit": _ORACLE_PURCHASE_STATE_PIT,
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

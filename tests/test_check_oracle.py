@@ -263,6 +263,10 @@ class TestRegistryOrderingContract:
         # digest + dirty-bucket drill as the merkle rep, plus tiny vote
         # aggregates over the pruned frame
         "mv_quorum_repair": "mv_merkle_keys",
+        # r10 wave 2: point-in-time enrichment — the as-of union+window
+        # shape (its rep) composed with the scd2 run encoding (locally
+        # gated through scd2_history), the composition doctrine
+        "purchase_state_pit": "purchase_attribution",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

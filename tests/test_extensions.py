@@ -4153,3 +4153,42 @@ def test_hll_grouping_sets_total_single_scan(spark):
         )
     assert plan.count("FileScan") == 1, plan
     assert "Expand" in plan
+
+
+def test_pit_join_never_leaks_future_state(spark, sf_dir):
+    """The feature-store property: every attached state became valid AT
+    OR BEFORE the fact timestamp, and a hand fixture where the naive
+    user_id join WOULD leak (a later state exists) gets the correct
+    earlier version."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    out = e.queries()["purchase_state_pit"](spark, sf_dir)
+    assert out.filter(F.col("state_since_us") > F.col("t_us")).count() == 0
+    assert out.count() > 0
+    # purchases with no prior signal must still appear, state null
+    assert out.filter(F.col("state").isNull()).count() >= 0
+
+    from mvrepair.operators.temporal import asof_join, scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click"),
+            (2, "2024-01-03 00:00:00", 7, "view"),  # AFTER the purchase
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             "user_id", "event_type")
+    dim = scd2_history(ev).select(
+        "user_id", F.col("valid_from_us").alias("t_us"), "run_seq", "value"
+    )
+    fact = spark.createDataFrame(
+        [(99, 7, "2024-01-02 00:00:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).select("event_id", "user_id",
+             F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"))
+    got = asof_join(
+        fact, dim, ["user_id"], "t_us", ["run_seq", "value"],
+        tiebreak_col="run_seq",
+    ).collect()[0]
+    assert got.asof_value == "click"  # not the later "view"

@@ -287,6 +287,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
                        "FileScan": 2},
+    # scd2 run encoding (one user-keyed exchange, windows + sort-aggs
+    # ride it) + the as-of union+window; 2 pushed-filter event scans
+    "purchase_state_pit": {"AdaptiveSparkPlan": 1, "Project": 6,
+                           "Filter": 3, "Window": 3, "Sort": 4,
+                           "Exchange": 2, "Union": 1, "FileScan": 2,
+                           "SortAggregate": 4},
     # post-prune working set checkpointed: 4 in-memory Scans, zero
     # source re-reads (uncut this planned 12 FileScans for 3 replicas)
     "mv_quorum_repair": {"AdaptiveSparkPlan": 1, "Project": 6,
