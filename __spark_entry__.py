@@ -4673,6 +4673,32 @@ FROM p ASOF LEFT JOIN versions v
   ON p.user_id = v.user_id AND p.t_us >= v.t_us"""
 
 
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per event type over the
+    irregularly-sampled event series (TimescaleDB's time_weight/LOCF):
+    each sample holds until the key's next one, so bursts don't
+    over-weight the mean.  One key-keyed Exchange+Sort carries the
+    lead() window and the aggregate; exact decimal·µs accumulation,
+    one final double divide (temporal.time_weighted_avg)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return T.time_weighted_avg(ev, key_col="event_type")
+
+
+_ORACLE_EVENTS_TWA = """
+WITH f AS (
+  SELECT event_type,
+    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm,
+    lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+      - epoch_us(ts) AS dt
+  FROM events)
+SELECT event_type, count(*)::BIGINT AS n_intervals,
+  sum(dt)::BIGINT AS span_us,
+  CAST(sum(CAST(vm AS HUGEINT) * dt) // sum(dt) AS BIGINT) AS twa_micro
+FROM f WHERE dt IS NOT NULL GROUP BY 1"""
+
+
 def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc percentile rank of the quality score within its source —
     rank normalization for cross-source thresholds ("keep each source's
@@ -5852,6 +5878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_agg_refresh": q_mv_agg_refresh,  # twin: pricing_summary (map-combinable hash-agg pipeline: agg -> union -> re-agg, no join); oracle = full recompute, so the hash gate proves incremental exactness
         "mv_quorum_repair": q_mv_quorum_repair,  # twin: mv_merkle_keys (the identical two-phase digest + dirty-bucket drill, plus the vote aggs over the pruned frame)
         "purchase_state_pit": q_purchase_state_pit,  # twin: purchase_attribution (the identical union+window as-of shape) composed with scd2_history's run encoding (checked via its own local gate; the activity_islands family)
+        "events_twa": q_events_twa,  # twin: event_sessions (one key-keyed Exchange+Sort carrying a lead/lag window + the agg; the scd2/event_paths shape)
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -5969,6 +5996,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_agg_refresh": _ORACLE_MV_AGG_REFRESH,
         "mv_quorum_repair": _oracle_mv_quorum_repair(),
         "purchase_state_pit": _ORACLE_PURCHASE_STATE_PIT,
+        "events_twa": _ORACLE_EVENTS_TWA,
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -764,3 +764,52 @@ def scd2_history(
         F.lead("valid_from_us").over(wr).alias("valid_to_us"),
         "n_events",
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average over irregularly-sampled series (the
+    TimescaleDB ``time_weight('LOCF', …)`` operator): per key, each
+    observation holds until the next one, so the average is
+    ``Σ value·Δt / Σ Δt`` with Δt the µs gap to the key's next sample —
+    the honest mean of a sensor/price/metric series where plain avg()
+    over-weights bursts.  The last sample per key has no successor and
+    carries zero weight (the open interval's duration is unknowable —
+    TimescaleDB's LOCF makes the same call at series end).
+
+    Exactness: Δt is exact integer µs; ``value`` quantizes to exact
+    micro-units (×10⁶, through DECIMAL(18,6) so the double→decimal
+    rounding is the engines' shared correctly-rounded step); the
+    weighted sum accumulates in DECIMAL(38,0) and the result is the
+    integer division ``twa_micro = Σ v_micro·Δt DIV Σ Δt`` — ZERO
+    floating-point steps.  (A first cut divided doubles: Spark's
+    BigDecimal.doubleValue is correctly rounded, DuckDB's int128/10^k
+    cast is two roundings — last-ulp mismatch on real sums.  Integer
+    micro-units are the repo convention for exactly this reason.)
+
+    Scale shape: ONE key-keyed Exchange+Sort carries the lead() window
+    and the aggregate (HashPartitioning(key) satisfies the grouping);
+    output is one row per key.  Ties at equal ts order by ``id_col`` so
+    Δt assignment is deterministic on any input.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(id_col))
+    t_us = F.unix_micros(F.col(ts_col))
+    vm = (F.col(value_col).cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    flagged = df.select(
+        key_col,
+        vm.alias("__vm"),
+        (F.lead(t_us).over(w) - t_us).alias("__dt_us"),
+    ).filter(F.col("__dt_us").isNotNull())
+    return flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dt_us").alias("span_us"),
+        F.expr(
+            "CAST(sum(CAST(__vm AS DECIMAL(38,0)) * __dt_us)"
+            " DIV sum(__dt_us) AS BIGINT)"
+        ).alias("twa_micro"),
+    )

@@ -267,6 +267,10 @@ class TestRegistryOrderingContract:
         # shape (its rep) composed with the scd2 run encoding (locally
         # gated through scd2_history), the composition doctrine
         "purchase_state_pit": "purchase_attribution",
+        # r10 wave 2: time-weighted average — one key-keyed
+        # Exchange+Sort carrying a lead window + the agg, the
+        # sessionization rep's shape
+        "events_twa": "event_sessions",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

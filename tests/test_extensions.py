@@ -4192,3 +4192,31 @@ def test_pit_join_never_leaks_future_state(spark, sf_dir):
         tiebreak_col="run_seq",
     ).collect()[0]
     assert got.asof_value == "click"  # not the later "view"
+
+
+def test_time_weighted_avg_exact_small_fixture(spark):
+    """Hand-computable: key 'a' holds 10.0 for 3 µs then 40.0 for 1 µs
+    -> twa = (10*3 + 40*1)/4 = 17.5 exactly (micro-units 17_500_000);
+    the last sample carries no weight; single-sample keys drop."""
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators.temporal import time_weighted_avg
+
+    rows = [
+        (1, "a", 0, 10.0),
+        (2, "a", 3, 40.0),
+        (3, "a", 4, 99.0),   # open tail: zero weight
+        (4, "b", 0, 5.0),    # single sample: no interval at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, k string, t_us bigint, value double"
+    ).select(
+        "event_id", "k", F.timestamp_micros(F.col("t_us")).alias("ts"), "value"
+    )
+    out = {
+        r.k: (r.n_intervals, r.span_us, r.twa_micro)
+        for r in time_weighted_avg(
+            df, key_col="k", ts_col="ts", value_col="value"
+        ).collect()
+    }
+    assert out == {"a": (2, 4, 17_500_000)}

@@ -287,6 +287,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
                        "FileScan": 2},
+    # one key-keyed Exchange+Sort carries the lead window AND the agg
+    "events_twa": {"AdaptiveSparkPlan": 1, "HashAggregate": 2, "Project": 3,
+                   "Filter": 1, "Window": 1, "Sort": 1, "Exchange": 1,
+                   "FileScan": 1},
     # scd2 run encoding (one user-keyed exchange, windows + sort-aggs
     # ride it) + the as-of union+window; 2 pushed-filter event scans
     "purchase_state_pit": {"AdaptiveSparkPlan": 1, "Project": 6,

@@ -810,6 +810,57 @@ def main() -> None:
             depth=10,
         )
 
+    def _quorum_op(df):
+        import __spark_entry__ as e
+        from mvrepair.operators.merkle import merkle_quorum
+
+        base = df.select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        )
+        k = F.col("o_orderkey")
+        r2 = base.withColumn(
+            "o_totalprice",
+            F.when(k % 89 == 5, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        r3 = base.filter(k % 97 != 3).withColumn(
+            "o_orderpriority",
+            F.when(k % 83 == 7, F.lit("9-REPAIRME")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        return merkle_quorum(
+            [e._merkle_render(r) for r in (base, r2, r3)],
+            ["o_custkey", "o_orderkey"],
+            ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+            depth=10,
+        )
+
+    def _pit_op(df):
+        from mvrepair.operators.temporal import asof_join, scd2_history
+
+        ev = df.select("event_id", "ts", "user_id", "event_type")
+        dim = scd2_history(ev.filter(F.col("event_type") != "purchase"))
+        versions = (
+            dim.groupBy("user_id", "valid_from_us")
+            .agg(F.max(F.struct("run_seq", "value")).alias("w"))
+            .select(
+                "user_id",
+                F.col("valid_from_us").alias("t_us"),
+                F.col("w.run_seq").alias("run_seq"),
+                F.col("w.value").alias("value"),
+            )
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+        )
+        return asof_join(
+            purchases, versions, ["user_id"], "t_us",
+            ["run_seq", "value", "t_us"], tiebreak_col="run_seq",
+        )
+
     def _hll_op(df):
         from mvrepair.operators.sketch import (
             hll_fold,
@@ -1038,6 +1089,14 @@ def main() -> None:
         # events copies: sketch state is 128 registers per type at every
         # factor — the row under test is the scan+partial-agg growth
         "events_hll(ev)": ("ev", _hll_op),
+        # 3-replica quorum under volume-proportional divergence (the
+        # dense merkle doctrine: every defect class ∝ rows); measures
+        # the N-replica digest stage + the checkpointed vote drill
+        "mv_quorum(ord)": ("ord", _quorum_op),
+        # events copies (shifted user ids): per-user run encoding and
+        # the as-of union+window both ride user-keyed exchanges —
+        # constant per-user state, k x users
+        "purchase_state_pit(ev)": ("ev", _pit_op),
         # one-pass DQ aggregate; the countDistinct Expand doubles scan
         # rows but stays map-combinable
         "lineitem_dq(li)": ("li", _dq_op),
