@@ -435,6 +435,50 @@ def q_mv_merkle_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_merkle_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merkle path composed into the reference's actual repair
+    output: drill keys (divergence-sized) broadcast back as semi-join
+    prunes on BOTH tables, then the standard classify + upsert planner
+    runs over only the diverged keys.  The oracle is the FULL-SCAN
+    window-free upsert plan — hash-equality proves the pruned pipeline
+    emits byte-identical repair cells while the expensive row-level
+    machinery touches ~divergence rows, not the table (the production
+    configuration for anti-entropy repair at 100 TB)."""
+    from mvrepair.operators.merkle import merkle_repair_keys
+
+    base, mv = P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir)
+    # divergence-sized by the merkle premise, and consumed by TWO
+    # semi-joins: checkpoint so the drill runs once (uncut, each
+    # consumer re-ran the whole drill — 12 FileScans in the plan)
+    keys = merkle_repair_keys(
+        _merkle_render(base),
+        _merkle_render(mv),
+        _MERKLE_KEYS,
+        _MERKLE_VALS,
+        MERKLE_DEPTH,
+    ).localCheckpoint()
+    klist = F.broadcast(
+        keys.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        )
+    )
+    on = ["o_custkey", "o_orderkey"]
+    wide = classify(
+        base.join(klist, on=on, how="left_semi"),
+        mv.join(klist, on=on, how="left_semi"),
+        P.spec(),
+        window=None,
+    )
+    return plan_upserts(wide, P.spec())
+
+
+def _oracle_mv_merkle_upserts() -> str:
+    return f"WITH {P.oracle_classified_cte(window=False)}" + _oracle_upsert_cells(
+        "cls"
+    )
+
+
 def _oracle_merkle_cte() -> str:
     """CTEs ``tb``/``tm``: the rendered pair with (token, digest) —
     the identical md5 fold ``operators.merkle.canonical_row`` computes."""
@@ -5879,6 +5923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_quorum_repair": q_mv_quorum_repair,  # twin: mv_merkle_keys (the identical two-phase digest + dirty-bucket drill, plus the vote aggs over the pruned frame)
         "purchase_state_pit": q_purchase_state_pit,  # twin: purchase_attribution (the identical union+window as-of shape) composed with scd2_history's run encoding (checked via its own local gate; the activity_islands family)
         "events_twa": q_events_twa,  # twin: event_sessions (one key-keyed Exchange+Sort carrying a lead/lag window + the agg; the scd2/event_paths shape)
+        "mv_merkle_upserts": q_mv_merkle_upserts,  # twin: mv_repair_upserts (the identical classify + upsert planner, semi-join-pruned by the mv_merkle_keys stage checked in-window); oracle = the FULL-SCAN window-free plan, so the hash gate proves prune-equivalence
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -5997,6 +6042,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_quorum_repair": _oracle_mv_quorum_repair(),
         "purchase_state_pit": _ORACLE_PURCHASE_STATE_PIT,
         "events_twa": _ORACLE_EVENTS_TWA,
+        "mv_merkle_upserts": _oracle_mv_merkle_upserts(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -248,6 +248,11 @@ def merkle_quorum(
       (QUORUM_OUTVOTED when winner_votes·2 > N, else NO_QUORUM).
     Ties break to the highest digest — deterministic, and presence
     always beats the -1 absence sentinel on equal votes.
+
+    Precondition: each replica is key-unique (one row per key — the
+    reference's own O8 dedup-first contract).  A duplicated key would
+    contribute multiple votes for one replica and distort the majority;
+    run ``dropDuplicates(key_cols)`` upstream if the source can repeat.
     """
     n = len(replicas)
     if n < 2:

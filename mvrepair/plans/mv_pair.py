@@ -145,12 +145,14 @@ om AS (
 )"""
 
 
-def oracle_classified_cte() -> str:
+def oracle_classified_cte(window: bool = True) -> str:
     """CTE ``cls``: full-outer join + window skip + first-mismatch diff.
 
     Mirrors classify(): skip-either-side, existence classes, alphabetical
     first differing common column with convertToString-style rendering
-    (timestamps → epoch millis)."""
+    (timestamps → epoch millis).  ``window=False`` drops the SKIPPED
+    branch — the twin of ``classify(window=None)`` (native unbounded
+    mode, used by the merkle-composed repair)."""
     diffs = [
         ("o_orderdate", "b.o_orderdate IS DISTINCT FROM m.o_orderdate",
          "CAST(epoch_ms(b.o_orderdate) AS VARCHAR)",
@@ -167,6 +169,10 @@ def oracle_classified_cte() -> str:
     diff_type = "CASE " + " ".join(f"WHEN {d[1]} THEN '{d[4]}'" for d in diffs) + " END"
     base_val = "CASE " + " ".join(f"WHEN {d[1]} THEN {d[2]}" for d in diffs) + " END"
     mv_val = "CASE " + " ".join(f"WHEN {d[1]} THEN {d[3]}" for d in diffs) + " END"
+    skip_branch = f"""
+      WHEN (b.o_orderkey IS NOT NULL AND b.wt // 1000000 > {_END_SEC})
+        OR (m.o_orderkey IS NOT NULL AND m.wt // 1000000 > {_END_SEC})
+        THEN 'SKIPPED'""" if window else ""
     return f"""{oracle_pair_cte()},
 cls AS (
   SELECT
@@ -174,10 +180,7 @@ cls AS (
     coalesce(b.o_orderkey, m.o_orderkey) AS o_orderkey,
     b.o_orderkey IS NOT NULL AS bp,
     m.o_orderkey IS NOT NULL AS mp,
-    CASE
-      WHEN (b.o_orderkey IS NOT NULL AND b.wt // 1000000 > {_END_SEC})
-        OR (m.o_orderkey IS NOT NULL AND m.wt // 1000000 > {_END_SEC})
-        THEN 'SKIPPED'
+    CASE{skip_branch}
       WHEN b.o_orderkey IS NULL THEN 'MISSING_IN_BASE_TABLE'
       WHEN m.o_orderkey IS NULL THEN 'MISSING_IN_MV_TABLE'
       WHEN {any_diff} THEN 'INCONSISTENT'

@@ -271,6 +271,10 @@ class TestRegistryOrderingContract:
         # Exchange+Sort carrying a lead window + the agg, the
         # sessionization rep's shape
         "events_twa": "event_sessions",
+        # r10 wave 3: the merkle-pruned repair — the identical classify
+        # + upsert planner as the repair rep, fed by the in-window
+        # merkle drill; its oracle is the FULL-SCAN window-free plan
+        "mv_merkle_upserts": "mv_repair_upserts",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

@@ -287,6 +287,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
                        "FileScan": 2},
+    # drill keys checkpointed (3 in-memory Scans), semi-join prunes
+    # broadcast, one SMJ for the pruned classify; 3 source FileScans
+    "mv_merkle_upserts": {"AdaptiveSparkPlan": 1, "Project": 12,
+                          "Generate": 1, "Filter": 7, "SortMergeJoin": 1,
+                          "SortAggregate": 4, "Sort": 4, "Exchange": 2,
+                          "BroadcastHashJoin": 3, "FileScan": 3,
+                          "BroadcastExchange": 3, "Scan": 3, "Union": 1},
     # one key-keyed Exchange+Sort carries the lead window AND the agg
     "events_twa": {"AdaptiveSparkPlan": 1, "HashAggregate": 2, "Project": 3,
                    "Filter": 1, "Window": 1, "Sort": 1, "Exchange": 1,
