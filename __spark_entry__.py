@@ -473,6 +473,42 @@ def q_mv_merkle_upserts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_upserts(wide, P.spec())
 
 
+def q_mv_merkle_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete side of the merkle-composed repair: drilled keys prune
+    both tables, classify(window=None) labels the orphans, and the O13
+    guard re-verifies absence against the PRUNED base snapshot — for
+    drilled keys the semi-join preserves every base row, so the guard
+    is exactly as strong as against the full table while anti-joining a
+    divergence-sized frame."""
+    from mvrepair.operators.merkle import merkle_repair_keys
+
+    base, mv = P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir)
+    keys = merkle_repair_keys(
+        _merkle_render(base),
+        _merkle_render(mv),
+        _MERKLE_KEYS,
+        _MERKLE_VALS,
+        MERKLE_DEPTH,
+    ).localCheckpoint()
+    klist = F.broadcast(
+        keys.select(
+            F.col("o_custkey").cast("bigint").alias("o_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        )
+    )
+    on = ["o_custkey", "o_orderkey"]
+    base_p = base.join(klist, on=on, how="left_semi")
+    wide = classify(
+        base_p, mv.join(klist, on=on, how="left_semi"), P.spec(), window=None
+    )
+    return plan_deletes(wide, P.spec(), base_p)
+
+
+def _oracle_mv_merkle_deletes() -> str:
+    return f"""WITH {P.oracle_classified_cte(window=False)}
+SELECT o_custkey, o_orderkey FROM cls WHERE problem = 'MISSING_IN_BASE_TABLE'"""
+
+
 def _oracle_mv_merkle_upserts() -> str:
     return f"WITH {P.oracle_classified_cte(window=False)}" + _oracle_upsert_cells(
         "cls"
@@ -3831,6 +3867,37 @@ SELECT o_custkey, count(*)::BIGINT AS n_orders,
 FROM orders GROUP BY 1"""
 
 
+def q_orders_lineitem_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join pre-flight: the EXACT output cardinality of
+    orders ⋈ lineitem on the order key, computed from the two per-key
+    count frames without running the join (sketch.join_size_estimate) —
+    plus max_key_product, the hot-key explosion term a skew planner
+    reads before launching a 100 TB join."""
+    from mvrepair.operators.sketch import join_size_estimate
+
+    return join_size_estimate(
+        load_table(spark, sf_dir, "orders").select("o_orderkey"),
+        "o_orderkey",
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey"),
+        "l_orderkey",
+    )
+
+
+_ORACLE_JOINSIZE = """
+WITH cl AS (SELECT o_orderkey AS k, count(*)::BIGINT AS c FROM orders GROUP BY 1),
+cr AS (SELECT l_orderkey AS k, count(*)::BIGINT AS c FROM lineitem GROUP BY 1),
+j AS (SELECT cl.c AS cl, cr.c AS cr FROM cl FULL OUTER JOIN cr ON cl.k = cr.k)
+SELECT sum(coalesce(cl, 0))::BIGINT AS left_rows,
+  count(cl)::BIGINT AS left_keys,
+  sum(coalesce(cr, 0))::BIGINT AS right_rows,
+  count(cr)::BIGINT AS right_keys,
+  count(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 END)::BIGINT
+    AS matched_keys,
+  CAST(sum(CAST(cl AS HUGEINT) * cr) AS BIGINT) AS join_rows,
+  CAST(max(CAST(cl AS HUGEINT) * cr) AS BIGINT) AS max_key_product
+FROM j"""
+
+
 def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-register HLL: per-event-type distinct event_id sketches
     plus the merged 'ALL' row, both from ONE table pass (GROUPING SETS —
@@ -5924,6 +5991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_state_pit": q_purchase_state_pit,  # twin: purchase_attribution (the identical union+window as-of shape) composed with scd2_history's run encoding (checked via its own local gate; the activity_islands family)
         "events_twa": q_events_twa,  # twin: event_sessions (one key-keyed Exchange+Sort carrying a lead/lag window + the agg; the scd2/event_paths shape)
         "mv_merkle_upserts": q_mv_merkle_upserts,  # twin: mv_repair_upserts (the identical classify + upsert planner, semi-join-pruned by the mv_merkle_keys stage checked in-window); oracle = the FULL-SCAN window-free plan, so the hash gate proves prune-equivalence
+        "mv_merkle_deletes": q_mv_merkle_deletes,  # twin: mv_repair_upserts (same pruned classify; the guard anti-join is the mv_repair_deletes shape, driver-checked r1-r7) — oracle again the full-scan plan
+        "orders_lineitem_joinsize": q_orders_lineitem_joinsize,  # twin: key_skew (the identical per-key count-frame reduction, here two-sided with a key-frame full-outer merge)
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -6043,6 +6112,8 @@ def oracle_sql() -> dict[str, str]:
         "purchase_state_pit": _ORACLE_PURCHASE_STATE_PIT,
         "events_twa": _ORACLE_EVENTS_TWA,
         "mv_merkle_upserts": _oracle_mv_merkle_upserts(),
+        "mv_merkle_deletes": _oracle_mv_merkle_deletes(),
+        "orders_lineitem_joinsize": _ORACLE_JOINSIZE,
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -445,3 +445,43 @@ def hll_fold(registers: DataFrame, group_cols: list[str] | None = None) -> DataF
         s_scaled.alias("s_scaled"),
         (F.lit(HLL_RAW_NUM) / s_scaled.cast("double")).alias("est_distinct"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame, left_key: str, right: DataFrame, right_key: str
+) -> DataFrame:
+    """EXACT equi-join output cardinality WITHOUT running the join —
+    the planner pre-flight that decides whether a 100 TB join is safe
+    to launch: Σ over matching keys of count_left(k)·count_right(k).
+
+    Each side is scanned ONCE into its per-key count frame (the only
+    corpus-sized exchanges, map-combinable); the frames full-outer join
+    key-to-key (distinct-key-sized, not row-sized) and ONE aggregate
+    emits the whole report.  Complements ``key_skew_profile``: that
+    prices one side's shuffle, this prices the join's OUTPUT —
+    the quantity that explodes when both sides are skewed on the same
+    hot key (cl·cr per key, visible in ``max_key_product``).
+
+    Output (one row): left_rows, left_keys, right_rows, right_keys,
+    matched_keys, join_rows, max_key_product.  Products accumulate in
+    DECIMAL(38,0) (two billion-row sides sharing one key = 10^18
+    products; bigint sums would overflow) and render as bigint here —
+    callers at true 100 TB scale should read the decimal column form.
+    """
+    cl = left.groupBy(F.col(left_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cl")
+    )
+    cr = right.groupBy(F.col(right_key).alias("__k")).agg(
+        F.count(F.lit(1)).alias("__cr")
+    )
+    j = cl.join(cr, on="__k", how="full_outer")
+    prod = F.col("__cl").cast("decimal(38,0)") * F.col("__cr")
+    return j.agg(
+        F.sum(F.coalesce("__cl", F.lit(0))).alias("left_rows"),
+        F.count("__cl").alias("left_keys"),
+        F.sum(F.coalesce("__cr", F.lit(0))).alias("right_rows"),
+        F.count("__cr").alias("right_keys"),
+        F.count(F.when(F.col("__cl").isNotNull() & F.col("__cr").isNotNull(), 1)).alias("matched_keys"),
+        F.sum(prod).cast("bigint").alias("join_rows"),
+        F.max(prod).cast("bigint").alias("max_key_product"),
+    )

@@ -275,6 +275,10 @@ class TestRegistryOrderingContract:
         # + upsert planner as the repair rep, fed by the in-window
         # merkle drill; its oracle is the FULL-SCAN window-free plan
         "mv_merkle_upserts": "mv_repair_upserts",
+        "mv_merkle_deletes": "mv_repair_upserts",
+        # r10 wave 3: join-output pre-flight — the key_skew per-key
+        # count-frame reduction, two-sided
+        "orders_lineitem_joinsize": "key_skew",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

@@ -287,6 +287,19 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
                        "FileScan": 2},
+    # drill keys checkpointed, guard anti-join rides a broadcast of the
+    # pruned base; 4 source FileScans + in-memory key Scans
+    "mv_merkle_deletes": {"AdaptiveSparkPlan": 1, "BroadcastHashJoin": 5,
+                          "Project": 12, "Filter": 9, "SortMergeJoin": 1,
+                          "SortAggregate": 4, "Sort": 4, "Exchange": 2,
+                          "FileScan": 4, "BroadcastExchange": 5, "Scan": 4,
+                          "Union": 1},
+    # each side scanned once into its count frame; the only join is
+    # the distinct-key-sized full-outer count-frame merge
+    "orders_lineitem_joinsize": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
+                                 "Exchange": 3, "Project": 1,
+                                 "SortMergeJoin": 1, "Sort": 2,
+                                 "FileScan": 2},
     # drill keys checkpointed (3 in-memory Scans), semi-join prunes
     # broadcast, one SMJ for the pruned classify; 3 source FileScans
     "mv_merkle_upserts": {"AdaptiveSparkPlan": 1, "Project": 12,
