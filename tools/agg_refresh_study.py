@@ -43,6 +43,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_SCALE_MEM", "8g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

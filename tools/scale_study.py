@@ -861,6 +861,55 @@ def main() -> None:
             ["run_seq", "value", "t_us"], tiebreak_col="run_seq",
         )
 
+    def _merkle_upserts_op(df):
+        import __spark_entry__ as e
+        from mvrepair.operators.merkle import merkle_repair_keys
+        from mvrepair.operators.reconcile import classify
+        from mvrepair.operators.repair import plan_upserts
+        from mvrepair.plans import mv_pair as MP
+
+        base, mv = _merkle_pair(df, dense=True)
+        wt = F.unix_micros(F.col("o_orderdate"))
+
+        def with_companions(d):
+            return d.select(
+                "*",
+                *[wt.alias(f"{c}__writetime") for c in MP.NON_PK],
+                *[
+                    F.lit(None).cast("int").alias(f"{c}__ttl")
+                    for c in MP.NON_PK
+                ],
+            )
+
+        keys = merkle_repair_keys(
+            e._merkle_render(base), e._merkle_render(mv),
+            ["o_custkey", "o_orderkey"],
+            ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+            depth=10,
+        ).localCheckpoint()
+        klist = F.broadcast(
+            keys.select(
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            )
+        )
+        on = ["o_custkey", "o_orderkey"]
+        wide = classify(
+            with_companions(base).join(klist, on=on, how="left_semi"),
+            with_companions(mv).join(klist, on=on, how="left_semi"),
+            MP.spec(),
+            window=None,
+        )
+        return plan_upserts(wide, MP.spec())
+
+    def _joinsize_op(df):
+        from mvrepair.operators.sketch import join_size_estimate
+
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        return join_size_estimate(
+            orders, "o_orderkey", df.select("l_orderkey"), "l_orderkey"
+        )
+
     def _hll_op(df):
         from mvrepair.operators.sketch import (
             hll_fold,
@@ -1093,6 +1142,12 @@ def main() -> None:
         # dense merkle doctrine: every defect class ∝ rows); measures
         # the N-replica digest stage + the checkpointed vote drill
         "mv_quorum(ord)": ("ord", _quorum_op),
+        # the composed repair: digest stage + drill + pruned classify +
+        # upsert planner, dense divergence (the honest worst case)
+        "mv_merkle_upserts(ord)": ("ord", _merkle_upserts_op),
+        # two per-key count frames + the key-sized full-outer merge;
+        # fact copies against the FIXED orders dim (constant match set)
+        "joinsize(li)": ("li", _joinsize_op),
         # events copies (shifted user ids): per-user run encoding and
         # the as-of union+window both ride user-keyed exchanges —
         # constant per-user state, k x users
