@@ -45,8 +45,10 @@ def completeness(col: str) -> DQCheck:
 
 def unique(cols: list[str]) -> DQCheck:
     """Metric: distinct combinations; passes when it equals the row
-    count (a primary-key check; null-free keys assumed — nulls collapse
-    under count distinct)."""
+    count (a primary-key check).  Null-free keys assumed: SQL
+    ``count(DISTINCT a, b)`` EXCLUDES tuples with any null member, so a
+    null-keyed row would deflate the metric and read as a duplicate —
+    pair with ``completeness`` checks on the key columns."""
     name = f"unique({','.join(cols)})"
     return DQCheck(
         name,
