@@ -509,6 +509,53 @@ def _oracle_mv_merkle_deletes() -> str:
 SELECT o_custkey, o_orderkey FROM cls WHERE problem = 'MISSING_IN_BASE_TABLE'"""
 
 
+def q_mv_merkle_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental digest maintenance: CDC deltas (inserts = the
+    %13==2 rows, deletes = the %17==5 rows of the stored set) fold into
+    the STORED digest frame via the xor self-inverse — no re-validation
+    scan.  The oracle recomputes the tree from scratch over the final
+    row set, so the hash gate proves refreshed == rebuilt, the
+    mv_agg_refresh doctrine applied to the merkle tree (a maintenance
+    property Cassandra's own validation-compaction trees don't have)."""
+    from mvrepair.operators.merkle import range_digests, refresh_range_digests
+
+    base = _merkle_render(P.base_df(spark, sf_dir))
+    k = F.col("o_orderkey").cast("bigint")
+    s0 = base.filter(k % 13 != 2)
+    stored = range_digests(s0, _MERKLE_KEYS, _MERKLE_VALS, MERKLE_DEPTH)
+    return refresh_range_digests(
+        stored,
+        base.filter(k % 13 == 2),
+        s0.filter(k % 17 == 5),
+        _MERKLE_KEYS,
+        _MERKLE_VALS,
+        MERKLE_DEPTH,
+    )
+
+
+def _oracle_mv_merkle_refresh() -> str:
+    from mvrepair.operators.merkle import oracle_canonical_sql
+
+    token, digest = oracle_canonical_sql(
+        ["o_custkey", "o_orderkey"],
+        ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"],
+    )
+    return f"""WITH final AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,
+         CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+         o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+         CAST(epoch_us(o_orderdate) AS VARCHAR) AS o_orderdate,
+         o_orderpriority
+  FROM orders
+  WHERE o_orderkey % 13 = 2
+     OR (o_orderkey % 13 <> 2 AND o_orderkey % 17 <> 5)),
+t AS (SELECT {token} AS token, {digest} AS digest FROM final)
+SELECT token >> {60 - MERKLE_DEPTH} AS bucket, count(*)::BIGINT AS n_rows,
+       bit_xor(digest) AS xor_digest
+FROM t GROUP BY 1"""
+
+
 def _oracle_mv_merkle_upserts() -> str:
     return f"WITH {P.oracle_classified_cte(window=False)}" + _oracle_upsert_cells(
         "cls"
@@ -5993,6 +6040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_merkle_upserts": q_mv_merkle_upserts,  # twin: mv_repair_upserts (the identical classify + upsert planner, semi-join-pruned by the mv_merkle_keys stage checked in-window); oracle = the FULL-SCAN window-free plan, so the hash gate proves prune-equivalence
         "mv_merkle_deletes": q_mv_merkle_deletes,  # twin: mv_repair_upserts (same pruned classify; the guard anti-join is the mv_repair_deletes shape, driver-checked r1-r7) — oracle again the full-scan plan
         "orders_lineitem_joinsize": q_orders_lineitem_joinsize,  # twin: key_skew (the identical per-key count-frame reduction, here two-sided with a key-frame full-outer merge)
+        "mv_merkle_refresh": q_mv_merkle_refresh,  # twin: mv_merkle_keys (its digest-agg stage) + the mergeable-state union+re-agg refresh shape (mv_agg_refresh, locally gated); oracle = rebuild from scratch, so the hash gate proves incremental exactness
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -6114,6 +6162,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_merkle_upserts": _oracle_mv_merkle_upserts(),
         "mv_merkle_deletes": _oracle_mv_merkle_deletes(),
         "orders_lineitem_joinsize": _ORACLE_JOINSIZE,
+        "mv_merkle_refresh": _oracle_mv_merkle_refresh(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

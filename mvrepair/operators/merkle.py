@@ -348,3 +348,53 @@ def merkle_quorum(
             status.alias("status"),
         )
     )
+
+
+def refresh_range_digests(
+    stored: DataFrame,
+    inserts: DataFrame,
+    deletes: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    depth: int,
+) -> DataFrame:
+    """Fold row-level CDC deltas into a STORED digest frame — no
+    re-validation scan.
+
+    XOR is its own inverse, so a deleted row's digest xors back OUT of
+    its bucket exactly as an inserted one xors in; counts add signed.
+    The refresh is therefore ``re-aggregate(stored ∪ +inserts ∪
+    −deletes)`` — the same mergeable-state union shape as
+    ``maintenance.refresh_aggregate``, costing one delta-sized pass plus
+    a 2^depth-row combine.  This is a property Cassandra's own Merkle
+    trees DON'T exploit (they rebuild per repair via validation
+    compaction); with content-xor leaves the tree is maintainable under
+    arbitrary upserts/deletes, which is what makes the
+    ``mv_merkle_stream`` + periodic-drill loop cheap at 100 TB.
+
+    ``deletes`` must contain exactly the rows being removed (same
+    rendered values) — a stale delete image corrupts the digest, which
+    is precisely the corruption ``merkle_diff`` against the other
+    replica then detects.  Buckets emptied by the delta (count 0, xor 0)
+    drop from the output so refreshed == recomputed, row for row
+    (pinned in tests).
+    """
+    ins = range_digests(inserts, key_cols, val_cols, depth)
+    dels = range_digests(deletes, key_cols, val_cols, depth).select(
+        "bucket",
+        (-F.col("n_rows")).alias("n_rows"),
+        "xor_digest",
+    )
+    merged = (
+        stored.select("bucket", "n_rows", "xor_digest")
+        .unionByName(ins)
+        .unionByName(dels)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.expr("bit_xor(xor_digest)").alias("xor_digest"),
+        )
+    )
+    return merged.filter(
+        (F.col("n_rows") != 0) | (F.col("xor_digest") != 0)
+    )

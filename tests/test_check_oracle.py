@@ -279,6 +279,10 @@ class TestRegistryOrderingContract:
         # r10 wave 3: join-output pre-flight — the key_skew per-key
         # count-frame reduction, two-sided
         "orders_lineitem_joinsize": "key_skew",
+        # r10 wave 3: incremental digest maintenance — the merkle rep's
+        # digest agg under the mergeable-state union+re-agg refresh
+        # shape; oracle rebuilds from scratch
+        "mv_merkle_refresh": "mv_merkle_keys",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

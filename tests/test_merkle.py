@@ -223,3 +223,47 @@ def test_quorum_validation(spark):
     df = spark.createDataFrame([("a", "1")], "k string, v string")
     with _pytest.raises(ValueError):
         merkle_quorum([df], ["k"], ["v"], 6)
+
+
+def test_refresh_digests_equals_rebuild(spark, sf_dir):
+    """XOR self-inverse: folding insert/delete deltas into stored
+    digests equals rebuilding from the final row set, for several
+    delta splits — including one that empties buckets entirely."""
+    from mvrepair.operators.merkle import range_digests, refresh_range_digests
+
+    base = _render(P.base_df(spark, sf_dir))
+    k = F.col("o_orderkey").cast("bigint")
+    for ins_pred, del_pred in [
+        (k % 13 == 2, k % 17 == 5),
+        (k % 2 == 0, k % 3 == 0),  # heavy churn
+    ]:
+        s0 = base.filter(~ins_pred)
+        stored = range_digests(s0, KEYS, VALS, DEPTH)
+        got = {
+            tuple(r)
+            for r in refresh_range_digests(
+                stored,
+                base.filter(ins_pred),
+                s0.filter(del_pred),
+                KEYS,
+                VALS,
+                DEPTH,
+            ).collect()
+        }
+        final = base.filter(ins_pred | ~del_pred)
+        want = {
+            tuple(r) for r in range_digests(final, KEYS, VALS, DEPTH).collect()
+        }
+        assert got == want and got
+
+
+def test_refresh_digests_emptied_bucket_drops(spark):
+    from mvrepair.operators.merkle import range_digests, refresh_range_digests
+
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", "2")], "k string, v string"
+    )
+    stored = range_digests(df, ["k"], ["v"], 6)
+    empty = df.filter(F.lit(False))
+    out = refresh_range_digests(stored, empty, df, ["k"], ["v"], 6)
+    assert out.count() == 0  # deleting everything empties the tree

@@ -287,6 +287,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
                        "FileScan": 2},
+    # three digest aggs (stored/ins/del) under one union+re-agg — the
+    # mergeable-state refresh shape, no join anywhere
+    "mv_merkle_refresh": {"AdaptiveSparkPlan": 1, "Filter": 4,
+                          "HashAggregate": 8, "Union": 1, "Exchange": 3,
+                          "Project": 6, "FileScan": 3},
     # drill keys checkpointed, guard anti-join rides a broadcast of the
     # pruned base; 4 source FileScans + in-memory key Scans
     "mv_merkle_deletes": {"AdaptiveSparkPlan": 1, "BroadcastHashJoin": 5,
