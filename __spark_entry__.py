@@ -3945,6 +3945,42 @@ SELECT sum(coalesce(cl, 0))::BIGINT AS left_rows,
 FROM j"""
 
 
+def q_lineitem_fk_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity gate (Deequ's containment class,
+    operators/dq.referential_report): orphan-FK counts of lineitem
+    against orders/part/supplier — each check one anti-join against the
+    DISTINCT dimension keys, all passing on the fixture (and the report
+    SAYS so, per check, rather than silently assuming it)."""
+    from mvrepair.operators import dq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return dq.referential_report(
+        li,
+        [
+            ("orders", "l_orderkey",
+             load_table(spark, sf_dir, "orders"), "o_orderkey"),
+            ("part", "l_partkey",
+             load_table(spark, sf_dir, "part"), "p_partkey"),
+            ("supplier", "l_suppkey",
+             load_table(spark, sf_dir, "supplier"), "s_suppkey"),
+        ],
+    )
+
+
+_ORACLE_LINEITEM_FK_DQ = """
+SELECT 'references(orders)' AS check, v AS value, v = 0 AS passed FROM
+ (SELECT count(*)::BIGINT AS v FROM lineitem l
+  ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'references(part)', v, v = 0 FROM
+ (SELECT count(*)::BIGINT AS v FROM lineitem l
+  ANTI JOIN part p ON l.l_partkey = p.p_partkey)
+UNION ALL
+SELECT 'references(supplier)', v, v = 0 FROM
+ (SELECT count(*)::BIGINT AS v FROM lineitem l
+  ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)"""
+
+
 def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-register HLL: per-event-type distinct event_id sketches
     plus the merged 'ALL' row, both from ONE table pass (GROUPING SETS —
@@ -6041,6 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_merkle_deletes": q_mv_merkle_deletes,  # twin: mv_repair_upserts (same pruned classify; the guard anti-join is the mv_repair_deletes shape, driver-checked r1-r7) — oracle again the full-scan plan
         "orders_lineitem_joinsize": q_orders_lineitem_joinsize,  # twin: key_skew (the identical per-key count-frame reduction, here two-sided with a key-frame full-outer merge)
         "mv_merkle_refresh": q_mv_merkle_refresh,  # twin: mv_merkle_keys (its digest-agg stage) + the mergeable-state union+re-agg refresh shape (mv_agg_refresh, locally gated); oracle = rebuild from scratch, so the hash gate proves incremental exactness
+        "lineitem_fk_dq": q_lineitem_fk_dq,  # twin: lapsed_customers (the anti-join set-op shape, per check) under the lineitem_dq verdict-report convention
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -6163,6 +6200,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_merkle_deletes": _oracle_mv_merkle_deletes(),
         "orders_lineitem_joinsize": _ORACLE_JOINSIZE,
         "mv_merkle_refresh": _oracle_mv_merkle_refresh(),
+        "lineitem_fk_dq": _ORACLE_LINEITEM_FK_DQ,
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -99,3 +99,38 @@ def dq_report(df: DataFrame, checks: list[DQCheck]) -> DataFrame:
     return agg.select(F.explode(F.array(*entries)).alias("__c")).select(
         "__c.check", "__c.value", "__c.passed"
     )
+
+
+def referential_report(
+    fact: DataFrame,
+    checks: list[tuple[str, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity checks (Deequ's containment class): for
+    each (name, fact_col, dim_df, dim_col), the metric is the number of
+    fact rows whose key has NO match in the dimension (nulls counted as
+    violations — a null FK can't reference anything); passes at 0.
+
+    Unlike the single-pass ``dq_report`` aggregates, containment needs
+    a join per check — each is a left-anti join against the DISTINCT
+    dimension keys (dim-key-sized, broadcastable when the key set is
+    small even if the dimension isn't), counted and unioned into the
+    same (check, value, passed) verdict shape so both report kinds
+    concatenate.
+    """
+    if not checks:
+        raise ValueError("referential_report needs at least one check")
+    out = None
+    for name, fact_col, dim_df, dim_col in checks:
+        keys = dim_df.select(F.col(dim_col).alias(fact_col)).distinct()
+        violations = (
+            fact.select(fact_col)
+            .join(keys, on=fact_col, how="left_anti")
+            .agg(F.count(F.lit(1)).alias("value"))
+            .select(
+                F.lit(f"references({name})").alias("check"),
+                F.col("value"),
+                (F.col("value") == 0).alias("passed"),
+            )
+        )
+        out = violations if out is None else out.unionByName(violations)
+    return out

@@ -283,6 +283,9 @@ class TestRegistryOrderingContract:
         # digest agg under the mergeable-state union+re-agg refresh
         # shape; oracle rebuilds from scratch
         "mv_merkle_refresh": "mv_merkle_keys",
+        # r10 wave 3: referential DQ — per-check anti-join against the
+        # distinct dim keys, the lapsed_customers set-op shape
+        "lineitem_fk_dq": "lapsed_customers",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

@@ -4220,3 +4220,26 @@ def test_time_weighted_avg_exact_small_fixture(spark):
         ).collect()
     }
     assert out == {"a": (2, 4, 17_500_000)}
+
+
+def test_referential_report_catches_orphans_and_null_fk(spark):
+    from pyspark.sql import functions as F
+
+    from mvrepair.operators import dq
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "fk bigint"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "id bigint")
+    rows = {
+        r.check: (r.value, r.passed)
+        for r in dq.referential_report(
+            fact, [("dim", "fk", dim, "id")]
+        ).collect()
+    }
+    # 99 is an orphan; the null FK references nothing
+    assert rows == {"references(dim)": (2, False)}
+    import pytest
+
+    with pytest.raises(ValueError):
+        dq.referential_report(fact, [])

@@ -287,6 +287,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
                        "FileScan": 2},
+    # three broadcast anti-joins (one per FK check) over distinct dim
+    # keys, counted and unioned into the verdict report
+    "lineitem_fk_dq": {"AdaptiveSparkPlan": 1, "Union": 1, "Project": 9,
+                       "HashAggregate": 12, "Exchange": 6,
+                       "BroadcastHashJoin": 3, "FileScan": 6,
+                       "BroadcastExchange": 3, "Filter": 3},
     # three digest aggs (stored/ins/del) under one union+re-agg — the
     # mergeable-state refresh shape, no join anywhere
     "mv_merkle_refresh": {"AdaptiveSparkPlan": 1, "Filter": 4,
