@@ -2811,6 +2811,39 @@ def _oracle_mv_merkle_stream() -> str:
 SELECT bucket, n_rows, xor_digest FROM db"""
 
 
+def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_hll: per-(type, register) rho state
+    maintained incrementally in the JVM state store (groups × 128 longs
+    at any volume); the drained register table folds batch-side into
+    the same per-type + merged-ALL estimates, sharing events_hll's
+    oracle verbatim."""
+    from mvrepair.operators import sketch as SK
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_hll_registers
+
+    sdf = streaming_hll_registers(
+        load_stream(spark, sf_dir, "events").select("event_type", "event_id"),
+        "event_id",
+        ["event_type"],
+    )
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__events_hll_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    regs = spark.table("__events_hll_stream")
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.lit("ALL").alias("event_type"), "register", "rho")
+    )
+    return SK.hll_fold(regs.unionByName(merged), ["event_type"])
+
+
 def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_sliding: the native hopping window
     running incrementally (each event updates 4 overlapping window
@@ -6078,6 +6111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_lineitem_joinsize": q_orders_lineitem_joinsize,  # twin: key_skew (the identical per-key count-frame reduction, here two-sided with a key-frame full-outer merge)
         "mv_merkle_refresh": q_mv_merkle_refresh,  # twin: mv_merkle_keys (its digest-agg stage) + the mergeable-state union+re-agg refresh shape (mv_agg_refresh, locally gated); oracle = rebuild from scratch, so the hash gate proves incremental exactness
         "lineitem_fk_dq": q_lineitem_fk_dq,  # twin: lapsed_customers (the anti-join set-op shape, per check) under the lineitem_dq verdict-report convention
+        "events_hll_stream": q_events_hll_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the sketch algebra is events_hll's, oracle shared verbatim
         # demoted in the round-10 wave-2 rotation for mv_merkle_keys'
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
@@ -6201,6 +6235,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_joinsize": _ORACLE_JOINSIZE,
         "mv_merkle_refresh": _oracle_mv_merkle_refresh(),
         "lineitem_fk_dq": _ORACLE_LINEITEM_FK_DQ,
+        "events_hll_stream": _oracle_events_hll(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

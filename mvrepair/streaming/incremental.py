@@ -430,3 +430,25 @@ def streaming_range_digests(
             F.expr("bit_xor(digest)").alias("xor_digest"),
         )
     )
+
+
+def streaming_hll_registers(
+    stream: DataFrame, col: str, group_cols: list[str]
+) -> DataFrame:
+    """Continuously-maintained HLL register state: the identical
+    ``sketch.hll_rows`` projection over a stream, folded by the same
+    ``max(rho)`` per (group, register) as the batch operator — each
+    arriving row updates at most one register in the JVM state store,
+    so total state is ``groups × 2^p`` longs at ANY stream volume (the
+    register-merge mergeability that makes the sketch a streaming
+    citizen: max is a commutative monoid, exactly like the merkle
+    fold's xor).  Drain with availableNow + complete mode and the
+    register table equals the batch sketch bit-for-bit.
+    """
+    from mvrepair.operators.sketch import hll_rows
+
+    return (
+        hll_rows(stream, col, group_cols)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("rho"))
+    )

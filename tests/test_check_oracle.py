@@ -286,6 +286,9 @@ class TestRegistryOrderingContract:
         # r10 wave 3: referential DQ — per-check anti-join against the
         # distinct dim keys, the lapsed_customers set-op shape
         "lineitem_fk_dq": "lapsed_customers",
+        # r10 wave 3: streaming HLL registers — the JVM-state keyed-agg
+        # shape; the sketch algebra rides events_hll's oracle verbatim
+        "events_hll_stream": "events_hourly_stream",
         "nb_stream": "nb_classify",
         "ann_recall": "pq_topk",  # r10: ann_ivf_topk demoted; composition rides the pq rep (the pq_recall shape)
         # demoted in the round-8 rotation (driver-green r1-r7):

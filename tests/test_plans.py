@@ -283,6 +283,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
     # streaming twins fingerprint the drained results table
     "mv_merkle_stream": {"LocalTableScan": 1},
+    # drained register table + the batch-side merge/fold
+    "events_hll_stream": {"AdaptiveSparkPlan": 1, "Project": 3,
+                          "HashAggregate": 4, "Exchange": 2, "Union": 1,
+                          "LocalTableScan": 2},
     # agg -> union of partial states -> re-agg; no join anywhere
     "mv_agg_refresh": {"AdaptiveSparkPlan": 1, "HashAggregate": 6,
                        "Union": 1, "Exchange": 2, "Project": 2, "Filter": 2,
