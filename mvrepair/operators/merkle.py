@@ -398,3 +398,23 @@ def refresh_range_digests(
     return merged.filter(
         (F.col("n_rows") != 0) | (F.col("xor_digest") != 0)
     )
+
+
+def choose_depth(expected_dirty_keys: int, headroom: int = 4) -> int:
+    """Tree depth from EXPECTED divergence — the sizing rule the
+    divergence sweep measured (PERF.md): the tree saturates once dirty
+    keys ≳ 2^depth (every bucket dirty → the drill degrades to the
+    dense full-scan plan), so depth must give each expected dirty key
+    its own bucket with headroom, independent of table size.  Cassandra
+    hardcodes 2^15 leaves per vnode range on the same reasoning.
+
+    depth = ceil(log2(expected_dirty_keys × headroom)), clamped to
+    [1, 20] (the ``range_digests`` bound: 2^20 digest rows ≈ 8 MB a
+    side, still a broadcastable tree exchange).
+    """
+    if expected_dirty_keys < 0:
+        raise ValueError("expected_dirty_keys must be >= 0")
+    if headroom < 1:
+        raise ValueError("headroom must be >= 1")
+    target = max(1, expected_dirty_keys * headroom)
+    return min(20, max(1, (target - 1).bit_length()))

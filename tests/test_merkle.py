@@ -267,3 +267,20 @@ def test_refresh_digests_emptied_bucket_drops(spark):
     empty = df.filter(F.lit(False))
     out = refresh_range_digests(stored, empty, df, ["k"], ["v"], 6)
     assert out.count() == 0  # deleting everything empties the tree
+
+
+def test_choose_depth_sizing_rule():
+    from mvrepair.operators.merkle import choose_depth
+
+    assert choose_depth(0) == 1
+    assert choose_depth(1) == 2  # 4 buckets for 1 expected key
+    assert choose_depth(64) == 8  # 256 buckets for 64 keys
+    assert choose_depth(10**9) == 20  # clamped: tree stays exchangeable
+    # the measured saturation case: 4.4k dirty keys need depth > 10
+    assert choose_depth(4400) > 10
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_depth(-1)
+    with pytest.raises(ValueError):
+        choose_depth(5, headroom=0)
