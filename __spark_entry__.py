@@ -5831,6 +5831,233 @@ SELECT part_id, rrf_micro, rank_pagerank, rank_triangles
 FROM f ORDER BY rrf_micro DESC, part_id LIMIT 100"""
 
 
+# ---------------------------------------------------------------------------
+# round-10 wave 4: grouped regression (exact-integer OLS + Pearson),
+# association rules, multi-probe LSH, contrastive negative mining
+# ---------------------------------------------------------------------------
+
+
+def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend over the hourly count series: exact
+    integer normal-equation sums (shift-invariant, so no recentering
+    pass), DECIMAL(38,0) cross products, portable signed floor division
+    to micro units.  Two hash aggregates, no window, no sort — the whole
+    operator is a partial-agg tree at any scale.  See
+    regression.py:grouped_trend."""
+    from mvrepair.operators.regression import grouped_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long")
+        ).alias("__idx"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    return grouped_trend(hourly, "event_type", F.col("__idx"), F.col("__cnt"))
+
+
+_ORACLE_EVENT_TREND = """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(idx) AS HUGEINT) AS sx, CAST(sum(n) AS HUGEINT) AS sy,
+         CAST(sum(CAST(idx AS HUGEINT) * n) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(idx AS HUGEINT) * idx) AS HUGEINT) AS sxx
+  FROM b GROUP BY 1),
+d AS (
+  SELECT event_type, n,
+         (n * sxy - sx * sy) * 1000000 AS num,
+         (n * sxx - sx * sx) AS den,
+         sy * 1000000 AS lnum
+  FROM s WHERE n >= 2 AND (n * sxx - sx * sx) > 0)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+  CAST((num - ((num % den) + den) % den) // den AS BIGINT) AS slope_micro,
+  CAST((lnum - ((lnum % n) + n) % n) // n AS BIGINT) AS level_micro
+FROM d"""
+
+
+def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pearson correlation between hour-of-day and the
+    micro-quantized value column: the three determinants are exact
+    DECIMAL(38,0); only the final divide-by-sqrt-product runs in IEEE
+    doubles (the cosine_micro doctrine).  One map-combinable aggregate.
+    See regression.py:grouped_correlation."""
+    from mvrepair.operators.regression import grouped_correlation
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("__hod"),
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("__mv"),
+    )
+    return grouped_correlation(ev, "event_type", F.col("__hod"), F.col("__mv"))
+
+
+_ORACLE_VALUE_CORRELATION = """
+WITH p AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x,
+         CAST(floor(value * 1000000) AS BIGINT) AS y
+  FROM events),
+s AS (
+  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+  FROM p GROUP BY 1),
+d AS (
+  SELECT event_type, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+         (n * sxx - sx * sx) AS varx,
+         (n * syy - sy * sy) AS vary
+  FROM s WHERE n >= 2 AND (n * sxx - sx * sx) > 0
+               AND (n * syy - sy * sy) > 0)
+SELECT event_type, CAST(n AS BIGINT) AS n_points,
+  CAST(floor(1000000 * (num / (sqrt(CAST(varx AS DOUBLE))
+                               * sqrt(CAST(vary AS DOUBLE))))) AS BIGINT)
+    AS r_micro
+FROM d"""
+
+
+BASKET_RULES_K = 50
+BASKET_RULES_MIN_PAIR = 2
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over order baskets: exact integer
+    support / confidence / lift in micro units, top-50 by lift with a
+    full deterministic tie-break.  The pair frame is basket_pairs'
+    co-partitioned self-join; the directed expansion is a row-local
+    explode; the basket total rides a broadcast 1-row frame.  See
+    linkage.py:association_rules."""
+    from mvrepair.operators.linkage import association_rules
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return association_rules(
+        li, min_pair_baskets=BASKET_RULES_MIN_PAIR, k=BASKET_RULES_K
+    )
+
+
+def _oracle_basket_rules() -> str:
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+tot AS (SELECT CAST(count(DISTINCT b) AS HUGEINT) AS n_total FROM items),
+ic AS (SELECT i, CAST(count(*) AS HUGEINT) AS n_item FROM items GROUP BY 1),
+p AS (SELECT a.i AS item_a, bb.i AS item_b, CAST(count(*) AS HUGEINT) AS n_pair
+      FROM items a JOIN items bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2 HAVING count(*) >= {BASKET_RULES_MIN_PAIR}),
+d AS (SELECT item_a AS antecedent, item_b AS consequent, n_pair FROM p
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, n_pair FROM p),
+r AS (SELECT d.antecedent, d.consequent, d.n_pair,
+             ia.n_item AS n_ante, ib.n_item AS n_cons, tot.n_total
+      FROM d JOIN ic ia ON d.antecedent = ia.i
+             JOIN ic ib ON d.consequent = ib.i, tot)
+SELECT antecedent, consequent, CAST(n_pair AS BIGINT) AS n_pair,
+  CAST((n_pair * 1000000) // n_total AS BIGINT) AS support_micro,
+  CAST((n_pair * 1000000) // n_ante AS BIGINT) AS confidence_micro,
+  CAST((n_pair * 1000000 * n_total) // (n_ante * n_cons) AS BIGINT)
+    AS lift_micro
+FROM r
+ORDER BY lift_micro DESC, confidence_micro DESC, antecedent, consequent
+LIMIT {BASKET_RULES_K}"""
+
+
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): the query side probes its
+    bucket plus every single-bit flip — recall recovered on the QUERY
+    path with the corpus hashed and shuffled once (unlike multi-table
+    LSH, which re-shuffles the corpus per table).  See
+    similarity.py:lsh_multiprobe_topk."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_multiprobe_topk(emb, queries, dim=64, k=5)
+
+
+def _oracle_ann_multiprobe() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, qv, {_lsh_bucket_sql()} AS bucket
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings)
+),
+q0 AS (SELECT * FROM b WHERE vec_id % 50 = 0),
+q AS (
+  SELECT q0.vec_id, q0.qv,
+         CASE WHEN t.p = 0 THEN q0.bucket
+              ELSE xor(q0.bucket, CAST(1 AS BIGINT) << (t.p - 1)) END AS probe
+  FROM q0, range(0, {S._N_PLANES + 1}) t(p)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST({dot('q', 'c')} AS DOUBLE)
+      / (sqrt(CAST({dot('q', 'q')} AS DOUBLE)) * sqrt(CAST({dot('c', 'c')} AS DOUBLE))) AS sim
+  FROM q JOIN b c ON q.probe = c.bucket AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM ranked WHERE rank <= 5"""
+
+
+CONTRASTIVE_K = 3
+CONTRASTIVE_BUCKETS = 64
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training: each
+    doc draws 3 pseudo-random negatives from a 64-bucket representative
+    table — reproducible on any partitioning (the hash_split doctrine),
+    and the corpus never shuffles: one map-combinable 64-row election
+    agg plus a broadcast join.  See sampling.py:contrastive_negatives."""
+    from mvrepair.operators.sampling import contrastive_negatives
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return contrastive_negatives(
+        docs, n_negatives=CONTRASTIVE_K, n_buckets=CONTRASTIVE_BUCKETS
+    )
+
+
+def _oracle_contrastive_pairs() -> str:
+    h = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+    return f"""
+WITH hsh AS (
+  SELECT doc_id,
+         {h.format(x="CAST(doc_id AS VARCHAR)")} % {CONTRASTIVE_BUCKETS}
+           AS bucket,
+         {h.format(x="CAST(doc_id AS VARCHAR) || '#rep'")} AS rh
+  FROM documents),
+reps AS (
+  SELECT bucket, doc_id AS negative_id FROM (
+    SELECT bucket, doc_id,
+           row_number() OVER (PARTITION BY bucket ORDER BY rh, doc_id) AS rn
+    FROM hsh) WHERE rn = 1),
+a AS (
+  SELECT doc_id AS anchor_id, t.j,
+         {h.format(x="CAST(doc_id AS VARCHAR) || '#' || CAST(t.j AS VARCHAR)")}
+           % {CONTRASTIVE_BUCKETS} AS bucket
+  FROM documents, range(1, {CONTRASTIVE_K + 1}) t(j))
+SELECT anchor_id, CAST(j AS INTEGER) AS j, negative_id
+FROM a JOIN reps USING (bucket)
+WHERE anchor_id <> negative_id"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: full reconciliation report at sf0.001."""
     return q_mv_classify(spark, "/root/testdata/sf0.001")
@@ -5988,7 +6215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 wave-3 families (promoted r8): funnel, anomaly,
         # inverted index, PMI collocations
         "event_funnel": q_event_funnel,
-        "events_anomaly": q_events_anomaly,
+        # round-10 wave-4 promotion: closed-form grouped regression
+        # (exact-integer OLS on shift-invariant normal-equation sums,
+        # signed portable floor division) — a genuinely new algebra with
+        # no window/sort anywhere; displaced events_anomaly, whose
+        # hourly-bucket + per-type ordered window frame is the plan twin
+        # of the still-checked events_gapfill
+        "event_trend": q_event_trend,
         "posting_lists": q_posting_lists,
         "collocations": q_collocations,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
@@ -6116,6 +6349,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # promotion: the row-level digest full-outer join + existence
         # classification is the mv_classify O8/O9 shape
         "corpus_diff": q_corpus_diff,  # twin: mv_classify
+        # demoted in the round-10 wave-4 rotation for event_trend's
+        # promotion (driver-green r8-r9): the trailing-RANGE anomaly
+        # window shares events_gapfill's hourly-bucket + per-type
+        # ordered-frame shape
+        "events_anomaly": q_events_anomaly,  # twin: events_gapfill (one key-keyed Exchange+Sort over the types x hours frame; RANGE trailing mean instead of LOCF fill)
+        # round-10 wave-4 additions (twin doctrine):
+        "value_correlation": q_value_correlation,  # twin: event_trend (the identical one-pass sufficient-statistics aggregate; Pearson adds the Σy² column and a final IEEE sqrt-product divide, the cosine_micro doctrine)
+        "basket_rules": q_basket_rules,  # twin: basket_pairs (the identical co-partitioned basket self-join + pair agg is its first stage; the rule algebra adds row-local direction explode + two item-count joins, the collocations-PMI shape)
+        "ann_multiprobe": q_ann_multiprobe,  # twin: pq_topk (the same bucket equi-join + _ranked WindowGroupLimit cut; the probe expansion is a row-local explode on the query side) + ann_lsh_topk (identical single-probe algebra, local gate)
+        "contrastive_pairs": q_contrastive_pairs,  # twin: doc_splits (deterministic hash-bucket assignment, map-side) + dedup_keep_best (the min-struct representative election); the join is a broadcast of a 64-row frame
     }
 
 
@@ -6236,6 +6479,11 @@ def oracle_sql() -> dict[str, str]:
         "mv_merkle_refresh": _oracle_mv_merkle_refresh(),
         "lineitem_fk_dq": _ORACLE_LINEITEM_FK_DQ,
         "events_hll_stream": _oracle_events_hll(),
+        "event_trend": _ORACLE_EVENT_TREND,
+        "value_correlation": _ORACLE_VALUE_CORRELATION,
+        "basket_rules": _oracle_basket_rules(),
+        "ann_multiprobe": _oracle_ann_multiprobe(),
+        "contrastive_pairs": _oracle_contrastive_pairs(),
         "key_skew": _ORACLE_KEY_SKEW,
         "index_upsert": _oracle_index_upsert(),
         "nb_classify": _oracle_nb_classify(),

@@ -139,6 +139,128 @@ def copurchase_pairs(
     ).limit(k)
 
 
+def association_rules(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_pair_baskets: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Directed association rules antecedent → consequent with exact
+    integer support / confidence / lift — the second half of
+    market-basket analysis on top of ``copurchase_pairs``' frequent-pair
+    counting (Agrawal & Srikant's Apriori output for pair-length rules,
+    computed directly: pair counting IS the candidate generation at
+    length 2, no iterative lattice needed).
+
+    Output (top-``k`` by lift): ``antecedent, consequent, n_pair,
+    support_micro, confidence_micro, lift_micro`` — all metrics exact
+    integer micro-units via decimal floor division (counts are positive,
+    so truncating ``div`` is the floor on both engines):
+
+    - support    = n_pair / n_baskets_total
+    - confidence = n_pair / n_antecedent_baskets
+    - lift       = n_pair · n_total / (n_antecedent · n_consequent)
+
+    Scale shape: the pair frame is copurchase_pairs' co-partitioned
+    basket self-join (ReuseExchange on the distinct-items frame); the
+    directed expansion is a row-local ``explode`` of the two orientations
+    (no second exchange); the total-basket count injects as a TRUE
+    scalar subquery (``DataFrame.scalar()`` — the text.py doctrine:
+    planned as ScalarSubquery, never a driver collect and never a
+    BroadcastNestedLoopJoin); per-item basket counts join the rule frame
+    on the item key — two exchanges of the (small) pair-count frame,
+    never the corpus.
+    Lift products run in DECIMAL(38,0): n_pair·1e6·n_total wraps int64
+    as soon as baskets reach ~1e7, silently with ANSI off.
+    """
+    dec = "decimal(38,0)"
+    items = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).dropDuplicates(["__b", "__i"])
+    n_total = items.agg(
+        F.count_distinct(F.col("__b")).cast(dec).alias("__n_total")
+    ).scalar()
+    item_counts = items.groupBy(F.col("__i")).agg(
+        F.count(F.lit(1)).alias("__n_item")
+    )
+    a = items.select("__b", F.col("__i").alias("item_a"))
+    b = items.select("__b", F.col("__i").alias("item_b"))
+    pairs = (
+        a.join(b, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_baskets)
+    )
+    directed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("antecedent"),
+                    F.col("item_b").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("item_b").alias("antecedent"),
+                    F.col("item_a").alias("consequent"),
+                ),
+            )
+        ).alias("__r"),
+        "n_pair",
+    ).select("__r.antecedent", "__r.consequent", "n_pair")
+    ruled = (
+        directed.join(
+            item_counts.select(
+                F.col("__i").alias("antecedent"),
+                F.col("__n_item").alias("__n_ante"),
+            ),
+            "antecedent",
+        )
+        .join(
+            item_counts.select(
+                F.col("__i").alias("consequent"),
+                F.col("__n_item").alias("__n_cons"),
+            ),
+            "consequent",
+        )
+        .withColumn("__n_total", n_total)
+    )
+    np = F.col("n_pair").cast(dec)
+    mil = F.lit(1_000_000).cast(dec)
+    ruled = (
+        ruled.withColumn("__sup_num", (np * mil).cast(dec))
+        .withColumn(
+            "__lift_num", (np * mil * F.col("__n_total")).cast(dec)
+        )
+        .withColumn(
+            "__lift_den",
+            (
+                F.col("__n_ante").cast(dec) * F.col("__n_cons").cast(dec)
+            ).cast(dec),
+        )
+    )
+    out = ruled.select(
+        "antecedent",
+        "consequent",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.expr(
+            "CAST(__sup_num div __n_total AS BIGINT)"
+        ).alias("support_micro"),
+        F.expr(
+            f"CAST(__sup_num div CAST(__n_ante AS {dec}) AS BIGINT)"
+        ).alias("confidence_micro"),
+        F.expr("CAST(__lift_num div __lift_den AS BIGINT)").alias(
+            "lift_micro"
+        ),
+    )
+    return out.orderBy(
+        F.desc("lift_micro"),
+        F.desc("confidence_micro"),
+        F.asc("antecedent"),
+        F.asc("consequent"),
+    ).limit(k)
+
+
 def pagerank_micro(
     edges: DataFrame,
     nodes: DataFrame,

@@ -579,3 +579,73 @@ def weighted_sample_per_group(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_negatives: int = 3,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training: each
+    anchor row gets ``n_negatives`` pseudo-random negatives drawn from
+    the corpus, reproducible on any cluster / partitioning / engine
+    (the hash_split doctrine — never ``df.sample``).
+
+    Scheme: every row is assigned a hash bucket (``stable_hash64(id) %
+    n_buckets``); each bucket elects one REPRESENTATIVE (the row whose
+    salted hash is minimal, id as tiebreak).  Anchor i's j-th negative
+    is the representative of bucket ``stable_hash64(id || '#' || j) %
+    n_buckets`` — a fresh hash draw per (anchor, j), so negatives are
+    spread uniformly over the representative set.  Self-pairs (the
+    anchor drew its own bucket's rep and IS the rep) are dropped;
+    duplicate draws (two j landing on the same bucket) are kept —
+    standard with-replacement negative sampling.
+
+    Output: ``(anchor_id, j, negative_id)``.
+
+    Scale shape — the corpus NEVER shuffles: the representative election
+    is a ``min(struct(salted_hash, id))`` aggregate onto ``n_buckets``
+    rows (map-side combinable: each task contributes at most n_buckets
+    partial rows), and the anchor side is a row-local explode of j=1..k
+    plus a BROADCAST join against the tiny representative table.  At
+    100 TB this is two map passes and one n_buckets-row broadcast —
+    no corpus exchange anywhere.
+    """
+    rep_h = stable_hash64(F.concat(F.col(id_col).cast("string"), F.lit("#rep")))
+    reps = (
+        df.select(
+            _bucket(F.col(id_col), n_buckets).alias("__bucket"),
+            rep_h.alias("__h"),
+            F.col(id_col),
+        )
+        .groupBy("__bucket")
+        .agg(
+            F.min(F.struct(F.col("__h"), F.col(id_col))).alias("__best")
+        )
+        .select(
+            F.col("__bucket"),
+            F.col(f"__best.{id_col}").alias("negative_id"),
+        )
+    )
+    anchors = df.select(F.col(id_col).alias("anchor_id")).withColumn(
+        "j", F.explode(F.array(*[F.lit(j) for j in range(1, n_negatives + 1)]))
+    )
+    anchors = anchors.withColumn(
+        "__bucket",
+        stable_hash64(
+            F.concat(
+                F.col("anchor_id").cast("string"),
+                F.lit("#"),
+                F.col("j").cast("string"),
+            )
+        )
+        % F.lit(n_buckets),
+    )
+    return (
+        anchors.join(F.broadcast(reps), "__bucket")
+        .filter(F.col("anchor_id") != F.col("negative_id"))
+        .select(
+            "anchor_id", F.col("j").cast("int").alias("j"), "negative_id"
+        )
+    )

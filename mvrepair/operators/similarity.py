@@ -402,6 +402,55 @@ def lsh_bucketed_topk(
     return _ranked(scored, k)
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = _N_PLANES,
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): each query probes its own
+    bucket PLUS every bucket at Hamming distance 1 (one sign bit
+    flipped) — the recall lever of the LSH QUERY path, complementing
+    banding on the pair-join path (``cosine_neardup_pairs_banded``).
+
+    Why probe instead of adding tables: a near neighbor missed by the
+    bucket equi-join disagrees with the query on at least one plane; the
+    single-bit probes recover exactly the 1-disagreement misses at the
+    cost of ``n_planes`` extra bucket lookups on the QUERY side only.
+    The corpus is hashed and shuffled ONCE — unlike multi-table LSH,
+    which re-hashes and re-shuffles the corpus per table — so recall
+    rises while the big side's cost is unchanged: the right trade when
+    queries ≪ corpus (the ANN-serving shape; the pair-join shape, where
+    both sides ARE the corpus, wants banding instead).
+
+    The probe expansion is a row-local ``explode`` of the n_planes+1
+    bucket ids (bucket XOR each single bit) — pure map work before the
+    same equi-join as ``lsh_bucketed_topk``.  Each (query, neighbor)
+    meets at most once: probe ids within one query row are distinct and
+    a corpus row has exactly one bucket, so no post-join dedup is
+    needed.  Exact in-bucket rerank keeps precision at 1.
+    """
+    q = _prepare(queries, id_col, vec_col, "query_id", dim=dim)
+    probes = F.array(
+        F.col("__bucket"),
+        *[
+            F.col("__bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(n_planes)
+        ],
+    )
+    q = q.withColumn("__probe", F.explode(probes)).alias("l")
+    c = _prepare(corpus, id_col, vec_col, "neighbor_id", dim=dim).alias("r")
+    scored = (
+        q.join(c, on=[F.col("l.__probe") == F.col("r.__bucket")])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", _pair_sim("l", "r").alias("__sim"))
+    )
+    return _ranked(scored, k)
+
+
 # ---------------------------------------------------------------------------
 # IVF index BUILD: distributed k-means (Lloyd's) over the embedding column
 # ---------------------------------------------------------------------------

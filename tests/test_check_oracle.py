@@ -171,7 +171,14 @@ class TestRegistryOrderingContract:
         "kl-divergence": "source_divergence",
         # round-8 wave-3 families (promoted in wave 4)
         "funnel": "event_funnel",
-        "anomaly": "events_anomaly",
+        # r10 wave 4: events_anomaly demoted for event_trend — the
+        # trailing-RANGE anomaly window is a plan twin of the gapfill
+        # rep (one key-keyed Exchange+Sort over the types x hours
+        # frame); the anomaly family keeps driver coverage through it
+        "anomaly": "events_gapfill",
+        # r10 wave 4: closed-form grouped regression (exact-integer OLS
+        # sums + signed portable floor division — no window, no sort)
+        "trend-regression": "event_trend",
         "posting-lists": "posting_lists",
         "collocations": "collocations",
         # round-8 wave-5 families
@@ -365,6 +372,15 @@ class TestRegistryOrderingContract:
         # stay locally gated via weighted_sample / distinct_docs_kmv
         "weighted_sample_by_source": "posting_lists",
         "source_vocab_kmv": "posting_lists",
+        # round-10 wave 4: events_anomaly demoted for event_trend's
+        # promotion — the trailing-RANGE window rides the gapfill rep's
+        # hourly-bucket + per-type ordered-frame shape
+        "events_anomaly": "events_gapfill",
+        # round-10 wave-4 additions:
+        "value_correlation": "event_trend",  # identical sufficient-statistics aggregate; adds Σy² + one IEEE sqrt-product divide
+        "basket_rules": "basket_pairs",  # same co-partitioned basket self-join + pair agg prefix; rule algebra adds row-local direction explode + item-count joins
+        "ann_multiprobe": "pq_topk",  # same bucket equi-join + WindowGroupLimit rerank; probe expansion is query-side row-local explode
+        "contrastive_pairs": "doc_splits",  # deterministic hash-bucket assignment + 64-row broadcast join; election is the min-struct keep-best shape
     }
 
     def test_every_family_within_driver_window(self):

@@ -4243,3 +4243,227 @@ def test_referential_report_catches_orphans_and_null_fk(spark):
 
     with pytest.raises(ValueError):
         dq.referential_report(fact, [])
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 4: grouped regression (exact-integer OLS + Pearson)
+# ---------------------------------------------------------------------------
+
+def test_grouped_trend_known_line(spark):
+    from mvrepair.operators.regression import grouped_trend
+
+    # y = 3x + 7 exactly: slope_micro = 3_000_000, level = mean(y)
+    rows = [("a", x, 3 * x + 7) for x in range(10)]
+    # key "b": y = -2x + 100 (negative slope exercises the signed floor)
+    rows += [("b", x, -2 * x + 100) for x in range(5)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {
+        r.k: (r.n_points, r.slope_micro, r.level_micro)
+        for r in grouped_trend(df, "k", F.col("x"), F.col("y")).collect()
+    }
+    assert got["a"] == (10, 3_000_000, int(sum(3 * x + 7 for x in range(10)) * 1e6) // 10)
+    assert got["b"] == (5, -2_000_000, int(sum(-2 * x + 100 for x in range(5)) * 1e6) // 5)
+
+
+def test_grouped_trend_negative_slope_floor_not_trunc(spark):
+    from mvrepair.operators.regression import grouped_trend
+
+    # slope = -1/3: floor(-333333.33..) = -333334, NOT the toward-zero
+    # truncation -333333 (the portable-floor-division pin)
+    rows = [("k", 0, 1), ("k", 3, 0)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    [r] = grouped_trend(df, "k", F.col("x"), F.col("y")).collect()
+    assert r.slope_micro == -333_334
+
+
+def test_grouped_trend_shift_invariance(spark):
+    from mvrepair.operators.regression import grouped_trend
+
+    # epoch-magnitude x must give the same slope as recentered x
+    base = 490_000  # epoch hours circa 2026
+    rows = [("k", x, 5 * x + 11) for x in range(20)]
+    shifted = [("k", x + base, y) for (_, x, y) in rows]
+    a = grouped_trend(
+        spark.createDataFrame(rows, ["k", "x", "y"]), "k",
+        F.col("x"), F.col("y")).collect()[0]
+    b = grouped_trend(
+        spark.createDataFrame(shifted, ["k", "x", "y"]), "k",
+        F.col("x"), F.col("y")).collect()[0]
+    assert (a.slope_micro, a.n_points) == (b.slope_micro, b.n_points)
+    assert a.slope_micro == 5_000_000
+
+
+def test_grouped_trend_drops_degenerate_keys(spark):
+    from mvrepair.operators.regression import grouped_trend
+
+    rows = [("one", 5, 9), ("flat", 2, 1), ("flat", 2, 3)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = grouped_trend(df, "k", F.col("x"), F.col("y")).collect()
+    assert got == []  # single point and zero-x-variance both dropped
+
+
+def test_grouped_correlation_perfect_and_sign(spark):
+    from mvrepair.operators.regression import grouped_correlation
+
+    rows = [("pos", x, 2 * x + 1) for x in range(8)]
+    rows += [("neg", x, -3 * x + 50) for x in range(8)]
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    got = {r.k: r.r_micro for r in
+           grouped_correlation(df, "k", F.col("x"), F.col("y")).collect()}
+    # perfectly linear: |r| = 1 up to the final double rounding
+    assert got["pos"] in (1_000_000, 999_999)
+    assert got["neg"] in (-1_000_000, -999_999, -1_000_001)
+
+
+def test_grouped_correlation_drops_zero_variance(spark):
+    from mvrepair.operators.regression import grouped_correlation
+
+    rows = [("k", 1, 5), ("k", 2, 5), ("k", 3, 5)]  # y constant
+    df = spark.createDataFrame(rows, ["k", "x", "y"])
+    assert grouped_correlation(df, "k", F.col("x"), F.col("y")).collect() == []
+
+
+def test_grouped_trend_plan_no_window_no_sort(spark):
+    from mvrepair.operators.regression import grouped_trend
+
+    df = spark.createDataFrame([("k", x, x) for x in range(4)],
+                               ["k", "x", "y"])
+    plan = (grouped_trend(df, "k", F.col("x"), F.col("y"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan and "Sort" not in plan
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 4: association rules
+# ---------------------------------------------------------------------------
+
+def test_association_rules_known_values(spark):
+    from mvrepair.operators.linkage import association_rules
+
+    # 4 baskets: {1,2} x3, {1,3} x1 → pair (1,2): n=3;
+    # item counts: 1→4, 2→3, 3→1; total baskets = 4
+    rows = [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 2),
+            (13, 1), (13, 3)]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = {(r.antecedent, r.consequent):
+           (r.n_pair, r.support_micro, r.confidence_micro, r.lift_micro)
+           for r in association_rules(
+               df, basket_col="b", item_col="i",
+               min_pair_baskets=1, k=10).collect()}
+    # rule 1→2: conf 3/4, lift 3*4/(4*3) = 1
+    assert got[(1, 2)] == (3, 750_000, 750_000, 1_000_000)
+    # rule 2→1: conf 3/3 = 1
+    assert got[(2, 1)] == (3, 750_000, 1_000_000, 1_000_000)
+    # rule 1→3: support 1/4, conf 1/4, lift 1*4/(4*1) = 1
+    assert got[(1, 3)] == (1, 250_000, 250_000, 1_000_000)
+    assert got[(3, 1)] == (1, 250_000, 1_000_000, 1_000_000)
+
+
+def test_association_rules_min_support_filters(spark):
+    from mvrepair.operators.linkage import association_rules
+
+    rows = [(10, 1), (10, 2), (11, 1), (11, 3)]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = association_rules(df, basket_col="b", item_col="i",
+                            min_pair_baskets=2, k=10).collect()
+    assert got == []  # every pair co-occurs once only
+
+
+def test_association_rules_duplicate_lines_ignored(spark):
+    from mvrepair.operators.linkage import association_rules
+
+    # the same item twice in one basket must count once
+    rows = [(10, 1), (10, 1), (10, 2)]
+    df = spark.createDataFrame(rows, ["b", "i"])
+    got = {(r.antecedent, r.consequent): r.n_pair
+           for r in association_rules(
+               df, basket_col="b", item_col="i",
+               min_pair_baskets=1, k=10).collect()}
+    assert got == {(1, 2): 1, (2, 1): 1}
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 4: multi-probe LSH
+# ---------------------------------------------------------------------------
+
+def _mp_emb(spark, n=60, dim=8):
+    import math
+    rows = []
+    for i in range(n):
+        # deterministic spread of unit-ish vectors
+        v = [math.sin(0.7 * i + 1.3 * d) for d in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_multiprobe_results_superset_of_single_probe(spark):
+    emb = _mp_emb(spark)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    single = S.lsh_bucketed_topk(emb, queries, dim=8, k=3)
+    multi = S.lsh_multiprobe_topk(emb, queries, dim=8, k=3)
+    # every single-probe CANDIDATE survives as a multi-probe candidate,
+    # so per-query the multi-probe top-1 similarity is >= single's
+    s1 = {r.query_id: r.cosine_micro for r in single.collect()
+          if r.rank == 1}
+    m1 = {r.query_id: r.cosine_micro for r in multi.collect()
+          if r.rank == 1}
+    assert set(s1) <= set(m1)
+    assert all(m1[q] >= s1[q] for q in s1)
+
+
+def test_multiprobe_no_duplicate_pairs(spark):
+    emb = _mp_emb(spark)
+    queries = emb.filter(F.col("vec_id") % 10 == 0)
+    # drop the rank cut: candidate pairs must already be unique
+    q = S._prepare(queries, "vec_id", "embedding", "query_id", dim=8)
+    probes = F.array(
+        F.col("__bucket"),
+        *[F.col("__bucket").bitwiseXOR(F.lit(1 << p)) for p in range(8)],
+    )
+    q = q.withColumn("__probe", F.explode(probes)).alias("l")
+    c = S._prepare(emb, "vec_id", "embedding", "neighbor_id", dim=8).alias("r")
+    cand = (q.join(c, F.col("l.__probe") == F.col("r.__bucket"))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id"))
+    assert cand.count() == cand.distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave 4: contrastive negative mining
+# ---------------------------------------------------------------------------
+
+def test_contrastive_negatives_deterministic_and_repartition_stable(spark):
+    from mvrepair.operators.sampling import contrastive_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    a = sorted(map(tuple, contrastive_negatives(df).collect()))
+    b = sorted(map(tuple,
+                   contrastive_negatives(df.repartition(7)).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_contrastive_negatives_shape_and_self_exclusion(spark):
+    from mvrepair.operators.sampling import contrastive_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    rows = contrastive_negatives(df, n_negatives=3).collect()
+    # every anchor emits at most 3 draws and never itself
+    from collections import Counter
+    per = Counter(r.anchor_id for r in rows)
+    assert max(per.values()) <= 3
+    assert all(r.anchor_id != r.negative_id for r in rows)
+    assert {r.j for r in rows} <= {1, 2, 3}
+    # negatives come from the 64-bucket representative set
+    assert len({r.negative_id for r in rows}) <= 64
+
+
+def test_contrastive_negatives_corpus_never_shuffles(spark):
+    from mvrepair.operators.sampling import contrastive_negatives
+
+    df = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+    plan = (contrastive_negatives(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    # the only exchanges allowed are the 64-key election agg and its
+    # broadcast: the anchor side must join without shuffling
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -268,6 +268,36 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
+    # round-10 wave 4 twins
+    # demoted for event_trend's promotion: one key-keyed Exchange+Sort
+    # window over the types x hours frame (the gapfill shape)
+    "events_anomaly": {"AdaptiveSparkPlan": 1, "Project": 3, "Window": 1,
+                       "Sort": 1, "Exchange": 2, "HashAggregate": 2,
+                       "FileScan": 1},
+    # one map-combinable sufficient-statistics agg, no window/sort
+    "value_correlation": {"AdaptiveSparkPlan": 1, "Project": 2,
+                          "Filter": 1, "HashAggregate": 2, "Exchange": 1,
+                          "FileScan": 1},
+    # basket self-join prefix + direction Generate + two item-count
+    # joins; the basket total is a ScalarSubquery (never a BNLJ)
+    "basket_rules": {"AdaptiveSparkPlan": 2, "TakeOrderedAndProject": 1,
+                     "Project": 10, "Subquery": 1, "HashAggregate": 18,
+                     "Exchange": 9, "FileScan": 5, "BroadcastHashJoin": 3,
+                     "Filter": 6, "Generate": 1, "BroadcastExchange": 3},
+    # query-side probe Generate above the same bucket equi-join +
+    # WindowGroupLimit rerank as the single-probe path
+    "ann_multiprobe": {"AdaptiveSparkPlan": 1, "Project": 6, "Filter": 3,
+                       "Window": 1, "WindowGroupLimit": 2, "Sort": 2,
+                       "Exchange": 3, "BroadcastHashJoin": 1,
+                       "Generate": 1, "FileScan": 2,
+                       "BroadcastExchange": 1},
+    # 64-row min-struct election (SortAggregate: struct min) + anchor
+    # explode + broadcast join; the corpus never shuffles
+    "contrastive_pairs": {"AdaptiveSparkPlan": 1, "Project": 4,
+                          "BroadcastHashJoin": 1, "Filter": 4,
+                          "Generate": 1, "Exchange": 3, "FileScan": 2,
+                          "BroadcastExchange": 1, "SortAggregate": 2,
+                          "Sort": 2},
     # round-10 wave 2 twins
     "corpus_diff": {"AdaptiveSparkPlan": 1, "Project": 4, "SortMergeJoin": 1,
                     "Sort": 2, "Exchange": 5, "FileScan": 3, "Union": 1,
