@@ -3041,6 +3041,78 @@ FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 40"""
 
 
+def q_cms_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, audited against exact
+    counts — the bloom_prune_stats doctrine applied to the frequency
+    sketch: the d x w counter grid itself is the checked object.
+
+    The grid (sketch.cms_counters: ONE Expand under ONE map-combinable
+    agg, <= d*w rows out) is probed for the exact top-40 vocabulary
+    heavy hitters; the report carries exact count, CMS estimate, and
+    the overcount — the oracle rebuilds grid and estimates from the
+    same salted md5 hashes, so a single flipped counter cell flips the
+    driver hash.  CMS never undercounts (min over d cells each >= the
+    true count), pinned by test.  At 100 TB the grid replaces the
+    exact token groupBy wherever only point frequencies are needed:
+    state is d*w longs per executor, mergeable cell-wise.
+    """
+    from mvrepair.operators import sketch as SK
+    from mvrepair.operators.text import tokenize
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    counters = SK.cms_counters(toks, "token", w=CMS_W, d=CMS_D)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(40)
+    )
+    est = SK.cms_estimate(top, "token", counters, w=CMS_W, d=CMS_D)
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), F.col("token").asc())
+
+
+CMS_W = 2048  # grid width (overcount bound ~ 2N/w)
+CMS_D = 4  # grid depth (error probability ~ 2^-d)
+
+
+def _oracle_cms_audit() -> str:
+    h = (
+        "CAST('0x' || substr(md5(token || '#c' || r), 1, 15) AS BIGINT)"
+        f" % {CMS_W}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+cells AS (
+  SELECT r, {h} AS col, count(*)::BIGINT AS c
+  FROM toks CROSS JOIN range(0, {CMS_D}) AS rr(r) GROUP BY 1, 2
+),
+exact AS (
+  SELECT token, count(*)::BIGINT AS exact_n FROM toks
+  GROUP BY 1 ORDER BY exact_n DESC, token ASC LIMIT 40
+),
+probes AS (
+  SELECT token, exact_n, r, {h} AS col
+  FROM exact CROSS JOIN range(0, {CMS_D}) AS rr(r)
+),
+est AS (
+  SELECT p.token, p.exact_n,
+         min(coalesce(c.c, 0))::BIGINT AS cms_est
+  FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.col = p.col
+  GROUP BY 1, 2
+)
+SELECT token, exact_n, cms_est, (cms_est - exact_n)::BIGINT AS overcount
+FROM est ORDER BY exact_n DESC, token ASC"""
+
+
 def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 characteristic terms, linear-idf tf-idf (all-integer
     scoring — see operators/text.py for the cross-engine rationale)."""
@@ -6359,6 +6431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,  # twin: basket_pairs (the identical co-partitioned basket self-join + pair agg is its first stage; the rule algebra adds row-local direction explode + two item-count joins, the collocations-PMI shape)
         "ann_multiprobe": q_ann_multiprobe,  # twin: pq_topk (the same bucket equi-join + _ranked WindowGroupLimit cut; the probe expansion is a row-local explode on the query side) + ann_lsh_topk (identical single-probe algebra, local gate)
         "contrastive_pairs": q_contrastive_pairs,  # twin: doc_splits (deterministic hash-bucket assignment, map-side) + dedup_keep_best (the min-struct representative election); the join is a broadcast of a 64-row frame
+        # round-10 wave-5 additions (twin doctrine):
+        "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
     }
 
 
@@ -6478,6 +6552,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_lineitem_joinsize": _ORACLE_JOINSIZE,
         "mv_merkle_refresh": _oracle_mv_merkle_refresh(),
         "lineitem_fk_dq": _ORACLE_LINEITEM_FK_DQ,
+        "cms_audit": _oracle_cms_audit(),
         "events_hll_stream": _oracle_events_hll(),
         "event_trend": _ORACLE_EVENT_TREND,
         "value_correlation": _ORACLE_VALUE_CORRELATION,

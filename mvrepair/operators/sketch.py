@@ -485,3 +485,115 @@ def join_size_estimate(
         F.sum(prod).cast("bigint").alias("join_rows"),
         F.max(prod).cast("bigint").alias("max_key_product"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (point-frequency estimation in sublinear state)
+# ---------------------------------------------------------------------------
+#
+# The frequency companion of the KMV/HLL cardinality sketches: a d x w
+# counter grid answers "how often did key x occur?" without ever
+# holding the key space — the state is d*w longs no matter how many
+# distinct keys stream through, and grids MERGE by cell-wise addition
+# (the property that makes the sketch a partial aggregate at 100 TB:
+# every executor folds its partition into a local grid and the shuffle
+# carries d*w rows per partition, never the key stream).  Estimates
+# never undercount (each of the d cells holds the key's true count
+# plus whatever collided there; min over d takes the least-polluted
+# cell), overcount by <= 2N/w with probability >= 1 - 2^-d (Cormode &
+# Muthukrishnan 2005).  Like the Bloom filter, the hash family is the
+# salted md5 ``stable_hash64`` so a DuckDB oracle replays the exact
+# grid and the exact estimates bit-for-bit.
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Build the d x w Count-Min grid over every occurrence of
+    ``key_col`` (weighted streams: pre-expand or pre-aggregate).
+
+    Scale shape: ONE Expand (d struct rows per occurrence) under ONE
+    map-combinable aggregate — partial grids collapse to <= d*w rows
+    per partition before the (bounded) shuffle.  Output:
+    (r int, col bigint, c bigint), <= d*w rows.
+    """
+    if w < 2 or d < 1:
+        raise ValueError("CMS needs w >= 2, d >= 1")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                (
+                    stable_hash64(
+                        F.concat(
+                            F.col(key_col).cast("string"), F.lit(f"#c{r}")
+                        )
+                    )
+                    % w
+                ).alias("col"),
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    key_col: str,
+    counters: DataFrame,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` against a
+    ``cms_counters`` grid: est(x) = min over the d rows of the cell
+    each salted hash lands in.
+
+    The grid is <= d*w rows — it BROADCASTS (the train_kmeans
+    model-artifact doctrine: the model moves to the data, the probe
+    stream never shuffles on the grid's account).  A missing cell means
+    no occurrence hashed there, so it reads as 0 (and forces est = 0 —
+    correct, since a key that occurred would have incremented all d of
+    its cells).
+
+    Output: probes' columns + (cms_est bigint).
+    """
+    from pyspark.sql.functions import broadcast
+
+    pr = probes.withColumn(
+        "__rc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        (
+                            stable_hash64(
+                                F.concat(
+                                    F.col(key_col).cast("string"),
+                                    F.lit(f"#c{r}"),
+                                )
+                            )
+                            % w
+                        ).alias("col"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ),
+    )
+    joined = pr.join(
+        broadcast(counters),
+        on=[
+            pr["__rc.r"] == counters["r"],
+            pr["__rc.col"] == counters["col"],
+        ],
+        how="left",
+    )
+    return joined.groupBy(*[probes[c] for c in probes.columns]).agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est")
+    )

@@ -381,6 +381,8 @@ class TestRegistryOrderingContract:
         "basket_rules": "basket_pairs",  # same co-partitioned basket self-join + pair agg prefix; rule algebra adds row-local direction explode + item-count joins
         "ann_multiprobe": "pq_topk",  # same bucket equi-join + WindowGroupLimit rerank; probe expansion is query-side row-local explode
         "contrastive_pairs": "doc_splits",  # deterministic hash-bucket assignment + 64-row broadcast join; election is the min-struct keep-best shape
+        # round-10 wave-5 additions:
+        "cms_audit": "key_skew",  # mergeable-sketch grid: the same two-level bucket-keyed reduction as the skew profile (events_hll's rep); salted-md5 family + sketch-as-checked-object audit ride bloom_prune_stats' locally-gated algebra
     }
 
     def test_every_family_within_driver_window(self):

@@ -4467,3 +4467,65 @@ def test_contrastive_negatives_corpus_never_shuffles(spark):
     # broadcast: the anchor side must join without shuffling
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_is_tight_when_sparse(spark):
+    from mvrepair.operators import sketch as SK
+
+    df = spark.createDataFrame([(c,) for c in "aabbbbcddddddddee"], ["k"])
+    exact = {r.k: r.n for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    grid = SK.cms_counters(df, "k", w=64, d=3)
+    probes = df.select("k").distinct()
+    est = {r.k: r.cms_est for r in SK.cms_estimate(
+        probes, "k", grid, w=64, d=3).collect()}
+    # the CMS guarantee: min over d cells each holding true + collisions
+    assert all(est[k] >= exact[k] for k in exact)
+    # 5 keys x 3 salted hashes in 64 columns: collisions are unlikely,
+    # and the grid is deterministic, so tightness is reproducible
+    assert sum(est[k] - exact[k] for k in exact) <= 2
+
+
+def test_cms_absent_key_estimates_zero(spark):
+    from mvrepair.operators import sketch as SK
+
+    df = spark.createDataFrame([("x",), ("y",)], ["k"])
+    grid = SK.cms_counters(df, "k", w=64, d=4)
+    probes = spark.createDataFrame([("zzz-not-present",)], ["k"])
+    [r] = SK.cms_estimate(probes, "k", grid, w=64, d=4).collect()
+    # an absent key only overcounts if ALL d cells collide; at this
+    # load (2 keys in 64 columns) every cell it probes is empty
+    assert r.cms_est == 0
+
+
+def test_cms_grid_is_mergeable(spark):
+    from mvrepair.operators import sketch as SK
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], ["k"])
+    b = spark.createDataFrame([("x",), ("z",)], ["k"])
+    both = a.unionByName(b)
+    merged = (
+        SK.cms_counters(a, "k", w=32, d=2)
+        .unionByName(SK.cms_counters(b, "k", w=32, d=2))
+        .groupBy("r", "col")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = SK.cms_counters(both, "k", w=32, d=2)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_cms_counters_plan_one_expand_one_agg(spark):
+    from mvrepair.operators import sketch as SK
+
+    df = spark.createDataFrame([("x",)], ["k"])
+    grid = SK.cms_counters(df, "k", w=64, d=4)
+    plan = grid._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # the one bounded grid shuffle
+    assert "Generate" in plan  # the d-struct explode
+    assert "Join" not in plan

@@ -268,6 +268,14 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
+    # round-10 wave 5 twins
+    # one Expand-family Generate under one map-combinable grid agg,
+    # probed via a broadcast of the <= d*w grid; TakeOrdered top-40 cut
+    "cms_audit": {"AdaptiveSparkPlan": 1, "Sort": 1, "Project": 3,
+                  "HashAggregate": 6, "BroadcastHashJoin": 1,
+                  "Generate": 4, "TakeOrderedAndProject": 1,
+                  "Exchange": 4, "FileScan": 2, "BroadcastExchange": 1,
+                  "Filter": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
