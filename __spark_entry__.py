@@ -3082,6 +3082,114 @@ CMS_W = 2048  # grid width (overcount bound ~ 2N/w)
 CMS_D = 4  # grid depth (error probability ~ 2^-d)
 
 
+def q_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types via KMV theta-sketch
+    intersection, audited against the exact distinct-user join.
+
+    The set-operation companion of the KMV cardinality sketch
+    (sketch.kmv_overlap): within min(theta_a, theta_b) both groups'
+    bottom-k samples are complete, so their shared hashes there are a
+    uniform sample of the true user intersection — the classic "how
+    many users did BOTH X and Y" question answered from k-hash
+    sketches, never a raw-stream join.  The exact audit column (one
+    distinct-pairs self-join, affordable at fixture scale) makes the
+    estimator the checked object, the bloom_prune_stats doctrine.
+    """
+    from mvrepair.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = SK.kmv_overlap(ev, "event_type", "user_id", k=KMV_OVERLAP_K)
+    du = ev.filter(F.col("user_id").isNotNull()).distinct()
+    a, b = du.alias("a"), du.alias("b")
+    exact = (
+        a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.event_type") < F.col("b.event_type"),
+            ],
+        )
+        .groupBy(
+            F.col("a.event_type").alias("group_a"),
+            F.col("b.event_type").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        sk.join(exact, on=["group_a", "group_b"], how="left")
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_intersection",
+            "sample_overlap",
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+KMV_OVERLAP_K = 64
+_KMV_SPACE_INT = 1 << 60
+_KMV_SPACE_SQL = "1152921504606846976"
+
+
+def _oracle_user_overlap_kmv() -> str:
+    k = KMV_OVERLAP_K
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type AS g, user_id AS u FROM events
+  WHERE user_id IS NOT NULL
+),
+hs AS (
+  SELECT DISTINCT g,
+    CAST('0x' || substr(md5(u::VARCHAR), 1, 15) AS BIGINT) AS h
+  FROM du
+),
+rn AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs
+),
+bottom AS (SELECT g, h FROM rn WHERE rn <= {k}),
+st AS (
+  SELECT g, n_seen,
+    CASE WHEN n_seen < {k} THEN {_KMV_SPACE_SQL} ELSE kth END AS theta,
+    CASE WHEN n_seen < {k} THEN n_seen::DOUBLE
+         ELSE ({k - 1}.0 * {_KMV_SPACE_SQL}.0) / kth::DOUBLE
+    END AS est
+  FROM (SELECT g, count(*) AS n_seen, max(h) AS kth FROM bottom GROUP BY 1)
+),
+sample AS (
+  SELECT b.g, b.h, st.theta FROM bottom b JOIN st USING (g)
+  WHERE b.h < st.theta
+),
+inter AS (
+  SELECT a.g AS ga, b.g AS gb,
+    sum(CASE WHEN a.h < least(a.theta, b.theta) THEN 1 ELSE 0 END) AS so
+  FROM sample a JOIN sample b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.est AS est_a, b.est AS est_b,
+    least(a.theta, b.theta) AS theta
+  FROM st a JOIN st b ON a.g < b.g
+),
+ex AS (
+  SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS exact_intersection
+  FROM du a JOIN du b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2
+)
+SELECT p.ga AS group_a, p.gb AS group_b, p.est_a, p.est_b,
+  (coalesce(i.so, 0)::DOUBLE * {_KMV_SPACE_SQL}.0) / p.theta::DOUBLE
+    AS est_intersection,
+  coalesce(i.so, 0)::BIGINT AS sample_overlap,
+  coalesce(e.exact_intersection, 0)::BIGINT AS exact_intersection
+FROM pairs p
+LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb
+LEFT JOIN ex e ON e.ga = p.ga AND e.gb = p.gb
+ORDER BY group_a, group_b"""
+
+
 def _oracle_cms_audit() -> str:
     h = (
         "CAST('0x' || substr(md5(token || '#c' || r), 1, 15) AS BIGINT)"
@@ -6433,6 +6541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,  # twin: doc_splits (deterministic hash-bucket assignment, map-side) + dedup_keep_best (the min-struct representative election); the join is a broadcast of a 64-row frame
         # round-10 wave-5 additions (twin doctrine):
         "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
+        "user_overlap_kmv": q_user_overlap_kmv,  # twin: source_vocab_kmv (the identical distinct -> WindowGroupLimit bottom-k sample per group); the theta set algebra runs over sketch-sized frames, exact-audit join is the lapsed_customers pair shape
     }
 
 
@@ -6553,6 +6662,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_merkle_refresh": _oracle_mv_merkle_refresh(),
         "lineitem_fk_dq": _ORACLE_LINEITEM_FK_DQ,
         "cms_audit": _oracle_cms_audit(),
+        "user_overlap_kmv": _oracle_user_overlap_kmv(),
         "events_hll_stream": _oracle_events_hll(),
         "event_trend": _ORACLE_EVENT_TREND,
         "value_correlation": _ORACLE_VALUE_CORRELATION,

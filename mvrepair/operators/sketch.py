@@ -597,3 +597,151 @@ def cms_estimate(
     return joined.groupBy(*[probes[c] for c in probes.columns]).agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV theta intersection (set-operation estimates over bottom-k sketches)
+# ---------------------------------------------------------------------------
+
+
+def kmv_overlap(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise distinct-value INTERSECTION estimates between groups —
+    the theta-sketch set algebra (Dasgupta et al., "Theta sketches")
+    over the same bottom-k samples ``kmv_distinct_by`` keeps: each
+    group's sample is a uniform hash-subsample below its threshold
+    theta (= the k-th smallest hash, or the full 2^60 space when the
+    group has < k distinct values and the sketch is exact), so within
+    min(theta_a, theta_b) BOTH samples are complete and the shared
+    hashes there are a uniform sample of the true intersection:
+    est = |{h in S_a ∩ S_b : h < theta}| * 2^60 / theta.
+
+    Scale shape: ONE distinct (group, hash) pass, ONE group-keyed rank
+    window (WindowGroupLimit cuts to k per group BEFORE the exchange —
+    the kmv_distinct_by shape), then all joins are over <= k-row-per-
+    group sample frames: at 100 TB the corpus is scanned once and
+    everything downstream is sketch-sized.  Audience overlap ("how many
+    users did BOTH X and Y") without ever joining the raw streams.
+
+    Output: one row per unordered group pair (a < b):
+    (group_a, group_b, est_a double, est_b double,
+    est_intersection double, sample_overlap bigint).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 3:
+        raise ValueError("KMV needs k >= 3 (variance is 1/sqrt(k-2))")
+    hashes = (
+        df.select(
+            F.col(group_col).alias("g"),
+            stable_hash64(F.col(col).cast("string")).alias("h"),
+        )
+        .filter(F.col("h").isNotNull())
+        .distinct()
+    )
+    win = Window.partitionBy("g").orderBy(F.col("h").asc())
+    bottom = hashes.withColumn("rn", F.row_number().over(win)).filter(
+        F.col("rn") <= k
+    )
+    # the bottom-k frame is sketch-sized (k rows per group) but its
+    # lineage is the corpus-sized distinct+window; three consumers
+    # follow (stats, both sample sides), so cut the lineage here —
+    # the mv_merkle_upserts drill-keys precedent — and the corpus is
+    # scanned ONCE no matter how the sketch algebra fans out below
+    bottom = bottom.localCheckpoint(eager=True)
+    space = F.lit(int(HASH_SPACE)).cast("bigint")
+    stats = bottom.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_seen"),
+        F.max("h").alias("kth_min"),
+    ).select(
+        "g",
+        "n_seen",
+        # theta: the sample is complete below this hash value
+        F.when(F.col("n_seen") < k, space)
+        .otherwise(F.col("kth_min"))
+        .alias("theta"),
+        F.when(
+            F.col("n_seen") < k, F.col("n_seen").cast("double")
+        )
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(HASH_SPACE)
+            / F.col("kth_min").cast("double")
+        )
+        .alias("est_distinct"),
+    )
+    # retained sample = hashes strictly below the group's theta (the
+    # k-th itself is the threshold, not a member — when exact, all stay)
+    sample = (
+        bottom.join(F.broadcast(stats.select("g", "theta")), "g")
+        .filter(F.col("h") < F.col("theta"))
+        .select("g", "h", "theta")
+    )
+    a = sample.select(
+        F.col("g").alias("group_a"),
+        F.col("h"),
+        F.col("theta").alias("__ta"),
+    )
+    b = sample.select(
+        F.col("g").alias("group_b"),
+        F.col("h"),
+        F.col("theta").alias("__tb"),
+    )
+    inter = (
+        a.join(b, on="h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .withColumn("__theta", F.least("__ta", "__tb"))
+        .groupBy("group_a", "group_b", "__theta")
+        .agg(
+            F.sum(
+                F.when(F.col("h") < F.col("__theta"), 1).otherwise(0)
+            ).alias("sample_overlap")
+        )
+    )
+    # pair scaffold: zero-overlap pairs must still report (the inner
+    # sample join drops them).  Groups are a bounded enum here (the
+    # caller's contract); the hash-keyed equi-join above already binds
+    # every pair that shares a sample hash, so the scaffold only adds
+    # the empty ones: derive it from stats x stats via a hash-free
+    # union trick — stats is sketch-sized, so a broadcast non-equi pair
+    # frame would be fine, but we keep the plan BNLJ-free by exploding
+    # the (tiny) sorted group list against itself row-locally.
+    glist = F.array_sort(
+        F.collect_list(F.struct("g", "theta", "est_distinct"))
+    )
+    pairs = (
+        stats.agg(glist.alias("gs"))
+        .select(F.explode("gs").alias("ga"), F.col("gs"))
+        .select(
+            F.col("ga"),
+            F.explode(
+                F.filter("gs", lambda x: x["g"] > F.col("ga.g"))
+            ).alias("gb"),
+        )
+        .select(
+            F.col("ga.g").alias("group_a"),
+            F.col("gb.g").alias("group_b"),
+            F.col("ga.est_distinct").alias("est_a"),
+            F.col("gb.est_distinct").alias("est_b"),
+            F.least(F.col("ga.theta"), F.col("gb.theta")).alias("__theta"),
+        )
+    )
+    out = pairs.join(
+        inter.select("group_a", "group_b", "sample_overlap"),
+        on=["group_a", "group_b"],
+        how="left",
+    ).select(
+        "group_a",
+        "group_b",
+        "est_a",
+        "est_b",
+        (
+            F.coalesce(F.col("sample_overlap"), F.lit(0)).cast("double")
+            * F.lit(HASH_SPACE)
+            / F.col("__theta").cast("double")
+        ).alias("est_intersection"),
+        F.coalesce(F.col("sample_overlap"), F.lit(0))
+        .cast("bigint")
+        .alias("sample_overlap"),
+    )
+    return out

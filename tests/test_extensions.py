@@ -4529,3 +4529,56 @@ def test_cms_counters_plan_one_expand_one_agg(spark):
     assert plan.count("Exchange") == 1  # the one bounded grid shuffle
     assert "Generate" in plan  # the d-struct explode
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# KMV theta intersection
+# ---------------------------------------------------------------------------
+
+def test_kmv_overlap_exact_mode_small_groups(spark):
+    from mvrepair.operators import sketch as SK
+
+    # both groups under k distinct -> theta = full space -> estimates
+    # are EXACT distinct/intersection counts
+    rows = [("a", v) for v in [1, 2, 3, 4]] + [("b", v) for v in [3, 4, 5]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = SK.kmv_overlap(df, "g", "v", k=16).collect()
+    assert (r.group_a, r.group_b) == ("a", "b")
+    assert r.est_a == 4.0 and r.est_b == 3.0
+    assert r.est_intersection == 2.0 and r.sample_overlap == 2
+
+
+def test_kmv_overlap_zero_overlap_pair_still_reported(spark):
+    from mvrepair.operators import sketch as SK
+
+    rows = [("a", 1), ("a", 2), ("b", 9), ("c", 1)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {(r.group_a, r.group_b): r.est_intersection
+           for r in SK.kmv_overlap(df, "g", "v", k=8).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")] == 0.0 and got[("b", "c")] == 0.0
+    assert got[("a", "c")] == 1.0
+
+
+def test_kmv_overlap_estimate_tracks_truth_at_sketch_size(spark):
+    from mvrepair.operators import sketch as SK
+
+    # 600 distinct per group, 200 shared; k=128 -> stderr ~ 9%
+    rows = [("a", v) for v in range(600)] + [
+        ("b", v) for v in range(400, 1000)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    [r] = SK.kmv_overlap(df, "g", "v", k=128).collect()
+    assert abs(r.est_a - 600) / 600 < 0.3
+    assert abs(r.est_intersection - 200) / 200 < 0.45
+    assert r.sample_overlap > 0
+
+
+def test_kmv_overlap_plan_no_bnlj_no_cartesian(spark):
+    from mvrepair.operators import sketch as SK
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["g", "v"])
+    plan = SK.kmv_overlap(df, "g", "v", k=8)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

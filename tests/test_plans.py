@@ -276,6 +276,15 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                   "Generate": 4, "TakeOrderedAndProject": 1,
                   "Exchange": 4, "FileScan": 2, "BroadcastExchange": 1,
                   "Filter": 1},
+    # one corpus distinct+WindowGroupLimit pass into a checkpointed
+    # sketch-sized bottom-k frame (the 5 in-memory Scans); the 2
+    # FileScans are the exact-audit join's own reads
+    "user_overlap_kmv": {"AdaptiveSparkPlan": 1, "Sort": 4, "Exchange": 11,
+                         "Project": 14, "SortMergeJoin": 2, "Generate": 2,
+                         "Filter": 9, "ObjectHashAggregate": 2,
+                         "HashAggregate": 14, "Scan": 5,
+                         "BroadcastHashJoin": 4, "BroadcastExchange": 4,
+                         "FileScan": 2},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
