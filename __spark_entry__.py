@@ -3137,6 +3137,56 @@ _KMV_SPACE_INT = 1 << 60
 _KMV_SPACE_SQL = "1152921504606846976"
 
 
+# candidate FDs profiled by orders_fd_profile: a mix of true keys
+# (g3 = 0) and almost-dependencies (g3 > 0), per table
+_FD_ORDERS = [
+    (["o_orderkey"], ["o_custkey"]),
+    (["o_custkey"], ["o_orderpriority"]),
+    (["o_orderdate"], ["o_orderstatus"]),
+]
+_FD_LINEITEM = [
+    (["l_orderkey", "l_linenumber"], ["l_partkey"]),
+    (["l_partkey"], ["l_suppkey"]),
+]
+
+
+def q_orders_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-FD profiling (dq.fd_report): the g3 error of five
+    candidate dependencies across orders and lineitem — true keys
+    measure 0, denormalization-drift candidates measure the exact
+    minimum row deletions to make them hold.  Two map-combinable
+    aggregates per candidate, one output row each, no joins."""
+    from mvrepair.operators.dq import fd_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return fd_report(orders, _FD_ORDERS).unionByName(
+        fd_report(li, _FD_LINEITEM)
+    )
+
+
+def _oracle_orders_fd_profile() -> str:
+    parts = []
+    for table, fds in (("orders", _FD_ORDERS), ("lineitem", _FD_LINEITEM)):
+        for lhs, rhs in fds:
+            name = f"{','.join(lhs)}->{','.join(rhs)}"
+            lhs_sql = ", ".join(lhs)
+            both_sql = ", ".join(lhs + rhs)
+            parts.append(f"""
+SELECT '{name}' AS fd, count(*)::BIGINT AS n_groups,
+  sum(CASE WHEN plural < total THEN 1 ELSE 0 END)::BIGINT
+    AS violating_groups,
+  sum(total - plural)::BIGINT AS violations,
+  sum(total - plural) = 0 AS passed
+FROM (
+  SELECT {lhs_sql}, sum(n) AS total, max(n) AS plural
+  FROM (SELECT {both_sql}, count(*) AS n FROM {table}
+        GROUP BY {both_sql})
+  GROUP BY {lhs_sql}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _oracle_user_overlap_kmv() -> str:
     k = KMV_OVERLAP_K
     return f"""
@@ -6541,7 +6591,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,  # twin: doc_splits (deterministic hash-bucket assignment, map-side) + dedup_keep_best (the min-struct representative election); the join is a broadcast of a 64-row frame
         # round-10 wave-5 additions (twin doctrine):
         "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
-        "user_overlap_kmv": q_user_overlap_kmv,  # twin: source_vocab_kmv (the identical distinct -> WindowGroupLimit bottom-k sample per group); the theta set algebra runs over sketch-sized frames, exact-audit join is the lapsed_customers pair shape
+        "user_overlap_kmv": q_user_overlap_kmv,
+        "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)  # twin: source_vocab_kmv (the identical distinct -> WindowGroupLimit bottom-k sample per group); the theta set algebra runs over sketch-sized frames, exact-audit join is the lapsed_customers pair shape
     }
 
 
@@ -6663,6 +6714,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_fk_dq": _ORACLE_LINEITEM_FK_DQ,
         "cms_audit": _oracle_cms_audit(),
         "user_overlap_kmv": _oracle_user_overlap_kmv(),
+        "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_hll_stream": _oracle_events_hll(),
         "event_trend": _ORACLE_EVENT_TREND,
         "value_correlation": _ORACLE_VALUE_CORRELATION,

@@ -134,3 +134,62 @@ def referential_report(
         )
         out = violations if out is None else out.unionByName(violations)
     return out
+
+
+def fd_report(
+    df: DataFrame, fds: list[tuple[list[str], list[str]]]
+) -> DataFrame:
+    """Approximate-functional-dependency profiling: for each candidate
+    FD X -> Y, the g3 error measure (Kivinen & Mannila) — the minimum
+    number of rows to DELETE for the dependency to hold exactly:
+    violations = Σ over X-groups of (group size − its plurality
+    (X,Y)-combination count).  g3 = 0 iff the FD holds.
+
+    The discovery half of the DQ surface (``dq_report`` checks declared
+    constraints; this measures how far candidate ones are from true) —
+    the signal that finds denormalization drift, stale dimension
+    copies, and key columns that are ALMOST keys before a pipeline
+    bakes the assumption in.
+
+    Scale shape per FD: groupBy(X ∪ Y) count, then groupBy(X) fold,
+    then one single-row combine — two map-combinable exchanges, output
+    one row, no joins, no windows.  Nulls are ordinary values on both
+    sides (groupBy semantics), documented over SQL's DISTINCT-tuple
+    null rules.
+
+    Output: (fd string, n_groups bigint, violating_groups bigint,
+    violations bigint, passed boolean), one row per candidate in input
+    order.
+    """
+    if not fds:
+        raise ValueError("fd_report needs at least one candidate FD")
+    reports = []
+    for lhs, rhs in fds:
+        if not lhs or not rhs or set(lhs) & set(rhs):
+            raise ValueError(f"malformed FD {lhs} -> {rhs}")
+        name = f"{','.join(lhs)}->{','.join(rhs)}"
+        pairs = df.groupBy(
+            *[F.col(c) for c in lhs + rhs]
+        ).agg(F.count(F.lit(1)).alias("__n"))
+        groups = pairs.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.sum("__n").alias("__total"),
+            F.max("__n").alias("__plural"),
+        )
+        reports.append(
+            groups.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(
+                    F.when(F.col("__plural") < F.col("__total"), 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("violating_groups"),
+                F.sum(F.col("__total") - F.col("__plural"))
+                .cast("bigint")
+                .alias("violations"),
+            ).withColumn("passed", F.col("violations") == 0)
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

@@ -383,7 +383,8 @@ class TestRegistryOrderingContract:
         "contrastive_pairs": "doc_splits",  # deterministic hash-bucket assignment + 64-row broadcast join; election is the min-struct keep-best shape
         # round-10 wave-5 additions:
         "cms_audit": "key_skew",
-        "user_overlap_kmv": "posting_lists",  # the identical distinct -> group-keyed WindowGroupLimit bottom-k sample; theta set algebra runs over checkpointed sketch-sized frames, exact audit is the pair-join shape  # mergeable-sketch grid: the same two-level bucket-keyed reduction as the skew profile (events_hll's rep); salted-md5 family + sketch-as-checked-object audit ride bloom_prune_stats' locally-gated algebra
+        "user_overlap_kmv": "posting_lists",
+        "orders_fd_profile": "pricing_summary",  # the declarative-DQ verdict-report family: map-combinable agg passes into (check, value, passed) rows; the two-level fold is the key_skew reduction shape  # the identical distinct -> group-keyed WindowGroupLimit bottom-k sample; theta set algebra runs over checkpointed sketch-sized frames, exact audit is the pair-join shape  # mergeable-sketch grid: the same two-level bucket-keyed reduction as the skew profile (events_hll's rep); salted-md5 family + sketch-as-checked-object audit ride bloom_prune_stats' locally-gated algebra
     }
 
     def test_every_family_within_driver_window(self):

@@ -4582,3 +4582,56 @@ def test_kmv_overlap_plan_no_bnlj_no_cartesian(spark):
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# approximate-FD profiling (g3)
+# ---------------------------------------------------------------------------
+
+def test_fd_report_g3_known_values(spark):
+    from mvrepair.operators.dq import fd_report
+
+    rows = [
+        (1, "a"), (1, "a"), (1, "b"),  # x=1: plurality a(2), g3 += 1
+        (2, "c"), (2, "c"),            # x=2: holds
+        (3, "d"),                      # x=3: holds
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    [r] = fd_report(df, [(["x"], ["y"])]).collect()
+    assert r.fd == "x->y"
+    assert r.n_groups == 3
+    assert r.violating_groups == 1
+    assert r.violations == 1
+    assert r.passed is False
+
+
+def test_fd_report_holds_and_null_is_a_value(spark):
+    from mvrepair.operators.dq import fd_report
+    from pyspark.sql import Row
+
+    rows = [Row(x=1, y="a"), Row(x=2, y=None), Row(x=2, y=None)]
+    df = spark.createDataFrame(rows)
+    [r] = fd_report(df, [(["x"], ["y"])]).collect()
+    # x=2 maps consistently to NULL: a value, not a violation
+    assert r.violations == 0 and r.passed is True
+
+
+def test_fd_report_rejects_malformed(spark):
+    from mvrepair.operators.dq import fd_report
+
+    df = spark.createDataFrame([(1, 2)], ["x", "y"])
+    with pytest.raises(ValueError):
+        fd_report(df, [])
+    with pytest.raises(ValueError):
+        fd_report(df, [(["x"], ["x"])])
+    with pytest.raises(ValueError):
+        fd_report(df, [([], ["y"])])
+
+
+def test_fd_report_plan_two_aggs_no_join(spark):
+    from mvrepair.operators.dq import fd_report
+
+    df = spark.createDataFrame([(1, 2)], ["x", "y"])
+    plan = fd_report(df, [(["x"], ["y"])])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan

@@ -285,6 +285,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                          "HashAggregate": 14, "Scan": 5,
                          "BroadcastHashJoin": 4, "BroadcastExchange": 4,
                          "FileScan": 2},
+    # per-candidate two-level groupBy fold + single-row combine,
+    # unioned: aggs and scans only, no joins/windows anywhere
+    "orders_fd_profile": {"AdaptiveSparkPlan": 1, "Union": 1, "Project": 6,
+                          "HashAggregate": 30, "Exchange": 15,
+                          "FileScan": 5},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
