@@ -3150,6 +3150,77 @@ _FD_LINEITEM = [
 ]
 
 
+def q_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PCA over the embedding corpus (decomp.py): one
+    Arrow-batched mapInPandas pass folds the corpus into d(d+1)/2+d+1
+    int64 sufficient statistics (the tall-skinny Gram trick — the
+    shuffle carries <= 2,145 rows per partition, never vectors), the
+    power iteration runs driver-side on that bounded artifact (the
+    train_kmeans doctrine) in deterministic integer fixed-point, and
+    the principal axis broadcasts back as literals for a pure
+    column-algebra projection.  The oracle unrolls the IDENTICAL
+    6-round recurrence in SQL — an eigen-decomposition gated by a
+    value hash, the kmeans/pagerank doctrine at its furthest point."""
+    from mvrepair.operators import decomp as DC
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    stats = DC.pca_suffstats(emb, "embedding", 64).collect()
+    v, n, s = DC.principal_axis(stats, 64)
+    return DC.pca_scores(emb, "vec_id", "embedding", v, n, s)
+
+
+def _oracle_embedding_pca() -> str:
+    from mvrepair.operators.decomp import MCAP, PCA_ITERS, QUANT, VSCALE
+
+    rounds = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        rounds.append(
+            f"u{t} AS MATERIALIZED (SELECT ms.i, sum(ms.m * {prev}.v) AS u"
+            f" FROM ms JOIN {prev} ON ms.j = {prev}.i GROUP BY 1),\n"
+            f"d{t} AS MATERIALIZED (SELECT greatest(1, max(abs(u)) // {VSCALE}) AS d"
+            f" FROM u{t}),\n"
+            f"v{t} AS MATERIALIZED (SELECT i, u // (SELECT d FROM d{t}) AS v FROM u{t})"
+        )
+        prev = f"v{t}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH qv AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+comp AS MATERIALIZED (
+  SELECT vec_id, CAST(t.i AS INT) AS i, q[t.i + 1] AS q
+  FROM qv CROSS JOIN range(0, 64) t(i)
+),
+nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM qv),
+sv AS MATERIALIZED (SELECT i, sum(q)::BIGINT AS s FROM comp GROUP BY 1),
+gram AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS g
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2
+),
+gfull AS MATERIALIZED (
+  SELECT i, j, g FROM gram
+  UNION ALL SELECT j AS i, i AS j, g FROM gram WHERE i <> j
+),
+m0 AS MATERIALIZED (
+  SELECT g.i, g.j, (SELECT n FROM nn) * g.g - sa.s * sb.s AS m
+  FROM gfull g JOIN sv sa ON sa.i = g.i JOIN sv sb ON sb.i = g.j
+),
+dd AS MATERIALIZED (SELECT greatest(1, max(abs(m)) // {MCAP}) AS d FROM m0),
+ms AS MATERIALIZED (SELECT i, j, m // (SELECT d FROM dd) AS m FROM m0),
+v0 AS MATERIALIZED (SELECT i, CAST({VSCALE} AS BIGINT) AS v FROM range(0, 64) t(i)),
+{body}
+SELECT c.vec_id,
+  sum(((SELECT n FROM nn) * c.q - sv.s) * vf.v)::BIGINT AS pc1_score
+FROM comp c JOIN sv ON sv.i = c.i JOIN {prev} vf ON vf.i = c.i
+GROUP BY 1"""
+
+
 def q_orders_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-FD profiling (dq.fd_report): the g3 error of five
     candidate dependencies across orders and lineitem — true keys
@@ -6592,6 +6663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 wave-5 additions (twin doctrine):
         "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
         "user_overlap_kmv": q_user_overlap_kmv,
+        "embedding_pca": q_embedding_pca,  # twin: kmeans_clusters (the identical bounded-artifact iterative-model doctrine: corpus -> suff-stats -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the stats pass is the multimodal Arrow mapInPandas plumbing, driver-checked)
         "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)  # twin: source_vocab_kmv (the identical distinct -> WindowGroupLimit bottom-k sample per group); the theta set algebra runs over sketch-sized frames, exact-audit join is the lapsed_customers pair shape
     }
 
@@ -6714,6 +6786,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_fk_dq": _ORACLE_LINEITEM_FK_DQ,
         "cms_audit": _oracle_cms_audit(),
         "user_overlap_kmv": _oracle_user_overlap_kmv(),
+        "embedding_pca": _oracle_embedding_pca(),
         "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_hll_stream": _oracle_events_hll(),
         "event_trend": _ORACLE_EVENT_TREND,

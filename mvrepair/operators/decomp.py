@@ -1,0 +1,205 @@
+"""Exact-integer spectral decomposition: single-pass covariance
+sufficient statistics + power-iteration PCA over embedding columns.
+
+The dimensionality-reduction primitive of an embedding pipeline
+(decorrelate before LSH, compress before storage, rank by principal
+component for curriculum/outlier sweeps), built the way every iterative
+algorithm here is built (the kmeans / pagerank doctrine): quantize once,
+then keep EVERY arithmetic step in deterministic int64 — floor-quantized
+components, integer cross-products, truncating integer divisions — so a
+DuckDB oracle replays the entire eigen-iteration bit-for-bit and the
+driver hash gates it like any aggregate.
+
+Scale design (the tall-skinny Gram trick, e.g. Constantine & Gleich,
+"Tall and skinny QR factorizations in MapReduce"): a d-dimensional
+corpus of ANY row count reduces to d(d+1)/2 + d + 1 sufficient
+statistics — each executor folds its partition into a local d x d
+int64 Gram via one Arrow-batched ``mapInPandas`` (built-in column
+algebra cannot express a 2080-cell outer-product fold without either a
+2080-column aggregate or a 2080x row Expand; this is the legitimate
+Pandas-UDF case), and the shuffle carries <= 2,145 rows per partition.
+The eigen-iteration then runs driver-side on that bounded artifact (the
+train_kmeans model doctrine) and the principal axis broadcasts back as
+a literal for the projection — corpus scanned twice total (stats,
+scores), no corpus-sized shuffle anywhere.
+
+Centering without division: covariance is kept as the integer matrix
+M = n*S - s s^T  (n^2 times the covariance), which preserves
+eigenvectors exactly; projections use the n-scaled centered component
+(n*q_ij - s_j), again eigen-direction-preserving.  Truncating division
+(DuckDB ``//`` semantics) is used for the two per-iteration rescales.
+
+Domain preconditions (the normalize_expr doctrine — documented AND
+enforced): with quantization Q and n rows of d components bounded by
+|x| <= X, the statistics need n*(QX)^2 < 2^62 and (n*QX)^2 < 2^62 for
+the n*S and s_i*s_j products; ``principal_axis`` asserts both on the
+ACTUAL collected values and names the sizing rule (shrink Q as n
+grows: Q ~ 2^31 / (n*X)) in the error.  After the M rescale every
+iteration value is bounded by construction (|M'| < 2^30, |v| <= 2^20,
+|u| <= d * 2^50), independent of data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+QUANT = 10_000  # component quantization (4 decimal digits)
+VSCALE = 1 << 20  # iteration vector magnitude cap
+MCAP = 1 << 30  # rescaled-matrix magnitude cap
+PCA_ITERS = 6
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//`` (and
+    Spark's ``div``); Python's ``//`` floors, which differs on negative
+    numerators, so every oracle-replayed division goes through this."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def pca_suffstats(
+    df: DataFrame, vec_col: str, dim: int, quant: int = QUANT
+) -> DataFrame:
+    """One corpus pass -> the bounded sufficient-statistics frame.
+
+    Encoding (merged by one map-combinable sum): rows (i, j, v) with
+    0 <= i <= j < dim hold the Gram cell sum(q_i * q_j); rows (i, -1)
+    hold the component sum s_i; row (-1, -1) holds the row count.
+    Output: <= dim*(dim+1)/2 + dim + 1 rows.
+    """
+
+    def fold(batches: Iterable) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        G = np.zeros((dim, dim), dtype=np.int64)
+        s = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * quant
+            ).astype(np.int64)
+            if Q.shape[1] != dim:
+                raise ValueError(
+                    f"pca_suffstats: expected dim={dim}, got {Q.shape[1]}"
+                )
+            G += Q.T @ Q
+            s += Q.sum(axis=0)
+            n += len(pdf)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(dim)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(dim), [-1]]),
+                "j": np.concatenate([ju, np.full(dim, -1), [-1]]),
+                "v": np.concatenate([G[iu, ju], s, [n]]),
+            }
+        )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(fold, schema="i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+    )
+
+
+def principal_axis(
+    stats_rows, dim: int, iters: int = PCA_ITERS
+) -> tuple[list[int], int, list[int]]:
+    """Driver-side exact-integer power iteration on the collected
+    sufficient statistics (a bounded model artifact, never the corpus).
+
+    Returns (v, n, s): the principal-axis vector (ints, |v| <= 2^20),
+    the row count, and the component sums — everything ``pca_scores``
+    needs to project.  Deterministic: all-ones start, fixed ``iters``,
+    truncating divisions; M = n*S - s s^T is PSD so the iterate never
+    flips sign.
+    """
+    S = {}
+    s = [0] * dim
+    n = 0
+    for r in stats_rows:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            S[(i, j)] = v
+    if n <= 0:
+        raise ValueError("principal_axis: empty corpus")
+    max_S = max(abs(v) for v in S.values()) if S else 0
+    max_s = max(abs(x) for x in s)
+    if n * max_S >= 1 << 62 or max_s * max_s >= 1 << 62:
+        raise ValueError(
+            "principal_axis: statistics exceed the int64 domain "
+            f"(n*max|S|={n * max_S}, max|s|^2={max_s * max_s}); shrink "
+            "the quantization as the corpus grows (Q ~ 2^31 / (n*X) "
+            "for components bounded by X)"
+        )
+    M = [[0] * dim for _ in range(dim)]
+    for (i, j), v in S.items():
+        m = n * v - s[i] * s[j]
+        M[i][j] = m
+        if i != j:
+            M[j][i] = m
+    max_m = max(abs(M[i][j]) for i in range(dim) for j in range(dim))
+    d = max(1, max_m // MCAP)
+    Ms = [[_tdiv(M[i][j], d) for j in range(dim)] for i in range(dim)]
+    v = [VSCALE] * dim
+    for _ in range(iters):
+        u = [
+            sum(Ms[i][j] * v[j] for j in range(dim)) for i in range(dim)
+        ]
+        # no early exit on mx == 0 (zero-variance corpus -> axis and
+        # all scores collapse to 0): the oracle's unrolled recurrence
+        # has no branch, so neither does this
+        mx = max(abs(x) for x in u)
+        d2 = max(1, mx // VSCALE)
+        v = [_tdiv(x, d2) for x in u]
+    return v, n, s
+
+
+def pca_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    axis: list[int],
+    n: int,
+    s: list[int],
+    quant: int = QUANT,
+) -> DataFrame:
+    """Project every vector onto the principal axis, exactly:
+    score = Σ_j (n*q_j - s_j) * v_j  (the n-scaled centered component
+    against the integer axis — direction-identical to the centered
+    projection, and pure JVM-side column algebra: the axis and the
+    sums are literals, the corpus never shuffles).
+
+    Output: (id_col, pc1_score bigint).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
+    )
+    s_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in s])
+    a_arr = F.array(*[F.lit(int(x)).cast("bigint") for x in axis])
+    # one indexed transform + one aggregate fold: the quantization is
+    # evaluated ONCE per row (a per-component sum expression would
+    # inline 64 copies of it and blow up codegen)
+    terms = F.transform(
+        q,
+        lambda x, i: (
+            F.lit(n).cast("bigint") * x - F.element_at(s_arr, i + 1)
+        )
+        * F.element_at(a_arr, i + 1),
+    )
+    score = F.aggregate(
+        terms, F.lit(0).cast("bigint"), lambda acc, t: acc + t
+    )
+    return df.select(F.col(id_col), score.alias("pc1_score"))

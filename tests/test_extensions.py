@@ -4635,3 +4635,77 @@ def test_fd_report_plan_two_aggs_no_join(spark):
     plan = fd_report(df, [(["x"], ["y"])])._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Join" not in plan and "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact-integer PCA (decomp)
+# ---------------------------------------------------------------------------
+
+def test_tdiv_truncates_toward_zero_like_duckdb():
+    from mvrepair.operators.decomp import _tdiv
+
+    # DuckDB: SELECT (-7) // 2 -> -3 (trunc); Python -7 // 2 -> -4
+    assert _tdiv(-7, 2) == -3
+    assert _tdiv(7, 2) == 3
+    assert _tdiv(7, -2) == -3
+    assert _tdiv(-7, -2) == 3
+    assert _tdiv(0, 5) == 0
+
+
+def test_pca_suffstats_known_values(spark):
+    from mvrepair.operators import decomp as DC
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {(r.i, r.j): r.v for r in
+           DC.pca_suffstats(df, "embedding", 2, quant=1).collect()}
+    assert got[(-1, -1)] == 3                # n
+    assert got[(0, -1)] == 2 and got[(1, -1)] == 4   # component sums
+    assert got[(0, 0)] == 2 and got[(1, 1)] == 8     # sum q_i^2
+    assert got[(0, 1)] == 2                  # cross product
+
+
+def test_principal_axis_matches_numpy_eigendirection(spark):
+    import numpy as np
+    from mvrepair.operators import decomp as DC
+
+    rng = np.random.default_rng(7)
+    # anisotropic cloud: dominant axis along (3, 1, 0, 0)/sqrt(10)
+    base = rng.normal(size=(400, 4)) * np.array([0.05, 0.05, 0.02, 0.02])
+    t = rng.normal(size=(400, 1))
+    data = base + t * np.array([[0.3, 0.1, 0.0, 0.0]])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        ["vec_id", "embedding"],
+    )
+    stats = DC.pca_suffstats(df, "embedding", 4).collect()
+    v, n, s = DC.principal_axis(stats, 4)
+    centered = data - data.mean(axis=0)
+    w, vecs = np.linalg.eigh(centered.T @ centered)
+    top = vecs[:, -1]
+    got = np.array(v, dtype=float)
+    cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+    assert n == 400
+
+
+def test_principal_axis_rejects_overflowing_stats():
+    from mvrepair.operators import decomp as DC
+
+    rows = [
+        {"i": -1, "j": -1, "v": 1 << 32},
+        {"i": 0, "j": -1, "v": 1 << 40},
+        {"i": 0, "j": 0, "v": 1 << 40},
+    ]
+    with pytest.raises(ValueError, match="int64 domain"):
+        DC.principal_axis(rows, 1)
+
+
+def test_pca_scores_plan_is_pure_projection(spark):
+    from mvrepair.operators import decomp as DC
+
+    df = spark.createDataFrame([(1, [0.5, 0.5])], ["vec_id", "embedding"])
+    sc = DC.pca_scores(df, "vec_id", "embedding", [5, -3], 10, [2, 2])
+    plan = sc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

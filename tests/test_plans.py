@@ -290,6 +290,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "orders_fd_profile": {"AdaptiveSparkPlan": 1, "Union": 1, "Project": 6,
                           "HashAggregate": 30, "Exchange": 15,
                           "FileScan": 5},
+    # the returned frame is the broadcast-literal projection: ONE scan,
+    # zero exchanges (the suff-stats pass + driver iteration ran at
+    # construction time, the train_kmeans artifact doctrine)
+    "embedding_pca": {"Project": 1, "ColumnarToRow": 1, "FileScan": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
