@@ -2868,6 +2868,45 @@ def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("__events_sliding_stream")
 
 
+def q_view_purchase_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the one streaming shape the other
+    entries don't exercise: BOTH sides buffer in the state store, each
+    side's rows retire when the other side's watermark clears the join
+    range).  Purchases attribute to every view by the same user within
+    the preceding hour; inner-join results emit as matches arrive, so
+    the availableNow drain equals the plain SQL interval join and the
+    DuckDB oracle checks it directly — no batch twin needed."""
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_view_purchase_join
+
+    views = load_stream(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    purchases = load_stream(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    sdf = streaming_view_purchase_join(views, purchases)
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__view_purchase_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("__view_purchase_stream")
+
+
+_ORACLE_VIEW_PURCHASE_STREAM = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+  (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR"""
+
+
 def q_dedup_exact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of dedup_exact via the NATIVE streaming aggregation.
 
@@ -6663,7 +6702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 wave-5 additions (twin doctrine):
         "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
         "user_overlap_kmv": q_user_overlap_kmv,
-        "embedding_pca": q_embedding_pca,  # twin: kmeans_clusters (the identical bounded-artifact iterative-model doctrine: corpus -> suff-stats -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the stats pass is the multimodal Arrow mapInPandas plumbing, driver-checked)
+        "embedding_pca": q_embedding_pca,
+        "view_purchase_stream": q_view_purchase_stream,  # twin: sessions_in_maintenance (the identical event-time interval-join algebra, here under two-sided stream state; inner-join emission makes the availableNow drain equal the batch join, oracle direct)  # twin: kmeans_clusters (the identical bounded-artifact iterative-model doctrine: corpus -> suff-stats -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the stats pass is the multimodal Arrow mapInPandas plumbing, driver-checked)
         "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)  # twin: source_vocab_kmv (the identical distinct -> WindowGroupLimit bottom-k sample per group); the theta set algebra runs over sketch-sized frames, exact-audit join is the lapsed_customers pair shape
     }
 
@@ -6787,6 +6827,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_audit": _oracle_cms_audit(),
         "user_overlap_kmv": _oracle_user_overlap_kmv(),
         "embedding_pca": _oracle_embedding_pca(),
+        "view_purchase_stream": _ORACLE_VIEW_PURCHASE_STREAM,
         "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_hll_stream": _oracle_events_hll(),
         "event_trend": _ORACLE_EVENT_TREND,

@@ -452,3 +452,60 @@ def streaming_hll_registers(
         .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def streaming_view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: purchases matched to every view by
+    the same user in the preceding attribution window — the two-sided
+    stateful shape none of the other streaming entries exercise (each
+    side buffers rows in the state store until the OTHER side's
+    watermark passes beyond the join range; Spark derives the state
+    retention bound from the event-time range condition, so state is
+    O(window x arrival rate), never the stream).
+
+    Inner joins emit as matches arrive (no watermark gating on
+    output); the watermark exists for state CLEANUP — exactly the
+    semantics a batch interval join has, so an availableNow drain
+    equals the plain SQL join and a DuckDB oracle checks it directly.
+
+    Output: (user_id, view_id, purchase_id, gap_us >= 0).
+    """
+    v = (
+        views.select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = v.join(
+        p,
+        on=[
+            F.col("user_id") == F.col("p_user_id"),
+            F.col("purchase_ts") >= F.col("view_ts"),
+            F.col("purchase_ts")
+            < F.col("view_ts") + F.expr(f"INTERVAL {attribution_window}"),
+        ],
+        how="inner",
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+        ).alias("gap_us"),
+    )

@@ -385,7 +385,8 @@ class TestRegistryOrderingContract:
         "cms_audit": "key_skew",
         "user_overlap_kmv": "posting_lists",
         "orders_fd_profile": "pricing_summary",
-        "embedding_pca": "kmeans_clusters",  # the bounded-artifact iterative-model doctrine: suff-stats pass -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the Arrow mapInPandas plumbing is the multimodal rep's, driver-checked  # the declarative-DQ verdict-report family: map-combinable agg passes into (check, value, passed) rows; the two-level fold is the key_skew reduction shape  # the identical distinct -> group-keyed WindowGroupLimit bottom-k sample; theta set algebra runs over checkpointed sketch-sized frames, exact audit is the pair-join shape  # mergeable-sketch grid: the same two-level bucket-keyed reduction as the skew profile (events_hll's rep); salted-md5 family + sketch-as-checked-object audit ride bloom_prune_stats' locally-gated algebra
+        "embedding_pca": "kmeans_clusters",
+        "view_purchase_stream": "sessions_in_maintenance",  # the identical event-time interval-join algebra under two-sided stream state; oracle checks the drain directly against the SQL interval join  # the bounded-artifact iterative-model doctrine: suff-stats pass -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the Arrow mapInPandas plumbing is the multimodal rep's, driver-checked  # the declarative-DQ verdict-report family: map-combinable agg passes into (check, value, passed) rows; the two-level fold is the key_skew reduction shape  # the identical distinct -> group-keyed WindowGroupLimit bottom-k sample; theta set algebra runs over checkpointed sketch-sized frames, exact audit is the pair-join shape  # mergeable-sketch grid: the same two-level bucket-keyed reduction as the skew profile (events_hll's rep); salted-md5 family + sketch-as-checked-object audit ride bloom_prune_stats' locally-gated algebra
     }
 
     def test_every_family_within_driver_window(self):

@@ -294,6 +294,8 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # zero exchanges (the suff-stats pass + driver iteration ran at
     # construction time, the train_kmeans artifact doctrine)
     "embedding_pca": {"Project": 1, "ColumnarToRow": 1, "FileScan": 1},
+    # streaming twins fingerprint the drained results table
+    "view_purchase_stream": {"LocalTableScan": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)

@@ -237,3 +237,58 @@ def test_compact_and_apply_log_replayed_retries(spark, sf_dir, tmp_path):
     assert stats["n_log_cells"] == 2 * len(batch) + 1
     assert stats["n_applied"] == len(batch)
     assert stats["n_superseded"] == len(batch) + 1
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    """The two-sided stateful join drains to exactly the batch interval
+    join: matches inside the window (inclusive start, exclusive end),
+    across users never, across the boundary never."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mvrepair.streaming.incremental import streaming_view_purchase_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, etype, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, etype)
+
+    rows = [
+        ev(1, 10, "view", 0),
+        ev(2, 10, "purchase", 30),    # in window -> match (1,2)
+        ev(3, 10, "purchase", 60),    # exactly +1h: excluded
+        ev(4, 11, "view", 0),
+        ev(5, 12, "purchase", 10),    # other user: no match for 4
+        ev(6, 11, "purchase", 59),    # in window -> match (4,6)
+        ev(7, 13, "purchase", 5),     # purchase before any view: alone
+        ev(8, 13, "view", 6),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    path = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(path)
+    schema = spark.read.parquet(path).schema
+    views = (
+        spark.readStream.schema(schema).parquet(path)
+        .filter(F.col("event_type") == "view")
+    )
+    purchases = (
+        spark.readStream.schema(schema).parquet(path)
+        .filter(F.col("event_type") == "purchase")
+    )
+    q = (
+        streaming_view_purchase_join(views, purchases)
+        .writeStream.format("memory")
+        .queryName("__t_vp_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id, r.gap_us)
+        for r in spark.table("__t_vp_join").collect()
+    }
+    assert got == {(1, 2, 30 * 60 * 1_000_000), (4, 6, 59 * 60 * 1_000_000)}
