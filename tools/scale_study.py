@@ -940,6 +940,37 @@ def main() -> None:
             ],
         )
 
+    def _cms_op(df):
+        from mvrepair.operators import sketch as SK
+
+        toks = df.select(
+            F.explode(F.split(F.col("text"), " ")).alias("token")
+        )
+        return SK.cms_counters(toks, "token", w=2048, d=4)
+
+    def _kmv_overlap_op(df):
+        from mvrepair.operators import sketch as SK
+
+        return SK.kmv_overlap(
+            df.select("event_type", "user_id"), "event_type", "user_id",
+            k=64,
+        )
+
+    def _fd_op(df):
+        from mvrepair.operators.dq import fd_report
+
+        return fd_report(df, [
+            (["o_orderkey"], ["o_custkey"]),
+            (["o_custkey"], ["o_orderpriority"]),
+        ])
+
+    def _pca_op(df):
+        from mvrepair.operators import decomp as DC
+
+        stats = DC.pca_suffstats(df, "embedding", 64).collect()
+        v, n, sv = DC.principal_axis(stats, 64)
+        return DC.pca_scores(df, "vec_id", "embedding", v, n, sv)
+
     OPS = {
         "dedup_exact(copies)": (True, lambda df: D.exact_dedup(df)),
         "repetition_stats": (False, lambda df: X.repetition_stats(df)),
@@ -1155,6 +1186,22 @@ def main() -> None:
         # one-pass DQ aggregate; the countDistinct Expand doubles scan
         # rows but stays map-combinable
         "lineitem_dq(li)": ("li", _dq_op),
+        # round-10 wave 5.  exact copies: the CMS grid is <= d*w cells at
+        # every factor — the row under test is the token Expand + the
+        # map-combinable grid agg (token frequencies k x, cell set fixed)
+        "cms_grid(copies)": (True, _cms_op),
+        # events copies with SHIFTED user ids: distinct users k x under a
+        # constant group enum — the distinct pass grows, everything past
+        # the WindowGroupLimit bottom-k cut stays sketch-sized
+        "user_overlap_kmv(ev)": ("ev", _kmv_overlap_op),
+        # orders copies: candidate-FD g3 over k x rows — two map-
+        # combinable folds per candidate, group cardinality k x for the
+        # key candidate, constant for the drift candidate
+        "orders_fd(ord)": ("ord", _fd_op),
+        # embedding copies: the full PCA pipeline (suff-stats pass +
+        # driver eigen-iteration + projection scan) — stats stay 2,145
+        # rows at every factor, iteration cost is volume-independent
+        "embedding_pca(emb)": ("emb", _pca_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
