@@ -6469,6 +6469,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     compressed-domain ANN algebra), displacing semantic_dedup, whose
     trained build is kmeans_clusters verbatim and whose sweep is a
     cluster-keyed rank window.
+    Round-10 wave-5 rotation: view_purchase_stream promoted (the
+    stream-stream interval join — two-sided watermarked state, the one
+    streaming shape none of the three in-window streaming reps
+    exercises), displacing source_divergence, whose hashed-token
+    count-model + micro_log2 scoring is the nb_classify family (the
+    dsir_scores / doc_perplexity twin doctrine).  The wave's other
+    additions (cms_audit, user_overlap_kmv, orders_fd_profile,
+    embedding_pca) sit past-window as twins named in their comments.
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -6551,7 +6559,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gapfill": q_events_gapfill,
         "part_triangles": q_part_triangles,
         "cohort_retention": q_cohort_retention,
-        "source_divergence": q_source_divergence,
+        # round-10 wave-5 promotion: the stream-stream interval join is
+        # the one streaming shape no in-window rep exercises (two-sided
+        # watermarked state; the three existing streaming reps cover
+        # stateful agg / foreachBatch reconcile / static-index
+        # micro-batch).  source_divergence demoted as a true twin of
+        # nb_classify (the count-trained hashed-token distribution
+        # family with micro_log2 scoring — the dsir/doc_perplexity
+        # precedent), frozen fingerprint + local-gate row kept.
+        "view_purchase_stream": q_view_purchase_stream,
         # round-8 wave-3 families (promoted r8): funnel, anomaly,
         # inverted index, PMI collocations
         "event_funnel": q_event_funnel,
@@ -6701,10 +6717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": q_contrastive_pairs,  # twin: doc_splits (deterministic hash-bucket assignment, map-side) + dedup_keep_best (the min-struct representative election); the join is a broadcast of a 64-row frame
         # round-10 wave-5 additions (twin doctrine):
         "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
-        "user_overlap_kmv": q_user_overlap_kmv,
-        "embedding_pca": q_embedding_pca,
-        "view_purchase_stream": q_view_purchase_stream,  # twin: sessions_in_maintenance (the identical event-time interval-join algebra, here under two-sided stream state; inner-join emission makes the availableNow drain equal the batch join, oracle direct)  # twin: kmeans_clusters (the identical bounded-artifact iterative-model doctrine: corpus -> suff-stats -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the stats pass is the multimodal Arrow mapInPandas plumbing, driver-checked)
-        "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)  # twin: source_vocab_kmv (the identical distinct -> WindowGroupLimit bottom-k sample per group); the theta set algebra runs over sketch-sized frames, exact-audit join is the lapsed_customers pair shape
+        "user_overlap_kmv": q_user_overlap_kmv,  # twin: posting_lists (the identical distinct -> group-keyed WindowGroupLimit bottom-k cut); the theta set algebra runs over checkpointed sketch-sized frames, the exact-audit join is the lapsed_customers pair shape
+        "embedding_pca": q_embedding_pca,  # twin: kmeans_clusters (the identical bounded-artifact iterative-model doctrine: corpus -> suff-stats -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the stats pass is the multimodal Arrow mapInPandas plumbing, driver-checked)
+        "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)
+        # demoted in the round-10 wave-5 rotation (driver-green r8-r9),
+        # making room for view_purchase_stream's promotion:
+        "source_divergence": q_source_divergence,  # twin: nb_classify (count-trained hashed-token distribution models with exact micro_log2 scoring — the dsir_scores / doc_perplexity twin doctrine)
     }
 
 

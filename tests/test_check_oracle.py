@@ -168,7 +168,12 @@ class TestRegistryOrderingContract:
         "gapfill-locf": "events_gapfill",
         "triangles": "part_triangles",
         "cohort-retention": "cohort_retention",
-        "kl-divergence": "source_divergence",
+        # r10 wave 5: source_divergence demoted for view_purchase_stream
+        # — the KL family merges into the count-model rep (nb_classify),
+        # the dsir/doc_perplexity precedent; the stream-stream join gets
+        # its own locked family slot
+        "kl-divergence": "nb_classify",
+        "streaming-join": "view_purchase_stream",
         # round-8 wave-3 families (promoted in wave 4)
         "funnel": "event_funnel",
         # r10 wave 4: events_anomaly demoted for event_trend — the
@@ -382,11 +387,29 @@ class TestRegistryOrderingContract:
         "ann_multiprobe": "pq_topk",  # same bucket equi-join + WindowGroupLimit rerank; probe expansion is query-side row-local explode
         "contrastive_pairs": "doc_splits",  # deterministic hash-bucket assignment + 64-row broadcast join; election is the min-struct keep-best shape
         # round-10 wave-5 additions:
+        # cms_audit: mergeable-sketch grid — the two-level bucket-keyed
+        # reduction (events_hll's rep family); salted-md5 hash family +
+        # sketch-as-checked-object audit ride bloom_prune_stats'
+        # locally-gated algebra
         "cms_audit": "key_skew",
+        # the identical distinct -> group-keyed WindowGroupLimit
+        # bottom-k sample; theta set algebra runs over checkpointed
+        # sketch-sized frames, the exact audit is the pair-join shape
         "user_overlap_kmv": "posting_lists",
+        # the declarative-DQ verdict-report family: map-combinable agg
+        # passes into (check, value, passed) rows; the two-level fold
+        # is the key_skew reduction shape
         "orders_fd_profile": "pricing_summary",
+        # the bounded-artifact iterative-model doctrine: suff-stats
+        # pass -> driver-looped exact-integer recurrence -> broadcast-
+        # literal scoring; the Arrow mapInPandas plumbing is the
+        # multimodal rep's, driver-checked
         "embedding_pca": "kmeans_clusters",
-        "view_purchase_stream": "sessions_in_maintenance",  # the identical event-time interval-join algebra under two-sided stream state; oracle checks the drain directly against the SQL interval join  # the bounded-artifact iterative-model doctrine: suff-stats pass -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the Arrow mapInPandas plumbing is the multimodal rep's, driver-checked  # the declarative-DQ verdict-report family: map-combinable agg passes into (check, value, passed) rows; the two-level fold is the key_skew reduction shape  # the identical distinct -> group-keyed WindowGroupLimit bottom-k sample; theta set algebra runs over checkpointed sketch-sized frames, exact audit is the pair-join shape  # mergeable-sketch grid: the same two-level bucket-keyed reduction as the skew profile (events_hll's rep); salted-md5 family + sketch-as-checked-object audit ride bloom_prune_stats' locally-gated algebra
+        # demoted in the round-10 wave-5 rotation (driver-green r8-r9),
+        # making room for view_purchase_stream's promotion: the
+        # count-trained hashed-token distribution family with exact
+        # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
+        "source_divergence": "nb_classify",
     }
 
     def test_every_family_within_driver_window(self):

@@ -294,8 +294,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # zero exchanges (the suff-stats pass + driver iteration ran at
     # construction time, the train_kmeans artifact doctrine)
     "embedding_pca": {"Project": 1, "ColumnarToRow": 1, "FileScan": 1},
-    # streaming twins fingerprint the drained results table
-    "view_purchase_stream": {"LocalTableScan": 1},
+    # demoted r10 wave 5 (view_purchase_stream promoted): the
+    # count-model family's hashed-token aggs + broadcast global frame
+    "source_divergence": {"AdaptiveSparkPlan": 4, "HashAggregate": 12,
+                          "Exchange": 10, "Project": 5,
+                          "BroadcastHashJoin": 2, "Filter": 3,
+                          "InMemoryTableScan": 3, "InMemoryRelation": 3,
+                          "Generate": 3, "FileScan": 3,
+                          "BroadcastExchange": 2, "Window": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
