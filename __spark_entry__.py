@@ -3121,6 +3121,122 @@ CMS_W = 2048  # grid width (overcount bound ~ 2N/w)
 CMS_D = 4  # grid depth (error probability ~ 2^-d)
 
 
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cms_audit: the d x w grid maintained
+    incrementally in the JVM state store (one state row per cell,
+    <= d*w at any stream volume — the events_hll_stream doctrine for
+    the FREQUENCY sketch); the drained grid then feeds the identical
+    batch probe/estimate composition, so the batch oracle applies
+    verbatim."""
+    from mvrepair.operators import sketch as SK
+    from mvrepair.operators.text import tokenize
+    from mvrepair.sources.parquet import load_stream
+    from mvrepair.streaming.incremental import streaming_cms_counters
+
+    stoks = load_stream(spark, sf_dir, "documents").select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    sdf = streaming_cms_counters(stoks, "token", w=CMS_W, d=CMS_D)
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__cms_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    counters = spark.table("__cms_stream")
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("token").asc())
+        .limit(40)
+    )
+    est = SK.cms_estimate(top, "token", counters, w=CMS_W, d=CMS_D)
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.col("exact_n").desc(), F.col("token").asc())
+
+
+def q_cms_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size pre-flight in SKETCH space, audited against the exact
+    count: the AGMS/CM inner-product estimator (min over d rows of
+    Σ_col a_r·b_r) never undercounts the true equi-join cardinality —
+    the orders_lineitem_joinsize exact frame costs a distinct-key
+    shuffle per side, this costs two d×w grids and a broadcast zip,
+    the version you can afford on EVERY candidate join of a plan
+    search.  The exact column comes from the actual join count (the
+    bloom_prune_stats audit doctrine); the two one-row frames combine
+    via union + a single-row re-aggregate — a literal-key join would
+    constant-fold into the BNLJ the plan audit bans."""
+    from mvrepair.operators import sketch as SK
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    null_l = F.lit(None).cast("bigint")
+    est = SK.cms_join_size(
+        orders, "o_orderkey", li, "l_orderkey", w=CMS_W, d=CMS_D
+    ).withColumn("exact_join_rows", null_l)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).alias("exact_join_rows"))
+        .select(
+            null_l.alias("est_join_rows"),
+            *[null_l.alias(f"d_{r}") for r in range(CMS_D)],
+            "exact_join_rows",
+        )
+    )
+    return est.unionByName(exact).agg(
+        F.max("est_join_rows").alias("est_join_rows"),
+        *[F.max(f"d_{r}").alias(f"d_{r}") for r in range(CMS_D)],
+        F.max("exact_join_rows").alias("exact_join_rows"),
+        (F.max("est_join_rows") - F.max("exact_join_rows")).alias(
+            "overcount"
+        ),
+    )
+
+
+def _oracle_cms_joinsize() -> str:
+    def grid(table, key):
+        h = (
+            f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR) || '#c' || r),"
+            f" 1, 15) AS BIGINT) % {CMS_W}"
+        )
+        return (
+            f"SELECT r, {h} AS col, count(*)::BIGINT AS c "
+            f"FROM {table} CROSS JOIN range(0, {CMS_D}) AS rr(r) "
+            f"GROUP BY 1, 2"
+        )
+
+    d_cols = ", ".join(
+        f"max(CASE WHEN r = {r} THEN ip END)::BIGINT AS d_{r}"
+        for r in range(CMS_D)
+    )
+    return f"""
+WITH ga AS MATERIALIZED ({grid('orders', 'o_orderkey')}),
+gb AS MATERIALIZED ({grid('lineitem', 'l_orderkey')}),
+prod AS (
+  SELECT ga.r, sum(ga.c * gb.c) AS ip
+  FROM ga JOIN gb ON ga.r = gb.r AND ga.col = gb.col GROUP BY 1
+),
+est AS (SELECT min(ip)::BIGINT AS est_join_rows, {d_cols} FROM prod),
+ex AS (
+  SELECT count(*)::BIGINT AS exact_join_rows
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT est.est_join_rows, {', '.join(f'est.d_{r}' for r in range(CMS_D))},
+  ex.exact_join_rows,
+  (est.est_join_rows - ex.exact_join_rows)::BIGINT AS overcount
+FROM est, ex"""
+
+
 def q_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap between event types via KMV theta-sketch
     intersection, audited against the exact distinct-user join.
@@ -6719,6 +6835,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
         "user_overlap_kmv": q_user_overlap_kmv,  # twin: posting_lists (the identical distinct -> group-keyed WindowGroupLimit bottom-k cut); the theta set algebra runs over checkpointed sketch-sized frames, the exact-audit join is the lapsed_customers pair shape
         "embedding_pca": q_embedding_pca,  # twin: kmeans_clusters (the identical bounded-artifact iterative-model doctrine: corpus -> suff-stats -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the stats pass is the multimodal Arrow mapInPandas plumbing, driver-checked)
+        "cms_stream": q_cms_stream,  # twin: events_hll_stream family (JVM-state keyed agg maintaining a bounded sketch; streaming rep events_hourly_stream) — drained grid feeds cms_audit's batch composition, oracle shared verbatim
+        "cms_joinsize": q_cms_joinsize,  # twin: cms_audit's grid algebra (locally gated) composed per the ann_recall doctrine with the exact join count; the only join nodes are the broadcast grid zip + the literal-key one-row combine
         "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)
         # demoted in the round-10 wave-5 rotation (driver-green r8-r9),
         # making room for view_purchase_stream's promotion:
@@ -6846,6 +6964,8 @@ def oracle_sql() -> dict[str, str]:
         "user_overlap_kmv": _oracle_user_overlap_kmv(),
         "embedding_pca": _oracle_embedding_pca(),
         "view_purchase_stream": _ORACLE_VIEW_PURCHASE_STREAM,
+        "cms_stream": _oracle_cms_audit(),
+        "cms_joinsize": _oracle_cms_joinsize(),
         "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_hll_stream": _oracle_events_hll(),
         "event_trend": _ORACLE_EVENT_TREND,

@@ -745,3 +745,52 @@ def kmv_overlap(
         .alias("sample_overlap"),
     )
     return out
+
+
+def cms_join_size(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """Equi-join output cardinality estimated from two Count-Min grids
+    — the AGMS/CM inner-product estimator (Cormode & Muthukrishnan
+    2005, §4.2): for each of the d rows, Σ_col a_r[col]·b_r[col]
+    equals Σ_keys count_l(k)·count_r(k) PLUS non-negative collision
+    cross-terms, so min over d never undercounts the true join size.
+
+    The sketch-space version of ``join_size_estimate``: that one is
+    exact but pays a distinct-key-sized shuffle per side; this one
+    reduces each side to d·w longs (mergeable, map-combinable) and the
+    estimate is one broadcast-grid zip — the pre-flight you can afford
+    on EVERY candidate join of a 100 TB plan search, graduating to the
+    exact frame only when the estimate is near a budget.
+
+    Output (one row): est_join_rows bigint (never below the true
+    count), plus per-row inner products d_0..d_{d-1} for the audit.
+    """
+    from pyspark.sql.functions import broadcast
+
+    a = cms_counters(left.select(F.col(left_key)), left_key, w=w, d=d)
+    b = cms_counters(right.select(F.col(right_key)), right_key, w=w, d=d)
+    prod = (
+        a.join(
+            broadcast(b.withColumnsRenamed({"c": "cb"})),
+            on=["r", "col"],
+            how="inner",  # a missing cell on either side contributes 0
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("ip"))
+    )
+    wide = prod.agg(
+        F.min("ip").cast("bigint").alias("est_join_rows"),
+        *[
+            F.max(F.when(F.col("r") == r, F.col("ip")))
+            .cast("bigint")
+            .alias(f"d_{r}")
+            for r in range(d)
+        ],
+    )
+    return wide

@@ -509,3 +509,19 @@ def streaming_view_purchase_join(
             F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
         ).alias("gap_us"),
     )
+
+
+def streaming_cms_counters(
+    stream: DataFrame, key_col: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Count-Min grid maintained INCREMENTALLY: the identical Expand +
+    count aggregate as the batch ``sketch.cms_counters``, running as a
+    native streaming aggregation — state is one JVM-store row per grid
+    cell (<= d*w longs at ANY stream volume; the events_hll_stream
+    doctrine for the frequency sketch).  An availableNow + complete
+    drain equals the batch grid cell-for-cell, so the batch audit
+    composition (and its oracle) applies verbatim to the drained
+    table."""
+    from mvrepair.operators.sketch import cms_counters
+
+    return cms_counters(stream, key_col, w=w, d=d)

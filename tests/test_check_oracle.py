@@ -410,6 +410,15 @@ class TestRegistryOrderingContract:
         # count-trained hashed-token distribution family with exact
         # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
         "source_divergence": "nb_classify",
+        # wave-5 sketch compositions:
+        # the AGMS inner-product pre-flight — grid algebra (key_skew's
+        # two-level bucket reduction family) composed with the exact
+        # join count, the ann_recall composition doctrine
+        "cms_joinsize": "key_skew",
+        # JVM-state grid maintenance (streaming-agg rep family); the
+        # drained grid feeds cms_audit's batch composition, oracle
+        # shared verbatim
+        "cms_stream": "events_hourly_stream",
     }
 
     def test_every_family_within_driver_window(self):

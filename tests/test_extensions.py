@@ -4709,3 +4709,21 @@ def test_pca_scores_plan_is_pure_projection(spark):
     plan = sc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cms_join_size_never_undercounts_and_tight_when_sparse(spark):
+    from mvrepair.operators import sketch as SK
+
+    left = spark.createDataFrame(
+        [(k,) for k in [1, 1, 1, 2, 2, 3, 9]], ["k"]
+    )
+    right = spark.createDataFrame(
+        [(k,) for k in [1, 2, 2, 2, 4]], ["j"]
+    )
+    # true join size: 1x(3*1) + 2x(2*3) = 9
+    [r] = SK.cms_join_size(left, "k", right, "j", w=256, d=3).collect()
+    assert r.est_join_rows >= 9
+    # 5 distinct keys in 256 columns: collisions vanish, min is exact
+    assert r.est_join_rows == 9
+    # every row's inner product is an upper bound too
+    assert min(r.d_0, r.d_1, r.d_2) == r.est_join_rows

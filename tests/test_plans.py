@@ -302,6 +302,19 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "InMemoryTableScan": 3, "InMemoryRelation": 3,
                           "Generate": 3, "FileScan": 3,
                           "BroadcastExchange": 2, "Window": 1},
+    # two d x w grid builds + the broadcast grid zip + the exact join,
+    # combined by union + single-row re-agg (no BNLJ, no cartesian)
+    "cms_joinsize": {"AdaptiveSparkPlan": 1, "HashAggregate": 12,
+                     "Union": 1, "Exchange": 5, "Project": 4,
+                     "BroadcastHashJoin": 2, "Filter": 4, "Generate": 2,
+                     "FileScan": 4, "BroadcastExchange": 2},
+    # drained JVM-state grid (LocalTableScan) + the batch probe
+    # composition over it — cms_audit's shape with the grid swapped
+    "cms_stream": {"AdaptiveSparkPlan": 1, "Sort": 1, "Project": 2,
+                   "HashAggregate": 4, "BroadcastHashJoin": 1,
+                   "Generate": 2, "TakeOrderedAndProject": 1,
+                   "Exchange": 2, "FileScan": 1, "BroadcastExchange": 1,
+                   "Filter": 1, "LocalTableScan": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
