@@ -3121,6 +3121,91 @@ CMS_W = 2048  # grid width (overcount bound ~ 2N/w)
 CMS_D = 4  # grid depth (error probability ~ 2^-d)
 
 
+TEXTRANK_MIN_LEN = 4  # content-word proxy (no POS tagger: length gate)
+TEXTRANK_K = 30
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    keywords as PageRank centrality over the token co-occurrence graph
+    — nodes are content tokens (length >= 4, the POS-filter proxy),
+    edges are distinct adjacent co-occurrences in both directions, the
+    rank recurrence is the exact-integer pagerank_micro shared with
+    part_pagerank (same unrolled-round oracle pattern).  The classic
+    unsupervised keyword signal for corpus curation, built entirely
+    from checked pieces: collocations' row-local bigram extraction +
+    the graph family's fixed-round integer iteration."""
+    from mvrepair.operators.linkage import pagerank_micro
+
+    toks = _docs(spark, sf_dir).select(
+        F.split(F.col("text"), " ").alias("__toks")
+    )
+    head = F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))")
+    tail = F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                head, tail, lambda a, b: F.struct(a.alias("x"), b.alias("y"))
+            )
+        ).alias("__p")
+    ).select(F.col("__p.x").alias("x"), F.col("__p.y").alias("y"))
+    pairs = pairs.filter(
+        (F.length("x") >= TEXTRANK_MIN_LEN)
+        & (F.length("y") >= TEXTRANK_MIN_LEN)
+        & (F.col("x") != F.col("y"))
+    )
+    edges = (
+        pairs.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    ranks = pagerank_micro(edges, nodes, id_col="id", iters=PAGERANK_ITERS)
+    return (
+        ranks.orderBy(F.col("rank_micro").desc(), F.col("id").asc())
+        .limit(TEXTRANK_K)
+        .select(F.col("id").alias("token"), "rank_micro")
+    )
+
+
+def _oracle_textrank_keywords() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        rounds.append(
+            f"s{i} AS MATERIALIZED (SELECT ed.dst AS id,"
+            f" sum({prev}.r // deg.deg) AS s"
+            f" FROM ed JOIN {prev} ON ed.src = {prev}.id"
+            f" JOIN deg ON ed.src = deg.src GROUP BY 1),\n"
+            f"r{i} AS MATERIALIZED (SELECT n.id,"
+            f" CAST(150000 + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT)"
+            f" AS r FROM n LEFT JOIN s{i} USING (id))"
+        )
+        prev = f"r{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+pairs AS MATERIALIZED (
+  SELECT t[i] AS x, t[i + 1] AS y FROM (
+    SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks)
+  WHERE len(t[i]) >= {TEXTRANK_MIN_LEN}
+    AND len(t[i + 1]) >= {TEXTRANK_MIN_LEN} AND t[i] <> t[i + 1]
+),
+ed AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT x AS src, y AS dst FROM pairs
+    UNION ALL SELECT y AS src, x AS dst FROM pairs)
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+n AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed),
+r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
+{body}
+SELECT id AS token, r AS rank_micro FROM {prev}
+ORDER BY rank_micro DESC, token ASC LIMIT {TEXTRANK_K}"""
+
+
 def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of cms_audit: the d x w grid maintained
     incrementally in the JVM state store (one state row per cell,
@@ -6835,6 +6920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_audit": q_cms_audit,  # twin: events_hll (the mergeable-sketch grid: one Expand under one map-combinable agg) + bloom_prune_stats (salted-md5 hash family, sketch-as-checked-object audit); probe join broadcasts the <= d*w grid
         "user_overlap_kmv": q_user_overlap_kmv,  # twin: posting_lists (the identical distinct -> group-keyed WindowGroupLimit bottom-k cut); the theta set algebra runs over checkpointed sketch-sized frames, the exact-audit join is the lapsed_customers pair shape
         "embedding_pca": q_embedding_pca,  # twin: kmeans_clusters (the identical bounded-artifact iterative-model doctrine: corpus -> suff-stats -> driver-looped exact-integer recurrence -> broadcast-literal scoring; the stats pass is the multimodal Arrow mapInPandas plumbing, driver-checked)
+        "textrank_keywords": q_textrank_keywords,  # twin: part_pagerank (the identical fixed-round exact-integer rank recurrence over a distinct-pair edge frame; the bigram edge derivation is collocations' row-local zip_with, driver-checked) — the ann_recall composition doctrine
         "cms_stream": q_cms_stream,  # twin: events_hll_stream family (JVM-state keyed agg maintaining a bounded sketch; streaming rep events_hourly_stream) — drained grid feeds cms_audit's batch composition, oracle shared verbatim
         "cms_joinsize": q_cms_joinsize,  # twin: cms_audit's grid algebra (locally gated) composed per the ann_recall doctrine with the exact join count; the only join nodes are the broadcast grid zip + the literal-key one-row combine
         "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)
@@ -6964,6 +7050,7 @@ def oracle_sql() -> dict[str, str]:
         "user_overlap_kmv": _oracle_user_overlap_kmv(),
         "embedding_pca": _oracle_embedding_pca(),
         "view_purchase_stream": _ORACLE_VIEW_PURCHASE_STREAM,
+        "textrank_keywords": _oracle_textrank_keywords(),
         "cms_stream": _oracle_cms_audit(),
         "cms_joinsize": _oracle_cms_joinsize(),
         "orders_fd_profile": _oracle_orders_fd_profile(),

@@ -410,6 +410,10 @@ class TestRegistryOrderingContract:
         # count-trained hashed-token distribution family with exact
         # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
         "source_divergence": "nb_classify",
+        # TextRank keywords: the identical fixed-round exact-integer
+        # rank recurrence as the graph rep, over the collocations
+        # bigram edge frame — the composition doctrine
+        "textrank_keywords": "part_pagerank",
         # wave-5 sketch compositions:
         # the AGMS inner-product pre-flight — grid algebra (key_skew's
         # two-level bucket reduction family) composed with the exact

@@ -315,6 +315,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                    "Generate": 2, "TakeOrderedAndProject": 1,
                    "Exchange": 2, "FileScan": 1, "BroadcastExchange": 1,
                    "Filter": 1, "LocalTableScan": 1},
+    # the fixed-round integer rank loop localCheckpoints per round
+    # (the part_pagerank machinery verbatim): the returned frame is the
+    # TakeOrdered cut over the checkpointed final ranks
+    "textrank_keywords": {"TakeOrderedAndProject": 1, "Project": 1,
+                          "Scan": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
