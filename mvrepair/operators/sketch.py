@@ -1,4 +1,6 @@
-"""Deterministic sketches: KMV cardinality + Bloom semi-join reduction.
+"""Deterministic sketches: KMV cardinality (+ theta intersection),
+Bloom semi-join reduction, Count-Min frequency (+ join-size inner
+product), key-skew profiling, HLL registers.
 
 The reference has no sketches (SURVEY §2 "absent" rows); a 100 TB
 pipeline needs cheap distinct counts (vocabulary size, distinct users,
