@@ -3461,6 +3461,74 @@ FROM comp c JOIN sv ON sv.i = c.i JOIN {prev} vf ON vf.i = c.i
 GROUP BY 1"""
 
 
+_MI_PAIRS = [
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+]
+
+
+def q_orders_mi_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy / mutual-information profile (dq.mi_report): the
+    continuous complement of the g3 FD profile — candidate pairs score
+    anywhere from independence (MI=0) to functional determination
+    (MI=H(Y)), in exact q20 log2 units via the micro_log2 quantizer
+    (the collocations/doc_perplexity ladder, applied to column
+    profiling)."""
+    from mvrepair.operators.dq import mi_report
+
+    return mi_report(load_table(spark, sf_dir, "orders"), _MI_PAIRS)
+
+
+def _oracle_orders_mi_profile() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    blocks = []
+    for x, y in _MI_PAIRS:
+        joint_q = (
+            f"SELECT {x} AS xx, {y} AS yy, count(*)::BIGINT AS cxy"
+            f" FROM orders GROUP BY 1, 2"
+        )
+        ctes = f"""WITH joint AS ({joint_q}),
+cx AS (SELECT xx, sum(cxy)::BIGINT AS cx FROM joint GROUP BY 1),
+cy AS (SELECT yy, sum(cxy)::BIGINT AS cy FROM joint GROUP BY 1),
+nn AS (SELECT sum(cxy)::BIGINT AS n FROM joint)"""
+        pmi_inner = f"""{ctes}
+SELECT j.cxy,
+  (CAST(j.cxy AS DOUBLE) / CAST(cx.cx AS DOUBLE))
+  * (CAST(nn.n AS DOUBLE) / CAST(cy.cy AS DOUBLE)) AS r
+FROM joint j JOIN cx USING (xx) JOIN cy USING (yy) CROSS JOIN nn"""
+        mi_block = (
+            "SELECT sum(cxy * pmi)::BIGINT FROM ("
+            + micro_log2_sql(pmi_inner, "r", ["cxy"], "pmi")
+            + ")"
+        )
+        hx_inner = f"""{ctes}
+SELECT cx.cx AS cc, CAST(nn.n AS DOUBLE) / CAST(cx.cx AS DOUBLE) AS r
+FROM cx CROSS JOIN nn"""
+        hy_inner = f"""{ctes}
+SELECT cy.cy AS cc, CAST(nn.n AS DOUBLE) / CAST(cy.cy AS DOUBLE) AS r
+FROM cy CROSS JOIN nn"""
+        hx_block = (
+            "SELECT sum(cc * l)::BIGINT FROM ("
+            + micro_log2_sql(hx_inner, "r", ["cc"], "l")
+            + ")"
+        )
+        hy_block = (
+            "SELECT sum(cc * l)::BIGINT FROM ("
+            + micro_log2_sql(hy_inner, "r", ["cc"], "l")
+            + ")"
+        )
+        blocks.append(f"""
+SELECT '{x}|{y}' AS pair,
+  (SELECT sum(cxy)::BIGINT FROM ({joint_q})) AS n,
+  (SELECT count(*)::BIGINT FROM ({joint_q})) AS n_joint,
+  ({hx_block}) AS h_x_q20w,
+  ({hy_block}) AS h_y_q20w,
+  ({mi_block}) AS mi_q20w""")
+    return "\nUNION ALL\n".join(blocks)
+
+
 def q_orders_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-FD profiling (dq.fd_report): the g3 error of five
     candidate dependencies across orders and lineitem — true keys
@@ -6923,6 +6991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,  # twin: part_pagerank (the identical fixed-round exact-integer rank recurrence over a distinct-pair edge frame; the bigram edge derivation is collocations' row-local zip_with, driver-checked) — the ann_recall composition doctrine
         "cms_stream": q_cms_stream,  # twin: events_hll_stream family (JVM-state keyed agg maintaining a bounded sketch; streaming rep events_hourly_stream) — drained grid feeds cms_audit's batch composition, oracle shared verbatim
         "cms_joinsize": q_cms_joinsize,  # twin: cms_audit's grid algebra (locally gated) composed per the ann_recall doctrine with the exact join count; the only join nodes are the broadcast grid zip + the literal-key one-row combine
+        "orders_mi_profile": q_orders_mi_profile,  # twin: collocations (the identical joint-count -> margin-join -> fixed-order ratio -> micro_log2 ladder algebra, here column-valued) under the DQ verdict-report convention; one-row aggs combine by union+re-agg
         "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)
         # demoted in the round-10 wave-5 rotation (driver-green r8-r9),
         # making room for view_purchase_stream's promotion:
@@ -7053,6 +7122,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _oracle_textrank_keywords(),
         "cms_stream": _oracle_cms_audit(),
         "cms_joinsize": _oracle_cms_joinsize(),
+        "orders_mi_profile": _oracle_orders_mi_profile(),
         "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_hll_stream": _oracle_events_hll(),
         "event_trend": _ORACLE_EVENT_TREND,

@@ -193,3 +193,112 @@ def fd_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def mi_report(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Entropy / mutual-information profile of candidate column pairs —
+    the CONTINUOUS complement of ``fd_report``'s g3: g3 counts rows
+    violating a hard dependency, MI measures how much knowing X shrinks
+    the uncertainty of Y anywhere on the scale from independence
+    (MI = 0) to functional determination (MI = H(Y)).  The profiling
+    signal behind join-key discovery, feature selection, and redundant-
+    column detection.
+
+    Exactness: all scores are q20 log2 units via the cross-engine-exact
+    ``micro_log2`` quantizer, WEIGHTED-SUM form (divide by n for bits):
+    h_x_q20w = Σ_x c_x·log2(n/c_x), mi_q20w = Σ_xy c_xy·log2(pmi ratio)
+    with the ratio assembled in the fixed two-division order the SQL
+    twin mirrors.  MI >= 0 up to quantization (each term's sign follows
+    the exact ratio); MI <= min(H(X), H(Y)) likewise.
+
+    Scale shape per pair: ONE groupBy(X, Y) pass (the margins derive
+    from the joint frame, never a second corpus scan), two vocab-sized
+    margin joins, totals as true scalar subqueries over the persisted
+    joint frame, one-row aggregates combined by union + re-aggregate
+    (never a 1-row join — it constant-folds to BNLJ).
+
+    Output per pair: (pair string, n bigint, n_joint bigint,
+    h_x_q20w, h_y_q20w, mi_q20w bigint).
+    """
+    from pyspark import StorageLevel
+
+    from mvrepair.functions.exactlog import micro_log2
+
+    if not pairs:
+        raise ValueError("mi_report needs at least one column pair")
+    out_frames = []
+    for x, y in pairs:
+        if x == y:
+            raise ValueError(f"degenerate pair ({x}, {y})")
+        name = f"{x}|{y}"
+        joint = (
+            df.groupBy(F.col(x).alias("__x"), F.col(y).alias("__y"))
+            .agg(F.count(F.lit(1)).alias("__cxy"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        cx = joint.groupBy("__x").agg(F.sum("__cxy").alias("__cx"))
+        cy = joint.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
+        n = joint.agg(F.sum("__cxy").cast("long").alias("n")).scalar()
+        ratio = (
+            F.col("__cxy").cast("double") / F.col("__cx").cast("double")
+        ) * (n.cast("double") / F.col("__cy").cast("double"))
+        scored = (
+            joint.join(cx, "__x")
+            .join(cy, "__y")
+            .select(F.col("__cxy"), ratio.alias("__r"))
+            .select(F.col("__cxy"), micro_log2(F.col("__r")).alias("__pmi"))
+        )
+        null_l = F.lit(None).cast("bigint")
+        a = scored.agg(
+            F.sum("__cxy").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("n_joint"),
+            F.sum(F.col("__cxy") * F.col("__pmi"))
+            .cast("bigint")
+            .alias("mi_q20w"),
+        ).select(
+            "n", "n_joint", null_l.alias("h_x_q20w"),
+            null_l.alias("h_y_q20w"), "mi_q20w",
+        )
+
+        def _h(frame, ccol, out):
+            r = n.cast("double") / F.col(ccol).cast("double")
+            return (
+                frame.select(F.col(ccol), r.alias("__r"))
+                .select(F.col(ccol), micro_log2(F.col("__r")).alias("__l"))
+                .agg(
+                    F.sum(F.col(ccol) * F.col("__l"))
+                    .cast("bigint")
+                    .alias(out)
+                )
+            )
+
+        b = _h(cx, "__cx", "h_x_q20w").select(
+            null_l.alias("n"), null_l.alias("n_joint"), "h_x_q20w",
+            null_l.alias("h_y_q20w"), null_l.alias("mi_q20w"),
+        )
+        c = _h(cy, "__cy", "h_y_q20w").select(
+            null_l.alias("n"), null_l.alias("n_joint"),
+            null_l.alias("h_x_q20w"), "h_y_q20w", null_l.alias("mi_q20w"),
+        )
+        one = (
+            a.unionByName(b)
+            .unionByName(c)
+            .agg(
+                F.max("n").alias("n"),
+                F.max("n_joint").alias("n_joint"),
+                F.max("h_x_q20w").alias("h_x_q20w"),
+                F.max("h_y_q20w").alias("h_y_q20w"),
+                F.max("mi_q20w").alias("mi_q20w"),
+            )
+            .select(
+                F.lit(name).alias("pair"), "n", "n_joint",
+                "h_x_q20w", "h_y_q20w", "mi_q20w",
+            )
+        )
+        out_frames.append(one)
+    out = out_frames[0]
+    for fr in out_frames[1:]:
+        out = out.unionByName(fr)
+    return out

@@ -410,6 +410,10 @@ class TestRegistryOrderingContract:
         # count-trained hashed-token distribution family with exact
         # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
         "source_divergence": "nb_classify",
+        # MI/entropy profiling: the identical joint-count -> margin-join
+        # -> fixed-order ratio -> micro_log2 ladder algebra as the PMI
+        # rep, column-valued, under the DQ verdict-report convention
+        "orders_mi_profile": "collocations",
         # TextRank keywords: the identical fixed-round exact-integer
         # rank recurrence as the graph rep, over the collocations
         # bigram edge frame — the composition doctrine

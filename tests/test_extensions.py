@@ -4727,3 +4727,35 @@ def test_cms_join_size_never_undercounts_and_tight_when_sparse(spark):
     assert r.est_join_rows == 9
     # every row's inner product is an upper bound too
     assert min(r.d_0, r.d_1, r.d_2) == r.est_join_rows
+
+
+# ---------------------------------------------------------------------------
+# mutual-information profiling
+# ---------------------------------------------------------------------------
+
+def test_mi_functional_dependency_reaches_h_y(spark):
+    from mvrepair.operators.dq import mi_report
+
+    # y = f(x): MI = H(Y).  x uniform over 4, y = x % 2 (uniform over 2)
+    rows = [(i % 4, (i % 4) % 2) for i in range(64)]
+    [r] = mi_report(
+        spark.createDataFrame(rows, ["x", "y"]), [("x", "y")]
+    ).collect()
+    # H(Y) = 1 bit -> h_y_q20w = n * 2^20 (up to quantization)
+    assert abs(r.h_y_q20w - 64 * (1 << 20)) <= 64 * 4
+    assert abs(r.mi_q20w - r.h_y_q20w) <= 64 * 4
+    # H(X) = 2 bits, MI <= H(X)
+    assert r.mi_q20w <= r.h_x_q20w + 64 * 4
+
+
+def test_mi_independent_columns_near_zero(spark):
+    from mvrepair.operators.dq import mi_report
+
+    # x and y fully crossed with equal counts: exactly independent
+    rows = [(x, y) for x in range(4) for y in range(4) for _ in range(3)]
+    [r] = mi_report(
+        spark.createDataFrame(rows, ["x", "y"]), [("x", "y")]
+    ).collect()
+    # each joint cell's pmi ratio is exactly 1 -> quantizes to 0
+    assert abs(r.mi_q20w) <= 48 * 4
+    assert r.n == 48 and r.n_joint == 16

@@ -320,6 +320,16 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # TakeOrdered cut over the checkpointed final ranks
     "textrank_keywords": {"TakeOrderedAndProject": 1, "Project": 1,
                           "Scan": 1},
+    # per pair: one persisted joint frame (the FileScans print under
+    # each InMemoryRelation reference; the table is scanned once per
+    # pair), margin joins, three micro_log2 one-row aggs combined by
+    # union + re-agg; scalar subqueries for the totals
+    "orders_mi_profile": {"AdaptiveSparkPlan": 34, "Union": 4,
+                          "HashAggregate": 114, "Exchange": 54,
+                          "Project": 29, "Subquery": 9,
+                          "InMemoryTableScan": 24, "InMemoryRelation": 24,
+                          "FileScan": 24, "BroadcastHashJoin": 6,
+                          "Filter": 9, "BroadcastExchange": 6},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
