@@ -3529,6 +3529,41 @@ SELECT '{x}|{y}' AS pair,
     return "\nUNION ALL\n".join(blocks)
 
 
+def q_pca_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of embedding_pca: CONTINUOUSLY-MAINTAINED
+    covariance — the sufficient statistics as a stateful streaming
+    aggregation (decomp.pca_suffstats_cells: row-local cell explode
+    under one JVM-state sum; ~2,145 state rows at any stream volume —
+    the mv_agg_refresh doctrine for the Gram matrix, serving model-
+    drift monitoring / incremental PCA).  The drained statistics are
+    bit-identical to the batch Arrow fold, so the same driver eigen-
+    iteration + projection follow and embedding_pca's oracle applies
+    verbatim."""
+    from mvrepair.operators import decomp as DC
+    from mvrepair.sources.parquet import load_stream
+
+    sdf = DC.pca_suffstats_cells(
+        load_stream(spark, sf_dir, "embeddings").select("embedding"),
+        "embedding",
+        64,
+    )
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__pca_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    stats = spark.table("__pca_stream").collect()
+    v, n, s = DC.principal_axis(stats, 64)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return DC.pca_scores(emb, "vec_id", "embedding", v, n, s)
+
+
 def q_orders_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-FD profiling (dq.fd_report): the g3 error of five
     candidate dependencies across orders and lineitem — true keys
@@ -6991,6 +7026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,  # twin: part_pagerank (the identical fixed-round exact-integer rank recurrence over a distinct-pair edge frame; the bigram edge derivation is collocations' row-local zip_with, driver-checked) — the ann_recall composition doctrine
         "cms_stream": q_cms_stream,  # twin: events_hll_stream family (JVM-state keyed agg maintaining a bounded sketch; streaming rep events_hourly_stream) — drained grid feeds cms_audit's batch composition, oracle shared verbatim
         "cms_joinsize": q_cms_joinsize,  # twin: cms_audit's grid algebra (locally gated) composed per the ann_recall doctrine with the exact join count; the only join nodes are the broadcast grid zip + the literal-key one-row combine
+        "pca_stream": q_pca_stream,  # twin: embedding_pca (identical driver eigen-iteration + projection over bit-identical statistics; the stateful cell agg is the events_hll_stream JVM-state shape) — oracle shared verbatim
         "orders_mi_profile": q_orders_mi_profile,  # twin: collocations (the identical joint-count -> margin-join -> fixed-order ratio -> micro_log2 ladder algebra, here column-valued) under the DQ verdict-report convention; one-row aggs combine by union+re-agg
         "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)
         # demoted in the round-10 wave-5 rotation (driver-green r8-r9),
@@ -7122,6 +7158,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _oracle_textrank_keywords(),
         "cms_stream": _oracle_cms_audit(),
         "cms_joinsize": _oracle_cms_joinsize(),
+        "pca_stream": _oracle_embedding_pca(),
         "orders_mi_profile": _oracle_orders_mi_profile(),
         "orders_fd_profile": _oracle_orders_fd_profile(),
         "events_hll_stream": _oracle_events_hll(),

@@ -203,3 +203,70 @@ def pca_scores(
         terms, F.lit(0).cast("bigint"), lambda acc, t: acc + t
     )
     return df.select(F.col(id_col), score.alias("pc1_score"))
+
+
+def pca_suffstats_cells(
+    df: DataFrame, vec_col: str, dim: int, quant: int = QUANT
+) -> DataFrame:
+    """The sufficient-statistics pass as PURE column algebra (no Arrow,
+    no Python): each row explodes into its d(d+1)/2 + d + 1 cell
+    contributions via nested row-local array transforms, and ONE
+    map-combinable sum folds them — the same (i, j, v) encoding as
+    ``pca_suffstats``, bit-identical output.
+
+    This is the STREAMING-CAPABLE formulation: a streaming source can't
+    run ``mapInPandas`` under an aggregation, but it can run a Generate
+    under a stateful agg, giving continuously-maintained covariance
+    (model-drift monitoring, incremental PCA) with ~2,145 rows of JVM
+    state at any stream volume — the mv_agg_refresh doctrine for the
+    Gram matrix.  Batch callers should prefer ``pca_suffstats``: the
+    Arrow/numpy fold moves d(d+1)/2 SUMS per partition where this
+    moves d(d+1)/2 ROWS per input row through the partial agg (same
+    shuffle size, ~d^2/2 more pre-agg rows per input row).
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
+    )
+    qc = F.col("__q")
+    gram_cells = F.filter(
+        F.flatten(
+            F.transform(
+                qc,
+                lambda qi, i: F.transform(
+                    qc,
+                    lambda qj, j: F.struct(
+                        i.cast("int").alias("i"),
+                        j.cast("int").alias("j"),
+                        (qi * qj).alias("v"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["j"] >= s["i"],
+    )
+    sum_cells = F.transform(
+        qc,
+        lambda qi, i: F.struct(
+            i.cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            qi.alias("v"),
+        ),
+    )
+    count_cell = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("i"),
+            F.lit(-1).cast("int").alias("j"),
+            F.lit(1).cast("bigint").alias("v"),
+        )
+    )
+    return (
+        df.select(q.alias("__q"))
+        .select(
+            F.explode(
+                F.concat(gram_cells, sum_cells, count_cell)
+            ).alias("c")
+        )
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.v").alias("v"))
+    )

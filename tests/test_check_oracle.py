@@ -410,6 +410,10 @@ class TestRegistryOrderingContract:
         # count-trained hashed-token distribution family with exact
         # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
         "source_divergence": "nb_classify",
+        # streaming PCA: identical driver eigen-iteration + projection
+        # over bit-identical drained statistics (pinned by test); the
+        # stateful cell agg is the streaming-agg rep's JVM-state shape
+        "pca_stream": "events_hourly_stream",
         # MI/entropy profiling: the identical joint-count -> margin-join
         # -> fixed-order ratio -> micro_log2 ladder algebra as the PMI
         # rep, column-valued, under the DQ verdict-report convention

@@ -4759,3 +4759,19 @@ def test_mi_independent_columns_near_zero(spark):
     # each joint cell's pmi ratio is exactly 1 -> quantizes to 0
     assert abs(r.mi_q20w) <= 48 * 4
     assert r.n == 48 and r.n_joint == 16
+
+
+def test_pca_suffstats_cells_equals_arrow_fold(spark):
+    from mvrepair.operators import decomp as DC
+
+    rows = [
+        (1, [0.25, -0.5, 0.125]),
+        (2, [0.0, 0.75, -0.25]),
+        (3, [-1.0, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    arrow = {(r.i, r.j): r.v for r in
+             DC.pca_suffstats(df, "embedding", 3).collect()}
+    cells = {(r.i, r.j): r.v for r in
+             DC.pca_suffstats_cells(df, "embedding", 3).collect()}
+    assert arrow == cells

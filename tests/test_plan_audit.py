@@ -44,7 +44,7 @@ STREAMING = {
     "events_hourly_stream", "dedup_exact_stream", "mv_classify_stream",
     "mv_upserts_stream", "events_latest_stream", "sessions_stream",
     "neardup_stream", "nb_stream", "events_sliding_stream",
-    "view_purchase_stream", "cms_stream",
+    "view_purchase_stream", "cms_stream", "pca_stream",
 }
 
 NEVER = ("CartesianProduct", "BatchEvalPython")

@@ -330,6 +330,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "InMemoryTableScan": 24, "InMemoryRelation": 24,
                           "FileScan": 24, "BroadcastHashJoin": 6,
                           "Filter": 9, "BroadcastExchange": 6},
+    # streaming PCA: the returned frame is the same broadcast-literal
+    # projection as embedding_pca (the drained stats fed the driver
+    # iteration at construction time)
+    "pca_stream": {"Project": 1, "ColumnarToRow": 1, "FileScan": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
