@@ -940,6 +940,53 @@ def main() -> None:
             ],
         )
 
+    def _cms_joinsize_op(df):
+        from mvrepair.operators.sketch import cms_join_size
+
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+        return cms_join_size(
+            orders, "o_orderkey", df.select("l_orderkey"), "l_orderkey",
+            w=2048, d=4,
+        )
+
+    def _mi_op(df):
+        from mvrepair.operators.dq import mi_report
+
+        return mi_report(df, [
+            ("o_custkey", "o_orderpriority"),
+            ("o_orderdate", "o_orderstatus"),
+        ])
+
+    def _textrank_op(df):
+        from mvrepair.operators.linkage import pagerank_micro
+
+        toks = df.select(F.split(F.col("text"), " ").alias("__toks"))
+        head = F.expr("slice(__toks, 1, greatest(size(__toks) - 1, 0))")
+        tail = F.expr("slice(__toks, 2, greatest(size(__toks) - 1, 0))")
+        pairs = toks.select(
+            F.explode(
+                F.zip_with(
+                    head, tail,
+                    lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+                )
+            ).alias("__p")
+        ).select(F.col("__p.x").alias("x"), F.col("__p.y").alias("y"))
+        pairs = pairs.filter(
+            (F.length("x") >= 4) & (F.length("y") >= 4)
+            & (F.col("x") != F.col("y"))
+        )
+        edges = (
+            pairs.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+            .unionByName(
+                pairs.select(
+                    F.col("y").alias("src"), F.col("x").alias("dst")
+                )
+            )
+            .dropDuplicates(["src", "dst"])
+        )
+        nodes = edges.select(F.col("src").alias("id")).distinct()
+        return pagerank_micro(edges, nodes, id_col="id", iters=3)
+
     def _cms_op(df):
         from mvrepair.operators import sketch as SK
 
@@ -1202,6 +1249,18 @@ def main() -> None:
         # driver eigen-iteration + projection scan) — stats stay 2,145
         # rows at every factor, iteration cost is volume-independent
         "embedding_pca(emb)": ("emb", _pca_op),
+        # fact copies vs the FIXED orders dim (the joinsize twin):
+        # grids are <= d*w at every factor, growth is the two md5
+        # Expand scans + the constant broadcast zip
+        "cms_joinsize(li)": ("li", _cms_joinsize_op),
+        # orders copies: joint-group cardinality fixed per candidate
+        # (same key domains), growth is the groupBy(X, Y) scan; the
+        # micro_log2 ladders run over vocab-sized frames at any volume
+        "orders_mi(ord)": ("ord", _mi_op),
+        # exact copies: vocabulary and co-occurrence EDGE SET constant
+        # (the bpe_merges doctrine) — growth is the bigram pass +
+        # distinct-pair dedup; the rank loop runs on the fixed graph
+        "textrank(copies)": (True, _textrank_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
