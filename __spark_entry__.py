@@ -3461,6 +3461,164 @@ FROM comp c JOIN sv ON sv.i = c.i JOIN {prev} vf ON vf.i = c.i
 GROUP BY 1"""
 
 
+def q_user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap by HLL inclusion-exclusion, audited against the
+    exact join — the MEASURED CONTRAST to user_overlap_kmv's theta
+    intersection: HLL registers only support UNION (register-wise max),
+    so intersection falls out of est_a + est_b - est_union, whose error
+    is relative to the UNION size — tiny overlaps of large audiences
+    can even go negative, exactly the weakness theta sketches exist to
+    fix, demonstrated here with data on the same pairs the KMV query
+    estimates.  All register algebra is the oracle-replayable md5 HLL
+    (events_hll); the per-pair union folds run over checkpointed
+    sketch-sized frames."""
+    from mvrepair.operators import sketch as SK
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
+    )
+    regs = SK.hll_registers(ev, "user_id", ["event_type"])
+    # sketch-sized (types x 128) but corpus-sized lineage, consumed by
+    # the per-type fold and BOTH pair-union sides (the kmv_overlap
+    # checkpoint doctrine)
+    regs = regs.localCheckpoint(eager=True)
+    folds = SK.hll_fold(regs, ["event_type"]).select(
+        "event_type", "est_distinct"
+    )
+    glist = F.array_sort(
+        F.collect_list(F.struct("event_type", "est_distinct"))
+    )
+    pairs = (
+        folds.agg(glist.alias("gs"))
+        .select(F.explode("gs").alias("ga"), F.col("gs"))
+        .select(
+            F.col("ga"),
+            F.explode(
+                F.filter(
+                    "gs", lambda x: x["event_type"] > F.col("ga.event_type")
+                )
+            ).alias("gb"),
+        )
+        .select(
+            F.col("ga.event_type").alias("group_a"),
+            F.col("gb.event_type").alias("group_b"),
+            F.col("ga.est_distinct").alias("est_a"),
+            F.col("gb.est_distinct").alias("est_b"),
+        )
+    )
+    keys = F.broadcast(pairs.select("group_a", "group_b"))
+    ra = regs.join(
+        keys, F.col("event_type") == F.col("group_a")
+    ).select("group_a", "group_b", "register", "rho")
+    rb = regs.join(
+        keys, F.col("event_type") == F.col("group_b")
+    ).select("group_a", "group_b", "register", "rho")
+    u = (
+        ra.unionByName(rb)
+        .groupBy("group_a", "group_b", "register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    ufold = SK.hll_fold(u, ["group_a", "group_b"]).select(
+        "group_a", "group_b", F.col("est_distinct").alias("est_union")
+    )
+    du = ev.distinct()
+    a, b = du.alias("a"), du.alias("b")
+    exact = (
+        a.join(
+            b,
+            on=[
+                F.col("a.user_id") == F.col("b.user_id"),
+                F.col("a.event_type") < F.col("b.event_type"),
+            ],
+        )
+        .groupBy(
+            F.col("a.event_type").alias("group_a"),
+            F.col("b.event_type").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        pairs.join(ufold, on=["group_a", "group_b"])
+        .join(exact, on=["group_a", "group_b"], how="left")
+        .select(
+            "group_a",
+            "group_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (
+                (F.col("est_a") + F.col("est_b")) - F.col("est_union")
+            ).alias("est_intersection_ie"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
+def _oracle_user_overlap_hll() -> str:
+    from mvrepair.operators.sketch import HLL_M, HLL_P, HLL_RAW_NUM, _HLL_RMAX
+
+    sb = 60 - HLL_P
+    mask = (1 << sb) - 1
+    est = (
+        f"{HLL_RAW_NUM!r} / CAST(s_present + ({HLL_M} - regs_set)"
+        f" * {1 << _HLL_RMAX} AS DOUBLE)"
+    )
+    return f"""
+WITH du AS (
+  SELECT DISTINCT event_type AS g, user_id AS u FROM events
+  WHERE user_id IS NOT NULL
+),
+h AS (
+  SELECT g, CAST('0x' || substr(md5(u::VARCHAR), 1, 15) AS BIGINT) AS hh
+  FROM (SELECT g, u FROM (SELECT event_type AS g, user_id AS u FROM events
+        WHERE user_id IS NOT NULL))
+),
+r AS (
+  SELECT g, hh >> {sb} AS register,
+         CASE WHEN (hh & {mask}) = 0 THEN {sb + 1}
+              ELSE {sb} - (length(bin(hh & {mask})) - 1) END AS rho
+  FROM h),
+regs AS MATERIALIZED (
+  SELECT g, register, max(rho) AS rho FROM r GROUP BY 1, 2),
+fold AS (
+  SELECT g, {est} AS est FROM (
+    SELECT g, count(*)::BIGINT AS regs_set,
+           sum(1::BIGINT << ({_HLL_RMAX} - rho))::BIGINT AS s_present
+    FROM regs GROUP BY 1)
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb, a.est AS est_a, b.est AS est_b
+  FROM fold a JOIN fold b ON a.g < b.g
+),
+u AS (
+  SELECT p.ga, p.gb, r.register, max(r.rho) AS rho
+  FROM pairs p JOIN regs r ON r.g = p.ga OR r.g = p.gb
+  GROUP BY 1, 2, 3
+),
+ufold AS (
+  SELECT ga, gb, {est} AS est_union FROM (
+    SELECT ga, gb, count(*)::BIGINT AS regs_set,
+           sum(1::BIGINT << ({_HLL_RMAX} - rho))::BIGINT AS s_present
+    FROM u GROUP BY 1, 2)
+),
+ex AS (
+  SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT AS exact_intersection
+  FROM du a JOIN du b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2
+)
+SELECT p.ga AS group_a, p.gb AS group_b, p.est_a, p.est_b, uf.est_union,
+  (p.est_a + p.est_b) - uf.est_union AS est_intersection_ie,
+  coalesce(e.exact_intersection, 0)::BIGINT AS exact_intersection
+FROM pairs p
+JOIN ufold uf ON uf.ga = p.ga AND uf.gb = p.gb
+LEFT JOIN ex e ON e.ga = p.ga AND e.gb = p.gb
+ORDER BY group_a, group_b"""
+
+
 _MI_PAIRS = [
     ("o_custkey", "o_orderpriority"),
     ("o_orderdate", "o_orderstatus"),
@@ -7026,6 +7184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,  # twin: part_pagerank (the identical fixed-round exact-integer rank recurrence over a distinct-pair edge frame; the bigram edge derivation is collocations' row-local zip_with, driver-checked) — the ann_recall composition doctrine
         "cms_stream": q_cms_stream,  # twin: events_hll_stream family (JVM-state keyed agg maintaining a bounded sketch; streaming rep events_hourly_stream) — drained grid feeds cms_audit's batch composition, oracle shared verbatim
         "cms_joinsize": q_cms_joinsize,  # twin: cms_audit's grid algebra (locally gated) composed per the ann_recall doctrine with the exact join count; the only join nodes are the broadcast grid zip + the literal-key one-row combine
+        "user_overlap_hll": q_user_overlap_hll,  # twin: events_hll (the identical register algebra + fold, per-pair union via register-wise max over checkpointed sketch-sized frames); the exact-audit join is user_overlap_kmv's, locally gated
         "pca_stream": q_pca_stream,  # twin: embedding_pca (identical driver eigen-iteration + projection over bit-identical statistics; the stateful cell agg is the events_hll_stream JVM-state shape) — oracle shared verbatim
         "orders_mi_profile": q_orders_mi_profile,  # twin: collocations (the identical joint-count -> margin-join -> fixed-order ratio -> micro_log2 ladder algebra, here column-valued) under the DQ verdict-report convention; one-row aggs combine by union+re-agg
         "orders_fd_profile": q_orders_fd_profile,  # twin: lineitem_dq (the declarative-DQ verdict report: map-combinable agg pass -> (check, value, passed) rows; FD adds the two-level groupBy fold, the key_skew reduction shape)
@@ -7158,6 +7317,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _oracle_textrank_keywords(),
         "cms_stream": _oracle_cms_audit(),
         "cms_joinsize": _oracle_cms_joinsize(),
+        "user_overlap_hll": _oracle_user_overlap_hll(),
         "pca_stream": _oracle_embedding_pca(),
         "orders_mi_profile": _oracle_orders_mi_profile(),
         "orders_fd_profile": _oracle_orders_fd_profile(),

@@ -410,6 +410,11 @@ class TestRegistryOrderingContract:
         # count-trained hashed-token distribution family with exact
         # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
         "source_divergence": "nb_classify",
+        # HLL inclusion-exclusion overlap: the identical register
+        # algebra + fold as the register-sketch family (key_skew's
+        # two-level reduction rep), per-pair union by register-wise
+        # max; exact audit is the kmv pair join, locally gated
+        "user_overlap_hll": "key_skew",
         # streaming PCA: identical driver eigen-iteration + projection
         # over bit-identical drained statistics (pinned by test); the
         # stateful cell agg is the streaming-agg rep's JVM-state shape

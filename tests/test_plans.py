@@ -334,6 +334,16 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # projection as embedding_pca (the drained stats fed the driver
     # iteration at construction time)
     "pca_stream": {"Project": 1, "ColumnarToRow": 1, "FileScan": 1},
+    # per-type register sketch checkpointed (5 in-memory Scans), pair
+    # unions + folds all sketch-sized; the 2 FileScans and the SMJ
+    # belong to the exact-audit join
+    "user_overlap_hll": {"AdaptiveSparkPlan": 1, "Sort": 3,
+                         "Exchange": 12, "Project": 14,
+                         "SortMergeJoin": 1, "BroadcastHashJoin": 4,
+                         "BroadcastExchange": 4, "Filter": 11,
+                         "Generate": 6, "ObjectHashAggregate": 6,
+                         "HashAggregate": 16, "Scan": 5, "Union": 1,
+                         "FileScan": 2},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
