@@ -3461,6 +3461,55 @@ FROM comp c JOIN sv ON sv.i = c.i JOIN {prev} vf ON vf.i = c.i
 GROUP BY 1"""
 
 
+def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers by |v − median| > 3·MAD
+    (temporal.mad_anomaly): the 50%-breakdown companion of the
+    trailing-mean anomaly flags — discrete type-1 medians under the
+    deterministic (value, id) order, all-integer micro arithmetic."""
+    from mvrepair.operators.temporal import mad_anomaly
+
+    return mad_anomaly(load_table(spark, sf_dir, "events"))
+
+
+_ORACLE_EVENTS_MAD = """
+WITH base AS (
+  SELECT event_type, event_id,
+    CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v_micro
+  FROM events
+  WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY v_micro, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+),
+med AS (
+  SELECT event_type, v_micro AS med_micro FROM ranked
+  WHERE rn = (n + 1) // 2
+),
+devs AS (
+  SELECT b.event_type, b.event_id, b.v_micro, m.med_micro,
+    abs(b.v_micro - m.med_micro) AS dev_micro
+  FROM base b JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY dev_micro, event_id) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM devs
+),
+mad AS (
+  SELECT event_type, dev_micro AS mad_micro FROM dranked
+  WHERE rn = (n + 1) // 2
+)
+SELECT d.event_type, d.event_id, d.v_micro, d.med_micro, d.dev_micro,
+  md.mad_micro
+FROM devs d JOIN mad md USING (event_type)
+WHERE d.dev_micro > 3 * md.mad_micro
+ORDER BY d.event_type, d.v_micro, d.event_id"""
+
+
 def q_user_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap by HLL inclusion-exclusion, audited against the
     exact join — the MEASURED CONTRAST to user_overlap_kmv's theta
@@ -7184,6 +7233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,  # twin: part_pagerank (the identical fixed-round exact-integer rank recurrence over a distinct-pair edge frame; the bigram edge derivation is collocations' row-local zip_with, driver-checked) — the ann_recall composition doctrine
         "cms_stream": q_cms_stream,  # twin: events_hll_stream family (JVM-state keyed agg maintaining a bounded sketch; streaming rep events_hourly_stream) — drained grid feeds cms_audit's batch composition, oracle shared verbatim
         "cms_joinsize": q_cms_joinsize,  # twin: cms_audit's grid algebra (locally gated) composed per the ann_recall doctrine with the exact join count; the only join nodes are the broadcast grid zip + the literal-key one-row combine
+        "events_mad_anomaly": q_events_mad_anomaly,  # twin: token_quantiles (the identical group-keyed rank-window discrete type-1 quantile, twice) + the broadcast-threshold filter; the robust companion of events_anomaly
         "user_overlap_hll": q_user_overlap_hll,  # twin: events_hll (the identical register algebra + fold, per-pair union via register-wise max over checkpointed sketch-sized frames); the exact-audit join is user_overlap_kmv's, locally gated
         "pca_stream": q_pca_stream,  # twin: embedding_pca (identical driver eigen-iteration + projection over bit-identical statistics; the stateful cell agg is the events_hll_stream JVM-state shape) — oracle shared verbatim
         "orders_mi_profile": q_orders_mi_profile,  # twin: collocations (the identical joint-count -> margin-join -> fixed-order ratio -> micro_log2 ladder algebra, here column-valued) under the DQ verdict-report convention; one-row aggs combine by union+re-agg
@@ -7317,6 +7367,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _oracle_textrank_keywords(),
         "cms_stream": _oracle_cms_audit(),
         "cms_joinsize": _oracle_cms_joinsize(),
+        "events_mad_anomaly": _ORACLE_EVENTS_MAD,
         "user_overlap_hll": _oracle_user_overlap_hll(),
         "pca_stream": _oracle_embedding_pca(),
         "orders_mi_profile": _oracle_orders_mi_profile(),

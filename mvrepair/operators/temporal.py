@@ -813,3 +813,64 @@ def time_weighted_avg(
             " DIV sum(__dt_us) AS BIGINT)"
         ).alias("twa_micro"),
     )
+
+
+def mad_anomaly(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-group outliers: |v − median| > k·MAD — the
+    median-absolute-deviation companion of ``moving_anomaly`` (a mean
+    baseline moves WITH the outliers it should flag; median and MAD
+    have a 50% breakdown point, the standard robust-statistics fix).
+
+    Exactness: values floor-quantize to int64 micros; medians are
+    discrete type-1 (the token_quantiles convention: the element at
+    row_number (n+1)//2 under the deterministic (value, id) order), so
+    both medians and the k·MAD comparison are pure integer arithmetic —
+    no float percentile, nothing engine-specific.
+
+    Scale shape: two group-keyed rank windows (values, then absolute
+    deviations) + two broadcast joins of the group-sized
+    median/MAD frames; nothing but the input rows ever shuffles, and
+    only on the group key.
+
+    Output: (group_col, id_col, v_micro, med_micro, dev_micro,
+    mad_micro) for flagged rows, ordered.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.floor(F.col(value_col).cast("double") * 1_000_000).cast("bigint")
+    base = df.select(
+        F.col(group_col), F.col(id_col), v.alias("v_micro")
+    ).filter(F.col("v_micro").isNotNull())
+    w = Window.partitionBy(group_col).orderBy("v_micro", id_col)
+    wn = Window.partitionBy(group_col)
+    ranked = base.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    med = ranked.filter(
+        F.col("__rn") == F.expr("(__n + 1) div 2")
+    ).select(F.col(group_col), F.col("v_micro").alias("med_micro"))
+    devs = base.join(F.broadcast(med), group_col).withColumn(
+        "dev_micro", F.abs(F.col("v_micro") - F.col("med_micro"))
+    )
+    w2 = Window.partitionBy(group_col).orderBy("dev_micro", id_col)
+    mad = (
+        devs.withColumn("__rn", F.row_number().over(w2))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select(F.col(group_col), F.col("dev_micro").alias("mad_micro"))
+    )
+    return (
+        devs.join(F.broadcast(mad), group_col)
+        .filter(F.col("dev_micro") > F.lit(k) * F.col("mad_micro"))
+        .select(
+            group_col, id_col, "v_micro", "med_micro", "dev_micro",
+            "mad_micro",
+        )
+        .orderBy(group_col, "v_micro", id_col)
+    )

@@ -410,6 +410,11 @@ class TestRegistryOrderingContract:
         # count-trained hashed-token distribution family with exact
         # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
         "source_divergence": "nb_classify",
+        # robust MAD outliers: group-keyed rank windows (the
+        # percentile-rank rep's shape) + broadcast-threshold filters;
+        # the discrete type-1 quantile algebra is token_quantiles',
+        # locally gated
+        "events_mad_anomaly": "quality_percentiles",
         # HLL inclusion-exclusion overlap: the identical register
         # algebra + fold as the register-sketch family (key_skew's
         # two-level reduction rep), per-pair union by register-wise

@@ -4775,3 +4775,19 @@ def test_pca_suffstats_cells_equals_arrow_fold(spark):
     cells = {(r.i, r.j): r.v for r in
              DC.pca_suffstats_cells(df, "embedding", 3).collect()}
     assert arrow == cells
+
+
+def test_mad_anomaly_flags_constructed_outlier(spark):
+    from mvrepair.operators.temporal import mad_anomaly
+
+    rows = [("a", i, 10.0 + (i % 3)) for i in range(20)] + [
+        ("a", 99, 1000.0),          # the outlier
+        ("b", 200, 5.0), ("b", 201, 5.0), ("b", 202, 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "event_id", "value"])
+    got = mad_anomaly(df).collect()
+    assert [(r.event_type, r.event_id) for r in got] == [("a", 99)]
+    [r] = got
+    assert r.med_micro == 11_000_000  # type-1 median of {10,11,12} mix
+    assert r.mad_micro == 1_000_000
+    assert r.dev_micro == 989_000_000

@@ -344,6 +344,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                          "Generate": 6, "ObjectHashAggregate": 6,
                          "HashAggregate": 16, "Scan": 5, "Union": 1,
                          "FileScan": 2},
+    # two group-keyed rank windows (values, deviations) + two
+    # broadcast joins of the group-sized median/MAD frames
+    "events_mad_anomaly": {"AdaptiveSparkPlan": 1, "Sort": 4,
+                           "Exchange": 4, "Project": 13,
+                           "BroadcastHashJoin": 3, "Filter": 7,
+                           "FileScan": 4, "BroadcastExchange": 3,
+                           "Window": 6},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
