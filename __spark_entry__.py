@@ -3461,6 +3461,90 @@ FROM comp c JOIN sv ON sv.i = c.i JOIN {prev} vf ON vf.i = c.i
 GROUP BY 1"""
 
 
+def q_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label principal-component scores (decomp.grouped_pca_scores):
+    the grouped-operator doctrine applied to MODEL FITTING — one
+    grouped cell-explode pass folds every label's Gram statistics in a
+    single aggregate, the driver iterates one exact-integer eigen
+    recurrence per label, and scoring broadcast-joins the per-label
+    axis frame.  The oracle replays every label's statistics,
+    iterations, and projections as GROUPED CTEs — ten eigen-
+    decompositions gated by one value hash."""
+    from mvrepair.operators import decomp as DC
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    return DC.grouped_pca_scores(emb, "vec_id", "embedding", "label", 64)
+
+
+def _oracle_label_pca() -> str:
+    from mvrepair.operators.decomp import MCAP, PCA_ITERS, QUANT, VSCALE
+
+    rounds = []
+    prev = "v0"
+    for t in range(1, PCA_ITERS + 1):
+        rounds.append(
+            f"u{t} AS MATERIALIZED (SELECT ms.label, ms.i,"
+            f" sum(ms.m * {prev}.v) AS u"
+            f" FROM ms JOIN {prev} ON ms.label = {prev}.label"
+            f" AND ms.j = {prev}.i GROUP BY 1, 2),\n"
+            f"d{t} AS MATERIALIZED (SELECT label,"
+            f" greatest(1, max(abs(u)) // {VSCALE}) AS d"
+            f" FROM u{t} GROUP BY 1),\n"
+            f"v{t} AS MATERIALIZED (SELECT u.label, u.i, u.u // d.d AS v"
+            f" FROM u{t} u JOIN d{t} d ON u.label = d.label)"
+        )
+        prev = f"v{t}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH qv AS (
+  SELECT vec_id, label, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+comp AS MATERIALIZED (
+  SELECT vec_id, label, CAST(t.i AS INT) AS i, q[t.i + 1] AS q
+  FROM qv CROSS JOIN range(0, 64) t(i)
+),
+nn AS MATERIALIZED (SELECT label, count(*)::BIGINT AS n FROM qv GROUP BY 1),
+sv AS MATERIALIZED (
+  SELECT label, i, sum(q)::BIGINT AS s FROM comp GROUP BY 1, 2),
+gram AS MATERIALIZED (
+  SELECT a.label, a.i AS i, b.i AS j, sum(a.q * b.q)::BIGINT AS g
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2, 3
+),
+gfull AS MATERIALIZED (
+  SELECT label, i, j, g FROM gram
+  UNION ALL SELECT label, j AS i, i AS j, g FROM gram WHERE i <> j
+),
+m0 AS MATERIALIZED (
+  SELECT g.label, g.i, g.j, nn.n * g.g - sa.s * sb.s AS m
+  FROM gfull g
+  JOIN nn ON nn.label = g.label
+  JOIN sv sa ON sa.label = g.label AND sa.i = g.i
+  JOIN sv sb ON sb.label = g.label AND sb.i = g.j
+),
+dd AS MATERIALIZED (
+  SELECT label, greatest(1, max(abs(m)) // {MCAP}) AS d
+  FROM m0 GROUP BY 1),
+ms AS MATERIALIZED (
+  SELECT m0.label, m0.i, m0.j, m0.m // dd.d AS m
+  FROM m0 JOIN dd ON dd.label = m0.label),
+v0 AS MATERIALIZED (
+  SELECT label, CAST(t.i AS INT) AS i, CAST({VSCALE} AS BIGINT) AS v
+  FROM nn CROSS JOIN range(0, 64) t(i)),
+{body}
+SELECT c.vec_id, c.label,
+  sum((nn.n * c.q - sv.s) * vf.v)::BIGINT AS pc1_score
+FROM comp c
+JOIN nn ON nn.label = c.label
+JOIN sv ON sv.label = c.label AND sv.i = c.i
+JOIN {prev} vf ON vf.label = c.label AND vf.i = c.i
+GROUP BY 1, 2"""
+
+
 def q_events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outliers by |v − median| > 3·MAD
     (temporal.mad_anomaly): the 50%-breakdown companion of the
@@ -7233,6 +7317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,  # twin: part_pagerank (the identical fixed-round exact-integer rank recurrence over a distinct-pair edge frame; the bigram edge derivation is collocations' row-local zip_with, driver-checked) — the ann_recall composition doctrine
         "cms_stream": q_cms_stream,  # twin: events_hll_stream family (JVM-state keyed agg maintaining a bounded sketch; streaming rep events_hourly_stream) — drained grid feeds cms_audit's batch composition, oracle shared verbatim
         "cms_joinsize": q_cms_joinsize,  # twin: cms_audit's grid algebra (locally gated) composed per the ann_recall doctrine with the exact join count; the only join nodes are the broadcast grid zip + the literal-key one-row combine
+        "label_pca": q_label_pca,  # twin: embedding_pca (the identical suff-stats -> driver eigen-iteration -> broadcast projection pipeline, grouped; the grouped fold is the weighted_sample_by_source doctrine)
         "events_mad_anomaly": q_events_mad_anomaly,  # twin: token_quantiles (the identical group-keyed rank-window discrete type-1 quantile, twice) + the broadcast-threshold filter; the robust companion of events_anomaly
         "user_overlap_hll": q_user_overlap_hll,  # twin: events_hll (the identical register algebra + fold, per-pair union via register-wise max over checkpointed sketch-sized frames); the exact-audit join is user_overlap_kmv's, locally gated
         "pca_stream": q_pca_stream,  # twin: embedding_pca (identical driver eigen-iteration + projection over bit-identical statistics; the stateful cell agg is the events_hll_stream JVM-state shape) — oracle shared verbatim
@@ -7367,6 +7452,7 @@ def oracle_sql() -> dict[str, str]:
         "textrank_keywords": _oracle_textrank_keywords(),
         "cms_stream": _oracle_cms_audit(),
         "cms_joinsize": _oracle_cms_joinsize(),
+        "label_pca": _oracle_label_pca(),
         "events_mad_anomaly": _ORACLE_EVENTS_MAD,
         "user_overlap_hll": _oracle_user_overlap_hll(),
         "pca_stream": _oracle_embedding_pca(),

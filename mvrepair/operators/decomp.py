@@ -206,7 +206,11 @@ def pca_scores(
 
 
 def pca_suffstats_cells(
-    df: DataFrame, vec_col: str, dim: int, quant: int = QUANT
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    quant: int = QUANT,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """The sufficient-statistics pass as PURE column algebra (no Arrow,
     no Python): each row explodes into its d(d+1)/2 + d + 1 cell
@@ -223,7 +227,13 @@ def pca_suffstats_cells(
     Arrow/numpy fold moves d(d+1)/2 SUMS per partition where this
     moves d(d+1)/2 ROWS per input row through the partial agg (same
     shuffle size, ~d^2/2 more pre-agg rows per input row).
+
+    ``group_cols`` generalizes to GROUPED model fitting (per-label
+    covariance — the grouped-operator doctrine applied to PCA): the
+    output carries the group keys and every group's statistics fold in
+    the same single aggregate.
     """
+    group_cols = group_cols or []
     q = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
@@ -261,12 +271,80 @@ def pca_suffstats_cells(
         )
     )
     return (
-        df.select(q.alias("__q"))
+        df.select(*group_cols, q.alias("__q"))
         .select(
+            *group_cols,
             F.explode(
                 F.concat(gram_cells, sum_cells, count_cell)
-            ).alias("c")
+            ).alias("c"),
         )
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .groupBy(
+            *group_cols, F.col("c.i").alias("i"), F.col("c.j").alias("j")
+        )
         .agg(F.sum("c.v").alias("v"))
+    )
+
+
+def grouped_pca_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    dim: int,
+    quant: int = QUANT,
+    iters: int = PCA_ITERS,
+) -> DataFrame:
+    """Per-GROUP principal-component scores: one grouped cell-explode
+    pass folds EVERY group's sufficient statistics in a single
+    aggregate (groups x 2,145 bounded rows), the driver runs one
+    exact-integer power iteration per group (the per-group model
+    artifact — groups are a bounded enum by contract, the kmv_overlap
+    doctrine), and the per-group axes come back as a small model FRAME
+    broadcast-joined on the group key — scoring is array column
+    algebra against the joined axis/sums columns, never a shuffle of
+    the corpus beyond the one stats exchange.
+
+    The grouped-operator doctrine (stratified A-ES sampling, per-group
+    KMV) applied to model fitting: per-label principal axes serve
+    label-conditioned outlier sweeps and per-domain drift monitoring.
+
+    Output: (id_col, group_col, pc1_score bigint).
+    """
+    stats = pca_suffstats_cells(
+        df.select(group_col, vec_col), vec_col, dim, quant=quant,
+        group_cols=[group_col],
+    ).collect()
+    by_group: dict = {}
+    for r in stats:
+        by_group.setdefault(r[group_col], []).append(r)
+    spark = df.sparkSession
+    model_rows = []
+    for g, rows in sorted(by_group.items()):
+        v, n, s = principal_axis(rows, dim, iters=iters)
+        model_rows.append((g, v, n, s))
+    model = F.broadcast(
+        spark.createDataFrame(
+            model_rows, f"{group_col} long, __axis array<long>, "
+            "__n long, __s array<long>"
+        )
+    )
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * quant).cast("bigint"),
+    )
+    joined = df.select(
+        F.col(id_col), F.col(group_col), q.alias("__q")
+    ).join(model, group_col)
+    terms = F.transform(
+        F.col("__q"),
+        lambda x, i: (
+            F.col("__n") * x - F.element_at(F.col("__s"), i + 1)
+        )
+        * F.element_at(F.col("__axis"), i + 1),
+    )
+    score = F.aggregate(
+        terms, F.lit(0).cast("bigint"), lambda acc, t: acc + t
+    )
+    return joined.select(
+        F.col(id_col), F.col(group_col), score.alias("pc1_score")
     )

@@ -410,6 +410,10 @@ class TestRegistryOrderingContract:
         # count-trained hashed-token distribution family with exact
         # micro_log2 scoring (the dsir_scores / doc_perplexity twins)
         "source_divergence": "nb_classify",
+        # grouped PCA: the identical suff-stats -> driver eigen ->
+        # broadcast-projection pipeline as the PCA rep, per label
+        # (grouped equality pinned by test)
+        "label_pca": "kmeans_clusters",
         # robust MAD outliers: group-keyed rank windows (the
         # percentile-rank rep's shape) + broadcast-threshold filters;
         # the discrete type-1 quantile algebra is token_quantiles',

@@ -4791,3 +4791,36 @@ def test_mad_anomaly_flags_constructed_outlier(spark):
     assert r.med_micro == 11_000_000  # type-1 median of {10,11,12} mix
     assert r.mad_micro == 1_000_000
     assert r.dev_micro == 989_000_000
+
+
+def test_grouped_pca_equals_per_group_single(spark):
+    import numpy as np
+    from mvrepair.operators import decomp as DC
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in (0, 1):
+        data = rng.normal(size=(30, 4)) * (0.1 + 0.2 * g)
+        rows += [
+            (g * 100 + i, g, [float(x) for x in r])
+            for i, r in enumerate(data)
+        ]
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    grouped = {
+        (r.vec_id, r.label): r.pc1_score
+        for r in DC.grouped_pca_scores(
+            df, "vec_id", "embedding", "label", 4
+        ).collect()
+    }
+    for g in (0, 1):
+        sub = df.filter(df.label == g)
+        stats = DC.pca_suffstats(sub, "embedding", 4).collect()
+        v, n, s = DC.principal_axis(stats, 4)
+        single = {
+            r.vec_id: r.pc1_score
+            for r in DC.pca_scores(
+                sub, "vec_id", "embedding", v, n, s
+            ).collect()
+        }
+        for vid, sc in single.items():
+            assert grouped[(vid, g)] == sc

@@ -351,6 +351,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                            "BroadcastHashJoin": 3, "Filter": 7,
                            "FileScan": 4, "BroadcastExchange": 3,
                            "Window": 6},
+    # grouped PCA: one scan broadcast-joined with the per-label axis
+    # model frame (the grouped stats pass + per-label driver
+    # iterations ran at construction time)
+    "label_pca": {"AdaptiveSparkPlan": 1, "Project": 2,
+                  "BroadcastHashJoin": 1, "Filter": 2, "FileScan": 1,
+                  "BroadcastExchange": 1, "Scan": 1},
     # round-10 wave 4 twins
     # demoted for event_trend's promotion: one key-keyed Exchange+Sort
     # window over the types x hours frame (the gapfill shape)
