@@ -940,6 +940,16 @@ def main() -> None:
             ],
         )
 
+    def _mad_op(df):
+        from mvrepair.operators.temporal import mad_anomaly
+
+        return mad_anomaly(df)
+
+    def _label_pca_op(df):
+        from mvrepair.operators.decomp import grouped_pca_scores
+
+        return grouped_pca_scores(df, "vec_id", "embedding", "label", 64)
+
     def _cms_joinsize_op(df):
         from mvrepair.operators.sketch import cms_join_size
 
@@ -1261,6 +1271,12 @@ def main() -> None:
         # (the bpe_merges doctrine) — growth is the bigram pass +
         # distinct-pair dedup; the rank loop runs on the fixed graph
         "textrank(copies)": (True, _textrank_op),
+        # events copies (shifted user ids): per-type row count k x —
+        # the two rank windows ride one type-keyed exchange each
+        "events_mad(ev)": ("ev", _mad_op),
+        # embedding copies (labels unchanged): per-label stats stay
+        # 2,145 rows, the grouped cell explode grows with volume
+        "label_pca(emb)": ("emb", _label_pca_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
