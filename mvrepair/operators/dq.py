@@ -217,7 +217,11 @@ def mi_report(
     from the joint frame, never a second corpus scan), two vocab-sized
     margin joins, totals as true scalar subqueries over the persisted
     joint frame, one-row aggregates combined by union + re-aggregate
-    (never a 1-row join — it constant-folds to BNLJ).
+    (never a 1-row join — it constant-folds to BNLJ).  Ownership: the
+    per-pair joint frames stay persisted for the plan's lifetime (the
+    collocations count-frame precedent — scalar subqueries reference
+    them); callers running repeatedly clear the cache between runs, as
+    the bench harness does.
 
     Output per pair: (pair string, n bigint, n_joint bigint,
     h_x_q20w, h_y_q20w, mi_q20w bigint).
