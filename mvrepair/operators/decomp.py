@@ -41,6 +41,7 @@ iteration value is bounded by construction (|M'| < 2^30, |v| <= 2^20,
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -188,6 +189,25 @@ def principal_axis(
             f"(n*max|S|={n * max_S}, max|s|^2={max_s * max_s}); shrink "
             "the quantization as the corpus grows (Q ~ 2^31 / (n*X) "
             "for components bounded by X)"
+        )
+    # The projection bound the docstring promises: pca_scores computes
+    # Σ_j (n*q_j - s_j)*v_j with |v_j| <= VSCALE, so each of the dim
+    # terms must stay under 2^62/dim.  max|q_j| is derivable from the
+    # collected diagonal — S_jj = Σ_rows q_j² >= q_j² for every row —
+    # so n*max|q| <= n*ceil(sqrt(max_j S_jj)).  The sum-based max_s²
+    # check above can pass on centered data (sums near zero) while
+    # n*max|q| is huge; this is the check that actually guards the
+    # per-row projection term (round-10 ADVICE).
+    max_diag = max(
+        (v for (i, j), v in S.items() if i == j), default=0
+    )
+    q_bound = math.isqrt(max(max_diag, 0)) + 1
+    if (n * q_bound + max_s) * VSCALE >= (1 << 62) // max(dim, 1):
+        raise ValueError(
+            "principal_axis: projection term would exceed int64 "
+            f"(n*max|q| bound={n * q_bound}, max|s|={max_s}, dim={dim}, "
+            f"VSCALE={VSCALE}); shrink the quantization as the corpus "
+            "grows (Q ~ 2^31 / (n*X) for components bounded by X)"
         )
     M = [[0] * dim for _ in range(dim)]
     for (i, j), v in S.items():

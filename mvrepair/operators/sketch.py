@@ -588,16 +588,25 @@ def cms_estimate(
             )
         ),
     )
+    # Alias the grid to reserved names before the join: a probe frame
+    # that already carries a column named r/col/c would otherwise
+    # collide with the grid's schema and break resolution (round-10
+    # ADVICE).  The probe side already protects itself with __rc.
+    grid = counters.select(
+        F.col("r").alias("__cms_r"),
+        F.col("col").alias("__cms_col"),
+        F.col("c").alias("__cms_c"),
+    )
     joined = pr.join(
-        broadcast(counters),
+        broadcast(grid),
         on=[
-            pr["__rc.r"] == counters["r"],
-            pr["__rc.col"] == counters["col"],
+            pr["__rc.r"] == grid["__cms_r"],
+            pr["__rc.col"] == grid["__cms_col"],
         ],
         how="left",
     )
     return joined.groupBy(*[probes[c] for c in probes.columns]).agg(
-        F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est")
+        F.min(F.coalesce(F.col("__cms_c"), F.lit(0))).alias("cms_est")
     )
 
 

@@ -473,6 +473,21 @@ def streaming_view_purchase_join(
     semantics a batch interval join has, so an availableNow drain
     equals the plain SQL join and a DuckDB oracle checks it directly.
 
+    BATCH-EQUALITY CONTINGENCY (round-10 ADVICE): that equality holds
+    when the drain is effectively single-batch or event-time-ordered
+    across batches.  Across MULTIPLE micro-batches, watermark
+    advancement (here 2 h behind the max event time seen so far)
+    evicts buffered state and DROPS late-arriving rows: state
+    eviction runs at the end of the first batch EXECUTED at the
+    advanced watermark, so a purchase arriving a batch later with an
+    event time inside an already-evicted view's window loses the
+    cross-batch match that the batch oracle keeps.  This is Spark's documented stream-stream join semantics,
+    not a defect; the registered query is safe because each fixture
+    table is one parquet file (one batch per side).  A multi-file
+    out-of-order drain is pinned by
+    ``tests/test_streaming_repair.py::
+    test_view_purchase_multibatch_drops_late_rows``.
+
     Output: (user_id, view_id, purchase_id, gap_us >= 0).
     """
     v = (

@@ -4502,6 +4502,26 @@ def test_cms_absent_key_estimates_zero(spark):
     assert r.cms_est == 0
 
 
+def test_cms_probe_columns_named_like_grid_do_not_collide(spark):
+    """A probe frame already carrying columns named r/col/c used to
+    collide with the grid's schema inside the estimate join (round-10
+    ADVICE); the grid now aliases to reserved __cms_* names."""
+    from mvrepair.operators import sketch as SK
+
+    df = spark.createDataFrame([(c,) for c in "aabbbbc"], ["k"])
+    grid = SK.cms_counters(df, "k", w=64, d=3)
+    probes = spark.createDataFrame(
+        [("a", 1, 2, 3), ("b", 4, 5, 6), ("c", 7, 8, 9)],
+        ["k", "r", "col", "c"],
+    )
+    rows = SK.cms_estimate(probes, "k", grid, w=64, d=3).collect()
+    est = {x.k: x.cms_est for x in rows}
+    assert est == {"a": 2, "b": 4, "c": 1}
+    # the probe's own r/col/c columns pass through untouched
+    carried = {x.k: (x.r, x.col, x.c) for x in rows}
+    assert carried["a"] == (1, 2, 3)
+
+
 def test_cms_grid_is_mergeable(spark):
     from mvrepair.operators import sketch as SK
 
@@ -4699,6 +4719,26 @@ def test_principal_axis_rejects_overflowing_stats():
     ]
     with pytest.raises(ValueError, match="int64 domain"):
         DC.principal_axis(rows, 1)
+
+
+def test_principal_axis_rejects_overflowing_projection_term():
+    """Centered data defeats the sum-based max|s|² check (sums near
+    zero) while n*max|q| is huge: the per-row projection term
+    (n*q_j - s_j)*v_j would exceed int64 in pca_scores.  The diagonal
+    S_jj bounds max|q_j| (S_jj >= q_j² per row), so the guard derives
+    n*ceil(sqrt(max S_jj)) and rejects (round-10 ADVICE item)."""
+    from mvrepair.operators import decomp as DC
+
+    rows = [
+        {"i": -1, "j": -1, "v": 1 << 21},  # n
+        {"i": 0, "j": -1, "v": 0},  # centered: component sum == 0
+        {"i": 0, "j": 0, "v": 1 << 40},  # q_bound ~ 2^20
+    ]
+    # old check passes: n*max_S = 2^61 < 2^62, max_s² = 0; but the
+    # 64-term projection sum needs each term under 2^62/64 = 2^56 and
+    # n*q_bound*VSCALE ~ 2^61 blows it
+    with pytest.raises(ValueError, match="projection term"):
+        DC.principal_axis(rows, 64)
 
 
 def test_pca_scores_plan_is_pure_projection(spark):

@@ -310,7 +310,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                      "FileScan": 4, "BroadcastExchange": 2},
     # drained JVM-state grid (LocalTableScan) + the batch probe
     # composition over it — cms_audit's shape with the grid swapped
-    "cms_stream": {"AdaptiveSparkPlan": 1, "Sort": 1, "Project": 2,
+    # Project 2->3 in round 11: the grid aliases r/col/c to reserved
+    # __cms_* names before the broadcast join (ADVICE collision fix) —
+    # one extra map-side rename Project under the BroadcastExchange
+    "cms_stream": {"AdaptiveSparkPlan": 1, "Sort": 1, "Project": 3,
                    "HashAggregate": 4, "BroadcastHashJoin": 1,
                    "Generate": 2, "TakeOrderedAndProject": 1,
                    "Exchange": 2, "FileScan": 1, "BroadcastExchange": 1,

@@ -292,3 +292,110 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         for r in spark.table("__t_vp_join").collect()
     }
     assert got == {(1, 2, 30 * 60 * 1_000_000), (4, 6, 59 * 60 * 1_000_000)}
+
+
+def test_view_purchase_multibatch_drops_late_rows(spark, tmp_path):
+    """Pins the documented batch-equality CONTINGENCY (round-10
+    ADVICE): across micro-batches, watermark advancement drops
+    late-arriving purchases whose cross-batch matches a batch join
+    would keep.  Purchases arrive as THREE files drained one per batch
+    (maxFilesPerTrigger=1): file A advances the watermark to 18:00,
+    filler file F makes one batch RUN at that watermark (state
+    eviction happens at the end of the first batch executed with the
+    advanced watermark, so the buffered 12:00 view is dropped there),
+    and file B carries a 12:30 purchase matching that evicted view —
+    the batch oracle emits the match, the stream (correctly, per
+    Spark's stream-stream semantics) does not."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mvrepair.streaming.incremental import streaming_view_purchase_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, user, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user)
+
+    views_rows = [
+        ev(1, 10, 0),      # V1: the view the late purchase matches
+        ev(2, 20, 8 * 60), # 20:00 — advances the view-side watermark
+    ]
+    pur_a = [ev(100, 99, 8 * 60)]      # 20:00, no view for user 99
+    pur_f = [ev(102, 98, 8 * 60 + 1)]  # filler: runs a batch at wm 18:00
+    pur_b = [ev(101, 10, 30)]          # 12:30 — LATE: inside V1's window
+
+    cols = ["event_id", "ts", "user_id"]
+    views_path = str(tmp_path / "views")
+    spark.createDataFrame(views_rows, cols).coalesce(1).write.parquet(
+        views_path
+    )
+
+    pur_dir = tmp_path / "purchases"
+    pur_dir.mkdir()
+    now = 1_700_000_000
+    for name, rows, mtime in [
+        ("a.parquet", pur_a, now),
+        ("f.parquet", pur_f, now + 60),
+        ("b.parquet", pur_b, now + 120),
+    ]:
+        staging = str(tmp_path / ("stage_" + name))
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            staging
+        )
+        [part] = glob.glob(os.path.join(staging, "part-*.parquet"))
+        dest = str(pur_dir / name)
+        shutil.copy(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    schema = spark.read.parquet(views_path).schema
+    views = spark.readStream.schema(schema).parquet(views_path)
+    purchases = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(pur_dir))
+    )
+    q = (
+        streaming_view_purchase_join(views, purchases)
+        .writeStream.format("memory")
+        .queryName("__t_vp_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.table("__t_vp_late").collect()
+    }
+    # the batch interval join WOULD match (1, 101); the multi-batch
+    # drain drops it — the filler batch ran at watermark 18:00 and
+    # evicted V1's buffered state (18:00 > view_ts + 1 h), so the
+    # late purchase in the final batch finds nothing to join
+    assert got == set()
+    # sanity: the same data joined as BATCH frames keeps the match
+    vb = spark.read.parquet(views_path).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    pb = spark.read.parquet(str(pur_dir)).select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = vb.join(
+        pb,
+        on=[
+            vb["user_id"] == pb["p_user_id"],
+            pb["purchase_ts"] >= vb["view_ts"],
+            pb["purchase_ts"]
+            < vb["view_ts"] + F.expr("INTERVAL 1 hour"),
+        ],
+    )
+    assert {
+        (r.view_id, r.purchase_id) for r in batch.collect()
+    } == {(1, 101)}
