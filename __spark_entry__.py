@@ -6734,6 +6734,9 @@ def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         fused.count()  # materialize while the edge cache is hot
+        from mvrepair import cache as _cache
+
+        _cache.adopt(fused)
     except Exception:
         fused.unpersist()
         raise

@@ -131,7 +131,13 @@ def main() -> None:
             n_jobs[name] = len(tracker.getJobIdsForGroup(gid))
             # Drop persisted frames left by eager operators so the next
             # repeat measures the computation, not a cache-manager hit on
-            # the identical logical plan.
+            # the identical logical plan.  release_all() is the
+            # ownership-registry path (mvrepair.cache); clearCache()
+            # stays as the belt-and-braces sweep for anything cached
+            # outside the registry.
+            from mvrepair import cache as _cache
+
+            _cache.release_all()
             spark.catalog.clearCache()
         sc.setJobGroup("bench:idle", "between queries")
         medians[name] = round(statistics.median(runs), 3)

@@ -467,7 +467,9 @@ def prefix_jaccard_pairs(
         except Exception:
             out.unpersist()
             raise
-        return out
+        from mvrepair import cache as _cache
+
+        return _cache.adopt(out)
     finally:
         arrs.unpersist()
 
@@ -568,6 +570,9 @@ def ngram_jaccard_pairs(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             out.count()  # materialize pairs while the shingle cache is hot
+            from mvrepair import cache as _cache
+
+            _cache.adopt(out)
         except Exception:
             out.unpersist()
             raise
@@ -1000,6 +1005,9 @@ def contamination_check(
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             out.count()  # materialize pairs while the shingle cache is hot
+            from mvrepair import cache as _cache
+
+            _cache.adopt(out)
         except Exception:
             out.unpersist()
             raise
@@ -1366,6 +1374,9 @@ def minhash_calibration(
         )
         try:
             grid.count()  # materialize while the shingle cache is hot
+            from mvrepair import cache as _cache
+
+            _cache.adopt(grid)
         except Exception:
             grid.unpersist()
             raise

@@ -217,11 +217,13 @@ def mi_report(
     from the joint frame, never a second corpus scan), two vocab-sized
     margin joins, totals as true scalar subqueries over the persisted
     joint frame, one-row aggregates combined by union + re-aggregate
-    (never a 1-row join — it constant-folds to BNLJ).  Ownership: the
-    per-pair joint frames stay persisted for the plan's lifetime (the
-    collocations count-frame precedent — scalar subqueries reference
-    them); callers running repeatedly clear the cache between runs, as
-    the bench harness does.
+    (never a 1-row join — it constant-folds to BNLJ).  Ownership
+    (round-11): the operator is EAGER — each pair's one-row summary is
+    collected driver-side (6 bounded values) while its joint frame is
+    hot, the joint frame is unpersisted immediately, and the returned
+    frame is a literal rebuild.  Nothing stays cached past the call:
+    the round-10 ADVICE flagged the old per-plan-lifetime joint frames
+    as unreachable accumulation in long profiling sessions.
 
     Output per pair: (pair string, n bigint, n_joint bigint,
     h_x_q20w, h_y_q20w, mi_q20w bigint).
@@ -301,8 +303,13 @@ def mi_report(
                 "h_x_q20w", "h_y_q20w", "mi_q20w",
             )
         )
-        out_frames.append(one)
-    out = out_frames[0]
-    for fr in out_frames[1:]:
-        out = out.unionByName(fr)
-    return out
+        try:
+            [row] = one.collect()
+        finally:
+            joint.unpersist()
+        out_frames.append(row)
+    return df.sparkSession.createDataFrame(
+        out_frames,
+        "pair string, n bigint, n_joint bigint, h_x_q20w bigint, "
+        "h_y_q20w bigint, mi_q20w bigint",
+    )

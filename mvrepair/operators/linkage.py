@@ -364,14 +364,16 @@ def triangle_counts(
     without the cache each consumer re-derives the full upstream edge
     lineage — for a co-purchase graph that's three extra fact-table
     self-joins.  The cache is |E|-sized (two longs a row), spills to
-    disk, and the caller's handle is released when the returned plan's
-    lineage is GC'd (the quality_funnel shared-persist precedent).
+    disk, and is registered with ``mvrepair.cache`` so the harness's
+    ``release_all()`` frees it after the returned plan materializes
+    (a persisted frame is pinned JVM-side until explicitly
+    unpersisted — GC never frees it).
     """
-    from pyspark import StorageLevel
+    from mvrepair import cache as _cache
 
-    e = edges.select(
-        F.col(a_col).alias("__a"), F.col(b_col).alias("__b")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    e = _cache.own(
+        edges.select(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+    )
     ends = e.select(F.col("__a").alias("__n")).unionAll(
         e.select(F.col("__b").alias("__n"))
     )
@@ -387,7 +389,8 @@ def triangle_counts(
         F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("src"),
         F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("dst"),
         F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("ddst"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    oriented = _cache.own(oriented)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     wedges = e1.join(e2, F.col("e1.src") == F.col("e2.src")).filter(

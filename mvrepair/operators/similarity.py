@@ -271,6 +271,9 @@ def cosine_neardup_pairs(
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             out.count()  # materialize while the bucketed frame is hot
+            from mvrepair import cache as _cache
+
+            _cache.adopt(out)
         except Exception:
             out.unpersist()
             raise
@@ -702,6 +705,9 @@ def semantic_dedup(
         )
         try:
             out.count()  # materialize while the assignment cache is hot
+            from mvrepair import cache as _cache
+
+            _cache.adopt(out)
         except Exception:
             out.unpersist()
             raise
@@ -1163,6 +1169,9 @@ def cosine_neardup_pairs_banded(
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             out.count()  # materialize while the prepared base is hot
+            from mvrepair import cache as _cache
+
+            _cache.adopt(out)
         except Exception:
             out.unpersist()
             raise

@@ -907,16 +907,19 @@ def collocations(
             F.zip_with(head, tail, lambda a, b: F.struct(a.alias("x"), b.alias("y")))
         ).alias("__p")
     ).select(F.col("__p.x").alias("x"), F.col("__p.y").alias("y"))
-    big = (
-        pairs.groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("c_xy"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from mvrepair import cache as _cache
+
+    # pair/unigram count frames are referenced by the returned plan's
+    # scalar subqueries, so the operator can't unpersist them itself:
+    # register with the ownership registry (mvrepair.cache) so the
+    # harness's release_all() frees them after materialization
+    big = _cache.own(
+        pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
     )
-    uni = (
+    uni = _cache.own(
         df.select(F.explode(tokenize(F.col(text_col))).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n1 = uni.select(F.sum("c").cast("long").alias("n")).scalar()
     nb = big.select(F.sum("c_xy").cast("long").alias("n")).scalar()
@@ -1075,10 +1078,10 @@ def source_divergence(
     # frequencies, the per-source totals, AND the contribution join —
     # without the cache each consumer re-runs the corpus token pass
     # (the frame itself is vocab x sources, tiny relative to the corpus)
-    per_src = (
-        inst.groupBy("__s", "__h")
-        .agg(F.count(F.lit(1)).alias("__cs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    from mvrepair import cache as _cache
+
+    per_src = _cache.own(
+        inst.groupBy("__s", "__h").agg(F.count(F.lit(1)).alias("__cs"))
     )
     glob = per_src.groupBy("__h").agg(F.sum("__cs").alias("__cg"))
     totals = per_src.groupBy("__s").agg(

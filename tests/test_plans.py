@@ -323,16 +323,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     # TakeOrdered cut over the checkpointed final ranks
     "textrank_keywords": {"TakeOrderedAndProject": 1, "Project": 1,
                           "Scan": 1},
-    # per pair: one persisted joint frame (the FileScans print under
-    # each InMemoryRelation reference; the table is scanned once per
-    # pair), margin joins, three micro_log2 one-row aggs combined by
-    # union + re-agg; scalar subqueries for the totals
-    "orders_mi_profile": {"AdaptiveSparkPlan": 34, "Union": 4,
-                          "HashAggregate": 114, "Exchange": 54,
-                          "Project": 29, "Subquery": 9,
-                          "InMemoryTableScan": 24, "InMemoryRelation": 24,
-                          "FileScan": 24, "BroadcastHashJoin": 6,
-                          "Filter": 9, "BroadcastExchange": 6},
+    # round-11: mi_report is now EAGER (the per-pair joint-count ->
+    # margin-join -> micro_log2 pipeline runs at call time, each
+    # pair's one-row summary is collected and its joint frame released
+    # immediately — the cache-ownership fix for the round-10 ADVICE
+    # unreachable-persist finding), so the RETURNED frame is a literal
+    # rebuild of the <= pairs x 6 bounded values
+    "orders_mi_profile": {"Scan": 1},
     # streaming PCA: the returned frame is the same broadcast-literal
     # projection as embedding_pca (the drained stats fed the driver
     # iteration at construction time)

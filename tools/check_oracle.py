@@ -172,6 +172,13 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: spark error: {str(ex)[:300]}")
             continue
+        finally:
+            # release operator-owned persisted frames (mvrepair.cache
+            # ownership convention) so a full-registry sweep doesn't
+            # accumulate cache across 156 queries
+            from mvrepair import cache as _cache
+
+            _cache.release_all()
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} (no oracle)")
             continue

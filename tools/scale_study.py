@@ -34,6 +34,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _release_owned():
+    from mvrepair import cache as _cache
+
+    _cache.release_all()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(a) for a in sys.argv[2:]] or [1, 3, 10, 30]
@@ -1324,7 +1330,7 @@ def main() -> None:
     # untimed warmup: JIT, codegen caches, parquet-footer paths
     for name, (kind, fn) in OPS.items():
         _call(fn, _frame(kind, 1), 1).write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
+        _release_owned(); spark.catalog.clearCache()
 
     results: dict[str, dict[str, float]] = {}
     top2 = sorted(factors)[-2:]
@@ -1335,7 +1341,7 @@ def main() -> None:
             t0 = time.monotonic()
             _call(fn, df, k).write.format("noop").mode("overwrite").save()
             times[str(k)] = round(time.monotonic() - t0, 2)
-            spark.catalog.clearCache()
+            _release_owned(); spark.catalog.clearCache()
         lo, hi = str(top2[0]), str(top2[1])
         times["exponent"] = round(
             math.log(times[hi] / times[lo]) / math.log(top2[1] / top2[0]), 2
