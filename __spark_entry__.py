@@ -7075,6 +7075,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dsir_scores / doc_perplexity twin doctrine).  The wave's other
     additions (cms_audit, user_overlap_kmv, orders_fd_profile,
     embedding_pca) sit past-window as twins named in their comments.
+    Round-11 rotation (r10 verdict item #4): events_hll promoted —
+    the HLL register fold + inclusion-exclusion estimate is a
+    genuinely new numeric ESTIMATOR ALGEBRA that had only plan-shape
+    twin coverage (key_skew); bm25_rank demoted as a term-stat-shuffle
+    twin of the still-checked posting_lists (the tfidf_topterms
+    precedent), frozen fingerprint + local-gate row kept.
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
@@ -7096,7 +7102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_stats": q_text_stats,
         "doc_splits": q_doc_splits,
-        "bm25_rank": q_bm25_rank,
+        # round-11 rotation (r10 verdict item #4): events_hll promoted —
+        # the HLL register fold + inclusion-exclusion is a genuinely new
+        # ESTIMATOR ALGEBRA (max-rho register algebra, engine-portable
+        # salted-md5 hashing, exact-audit column) that had only plan-
+        # shape twin coverage through key_skew; bm25_rank demoted as a
+        # true term-stat-shuffle twin of the still-checked posting_lists
+        # (tfidf_topterms precedent), frozen fingerprint + local gate
+        "events_hll": q_events_hll,
         # data-quality filters (gram-hash family rep: substring dup)
         "substring_dupes": q_substring_dupes,
         # training-sequence layout (packing family rep)
@@ -7286,7 +7299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 wave 2: merkle family stage-1 surface (the digest
         # frames mv_merkle_keys diffs, exposed as their own report)
         "mv_merkle_diff": q_mv_merkle_diff,  # twin: mv_merkle_keys (its literal stage-1 prefix)
-        "events_hll": q_events_hll,  # twin: key_skew (the identical two-level bucket-keyed reduction: per-bucket max fold -> per-group summary); estimator algebra locally gated like distinct_docs_kmv
+        # demoted in the round-11 rotation (driver-green r1-r10), making
+        # room for events_hll's promotion:
+        "bm25_rank": q_bm25_rank,  # twin: posting_lists (the same explode -> term-keyed df/tf shuffle + per-doc rollup; tfidf_topterms rides the same rep) — driver-green r1-r10
         "lineitem_dq": q_lineitem_dq,  # twin: pricing_summary (one hash-aggregate pass; the verdict explode is the mv_stats/key_skew (stat,value) report shape)
         "mv_merkle_stream": q_mv_merkle_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the digest algebra is mv_merkle_keys' stage 1, checked in-window
         "mv_agg_refresh": q_mv_agg_refresh,  # twin: pricing_summary (map-combinable hash-agg pipeline: agg -> union -> re-agg, no join); oracle = full recompute, so the hash gate proves incremental exactness

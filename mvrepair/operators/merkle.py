@@ -139,6 +139,7 @@ def merkle_repair_keys(
     val_cols: list[str],
     depth: int,
     max_inlist: int = 8192,
+    degenerate_frac: float = 0.5,
 ) -> DataFrame:
     """Row-level divergence, computed over mismatched buckets ONLY.
 
@@ -163,6 +164,18 @@ def merkle_repair_keys(
     artifact).  Above ``max_inlist`` dirty buckets the filter switches
     from an IN-literal to a broadcast semi-join on a driver-local
     DataFrame — same pruning, no giant expression tree.
+
+    DEGENERATE-DIVERGENCE ESCAPE (round-11, r10 verdict item #6): when
+    more than ``degenerate_frac`` of the 2^depth buckets are dirty,
+    pruning is abandoned and the per-key compare runs over the FULL
+    scan.  Near-total divergence makes the prune pure overhead — the
+    filter keeps most rows anyway, while the driver-side dirty-id
+    collect approaches 2^depth rows and (at depth 15+) either a giant
+    IN-list or an extra broadcast join.  The unpruned per-key
+    full-outer digest compare is exactly the full-scan plan the
+    ``mv_merkle_*`` oracles replay, so the result is identical by
+    construction — the final ``IS DISTINCT FROM`` filter drops clean
+    keys either way.
     """
     spark = base.sparkSession
     dirty_ids = sorted(
@@ -171,11 +184,14 @@ def merkle_repair_keys(
         .select("bucket")
         .collect()
     )
+    degenerate = len(dirty_ids) > degenerate_frac * (1 << depth)
 
     def prune(df: DataFrame) -> DataFrame:
         rows = with_token_digest(df, key_cols, val_cols).withColumn(
             "bucket", F.shiftright("token", TOKEN_BITS - depth)
         )
+        if degenerate:
+            return rows  # full scan: cheaper than pruning most-dirty trees
         if not dirty_ids:
             return rows.filter(F.lit(False))
         if len(dirty_ids) <= max_inlist:

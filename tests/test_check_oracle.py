@@ -102,7 +102,10 @@ class TestRegistryOrderingContract:
         "text": "text_stats",
         "quality": "quality_percentiles",  # r8: text_quality demoted; the gate algebra is driver-checked via its rank-normalization
         "splits": "doc_splits",
-        "term-stats": "bm25_rank",
+        # r11: bm25_rank demoted for events_hll's promotion — BM25 and
+        # tf-idf are the same explode -> term-keyed df/tf shuffle +
+        # per-doc rollup as the inverted-index rep
+        "term-stats": "posting_lists",
         # r8 merge: repetition + substring-dup are one doc-scoped
         # gram-hash agg family (the r6 verdict's own grouping)
         "repetition-substring-dup": "substring_dupes",
@@ -203,6 +206,11 @@ class TestRegistryOrderingContract:
         # round-10 family: deterministic Bloom semi-join reduction —
         # bitmap build + map-side bit-test pruning below an exact join
         "bloom-semijoin": "orders_bloom_prune",
+        # round-11 promotion (r10 verdict item #4): mergeable HLL
+        # register sketch — max-rho fold + inclusion-exclusion estimate
+        # with an exact-audit column; the first genuinely new numeric
+        # estimator algebra driver-hashed since the KMV/theta family
+        "hll-registers": "events_hll",
     }
 
     # every PAST-WINDOW query must name its in-window twin here — the
@@ -236,7 +244,7 @@ class TestRegistryOrderingContract:
         "rolling_fingerprint": "text_stats",
         "token_counts": "text_stats",
         "doc_sample": "doc_splits",
-        "tfidf_topterms": "bm25_rank",
+        "tfidf_topterms": "posting_lists",  # r11: bm25_rank demoted; same term-stat shuffle family
         "token_quantiles": "posting_lists",  # r8 wave 4: heavy_hitters demoted; same token-agg family
         "pretrain_corpus": "quality_percentiles",
         "corpus_mix": "doc_splits",
@@ -253,11 +261,10 @@ class TestRegistryOrderingContract:
         # r10 wave 2: the digest-diff report is mv_merkle_keys' literal
         # stage-1 prefix (same two digest aggs + tiny full-outer join)
         "mv_merkle_diff": "mv_merkle_keys",
-        # r10 wave 2: register-family sketch — the identical two-level
-        # bucket-keyed reduction as the skew profile (per-bucket max
-        # fold -> per-group summary); the estimator algebra itself is
-        # locally gated, the distinct_docs_kmv doctrine
-        "events_hll": "key_skew",
+        # r11: events_hll PROMOTED into the window (the register-fold
+        # estimator algebra now driver-hashed directly); bm25_rank takes
+        # its past-window slot as a term-stat-shuffle twin
+        "bm25_rank": "posting_lists",
         # r10 wave 2: declarative DQ gate — one hash-aggregate pass
         # (the pricing_summary shape) exploded into a (check, value,
         # passed) verdict report (the mv_stats counter doctrine)

@@ -102,6 +102,42 @@ def test_sparse_divergence_prunes(spark, sf_dir):
     )
 
 
+def test_degenerate_divergence_skips_pruning(spark, sf_dir):
+    """Near-total divergence (every row perturbed → every bucket dirty)
+    takes the round-11 escape: the drill runs the FULL scan instead of
+    a prune that would keep everything anyway (at depth 15+ the dirty
+    collect is a 32k-row IN-list for nothing).  Pins (a) the escape
+    branch is actually taken — no bucket filter / bucket semi-join in
+    the plan — and (b) the result still equals window-free classify."""
+    base = _render(P.base_df(spark, sf_dir))
+    mv = base.withColumn(
+        "o_orderstatus", F.concat(F.lit("z"), F.col("o_orderstatus"))
+    )
+    out = merkle_repair_keys(base, mv, KEYS, VALS, DEPTH)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # pruned plans carry the dirty-id filter as `bucket#N IN (...)` (or
+    # INSET past 10 ids); the escape has no bucket predicate at all
+    import re as _re
+
+    assert "INSET" not in plan and not _re.search(
+        r"bucket#\d+L? IN \(", plan
+    ), "degenerate divergence must skip the bucket IN-filter"
+    got = {(r.o_custkey, r.o_orderkey, r.status) for r in out.collect()}
+    # every key differs, all INCONSISTENT
+    n = base.count()
+    assert len(got) == n
+    assert {s for _, _, s in got} == {"INCONSISTENT"}
+    # and the escape is equivalent to the pruned plan's semantics:
+    # forcing pruning (degenerate_frac=1.1 never escapes) agrees
+    pruned = {
+        (r.o_custkey, r.o_orderkey, r.status)
+        for r in merkle_repair_keys(
+            base, mv, KEYS, VALS, DEPTH, degenerate_frac=1.1
+        ).collect()
+    }
+    assert pruned == got
+
+
 def test_missing_side_statuses(spark, sf_dir):
     base = _render(P.base_df(spark, sf_dir)).limit(200)
     key = F.col("o_orderkey").cast("bigint")

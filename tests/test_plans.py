@@ -394,9 +394,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "mv_merkle_diff": {"AdaptiveSparkPlan": 1, "Project": 7, "Filter": 3,
                        "SortMergeJoin": 1, "Sort": 2, "HashAggregate": 4,
                        "Exchange": 2, "FileScan": 3, "Union": 1},
-    # one FileScan + Expand: the grouping-sets single-pass pin
-    "events_hll": {"AdaptiveSparkPlan": 1, "Project": 2, "HashAggregate": 4,
-                   "Exchange": 2, "Expand": 1, "FileScan": 1},
+    # demoted r11 (events_hll promoted): one corpus scan -> token
+    # Generate -> term-keyed df/tf agg -> per-doc score rollup ->
+    # TakeOrdered cut — the posting_lists term-stat shuffle family
+    "bm25_rank": {"AdaptiveSparkPlan": 1, "TakeOrderedAndProject": 1,
+                  "HashAggregate": 4, "Exchange": 3, "Project": 2,
+                  "Filter": 1, "Generate": 1, "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
