@@ -4949,6 +4949,114 @@ SELECT 'references(supplier)', v, v = 0 FROM
   ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)"""
 
 
+HIST_WIDTH_CENTS = 12800  # $128 buckets over l_extendedprice in cents
+HIST_QS_MICRO = [500000, 950000]  # median and p95
+
+
+def q_price_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable ORDER-STATISTIC sketch: per-l_returnflag median and
+    p95 of l_extendedprice estimated off a fixed-grid equi-width
+    histogram, each estimate shipped NEXT TO its exact type-1 quantile
+    and the signed error — which the grid bounds by construction
+    (0 <= err < width, the hard guarantee a fixed grid gives that
+    KLL/t-digest trade away for adaptivity).
+
+    Completes the sketch set: Bloom = membership, CMS = frequency,
+    KMV/HLL = cardinality, this = order statistics — the stat that
+    sizes equi-depth partition bounds, skew cutoffs, and p95 quality
+    gates at 100 TB, where the exact rank window is a full sort of the
+    value stream but the grid is ONE map-combinable count aggregate
+    (<= groups x buckets rows cross the shuffle, cms_counters' shape
+    without even an Expand).
+
+    Exactness: values quantize to cents via floor(double x 100) (the
+    float-widening identity both engines share), buckets and ranks are
+    pure integer division (both engines truncate non-negatives), and
+    the audit's rank window picks a value (ties collapse), so every
+    column is engine-exact."""
+    from mvrepair.operators import sketch as SK
+
+    cents = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    hist = SK.equiwidth_hist(cents, "cents", ["flag"], HIST_WIDTH_CENTS)
+    est = SK.hist_quantile_est(
+        hist, ["flag"], HIST_QS_MICRO, HIST_WIDTH_CENTS
+    )
+    # exact audit: ONE flag-keyed Exchange+Sort (the token_quantiles
+    # type-1 quantile shape); the q fan-out is a row-local explode
+    w_rank = Window.partitionBy("flag").orderBy("cents")
+    w_all = Window.partitionBy("flag")
+    ranked = cents.withColumn(
+        "__rn", F.row_number().over(w_rank)
+    ).withColumn("__n", F.count(F.lit(1)).over(w_all))
+    qarr = F.array(
+        *[F.lit(int(q)).cast("bigint") for q in HIST_QS_MICRO]
+    )
+    exact = (
+        ranked.withColumn("q_micro", F.explode(qarr))
+        .filter(
+            F.col("__rn")
+            == F.expr("(__n * q_micro + 999999) DIV 1000000")
+        )
+        .groupBy("flag", "q_micro")
+        .agg(F.min("cents").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, ["flag", "q_micro"])
+        .select(
+            "flag",
+            "q_micro",
+            F.col("est").alias("est_cents"),
+            "exact_cents",
+            (F.col("est") - F.col("exact_cents"))
+            .cast("bigint")
+            .alias("err_cents"),
+        )
+        .orderBy("flag", "q_micro")
+    )
+
+
+def _oracle_price_hist_quantiles() -> str:
+    w = HIST_WIDTH_CENTS
+    qs = ", ".join(str(q) for q in HIST_QS_MICRO)
+    return f"""
+WITH cents AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS c
+  FROM lineitem),
+hist AS (SELECT flag, c // {w} AS bucket, count(*) AS cnt
+         FROM cents GROUP BY 1, 2),
+tot AS (SELECT flag, sum(cnt) AS n FROM hist GROUP BY 1),
+qs AS (SELECT CAST(unnest([{qs}]) AS BIGINT) AS q_micro),
+cum AS (SELECT flag, bucket,
+               sum(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum
+        FROM hist),
+est AS (
+  SELECT c.flag, qs.q_micro,
+         CAST((min(c.bucket) + 1) * {w} AS BIGINT) AS est_cents
+  FROM cum c JOIN tot t ON c.flag = t.flag CROSS JOIN qs
+  WHERE c.cum >= (t.n * qs.q_micro + 999999) // 1000000
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT flag, c,
+         row_number() OVER (PARTITION BY flag ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY flag) AS n
+  FROM cents),
+exact AS (
+  SELECT r.flag, qs.q_micro, min(r.c) AS exact_cents
+  FROM ranked r CROSS JOIN qs
+  WHERE r.rn = (r.n * qs.q_micro + 999999) // 1000000
+  GROUP BY 1, 2)
+SELECT e.flag, e.q_micro, e.est_cents, x.exact_cents,
+       CAST(e.est_cents - x.exact_cents AS BIGINT) AS err_cents
+FROM est e JOIN exact x ON e.flag = x.flag AND e.q_micro = x.q_micro
+ORDER BY e.flag, e.q_micro"""
+
+
 def q_events_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-register HLL: per-event-type distinct event_id sketches
     plus the merged 'ALL' row, both from ONE table pass (GROUPING SETS —
@@ -7344,6 +7452,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted in the round-10 wave-5 rotation (driver-green r8-r9),
         # making room for view_purchase_stream's promotion:
         "source_divergence": q_source_divergence,  # twin: nb_classify (count-trained hashed-token distribution models with exact micro_log2 scoring — the dsir_scores / doc_perplexity twin doctrine)
+        # round-11 addition: the mergeable ORDER-STATISTIC sketch
+        # completing the Bloom/CMS/KMV/HLL set — fixed-grid histogram
+        # quantiles with the exact rank-window audit next to each
+        # estimate (0 <= err < width by construction)
+        "price_hist_quantiles": q_price_hist_quantiles,  # twin: quality_percentiles (the group-keyed exact-rank quantile audit is its shape; the grid fold is the pricing_summary map-combinable hash-agg)
     }
 
 
@@ -7492,6 +7605,7 @@ def oracle_sql() -> dict[str, str]:
         "part_triangles": _ORACLE_PART_TRIANGLES,
         "cohort_retention": _ORACLE_COHORT_RETENTION,
         "source_divergence": _oracle_source_divergence(),
+        "price_hist_quantiles": _oracle_price_hist_quantiles(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

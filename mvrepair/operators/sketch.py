@@ -805,3 +805,90 @@ def cms_join_size(
         ],
     )
     return wide
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram quantiles: the mergeable ordered-statistic sketch
+# ---------------------------------------------------------------------------
+# The set so far covers membership (Bloom), frequency (CMS), cardinality
+# (KMV/HLL) — this adds ORDER STATISTICS, the last stat a plan search
+# needs (equi-depth partition bounds, skew cutoffs, p95 gates).  The
+# classic fixed-grid histogram is chosen over KLL/t-digest deliberately:
+# its cells are exact integer counts on a deterministic grid, so a
+# DuckDB oracle replays the whole estimator bit-for-bit (the repo-wide
+# exactness doctrine), it is a pure map-combinable aggregate (<= groups
+# x buckets rows cross the shuffle, never the value stream), and its
+# error bound is a hard guarantee (estimate = bucket upper edge, so
+# 0 <= est - true_quantile < width ALWAYS), not a probabilistic one.
+
+
+def equiwidth_hist(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    width: int,
+) -> DataFrame:
+    """Fixed-grid histogram: bucket = value DIV width (non-negative
+    integer values; both engines truncate).  ONE map-combinable count
+    aggregate — partial grids collapse per partition before the
+    bounded shuffle, the cms_counters scale shape without even an
+    Expand.  Output: group_cols + (bucket, cnt), <= groups x
+    (max_value/width) rows.
+    """
+    if width < 1:
+        raise ValueError("width must be >= 1")
+    return (
+        df.select(
+            *group_cols,
+            F.col(value_col).cast("bigint").alias("__v"),
+        )
+        .groupBy(
+            *group_cols,
+            F.expr(f"__v DIV {width}").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantile_est(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs_micro: list[int],
+    width: int,
+) -> DataFrame:
+    """Quantile estimates off an ``equiwidth_hist`` grid: for each
+    group and q (micro-units), the smallest bucket whose cumulative
+    count reaches rank ceil(q*n/1e6); estimate = that bucket's UPPER
+    edge, so ``0 <= est - exact < width`` by construction (the exact
+    type-1 quantile lies inside the crossing bucket).
+
+    All arithmetic integer and portable: rank = (n*q + 999999) DIV 1e6
+    (truncating division on non-negatives = ceil of the product).  The
+    q fan-out is a row-local explode on the grid (never a literal-key
+    join — it would constant-fold to BNLJ), and the cumulative window
+    runs over <= buckets rows per group.
+
+    Output: group_cols + (q_micro, est bigint).
+    """
+    from pyspark.sql.window import Window
+
+    qarr = F.array(*[F.lit(int(q)).cast("bigint") for q in qs_micro])
+    w_tot = Window.partitionBy(*group_cols)
+    fan = (
+        hist.withColumn("__n", F.sum("cnt").over(w_tot))
+        .withColumn(
+            "__cum",
+            F.sum("cnt").over(
+                Window.partitionBy(*group_cols).orderBy("bucket")
+            ),
+        )
+        .withColumn("q_micro", F.explode(qarr))
+    )
+    rank = F.expr("(__n * q_micro + 999999) DIV 1000000")
+    return (
+        fan.filter(F.col("__cum") >= rank)
+        .groupBy(*group_cols, "q_micro")
+        .agg(
+            ((F.min("bucket") + 1) * width).cast("bigint").alias("est")
+        )
+    )

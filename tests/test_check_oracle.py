@@ -452,6 +452,11 @@ class TestRegistryOrderingContract:
         # drained grid feeds cms_audit's batch composition, oracle
         # shared verbatim
         "cms_stream": "events_hourly_stream",
+        # r11: fixed-grid histogram quantiles — the exact rank-window
+        # audit is the quality_percentiles shape; the grid fold is one
+        # map-combinable hash agg (pricing_summary family); the
+        # estimator algebra is locally gated like distinct_docs_kmv
+        "price_hist_quantiles": "quality_percentiles",
     }
 
     def test_every_family_within_driver_window(self):

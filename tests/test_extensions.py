@@ -4522,6 +4522,58 @@ def test_cms_probe_columns_named_like_grid_do_not_collide(spark):
     assert carried["a"] == (1, 2, 3)
 
 
+def test_equiwidth_hist_quantile_error_bound_and_mergeability(spark):
+    """The fixed grid's two contracts: (a) 0 <= est - exact < width for
+    EVERY group and q (the hard bound KLL/t-digest trade away); (b) the
+    grid is a partial aggregate — union + re-agg of two shards equals
+    the direct grid (the 100 TB mergeability claim)."""
+    from mvrepair.operators import sketch as SK
+
+    rows = [("a", v * 7 % 1000) for v in range(500)] + [
+        ("b", v * v % 997) for v in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    width = 64
+    hist = SK.equiwidth_hist(df, "v", ["g"], width)
+    qs = [250000, 500000, 900000]
+    est = {
+        (r.g, r.q_micro): r.est
+        for r in SK.hist_quantile_est(hist, ["g"], qs, width).collect()
+    }
+    import math
+
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        for q in qs:
+            exact = vals[math.ceil(len(vals) * q / 1_000_000) - 1]
+            e_ = est[(g, q)]
+            assert 0 <= e_ - exact, (g, q, e_, exact)
+            assert e_ - exact <= width, (g, q, e_, exact)
+    # mergeability: shard, grid each shard, union + re-agg == direct
+    a = spark.createDataFrame(rows[:400], ["g", "v"])
+    b = spark.createDataFrame(rows[400:], ["g", "v"])
+    merged = (
+        SK.equiwidth_hist(a, "v", ["g"], width)
+        .unionByName(SK.equiwidth_hist(b, "v", ["g"], width))
+        .groupBy("g", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, hist.collect())
+    )
+
+
+def test_equiwidth_hist_rejects_bad_width(spark):
+    from mvrepair.operators import sketch as SK
+
+    df = spark.createDataFrame([("a", 1)], ["g", "v"])
+    with pytest.raises(ValueError, match="width"):
+        SK.equiwidth_hist(df, "v", ["g"], 0)
+
+
 def test_cms_grid_is_mergeable(spark):
     from mvrepair.operators import sketch as SK
 

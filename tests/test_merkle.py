@@ -320,3 +320,29 @@ def test_choose_depth_sizing_rule():
         choose_depth(-1)
     with pytest.raises(ValueError):
         choose_depth(5, headroom=0)
+
+
+def test_choose_depth_lands_in_measured_band():
+    """Pins choose_depth against the round-11 depth sweep
+    (tools/merkle_depth_study.py at 30x sf0.1, PERF.md): the rule's
+    pick must land inside the measured fastest wall-time band AND keep
+    the tree clear of the degenerate escape at every swept divergence.
+    Constants below are the sweep's measurements."""
+    from mvrepair.operators.merkle import choose_depth
+
+    # 0.1% divergence, 4,500 dirty keys: post-IN-list-fix wall times
+    # were flat-fastest across depths 12..16 (3.52-3.93 s vs 4.31 at
+    # the escape); drilled rows fall 4.5M -> 303k over the same band
+    assert 12 <= choose_depth(4500) <= 16
+    # the rule's picks keep dirty buckets clear of the 50% degenerate
+    # escape at every swept divergence (dirty keys <= n_dirty, so
+    # dirty/capacity <= n_dirty / 2^depth)
+    for n_dirty in (4500, 45000, 450000):
+        depth = choose_depth(n_dirty)
+        assert n_dirty / (1 << depth) <= 0.5, (n_dirty, depth)
+    # and never wastes capacity: one step shallower would saturate
+    # past ~86% on the unclamped picks (headroom 4 means dirty keys
+    # occupy <= 1/4 of buckets at the pick, <= 1/2 one step down)
+    assert choose_depth(4500) == 15
+    assert choose_depth(45000) == 18
+    assert choose_depth(450000) == 20  # the [1, 20] clamp

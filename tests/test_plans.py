@@ -400,6 +400,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "bm25_rank": {"AdaptiveSparkPlan": 1, "TakeOrderedAndProject": 1,
                   "HashAggregate": 4, "Exchange": 3, "Project": 2,
                   "Filter": 1, "Generate": 1, "FileScan": 1},
+    # r11 addition: grid fold (one hash agg) + tiny cum/total windows
+    # over <= buckets rows + the exact rank-window audit (one
+    # flag-keyed Exchange+Sort) joined on (flag, q)
+    "price_hist_quantiles": {"AdaptiveSparkPlan": 1, "Sort": 4,
+                             "Exchange": 4, "Project": 6,
+                             "BroadcastHashJoin": 1, "HashAggregate": 6,
+                             "Filter": 5, "Generate": 2, "Window": 4,
+                             "FileScan": 2, "BroadcastExchange": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},

@@ -20,9 +20,13 @@ rows, escape taken?, and the median-of-3 wall time of the full
 run.  Divergence is synthesized exactly like the divergence study:
 o_totalprice perturbed on ``o_orderkey % m == 3`` → ~n/m dirty keys.
 
-Usage: python tools/merkle_depth_study.py [sf_dir] [depths...]
-Prints one JSON object {div_frac: {depth: {...}}} plus, per
-divergence, the measured-fastest depth and ``choose_depth``'s pick.
+Usage: python tools/merkle_depth_study.py [sf_dir] [k] [depths...]
+``k`` inflates the base table k-fold with shifted order keys (the
+divergence study's volume knob) — at raw sf0.1 (150k rows) every
+depth finishes in ~1 s and the digest-vs-drill crossover is invisible
+in wall time; at 30x (4.5M rows/side) it is measurable.  Prints one
+JSON object {div_frac: {depth: {...}}} plus, per divergence, the
+measured-fastest depth and ``choose_depth``'s pick.
 """
 
 from __future__ import annotations
@@ -38,7 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    depths = [int(a) for a in sys.argv[2:]] or [4, 6, 8, 10, 12, 14]
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    depths = [int(a) for a in sys.argv[3:]] or [4, 6, 8, 10, 12, 14, 16]
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -67,6 +72,23 @@ def main() -> None:
     from mvrepair.sources import load_table
 
     base = load_table(spark, sf_dir, "orders")
+    if k > 1:
+        parts = [
+            base.select(
+                (F.col("o_orderkey") + i * 10_000_000).alias("o_orderkey"),
+                "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority",
+            )
+            for i in range(k)
+        ]
+        out_f = parts[0]
+        for p_ in parts[1:]:
+            out_f = out_f.unionByName(p_)
+        path = f"/tmp/mvrepair_depth_base_{k}.parquet"
+        out_f.repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(path)
+        base = spark.read.parquet(path)
     n = base.count()
     KEYS = ["o_custkey", "o_orderkey"]
     VALS = ["o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]

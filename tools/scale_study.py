@@ -951,6 +951,20 @@ def main() -> None:
 
         return mad_anomaly(df)
 
+    def _hist_q_op(df):
+        # the SKETCH path only (no exact audit): at scale the audit is
+        # the thing the grid replaces — this row prices the grid alone
+        from mvrepair.operators.sketch import equiwidth_hist, hist_quantile_est
+
+        cents = df.select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice").cast("double") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        h = equiwidth_hist(cents, "cents", ["flag"], 12800)
+        return hist_quantile_est(h, ["flag"], [500000, 950000], 12800)
+
     def _label_pca_op(df):
         from mvrepair.operators.decomp import grouped_pca_scores
 
@@ -1283,6 +1297,11 @@ def main() -> None:
         # embedding copies (labels unchanged): per-label stats stay
         # 2,145 rows, the grouped cell explode grows with volume
         "label_pca(emb)": ("emb", _label_pca_op),
+        # round 11.  fact copies: the histogram grid is <= groups x
+        # buckets cells at every factor — growth is the one
+        # map-combinable count scan; quantile extraction rides the
+        # fixed-size grid (the cms_grid doctrine for order statistics)
+        "hist_quantiles(li)": ("li", _hist_q_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
