@@ -4976,13 +4976,27 @@ def q_price_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is engine-exact."""
     from mvrepair.operators import sketch as SK
 
-    cents = load_table(spark, sf_dir, "lineitem").select(
+    cents = _hist_cents(spark, sf_dir)
+    hist = SK.equiwidth_hist(cents, "cents", ["flag"], HIST_WIDTH_CENTS)
+    return _hist_quantiles_audited(hist, cents)
+
+
+def _hist_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice").cast("double") * 100)
         .cast("bigint")
         .alias("cents"),
     )
-    hist = SK.equiwidth_hist(cents, "cents", ["flag"], HIST_WIDTH_CENTS)
+
+
+def _hist_quantiles_audited(hist: DataFrame, cents: DataFrame) -> DataFrame:
+    """Quantile extraction off a histogram grid + the exact rank-window
+    audit — shared by the batch query and its streaming twin (the
+    drained JVM-state grid equals the batch grid cell-for-cell, so the
+    tail and the oracle apply verbatim)."""
+    from mvrepair.operators import sketch as SK
+
     est = SK.hist_quantile_est(
         hist, ["flag"], HIST_QS_MICRO, HIST_WIDTH_CENTS
     )
@@ -5018,6 +5032,39 @@ def q_price_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "q_micro")
     )
+
+
+def q_price_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of price_hist_quantiles: the fixed-grid histogram
+    is a plain keyed count aggregate, so it runs UNCHANGED as a native
+    streaming aggregation — one JVM state row per (flag, bucket),
+    <= groups x buckets longs at ANY stream volume (the
+    events_hll_stream doctrine for the ORDER-STATISTIC sketch, closing
+    the set: every mergeable sketch here is a streaming citizen).  An
+    availableNow + complete drain equals the batch grid cell-for-cell,
+    so the identical quantile-extraction tail, exact audit, and oracle
+    apply verbatim to the drained table."""
+    from mvrepair.operators import sketch as SK
+    from mvrepair.sources.parquet import load_stream
+
+    scents = load_stream(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    sdf = SK.equiwidth_hist(scents, "cents", ["flag"], HIST_WIDTH_CENTS)
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__hist_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    hist = spark.table("__hist_stream")
+    return _hist_quantiles_audited(hist, _hist_cents(spark, sf_dir))
 
 
 def _oracle_price_hist_quantiles() -> str:
@@ -7457,6 +7504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantiles with the exact rank-window audit next to each
         # estimate (0 <= err < width by construction)
         "price_hist_quantiles": q_price_hist_quantiles,  # twin: quality_percentiles (the group-keyed exact-rank quantile audit is its shape; the grid fold is the pricing_summary map-combinable hash-agg)
+        "price_hist_stream": q_price_hist_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the grid + quantile algebra is price_hist_quantiles', oracle shared verbatim
     }
 
 
@@ -7606,6 +7654,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": _ORACLE_COHORT_RETENTION,
         "source_divergence": _oracle_source_divergence(),
         "price_hist_quantiles": _oracle_price_hist_quantiles(),
+        "price_hist_stream": _oracle_price_hist_quantiles(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -457,6 +457,10 @@ class TestRegistryOrderingContract:
         # map-combinable hash agg (pricing_summary family); the
         # estimator algebra is locally gated like distinct_docs_kmv
         "price_hist_quantiles": "quality_percentiles",
+        # r11: the grid is a plain keyed count agg, streaming-legal
+        # unchanged — JVM-state rep family; the quantile algebra rides
+        # price_hist_quantiles' local gate, oracle shared verbatim
+        "price_hist_stream": "events_hourly_stream",
     }
 
     def test_every_family_within_driver_window(self):

@@ -408,6 +408,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                              "BroadcastHashJoin": 1, "HashAggregate": 6,
                              "Filter": 5, "Generate": 2, "Window": 4,
                              "FileScan": 2, "BroadcastExchange": 1},
+    # streaming twin: the drained JVM-state grid is a LocalTableScan;
+    # the quantile tail + exact audit are the batch plan verbatim
+    "price_hist_stream": {"AdaptiveSparkPlan": 1, "Sort": 4,
+                          "Exchange": 3, "Project": 5,
+                          "BroadcastHashJoin": 1, "HashAggregate": 4,
+                          "Filter": 5, "Generate": 2, "Window": 4,
+                          "LocalTableScan": 1, "BroadcastExchange": 1,
+                          "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
