@@ -5067,6 +5067,92 @@ def q_price_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _hist_quantiles_audited(hist, _hist_cents(spark, sf_dir))
 
 
+KCENTER_K = 6
+
+
+def q_embed_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware data selection: greedy k-center (Gonzalez 1985)
+    over the embedding corpus — the coreset / max-min coverage selector
+    training-data curation pairs with SemDeDup and DSIR (Sener &
+    Savarese 2018 use this exact loop for active learning).  Each of the
+    k rounds is ONE narrow scan + ONE TakeOrderedAndProject(1) reduce
+    over a persisted (id, qv, mind2) frame maintained INCREMENTALLY
+    (O(nk) total distance evals, no pairwise anything, vectors never
+    shuffle); the final assignment is a map-side argmin against k
+    broadcast literal centers, zero joins.  Exact int64 squared-L2
+    micro-unit math makes every round's argmax bit-reproducible, so
+    this ITERATIVE algorithm hash-checks against a DuckDB oracle that
+    replays the same {KCENTER_K} rounds as unrolled MATERIALIZED CTEs
+    (the kmeans_clusters doctrine)."""
+    from mvrepair.operators import selection as SEL
+
+    emb = _spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    _, out = SEL.kcenter_select(emb, k=KCENTER_K)
+    return out
+
+
+def _oracle_embed_kcenter() -> str:
+    def d2(a: str, b: str) -> str:
+        return (
+            "CAST(list_sum(list_transform(range(1, 65), "
+            f"i -> ({a}.qv[i] - {b}.cqv[i]) * ({a}.qv[i] - {b}.cqv[i])"
+            ")) AS BIGINT)"
+        )
+
+    parts = [
+        """emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings)""",
+        """s0 AS MATERIALIZED (
+  SELECT 0 AS rnd, vec_id AS cid, qv AS cqv FROM emb
+  ORDER BY list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) DESC,
+           vec_id
+  LIMIT 1)""",
+        f"""d0 AS MATERIALIZED (
+  SELECT e.vec_id, e.qv, {d2('e', 's')} AS mind2
+  FROM emb e CROSS JOIN s0 s)""",
+    ]
+    for i in range(1, KCENTER_K):
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT {i} AS rnd, vec_id AS cid, qv AS cqv FROM d{i - 1}
+  ORDER BY mind2 DESC, vec_id LIMIT 1)"""
+        )
+        if i < KCENTER_K - 1:
+            parts.append(
+                f"""d{i} AS MATERIALIZED (
+  SELECT e.vec_id, e.qv, least(e.mind2, {d2('e', 's')}) AS mind2
+  FROM d{i - 1} e CROSS JOIN s{i} s)"""
+            )
+    cents = " UNION ALL ".join(
+        f"SELECT * FROM s{i}" for i in range(KCENTER_K)
+    )
+    parts.append(f"cents AS MATERIALIZED ({cents})")
+    parts.append(
+        f"""scored AS (
+  SELECT e.vec_id, c.rnd, c.cid, {d2('e', 'c')} AS d2
+  FROM emb e CROSS JOIN cents c)"""
+    )
+    parts.append(
+        """best AS (
+  SELECT vec_id, rnd, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, rnd) AS rn
+  FROM scored)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT b.vec_id, CAST(b.rnd AS INTEGER) AS center_round,
+       b.cid AS center_id, b.d2 AS d2,
+       b.vec_id IN (SELECT cid FROM cents) AS is_center
+FROM best b WHERE rn = 1"""
+    )
+
+
 def _oracle_price_hist_quantiles() -> str:
     w = HIST_WIDTH_CENTS
     qs = ", ".join(str(q) for q in HIST_QS_MICRO)
@@ -6753,6 +6839,57 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUCKET_JOIN_N = 8
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed CO-LOCATED join — the other half of the engine's layout
+    surface (zorder = scan pruning; this = shuffle elimination): write
+    orders and lineitem as bucket-sorted tables hash-distributed on the
+    join key, then join them with ZERO Exchange and ZERO Sort under the
+    SortMergeJoin (pinned structurally by tests/test_layout_bucketed.py
+    and by this query's frozen plan fingerprint — the only Exchange in
+    the whole plan is the 5-row priority aggregate).  At 100 TB this is
+    THE repeated fact-fact join strategy: pay the shuffle once at write
+    time, never again.  Result algebra (priority-keyed revenue rollup,
+    pricing_summary's exact-DECIMAL conventions) is deliberately
+    boring — the layout is the operator."""
+    from mvrepair.operators import layout as LY
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    LY.write_bucketed(li, "mvr_bkt_lineitem", "l_orderkey", BUCKET_JOIN_N)
+    LY.write_bucketed(ords, "mvr_bkt_orders", "o_orderkey", BUCKET_JOIN_N)
+    j = LY.bucketed_join(
+        spark,
+        "mvr_bkt_lineitem",
+        "mvr_bkt_orders",
+        "l_orderkey",
+        "o_orderkey",
+    )
+    price = F.col("l_extendedprice").cast(_DEC18)
+    disc_price = price * (F.lit(1.0) - F.col("l_discount")).cast(_DEC12)
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(disc_price)
+        .cast("decimal(28,4)")
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,10))) AS DECIMAL(28,4)) AS DOUBLE) AS revenue,
+  count(*) AS n_items
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority"""
+
+
 def _oracle_zorder_layout() -> str:
     from mvrepair.operators.layout import z_value_sql
 
@@ -7505,6 +7642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimate (0 <= err < width by construction)
         "price_hist_quantiles": q_price_hist_quantiles,  # twin: quality_percentiles (the group-keyed exact-rank quantile audit is its shape; the grid fold is the pricing_summary map-combinable hash-agg)
         "price_hist_stream": q_price_hist_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the grid + quantile algebra is price_hist_quantiles', oracle shared verbatim
+        "embed_kcenter": q_embed_kcenter,  # twin: kmeans_clusters (iterative broadcast-center geometric loop, unrolled-CTE oracle replay); greedy max-min selection over the same persisted quantized corpus
+        "bucketed_join": q_bucketed_join,  # twin: zorder_layout (the data-layout surface: zorder = scan pruning, bucketing = shuffle elimination); result algebra is pricing_summary's fact rollup
     }
 
 
@@ -7655,6 +7794,8 @@ def oracle_sql() -> dict[str, str]:
         "source_divergence": _oracle_source_divergence(),
         "price_hist_quantiles": _oracle_price_hist_quantiles(),
         "price_hist_stream": _oracle_price_hist_quantiles(),
+        "embed_kcenter": _oracle_embed_kcenter(),
+        "bucketed_join": _ORACLE_BUCKETED_JOIN,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -255,3 +255,90 @@ def files_skipped(file_stats: list, dim: str, point: int) -> tuple[int, int]:
         if not (r[f"{dim}_min"] <= point <= r[f"{dim}_max"])
     )
     return skipped, len(file_stats)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+) -> None:
+    """Write ``df`` as a BUCKETED, bucket-sorted parquet table — the
+    storage half of the co-located join: rows are hash-distributed into
+    ``buckets`` files per partition by ``key`` (Spark's
+    ``HashPartitioning``, the same function the join would shuffle by)
+    and sorted by ``key`` within each bucket.
+
+    At 100 TB this is THE strategy for a fact-fact join that repeats
+    across a pipeline (orders ⋈ lineitem here; events ⋈ documents,
+    corpus ⋈ dedup-verdicts in the LLM layer): pay the shuffle ONCE at
+    write time, then every subsequent join on the bucket key reads both
+    sides already co-partitioned AND pre-sorted — zero Exchange, zero
+    Sort in the join plan (pinned by test), which at cluster scale
+    removes the single largest network cost a repeated join pays.
+    ``buckets`` must match on both sides; size it so one bucket of the
+    LARGER side fits an executor core's working set (~the same rule as
+    ``spark.sql.shuffle.partitions``).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # A managed table's LOCATION can survive a previous session whose
+    # in-memory catalog is gone (the catalog entry died with the
+    # session, the warehouse directory didn't) — Spark then refuses the
+    # name with LOCATION_ALREADY_EXISTS.  Reconcile the orphan
+    # directory explicitly; on a cluster deployment the persistent
+    # metastore owns this lifecycle and the rmtree is a no-op.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    (
+        # repartition on the SAME hash the bucketing uses, so every
+        # bucket is written by exactly one task = exactly one file —
+        # the condition under which the scan also exposes the sortBy
+        # order and the join needs no Sort (multi-file buckets only
+        # guarantee per-file order, so the reader would re-sort)
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def bucketed_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Shuffle-free equi-join of two tables written by
+    :func:`write_bucketed` with the SAME bucket count.
+
+    The ``merge`` hint pins SortMergeJoin (a broadcast would also skip
+    the shuffle at fixture scale, but the point at 100 TB is the
+    fact-fact case where neither side broadcasts); Spark's bucketed
+    scan then satisfies both the HashPartitioning and the sort order
+    requirement from the file layout, so the plan contains NO Exchange
+    and NO Sort under the join — co-location verified structurally by
+    tests/test_layout_bucketed.py.
+    """
+    # SPARK-28595 stopped trusting bucket-file sort order by default
+    # because multi-file buckets only guarantee PER-FILE order; the
+    # legacy flag re-enables it, and Spark still guards it behind a
+    # one-file-per-bucket check at scan planning — which
+    # write_bucketed's aligned repartition guarantees.  Only
+    # bucket-sorted scans consult this, and only this writer creates
+    # them, so the session-wide set is safe.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    left = spark.table(left_table)
+    right = spark.table(right_table)
+    return left.hint("merge").join(
+        right.hint("merge"),
+        left[left_key] == right[right_key],
+    )

@@ -1,0 +1,159 @@
+"""Diversity-aware data selection over embedding columns.
+
+``kcenter_select`` is the greedy 2-approximation for the metric
+k-center problem (Gonzalez 1985, "Clustering to minimize the maximum
+intercluster distance") — the standard coreset / diversity-sampling
+primitive in training-data curation: pick k points such that every
+corpus point is close to some pick, maximizing coverage with a hard
+|picks| budget.  Facility-location / "select the most diverse k docs"
+pipelines are this exact loop over document embeddings.
+
+Engine-portable exact math, same convention as ``similarity.py``: each
+embedding element is quantized to an int64 micro-unit
+(``floor(x * 1e6)``), so squared L2 distances are EXACT integer sums
+(64 dims x (2e6)^2 = 2.6e14 << 2^63) — every round's argmax and the
+final argmin assignment are bit-reproducible and hash-checkable against
+a DuckDB oracle that replays the identical rounds as unrolled
+MATERIALIZED CTEs.
+
+Scale design (100 TB corpus, 1000 executors):
+- Each greedy round is ONE narrow scan of the persisted quantized
+  corpus + ONE ``TakeOrderedAndProject(1)`` reduce — no shuffle of the
+  vectors, no pairwise anything.  Total cost: k scans.
+- The running min-distance column is maintained INCREMENTALLY (one new
+  distance eval per row per round, ``least`` with the previous round's
+  persisted value), not recomputed against all chosen centers — the
+  classic O(nk) formulation.  Round i's frame is persisted and round
+  i-1's released once round i materializes, so peak cache is one
+  (id, qv, mind2) projection of the corpus.
+- Centers live on the driver (k rows, bounded by construction) and
+  ship back as literal struct arrays — the broadcast-centroid pattern
+  shared with ``train_kmeans``/``ivf_topk``; the final assignment is a
+  map-side expression, zero joins.
+
+Reference parity note: the reference engine has no selection surface at
+all — this extends the repo's LLM-data-pipeline layer (SemDeDup, DSIR,
+A-ES sampling) with the max-min coverage selector those papers pair
+with (e.g. coreset selection literature; Sener & Savarese 2018 use this
+exact greedy loop for active learning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from mvrepair.operators.similarity import _quant
+
+
+def _d2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance of two quantized vectors."""
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _center_lits(centers: list[tuple[int, int, list[int]]]) -> Column:
+    """Literal array<struct<rnd,cid,cqv>> for the chosen centers
+    (selection order = ``rnd``)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(rnd).cast("int").alias("rnd"),
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(v).cast("long") for v in cqv]).alias("cqv"),
+            )
+            for rnd, cid, cqv in centers
+        ]
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, int, list[int]]], DataFrame]:
+    """Greedy k-center: returns ``(centers, assignment)``.
+
+    ``centers`` is the selection-ordered list ``(round, id, qv)``; round
+    0 is the deterministic seed (max squared norm, ties to the lowest
+    id — a data-dependent, order-independent choice), and each later
+    round picks the point FARTHEST from its nearest chosen center
+    (max-min, ties to the lowest id).
+
+    ``assignment`` maps every corpus point to its nearest center:
+    ``(id_col, center_round int, center_id, d2, is_center)`` — argmin
+    ties resolve to the earliest-selected center, mirroring the oracle's
+    ``ORDER BY d2, rnd`` window.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select needs k >= 1")
+    q = df.select(F.col(id_col), _quant(F.col(vec_col)).alias("qv")).persist()
+    try:
+        seed = (
+            q.select(id_col, "qv", _d2_norm().alias("n2"))
+            .orderBy(F.desc("n2"), F.asc(id_col))
+            .limit(1)
+            .collect()[0]
+        )
+        centers: list[tuple[int, int, list[int]]] = [(0, seed[id_col], list(seed["qv"]))]
+        cqv0 = F.array(*[F.lit(v).cast("long") for v in centers[0][2]])
+        cur = q.select(
+            id_col, "qv", _d2(F.col("qv"), cqv0).alias("mind2")
+        ).persist()
+        prev = None
+        for rnd in range(1, k):
+            far = (
+                cur.orderBy(F.desc("mind2"), F.asc(id_col)).limit(1).collect()[0]
+            )
+            centers.append((rnd, far[id_col], list(far["qv"])))
+            cqv = F.array(*[F.lit(v).cast("long") for v in centers[-1][2]])
+            prev, cur = cur, cur.select(
+                id_col,
+                "qv",
+                F.least("mind2", _d2(F.col("qv"), cqv)).alias("mind2"),
+            ).persist()
+            cur.count()  # materialize before releasing the parent
+            prev.unpersist()
+        lits = _center_lits(centers)
+        # argmin over the k centers as ONE map-side expression: array_min
+        # on struct<d2,rnd,cid> orders lexicographically, giving the
+        # (d2 ASC, rnd ASC) tie-break for free.
+        best = F.array_min(
+            F.transform(
+                lits,
+                lambda c: F.struct(
+                    _d2(F.col("qv"), c["cqv"]).alias("d2"),
+                    c["rnd"].alias("rnd"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        cids = [cid for _, cid, _ in centers]
+        # The assignment needs only (id, qv) + the center literals — it
+        # rides the SOURCE frame, not the loop's mind2 frame, so every
+        # loop persist is released before return and the caller's action
+        # is one map-side scan with zero joins and zero cached state.
+        out = (
+            df.select(F.col(id_col), _quant(F.col(vec_col)).alias("qv"))
+            .select(F.col(id_col), best.alias("b"))
+            .select(
+                id_col,
+                F.col("b.rnd").alias("center_round"),
+                F.col("b.cid").alias("center_id"),
+                F.col("b.d2").alias("d2"),
+                F.col(id_col).isin(cids).alias("is_center"),
+            )
+        )
+        cur.unpersist()
+        return centers, out
+    finally:
+        q.unpersist()
+
+
+def _d2_norm() -> Column:
+    """Exact int64 squared norm of the ``qv`` column."""
+    return F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

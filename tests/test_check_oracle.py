@@ -461,6 +461,16 @@ class TestRegistryOrderingContract:
         # unchanged — JVM-state rep family; the quantile algebra rides
         # price_hist_quantiles' local gate, oracle shared verbatim
         "price_hist_stream": "events_hourly_stream",
+        # r11: greedy k-center selection — the iterative broadcast-
+        # center geometric loop over the same persisted quantized
+        # corpus as the in-window kmeans rep (unrolled-CTE oracle
+        # replay, literal-center map-side assignment)
+        "embed_kcenter": "kmeans_clusters",
+        # r11: bucketed co-located join — the data-layout surface
+        # family (zorder rep in-window: zorder = scan pruning, this =
+        # shuffle elimination); the result algebra is pricing_summary's
+        # exact-DECIMAL fact rollup
+        "bucketed_join": "zorder_layout",
     }
 
     def test_every_family_within_driver_window(self):

@@ -970,6 +970,11 @@ def main() -> None:
 
         return grouped_pca_scores(df, "vec_id", "embedding", "label", 64)
 
+    def _kcenter_op(df):
+        from mvrepair.operators.selection import kcenter_select
+
+        return kcenter_select(df.select("vec_id", "embedding"), 6)[1]
+
     def _cms_joinsize_op(df):
         from mvrepair.operators.sketch import cms_join_size
 
@@ -1302,6 +1307,11 @@ def main() -> None:
         # map-combinable count scan; quantile extraction rides the
         # fixed-size grid (the cms_grid doctrine for order statistics)
         "hist_quantiles(li)": ("li", _hist_q_op),
+        # embedding copies: k greedy rounds, each ONE scan + ONE
+        # TakeOrdered(1) reduce over the incremental mind2 frame —
+        # growth is the per-round scan; round count and the driver's
+        # center list are volume-independent
+        "kcenter(emb)": ("emb", _kcenter_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
