@@ -5153,6 +5153,86 @@ FROM best b WHERE rn = 1"""
     )
 
 
+MMR_K = 8
+MMR_LAM = (7, 10)  # λ = 0.7 as exact integer weights (7·rel − 3·maxsim)
+
+
+def q_embed_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) over the embedding corpus: greedy diversity-aware top-{MMR_K}
+    with λ=0.7 kept as exact integer weights, relevance = cosine_micro
+    to a deterministic query vector (lowest vec_id).  Same
+    one-scan-one-TakeOrdered(1) incremental loop as embed_kcenter; the
+    returned frame scores EVERY corpus row (rel, final redundancy,
+    selection rank) map-side plus one k-row broadcast join.  Oracle
+    replays the identical {MMR_K} rounds as unrolled MATERIALIZED CTEs.
+    See selection.py:mmr_select."""
+    from mvrepair.operators import selection as SEL
+
+    emb = _spread(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    _, out = SEL.mmr_select(
+        emb, k=MMR_K, lam_num=MMR_LAM[0], lam_den=MMR_LAM[1]
+    )
+    return out
+
+
+def _oracle_embed_mmr() -> str:
+    lip = "list_inner_product"
+
+    def cosm(a: str, b: str) -> str:
+        return (
+            f"CAST(floor({lip}({a}.qv, {b}.qv) / (sqrt({lip}({a}.qv, {a}.qv))"
+            f" * sqrt({lip}({b}.qv, {b}.qv))) * 1000000) AS BIGINT)"
+        )
+
+    ln, ld = MMR_LAM
+    wr = ld - ln
+    parts = [
+        """emb AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings)""",
+        "qc AS MATERIALIZED (SELECT qv FROM emb ORDER BY vec_id LIMIT 1)",
+        f"""rel AS MATERIALIZED (
+  SELECT e.vec_id, e.qv, {cosm('e', 'q')} AS rel_micro
+  FROM emb e CROSS JOIN qc q)""",
+        """p0 AS MATERIALIZED (
+  SELECT 0 AS rnd, vec_id, qv FROM rel
+  ORDER BY rel_micro DESC, vec_id LIMIT 1)""",
+        f"""m0 AS MATERIALIZED (
+  SELECT r.vec_id, r.qv, r.rel_micro, {cosm('r', 'p')} AS ms,
+         r.vec_id = p.vec_id AS pk
+  FROM rel r CROSS JOIN p0 p)""",
+    ]
+    for i in range(1, MMR_K):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT {i} AS rnd, vec_id, qv FROM m{i - 1} WHERE NOT pk
+  ORDER BY {ln} * rel_micro - {wr} * ms DESC, vec_id LIMIT 1)"""
+        )
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+  SELECT r.vec_id, r.qv, r.rel_micro, greatest(r.ms, {cosm('r', 'p')}) AS ms,
+         r.pk OR r.vec_id = p.vec_id AS pk
+  FROM m{i - 1} r CROSS JOIN p{i} p)"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT rnd, vec_id FROM p{i}" for i in range(MMR_K)
+    )
+    parts.append(f"picks AS MATERIALIZED ({picks})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT m.vec_id, m.rel_micro, m.ms AS maxsim_micro,
+       p.vec_id IS NOT NULL AS selected,
+       CAST(p.rnd AS INTEGER) AS sel_rank
+FROM m{MMR_K - 1} m LEFT JOIN picks p USING (vec_id)"""
+    )
+
+
 def _oracle_price_hist_quantiles() -> str:
     w = HIST_WIDTH_CENTS
     qs = ", ".join(str(q) for q in HIST_QS_MICRO)
@@ -6551,6 +6631,66 @@ SELECT s AS source, max(ns)::BIGINT AS n_tokens,
 FROM ({ml}) GROUP BY 1"""
 
 
+def q_events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor over the event feed: per-type PSI
+    contribution + two-sample chi-square between the two halves of the
+    table's time range — the production "did the mix shift?" gate
+    (PSI > 0.25 = investigate).  ONE map-combinable (type, half) count
+    pass; every ladder, window, and join after it runs on the
+    |types|x2-row frame.  All-integer PSI algebra (delta_micro x
+    micro_log2 ratio units) so the cross-category sum is
+    order-independent — see dq.py:category_drift."""
+    from mvrepair.operators.dq import category_drift
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return category_drift(ev, "event_type", "ts")
+
+
+def _oracle_events_drift() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    inner = """
+WITH bnd AS (
+  SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+          + CAST(max(epoch_us(ts)) AS BIGINT)) >> 1 AS mid
+  FROM events),
+c AS (
+  SELECT event_type AS category,
+         count(CASE WHEN epoch_us(ts) <= bnd.mid THEN 1 END) AS ca,
+         count(CASE WHEN epoch_us(ts) > bnd.mid THEN 1 END) AS cb
+  FROM events, bnd GROUP BY 1)
+SELECT category, ca, cb,
+       CAST(sum(ca) OVER () AS BIGINT) AS na,
+       CAST(sum(cb) OVER () AS BIGINT) AS nb
+FROM c QUALIFY ca > 0 AND cb > 0"""
+    ml = micro_log2_sql(
+        inner,
+        "(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+        " * (CAST(nb AS DOUBLE) / CAST(cb AS DOUBLE))",
+        keep=["category", "ca", "cb", "na", "nb"],
+        out="ml_q20",
+    )
+    return f"""
+SELECT category, ca, cb, na, nb, delta_micro, ml_q20,
+  delta_micro * ml_q20 AS psi_q, chi2_micro,
+  CAST(sum(delta_micro * ml_q20) OVER () AS BIGINT) AS psi_total_q,
+  CAST(sum(chi2_micro) OVER () AS BIGINT) AS chi2_total_micro
+FROM (
+  SELECT category, ca, cb, na, nb, ml_q20,
+    CAST(floor((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS delta_micro,
+    CAST(floor(da * da / ea * 1000000.0) AS BIGINT)
+      + CAST(floor(db * db / eb * 1000000.0) AS BIGINT) AS chi2_micro
+  FROM (
+    SELECT *, CAST(ca AS DOUBLE) - ea AS da, CAST(cb AS DOUBLE) - eb AS db
+    FROM (
+      SELECT *,
+        CAST(na * (ca + cb) AS DOUBLE) / CAST(na + nb AS DOUBLE) AS ea,
+        CAST(nb * (ca + cb) AS DOUBLE) / CAST(na + nb AS DOUBLE) AS eb
+      FROM ({ml}))))"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase over the event stream:
     users reaching each step (each step strictly after the user's
@@ -7644,6 +7784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_hist_stream": q_price_hist_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the grid + quantile algebra is price_hist_quantiles', oracle shared verbatim
         "embed_kcenter": q_embed_kcenter,  # twin: kmeans_clusters (iterative broadcast-center geometric loop, unrolled-CTE oracle replay); greedy max-min selection over the same persisted quantized corpus
         "bucketed_join": q_bucketed_join,  # twin: zorder_layout (the data-layout surface: zorder = scan pruning, bucketing = shuffle elimination); result algebra is pricing_summary's fact rollup
+        "events_drift_psi": q_events_drift_psi,  # twin: nb_classify (the micro_log2 count-ladder scoring family, the source_divergence doctrine); one (type,half) count pass + tiny-frame ladders
+        "embed_mmr": q_embed_mmr,  # twin: kmeans_clusters (the embed_kcenter doctrine: iterative broadcast-center loop, unrolled-CTE oracle replay) + one k-row broadcast join for the rank column
     }
 
 
@@ -7796,6 +7938,8 @@ def oracle_sql() -> dict[str, str]:
         "price_hist_stream": _oracle_price_hist_quantiles(),
         "embed_kcenter": _oracle_embed_kcenter(),
         "bucketed_join": _ORACLE_BUCKETED_JOIN,
+        "events_drift_psi": _oracle_events_drift(),
+        "embed_mmr": _oracle_embed_mmr(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

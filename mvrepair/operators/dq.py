@@ -313,3 +313,106 @@ def mi_report(
         "pair string, n bigint, n_joint bigint, h_x_q20w bigint, "
         "h_y_q20w bigint, mi_q20w bigint",
     )
+
+
+def category_drift(
+    df: DataFrame,
+    cat_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Distribution-drift monitor between the two halves of a table's
+    time range: per-category PSI contribution + two-sample chi-square —
+    THE production gate for "did this feed's categorical mix shift?"
+    (population stability index; >0.25 conventionally means retrain /
+    investigate).  The reference window A is rows at or before the
+    midpoint of [min(ts), max(ts)], B the rest — a data-derived,
+    order-independent split.
+
+    Exact-arithmetic contract (oracle-hash-checkable, the
+    source_divergence doctrine):
+    - counts are exact integers off ONE map-combinable
+      (category, half) aggregate — the only corpus-sized pass;
+    - PSI per category = delta_micro * ml_q20, both int64:
+      delta_micro = floor((ca/na - cb/nb) * 1e6) and ml_q20 =
+      micro_log2((ca/na) * (nb/cb)) — each factor a single IEEE
+      division on exact ints, cross-engine bit-identical; the sum of
+      per-category int64 contributions is order-independent (never a
+      float sum);
+    - chi-square cell terms ((obs-exp)^2/exp, exp = na*rt/T) quantize
+      per-cell to micro-units before the integer sum.  The ``na*rt``
+      int64 product bounds the exact path at ~3e9 rows per window;
+      past that switch the expected-count to the two-division form
+      (the source_divergence overflow note).
+    - categories present in only one half are dropped from the PSI
+      join (PSI is undefined at q=0); their mass still counts in
+      na/nb, so the drop is visible as column totals vs sum(ca/cb).
+
+    Scale shape: one corpus scan -> |categories| x 2 count rows;
+    everything after runs on that tiny frame (empty-partition windows,
+    the key_skew precedent).  Output: one row per category in both
+    halves, carrying the shared totals.
+    """
+    from pyspark.sql.window import Window
+
+    from mvrepair.functions.exactlog import micro_log2
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # the midpoint is ONE bounded aggregate collected driver-side (the
+    # zorder normalization precedent) so the count pass can use it as a
+    # literal — no 1-row cross join (BNLJ) in the returned plan, and
+    # the conditional-count pivot keeps it to a SINGLE corpus scan
+    [row] = df.agg(
+        F.shiftright(F.min(us) + F.max(us), 1).alias("mid")
+    ).collect()
+    mid = F.lit(int(row["mid"]))
+    cnt = df.groupBy(F.col(cat_col).alias("category")).agg(
+        F.count(F.when(us <= mid, 1)).alias("ca"),
+        F.count(F.when(us > mid, 1)).alias("cb"),
+    )
+    w = Window.partitionBy()
+    j = cnt.select(
+        "category",
+        "ca",
+        "cb",
+        F.sum("ca").over(w).alias("na"),
+        F.sum("cb").over(w).alias("nb"),
+    ).filter((F.col("ca") > 0) & (F.col("cb") > 0))
+    pa = F.col("ca").cast("double") / F.col("na").cast("double")
+    pb = F.col("cb").cast("double") / F.col("nb").cast("double")
+    ratio = pa * (F.col("nb").cast("double") / F.col("cb").cast("double"))
+    rt = F.col("ca") + F.col("cb")
+    tt = F.col("na") + F.col("nb")
+    exp_a = (F.col("na") * rt).cast("double") / tt.cast("double")
+    exp_b = (F.col("nb") * rt).cast("double") / tt.cast("double")
+    da = F.col("ca").cast("double") - exp_a
+    db = F.col("cb").cast("double") - exp_b
+    scored = j.select(
+        "category",
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        F.floor((pa - pb) * F.lit(1000000.0)).cast("long").alias(
+            "delta_micro"
+        ),
+        micro_log2(ratio).alias("ml_q20"),
+        (
+            F.floor(da * da / exp_a * F.lit(1000000.0))
+            + F.floor(db * db / exp_b * F.lit(1000000.0))
+        ).cast("long").alias("chi2_micro"),
+    ).withColumn(
+        "psi_q", F.col("delta_micro") * F.col("ml_q20")
+    )
+    return scored.select(
+        "category",
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        "delta_micro",
+        "ml_q20",
+        "psi_q",
+        "chi2_micro",
+        F.sum("psi_q").over(w).alias("psi_total_q"),
+        F.sum("chi2_micro").over(w).alias("chi2_total_micro"),
+    )

@@ -1,5 +1,14 @@
 """Diversity-aware data selection over embedding columns.
 
+Two greedy selectors share one execution shape (k rounds, each ONE
+narrow scan + ONE TakeOrdered(1) reduce over an incrementally
+maintained per-row statistic):
+
+- ``kcenter_select`` — max-min COVERAGE (Gonzalez 1985);
+- ``mmr_select`` — relevance/redundancy trade (Maximal Marginal
+  Relevance, Carbonell & Goldstein 1998), the diversity-aware top-k
+  retrieval re-ranker.
+
 ``kcenter_select`` is the greedy 2-approximation for the metric
 k-center problem (Gonzalez 1985, "Clustering to minimize the maximum
 intercluster distance") — the standard coreset / diversity-sampling
@@ -157,3 +166,143 @@ def _d2_norm() -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def _cos_micro(a: Column, b: Column) -> Column:
+    """floor(cosine * 1e6) of two quantized vectors — the kmeans/ANN
+    ``cosine_micro`` convention (exact int64 dot/norms, one sqrt + one
+    division + one floor, cross-engine deterministic)."""
+    from mvrepair.operators.similarity import _dot
+
+    return F.floor(
+        _dot(a, b).cast("double")
+        / (
+            F.sqrt(_dot(a, a).cast("double"))
+            * F.sqrt(_dot(b, b).cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+
+
+def mmr_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> tuple[list[tuple[int, int, list[int]]], DataFrame]:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick k documents maximizing
+    ``lam·rel(d) − (1−lam)·max_{s∈picked} sim(d, s)`` — the standard
+    diversity-aware top-k for retrieval and training-batch dedup, with
+    the relevance/redundancy trade ``lam = lam_num/lam_den`` kept as
+    EXACT integer weights (score_q = lam_num·rel_micro −
+    (lam_den−lam_num)·maxsim_micro), so every round's argmax is
+    bit-reproducible and the DuckDB oracle replays the identical rounds
+    as unrolled MATERIALIZED CTEs.
+
+    The query vector is the corpus row with the LOWEST id — a
+    deterministic stand-in for a user query (swap in any literal
+    vector); relevance is cosine_micro to it.  Round 0 picks max
+    relevance (standard MMR); each later round scores only unpicked
+    rows against the incrementally-maintained ``maxsim_micro`` (same
+    one-scan-one-TakeOrdered(1) shape as :func:`kcenter_select` — the
+    redundancy term never recomputes against all picks).
+
+    Returns ``(picks, scored)``: picks = selection-ordered
+    ``(rank, id, qv)``; scored = every corpus row with ``rel_micro``,
+    final ``maxsim_micro`` (vs the full picked set, self included),
+    ``selected`` and its ``sel_rank`` — a map-side expression over the
+    source plus one k-row broadcast join, zero cached state left
+    behind.
+    """
+    if k < 1:
+        raise ValueError("mmr_select needs k >= 1")
+    if not (0 < lam_num <= lam_den):
+        raise ValueError("need 0 < lam_num <= lam_den")
+    spark = df.sparkSession
+    base = df.select(F.col(id_col), _quant(F.col(vec_col)).alias("qv"))
+    [qrow] = base.orderBy(F.asc(id_col)).limit(1).collect()
+    qlit = F.array(*[F.lit(v).cast("long") for v in qrow["qv"]])
+    rel = base.select(
+        id_col, "qv", _cos_micro(F.col("qv"), qlit).alias("rel_micro")
+    ).persist()
+    try:
+        [seed] = (
+            rel.orderBy(F.desc("rel_micro"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        picks: list[tuple[int, int, list[int]]] = [
+            (0, seed[id_col], list(seed["qv"]))
+        ]
+        seed_lit = F.array(*[F.lit(v).cast("long") for v in picks[0][2]])
+        cur = rel.select(
+            id_col,
+            "qv",
+            "rel_micro",
+            _cos_micro(F.col("qv"), seed_lit).alias("maxsim_micro"),
+        ).persist()
+        prev = None
+        w_red = lam_den - lam_num
+        for rnd in range(1, k):
+            picked_ids = [pid for _, pid, _ in picks]
+            score = F.lit(lam_num) * F.col("rel_micro") - F.lit(
+                w_red
+            ) * F.col("maxsim_micro")
+            [best] = (
+                cur.filter(~F.col(id_col).isin(picked_ids))
+                .orderBy(score.desc(), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+            picks.append((rnd, best[id_col], list(best["qv"])))
+            plit = F.array(*[F.lit(v).cast("long") for v in picks[-1][2]])
+            prev, cur = cur, cur.select(
+                id_col,
+                "qv",
+                "rel_micro",
+                F.greatest(
+                    "maxsim_micro", _cos_micro(F.col("qv"), plit)
+                ).alias("maxsim_micro"),
+            ).persist()
+            cur.count()
+            prev.unpersist()
+        cur.unpersist()
+        # output rides the SOURCE frame map-side (the kcenter doctrine):
+        # final maxsim == max over picks of cos_micro, identical to the
+        # incremental greatest-chain pair for pair
+        plits = F.array(
+            *[
+                F.array(*[F.lit(v).cast("long") for v in qv])
+                for _, _, qv in picks
+            ]
+        )
+        pick_rows = spark.createDataFrame(
+            [(pid, rnd) for rnd, pid, _ in picks],
+            f"{id_col} long, sel_rank int",
+        )
+        scored = (
+            df.select(F.col(id_col), _quant(F.col(vec_col)).alias("qv"))
+            .select(
+                id_col,
+                _cos_micro(F.col("qv"), qlit).alias("rel_micro"),
+                F.array_max(
+                    F.transform(
+                        plits, lambda p: _cos_micro(F.col("qv"), p)
+                    )
+                ).alias("maxsim_micro"),
+            )
+            .join(F.broadcast(pick_rows), id_col, "left")
+            .select(
+                id_col,
+                "rel_micro",
+                "maxsim_micro",
+                F.col("sel_rank").isNotNull().alias("selected"),
+                "sel_rank",
+            )
+        )
+        return picks, scored
+    finally:
+        rel.unpersist()

@@ -471,6 +471,13 @@ class TestRegistryOrderingContract:
         # shuffle elimination); the result algebra is pricing_summary's
         # exact-DECIMAL fact rollup
         "bucketed_join": "zorder_layout",
+        # r11: PSI + chi-square categorical drift — the micro_log2
+        # count-ladder scoring family (the source_divergence twin
+        # doctrine); one (type, half) count pass + tiny-frame windows
+        "events_drift_psi": "nb_classify",
+        # r11: MMR diversified re-ranking — the embed_kcenter doctrine
+        # (iterative broadcast-center geometric loop, kmeans rep)
+        "embed_mmr": "kmeans_clusters",
     }
 
     def test_every_family_within_driver_window(self):

@@ -4916,3 +4916,66 @@ def test_grouped_pca_equals_per_group_single(spark):
         }
         for vid, sc in single.items():
             assert grouped[(vid, g)] == sc
+
+
+# ---------------------------------------------------------------- drift
+
+
+def _drift_frame(spark, rows):
+    from datetime import datetime
+
+    return spark.createDataFrame(
+        [(datetime(2024, 1, 1, h), c) for h, c in rows],
+        "ts timestamp, cat string",
+    )
+
+
+def test_category_drift_balanced_is_zero(spark):
+    from mvrepair.operators import dq
+
+    # identical mix in both halves: every delta_micro is 0 => PSI 0;
+    # chi2 terms are 0 exactly (obs == exp)
+    rows = [(h, c) for h in (0, 1, 22, 23) for c in ("a", "a", "b")]
+    out = dq.category_drift(_drift_frame(spark, rows), "cat", "ts").collect()
+    assert {r["category"] for r in out} == {"a", "b"}
+    for r in out:
+        assert r["delta_micro"] == 0 and r["psi_q"] == 0
+        assert r["chi2_micro"] == 0
+        assert r["psi_total_q"] == 0 and r["chi2_total_micro"] == 0
+
+
+def test_category_drift_shift_detected_and_totals_consistent(spark):
+    from mvrepair.operators import dq
+
+    # half A: 90% a / 10% b; half B: 10% a / 90% b — a gross shift
+    rows = [(0, "a")] * 9 + [(0, "b")] + [(23, "a")] + [(23, "b")] * 9
+    out = dq.category_drift(_drift_frame(spark, rows), "cat", "ts")
+    got = {r["category"]: r for r in out.collect()}
+    assert got["a"]["ca"] == 9 and got["a"]["cb"] == 1
+    assert got["a"]["na"] == 10 and got["a"]["nb"] == 10
+    # PSI contributions are positive for both movers and the total is
+    # their exact integer sum
+    assert got["a"]["psi_q"] > 0 and got["b"]["psi_q"] > 0
+    tot = got["a"]["psi_q"] + got["b"]["psi_q"]
+    assert got["a"]["psi_total_q"] == tot == got["b"]["psi_total_q"]
+    assert (
+        got["a"]["chi2_total_micro"]
+        == got["a"]["chi2_micro"] + got["b"]["chi2_micro"]
+    )
+    # PSI in natural units: psi_q / 2^20 * ln2 per category sum — the
+    # 90/10 flip is ~3.5 nats, far over the 0.25 alert line
+    psi = tot / (1 << 20) * 0.6931471805599453 / 1_000_000
+    assert psi > 0.25
+
+
+def test_category_drift_one_sided_category_dropped_but_counted(spark):
+    from mvrepair.operators import dq
+
+    # 'c' exists only in half A: dropped from the report (PSI undefined
+    # at q=0) but still in the na total
+    rows = [(0, "a"), (0, "c"), (23, "a"), (23, "a"), (23, "b"), (0, "b")]
+    out = dq.category_drift(_drift_frame(spark, rows), "cat", "ts")
+    got = {r["category"]: r for r in out.collect()}
+    assert "c" not in got
+    assert got["a"]["na"] == 3  # a, c, b in half A
+    assert got["a"]["nb"] == 3

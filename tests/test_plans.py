@@ -428,6 +428,18 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "bucketed_join": {"AdaptiveSparkPlan": 1, "HashAggregate": 2,
                       "Exchange": 1, "Project": 1, "SortMergeJoin": 1,
                       "Filter": 2, "FileScan": 2},
+    # r11: PSI/chi2 drift — ONE corpus scan (conditional-count pivot,
+    # midpoint as a collected literal, the zorder normalization
+    # precedent), then tiny-frame windows + ladders
+    "events_drift_psi": {"AdaptiveSparkPlan": 1, "Window": 2,
+                         "Project": 3, "Filter": 1, "Exchange": 2,
+                         "HashAggregate": 2, "FileScan": 1},
+    # r11: MMR — map-side rel/redundancy scoring over one corpus scan
+    # + the k-row broadcast rank join (the Scan is the driver-local
+    # pick frame); the greedy loop ran eagerly at plan construction
+    "embed_mmr": {"AdaptiveSparkPlan": 1, "Project": 3,
+                  "BroadcastHashJoin": 1, "Exchange": 1, "FileScan": 1,
+                  "BroadcastExchange": 1, "Filter": 1, "Scan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},

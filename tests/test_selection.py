@@ -120,3 +120,99 @@ def test_no_persisted_frame_survives(spark, sf_dir):
 def test_k_validation(spark, sf_dir):
     with pytest.raises(ValueError):
         SEL.kcenter_select(_load(spark, sf_dir), k=0)
+
+
+# ------------------------------------------------------------------ MMR
+
+
+def _py_cos_micro(a, b):
+    import math
+
+    dot = sum(x * y for x, y in zip(a, b))
+    return math.floor(
+        dot
+        / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+        * 1000000.0
+    )
+
+
+def _py_mmr(rows, k, qid, ln=7, ld=10):
+    q = rows[qid]
+    rel = {i: _py_cos_micro(rows[i], q) for i in rows}
+    seed = max(rows, key=lambda i: (rel[i], -i))
+    picks = [(0, seed)]
+    ms = {i: _py_cos_micro(rows[i], rows[seed]) for i in rows}
+    for rnd in range(1, k):
+        cand = [i for i in rows if i not in {p for _, p in picks}]
+        best = max(cand, key=lambda i: (ln * rel[i] - (ld - ln) * ms[i], -i))
+        picks.append((rnd, best))
+        for i in rows:
+            s = _py_cos_micro(rows[i], rows[best])
+            if s > ms[i]:
+                ms[i] = s
+    return picks, rel, ms
+
+
+def test_mmr_matches_python_replay(tiny):
+    df, rows = tiny
+    qid = min(rows)
+    picks, out = SEL.mmr_select(df, k=5)
+    ref_picks, rel, ms = _py_mmr(rows, 5, qid)
+    assert [(rnd, pid) for rnd, pid, _ in picks] == ref_picks
+    got = {r["vec_id"]: r for r in out.collect()}
+    ranks = dict((pid, rnd) for rnd, pid in ref_picks)
+    for i in rows:
+        assert got[i]["rel_micro"] == rel[i]
+        assert got[i]["maxsim_micro"] == ms[i]
+        assert got[i]["selected"] == (i in ranks)
+        assert got[i]["sel_rank"] == ranks.get(i)
+
+
+def test_mmr_pure_relevance_is_topk(tiny):
+    df, rows = tiny
+    qid = min(rows)
+    rel = {i: _py_cos_micro(rows[i], rows[qid]) for i in rows}
+    topk = sorted(rows, key=lambda i: (-rel[i], i))[:4]
+    picks, _ = SEL.mmr_select(df, k=4, lam_num=10, lam_den=10)
+    assert [pid for _, pid, _ in picks] == topk
+
+
+def test_mmr_diversifies_vs_pure_relevance(tiny):
+    df, rows = tiny
+
+    def max_pairwise(ids):
+        return max(
+            _py_cos_micro(rows[a], rows[b])
+            for a in ids
+            for b in ids
+            if a < b
+        )
+
+    pure, _ = SEL.mmr_select(df, k=5, lam_num=10, lam_den=10)
+    div, _ = SEL.mmr_select(df, k=5, lam_num=5, lam_den=10)
+    assert max_pairwise([p for _, p, _ in div]) <= max_pairwise(
+        [p for _, p, _ in pure]
+    )
+
+
+def test_mmr_no_persisted_frame_survives(spark, sf_dir):
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    _, out = SEL.mmr_select(_load(spark, sf_dir), k=3)
+    out.count()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before
+
+
+def test_mmr_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SEL.mmr_select(_load(spark, sf_dir), k=0)
+    with _pytest.raises(ValueError):
+        SEL.mmr_select(_load(spark, sf_dir), k=2, lam_num=0)
+    with _pytest.raises(ValueError):
+        SEL.mmr_select(_load(spark, sf_dir), k=2, lam_num=11, lam_den=10)
