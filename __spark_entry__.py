@@ -5153,6 +5153,90 @@ FROM best b WHERE rn = 1"""
     )
 
 
+WOE_BINS = 8
+WOE_WIDTH = 1 << 16  # cents grid: ~$655 buckets over the $1k-$500k range
+
+
+def q_orders_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised feature binning: Weight-of-Evidence / Information-
+    Value of o_totalprice (cents) against the binary label
+    o_orderstatus='F' — the credit-scoring-lineage diagnostic a feature
+    pipeline runs before committing a column to training.  Equi-depth
+    bin boundaries come from the mergeable equiwidth-grid quantile
+    SKETCH (no full sort — the price_hist_quantiles algebra feeding a
+    second operator), then ONE conditional-count pass + micro_log2
+    ladders over the |bins|-row frame, IV as an order-independent int64
+    sum.  See dq.py:woe_iv."""
+    from mvrepair.operators.dq import woe_iv
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderstatus") == "F").alias("label"),
+    )
+    return woe_iv(ords, "cents", "label", n_bins=WOE_BINS, width=WOE_WIDTH)
+
+
+def _oracle_orders_woe_iv() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    w = WOE_WIDTH
+    qs = ", ".join(
+        str(i * 1_000_000 // WOE_BINS) for i in range(1, WOE_BINS)
+    )
+    inner = f"""
+WITH base AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v,
+         o_orderstatus = 'F' AS y
+  FROM orders),
+hist AS (SELECT v // {w} AS bucket, count(*) AS cnt FROM base GROUP BY 1),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM hist),
+qs AS (SELECT CAST(unnest([{qs}]) AS BIGINT) AS q_micro),
+cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+est AS (
+  SELECT qs.q_micro, CAST((min(c.bucket) + 1) * {w} AS BIGINT) AS est
+  FROM cum c, tot t CROSS JOIN qs
+  WHERE c.cum >= (t.n * qs.q_micro + 999999) // 1000000
+  GROUP BY 1),
+bnd AS (SELECT DISTINCT est FROM est),
+bl AS (SELECT list(est ORDER BY est) AS bs FROM bnd),
+binned AS (
+  SELECT CAST(len(list_filter(bl.bs, b -> base.v > b)) AS INTEGER) AS bin,
+         base.y
+  FROM base, bl),
+cnt AS (
+  SELECT bin, count(CASE WHEN y THEN 1 END) AS good,
+         count(CASE WHEN NOT y THEN 1 END) AS bad
+  FROM binned GROUP BY 1),
+tt AS (
+  SELECT bin, good, bad,
+         CAST(sum(good) OVER () AS BIGINT) AS g_tot,
+         CAST(sum(bad) OVER () AS BIGINT) AS b_tot
+  FROM cnt)
+SELECT bin,
+  (SELECT ([CAST(NULL AS BIGINT)] || bs)[bin + 1] FROM bl) AS lo,
+  good, bad, g_tot, b_tot
+FROM tt WHERE good > 0 AND bad > 0"""
+    ml = micro_log2_sql(
+        inner,
+        "(CAST(good AS DOUBLE) / CAST(g_tot AS DOUBLE))"
+        " * (CAST(b_tot AS DOUBLE) / CAST(bad AS DOUBLE))",
+        keep=["bin", "lo", "good", "bad", "g_tot", "b_tot"],
+        out="woe_q",
+    )
+    return f"""
+SELECT bin, lo, good, bad, g_tot, b_tot, delta_micro, woe_q,
+  delta_micro * woe_q AS iv_q,
+  CAST(sum(delta_micro * woe_q) OVER () AS BIGINT) AS iv_total_q
+FROM (
+  SELECT bin, lo, good, bad, g_tot, b_tot, woe_q,
+    CAST(floor((CAST(good AS DOUBLE) / CAST(g_tot AS DOUBLE)
+                - CAST(bad AS DOUBLE) / CAST(b_tot AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS delta_micro
+  FROM ({ml}))"""
+
+
 MMR_K = 8
 MMR_LAM = (7, 10)  # λ = 0.7 as exact integer weights (7·rel − 3·maxsim)
 
@@ -7786,6 +7870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,  # twin: zorder_layout (the data-layout surface: zorder = scan pruning, bucketing = shuffle elimination); result algebra is pricing_summary's fact rollup
         "events_drift_psi": q_events_drift_psi,  # twin: nb_classify (the micro_log2 count-ladder scoring family, the source_divergence doctrine); one (type,half) count pass + tiny-frame ladders
         "embed_mmr": q_embed_mmr,  # twin: kmeans_clusters (the embed_kcenter doctrine: iterative broadcast-center loop, unrolled-CTE oracle replay) + one k-row broadcast join for the rank column
+        "orders_woe_iv": q_orders_woe_iv,  # twin: nb_classify (the micro_log2 count-ladder family); bins from the price_hist_quantiles grid sketch (its local gate), assignment a map-side literal sum
     }
 
 
@@ -7940,6 +8025,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join": _ORACLE_BUCKETED_JOIN,
         "events_drift_psi": _oracle_events_drift(),
         "embed_mmr": _oracle_embed_mmr(),
+        "orders_woe_iv": _oracle_orders_woe_iv(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

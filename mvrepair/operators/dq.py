@@ -416,3 +416,99 @@ def category_drift(
         F.sum("psi_q").over(w).alias("psi_total_q"),
         F.sum("chi2_micro").over(w).alias("chi2_total_micro"),
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    value_col: str,
+    label_col: str,
+    n_bins: int = 8,
+    width: int = 1 << 16,
+) -> DataFrame:
+    """Weight-of-Evidence / Information-Value report: equi-depth bin a
+    numeric feature and score each bin's separation of a binary label —
+    the classic supervised-binning diagnostic (credit-scoring lineage;
+    IV > 0.3 = strong predictor) a feature pipeline runs before
+    committing a column to training.
+
+    The bin BOUNDARIES come from the mergeable equiwidth-grid quantile
+    sketch (``sketch.hist_quantile_est``) rather than an exact rank
+    window: one map-combinable count pass + a bounded grid instead of a
+    full sort of the value stream — the whole point of the sketch at
+    100 TB, with its hard 0 <= err < width bound keeping the bins
+    honestly equi-depth-ish.  Boundary estimates are collected (<=
+    n_bins-1 rows, bounded by construction) and the bin assignment is a
+    pure map-side literal comparison sum.
+
+    Exactness (the category_drift conventions): per-bin good/bad counts
+    are exact integers off ONE (bin) conditional-count pass;
+    WOE_q20 = micro_log2((good/G) * (B/bad)) — the two-division ratio
+    form; IV contribution = delta_micro * WOE_q20, int64, so the
+    cross-bin IV sum is order-independent.  Bins empty on either side
+    are dropped (WOE undefined at 0) but still count in G/B.
+
+    Output per surviving bin: ``bin`` (0-based), ``lo`` (lower boundary,
+    NULL for bin 0), good/bad, the shared totals, ``delta_micro``,
+    ``woe_q``, ``iv_q`` and the shared ``iv_total_q``.
+    """
+    from functools import reduce as _reduce
+
+    from pyspark.sql.window import Window
+
+    from mvrepair.functions.exactlog import micro_log2
+    from mvrepair.operators.sketch import equiwidth_hist, hist_quantile_est
+
+    if n_bins < 2:
+        raise ValueError("woe_iv needs n_bins >= 2")
+    base = df.select(
+        F.col(value_col).cast("bigint").alias("__v"),
+        F.col(label_col).cast("boolean").alias("__y"),
+    )
+    hist = equiwidth_hist(base, "__v", [], width)
+    qs = [i * 1_000_000 // n_bins for i in range(1, n_bins)]
+    bounds = sorted(
+        {
+            int(r["est"])
+            for r in hist_quantile_est(hist, [], qs, width).collect()
+        }
+    )
+    binc = _reduce(
+        lambda a, b: a + b,
+        [(F.col("__v") > F.lit(b)).cast("int") for b in bounds],
+    ).cast("int")
+    cnt = base.groupBy(binc.alias("bin")).agg(
+        F.count(F.when(F.col("__y"), 1)).alias("good"),
+        F.count(F.when(~F.col("__y"), 1)).alias("bad"),
+    )
+    w = Window.partitionBy()
+    j = cnt.select(
+        "bin",
+        F.element_at(
+            F.array(
+                F.lit(None).cast("long"), *[F.lit(b) for b in bounds]
+            ),
+            F.col("bin") + 1,
+        ).alias("lo"),
+        "good",
+        "bad",
+        F.sum("good").over(w).alias("g_tot"),
+        F.sum("bad").over(w).alias("b_tot"),
+    ).filter((F.col("good") > 0) & (F.col("bad") > 0))
+    pg = F.col("good").cast("double") / F.col("g_tot").cast("double")
+    pb = F.col("bad").cast("double") / F.col("b_tot").cast("double")
+    ratio = pg * (F.col("b_tot").cast("double") / F.col("bad").cast("double"))
+    scored = j.select(
+        "bin",
+        "lo",
+        "good",
+        "bad",
+        "g_tot",
+        "b_tot",
+        F.floor((pg - pb) * F.lit(1000000.0)).cast("long").alias(
+            "delta_micro"
+        ),
+        micro_log2(ratio).alias("woe_q"),
+    ).withColumn("iv_q", F.col("delta_micro") * F.col("woe_q"))
+    return scored.select(
+        "*", F.sum("iv_q").over(w).alias("iv_total_q")
+    )

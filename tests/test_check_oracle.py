@@ -478,6 +478,9 @@ class TestRegistryOrderingContract:
         # r11: MMR diversified re-ranking — the embed_kcenter doctrine
         # (iterative broadcast-center geometric loop, kmeans rep)
         "embed_mmr": "kmeans_clusters",
+        # r11: WOE/IV supervised binning — the micro_log2 count-ladder
+        # family; boundaries ride the price_hist_quantiles grid sketch
+        "orders_woe_iv": "nb_classify",
     }
 
     def test_every_family_within_driver_window(self):

@@ -4979,3 +4979,62 @@ def test_category_drift_one_sided_category_dropped_but_counted(spark):
     assert "c" not in got
     assert got["a"]["na"] == 3  # a, c, b in half A
     assert got["a"]["nb"] == 3
+
+
+# --------------------------------------------------------------- WOE/IV
+
+
+def test_woe_iv_separates_a_perfect_predictor(spark):
+    from mvrepair.operators import dq
+
+    # label == (value in the top half): bins are either all-good or
+    # all-bad, so every MIXED bin vanishes... construct a softer case:
+    # low values 90% bad, high values 90% good
+    rows = [(v, v >= 500) for v in range(1000)]
+    # flip 10% deterministically
+    rows = [
+        (v, (not y) if v % 10 == 0 else y) for (v, y) in rows
+    ]
+    df = spark.createDataFrame(rows, "val long, label boolean")
+    out = dq.woe_iv(df, "val", "label", n_bins=4, width=64).collect()
+    got = {r["bin"]: r for r in out}
+    # the feature separates by construction: low-value bins carry
+    # negative WOE, high-value bins positive (within each half the two
+    # bins' mixes are statistically identical, so no strict ordering)
+    woes = [got[b]["woe_q"] for b in sorted(got)]
+    assert max(woes[:2]) < 0 < min(woes[2:])
+    # IV total is the exact integer sum of contributions, same on all rows
+    tot = sum(r["iv_q"] for r in out)
+    assert all(r["iv_total_q"] == tot for r in out)
+    # strong predictor: IV in natural units > 0.3
+    iv = tot / (1 << 20) * 0.6931471805599453 / 1_000_000
+    assert iv > 0.3
+
+
+def test_woe_iv_uninformative_feature_scores_near_zero(spark):
+    from mvrepair.operators import dq
+
+    # label independent of value: every bin's mix equals the global mix
+    rows = [(v, v % 2 == 0) for v in range(1024)]
+    df = spark.createDataFrame(rows, "val long, label boolean")
+    out = dq.woe_iv(df, "val", "label", n_bins=4, width=64).collect()
+    tot = out[0]["iv_total_q"]
+    assert abs(tot / (1 << 20) / 1_000_000) < 0.01
+    # equi-depth-ish: bin sizes within one grid cell of each other
+    sizes = sorted(r["good"] + r["bad"] for r in out)
+    assert sizes[-1] - sizes[0] <= 2 * 64
+
+
+def test_woe_iv_lo_bounds_and_validation(spark):
+    from mvrepair.operators import dq
+    import pytest as _pytest
+
+    rows = [(v, v % 3 == 0) for v in range(300)]
+    df = spark.createDataFrame(rows, "val long, label boolean")
+    out = dq.woe_iv(df, "val", "label", n_bins=3, width=16)
+    got = sorted(out.collect(), key=lambda r: r["bin"])
+    assert got[0]["lo"] is None
+    los = [r["lo"] for r in got[1:]]
+    assert los == sorted(los) and all(lo is not None for lo in los)
+    with _pytest.raises(ValueError):
+        dq.woe_iv(df, "val", "label", n_bins=1)

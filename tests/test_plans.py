@@ -440,6 +440,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "embed_mmr": {"AdaptiveSparkPlan": 1, "Project": 3,
                   "BroadcastHashJoin": 1, "Exchange": 1, "FileScan": 1,
                   "BroadcastExchange": 1, "Filter": 1, "Scan": 1},
+    # r11: WOE/IV — sketch-derived bin boundaries as collected
+    # literals (the grid pass ran eagerly), then ONE conditional-count
+    # scan + tiny-frame windows, the events_drift_psi shape
+    "orders_woe_iv": {"AdaptiveSparkPlan": 1, "Window": 2,
+                      "Project": 4, "Filter": 1, "Exchange": 2,
+                      "HashAggregate": 2, "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
