@@ -2128,6 +2128,44 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank,
 FROM ranked WHERE rank <= 5"""
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per anchor, the top-3
+    most-similar OTHER-label vectors — the between-epoch batch the
+    SimCSE/DPR/triplet recipes mine.  The ANN family's pair-join shape
+    (one LSH bucket equi-join of the corpus against itself, label
+    inequality applied with the join, exact in-bucket rerank); output
+    is the ANN contract so batch assembly composes unchanged.  See
+    similarity.py:hard_negative_topk."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    return S.hard_negative_topk(emb, dim=64, k=3)
+
+
+def _oracle_hard_negatives() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, qv, {_lsh_bucket_sql()} AS bucket
+  FROM (SELECT vec_id, label, {_QUANT_SQL} AS qv FROM embeddings)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST({dot('q', 'c')} AS DOUBLE)
+      / (sqrt(CAST({dot('q', 'q')} AS DOUBLE)) * sqrt(CAST({dot('c', 'c')} AS DOUBLE))) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.label <> c.label
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank,
+       CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+FROM ranked WHERE rank <= 3"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: centroid inverted lists (16 centroids, probe 4)."""
     emb = _spread(load_table(spark, sf_dir, "embeddings"))
@@ -7871,6 +7909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift_psi": q_events_drift_psi,  # twin: nb_classify (the micro_log2 count-ladder scoring family, the source_divergence doctrine); one (type,half) count pass + tiny-frame ladders
         "embed_mmr": q_embed_mmr,  # twin: kmeans_clusters (the embed_kcenter doctrine: iterative broadcast-center loop, unrolled-CTE oracle replay) + one k-row broadcast join for the rank column
         "orders_woe_iv": q_orders_woe_iv,  # twin: nb_classify (the micro_log2 count-ladder family); bins from the price_hist_quantiles grid sketch (its local gate), assignment a map-side literal sum
+        "hard_negatives": q_hard_negatives,  # twin: pq_topk (the ANN family rep; this is the ann_lsh_topk bucket-join + _ranked shape with the label inequality riding the join)
     }
 
 
@@ -8026,6 +8065,7 @@ def oracle_sql() -> dict[str, str]:
         "events_drift_psi": _oracle_events_drift(),
         "embed_mmr": _oracle_embed_mmr(),
         "orders_woe_iv": _oracle_orders_woe_iv(),
+        "hard_negatives": _oracle_hard_negatives(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

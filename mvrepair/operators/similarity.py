@@ -1178,3 +1178,60 @@ def cosine_neardup_pairs_banded(
         finally:
             owned.unpersist()
     return out
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for EVERY anchor vector, the
+    top-k most-similar vectors carrying a DIFFERENT label — the batch
+    the contrastive/embedding-training recipes (SimCSE, DPR, triplet
+    loss) mine between epochs: negatives that are hard (high cosine)
+    but wrong (other class) carry the gradient signal.
+
+    The pair-join shape of the ANN family: one hyperplane-LSH bucket
+    equi-join of the corpus against itself (each side hashed and
+    shuffled once, by bucket — never a cross join), the label
+    inequality applied WITH the join so same-class candidates never
+    rank, exact in-bucket rerank, per-anchor top-k window.  Recall < 1
+    by bucket design — the documented LSH trade; the miss pattern is
+    the SAME one ``ann_recall`` measures for this bucket scheme, and a
+    missed hard negative is a softer batch, not a wrong answer.  At
+    100 TB the bucket join moves each vector once; the top-k window
+    rides the bucket-join output keyed by anchor
+    (WindowGroupLimit-capped, the _ranked shape).
+
+    Output: (query_id, neighbor_id, rank int, cosine_micro) — the ANN
+    output contract, so downstream batch assembly composes unchanged.
+    """
+    def prep(out_id: str, out_lab: str) -> DataFrame:
+        # _prepare with the label carried (labels are per-vector, so
+        # they ride the same one-shuffle-per-side precompute — never a
+        # second join back to the corpus)
+        out = corpus.select(
+            F.col(id_col).alias(out_id),
+            F.col(label_col).alias(out_lab),
+            _quant(F.col(vec_col)).alias("__qv"),
+        ).withColumn(
+            "__norm",
+            F.sqrt(_dot(F.col("__qv"), F.col("__qv")).cast("double")),
+        )
+        return out.withColumn(
+            "__bucket", _bucket_from_qv(F.col("__qv"), dim, 8)
+        )
+
+    q = prep("query_id", "__lq").alias("l")
+    c = prep("neighbor_id", "__lc").alias("r")
+    scored = (
+        q.join(c, on=[F.col("l.__bucket") == F.col("r.__bucket")])
+        .filter(F.col("l.__lq") != F.col("r.__lc"))
+        .select(
+            "query_id", "neighbor_id", _pair_sim("l", "r").alias("__sim")
+        )
+    )
+    return _ranked(scored, k)

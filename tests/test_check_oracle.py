@@ -481,6 +481,9 @@ class TestRegistryOrderingContract:
         # r11: WOE/IV supervised binning — the micro_log2 count-ladder
         # family; boundaries ride the price_hist_quantiles grid sketch
         "orders_woe_iv": "nb_classify",
+        # r11: contrastive hard-negative mining — the ANN family rep
+        # (bucket equi-join + exact rerank + WindowGroupLimit top-k)
+        "hard_negatives": "pq_topk",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5038,3 +5038,46 @@ def test_woe_iv_lo_bounds_and_validation(spark):
     assert los == sorted(los) and all(lo is not None for lo in los)
     with _pytest.raises(ValueError):
         dq.woe_iv(df, "val", "label", n_bins=1)
+
+
+# ------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_exclude_same_label_even_if_closer(spark):
+    from mvrepair.operators import similarity as S
+
+    # v0 and v1 are near-identical but SAME label: each other's best
+    # cosine, yet never a hard negative; v2 differs in label
+    base = [1.0] + [0.0] * 63
+    near = [0.999] + [0.001] * 63
+    other = [0.9] + [0.1] * 63
+    df = spark.createDataFrame(
+        [(0, base, 7), (1, near, 7), (2, other, 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = S.hard_negative_topk(df, dim=64, k=3).collect()
+    pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert (0, 1) not in pairs and (1, 0) not in pairs
+    labels = {0: 7, 1: 7, 2: 9}
+    for r in out:
+        assert labels[r["query_id"]] != labels[r["neighbor_id"]]
+        assert r["query_id"] != r["neighbor_id"]
+
+
+def test_hard_negatives_rank_contract(spark, sf_dir):
+    from mvrepair.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = S.hard_negative_topk(emb, dim=64, k=3)
+    rows = out.collect()
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    for qid, rs in byq.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        sims = [r["cosine_micro"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        for r in rs:
+            assert labels[r["neighbor_id"]] != labels[qid]

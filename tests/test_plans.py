@@ -446,6 +446,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "orders_woe_iv": {"AdaptiveSparkPlan": 1, "Window": 2,
                       "Project": 4, "Filter": 1, "Exchange": 2,
                       "HashAggregate": 2, "FileScan": 1},
+    # r11: hard-negative mining — the ann_lsh_topk bucket-join shape
+    # with the label inequality riding the join condition; top-k is
+    # WindowGroupLimit-capped (broadcast side at fixture scale)
+    "hard_negatives": {"AdaptiveSparkPlan": 1, "Project": 6,
+                       "Filter": 3, "Window": 1, "WindowGroupLimit": 2,
+                       "Sort": 2, "Exchange": 3, "BroadcastHashJoin": 1,
+                       "FileScan": 2, "BroadcastExchange": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
