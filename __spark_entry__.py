@@ -6813,6 +6813,38 @@ FROM (
       FROM ({ml}))))"""
 
 
+def q_events_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_drift_psi: the conditional-count pivot
+    is a plain keyed count aggregate, so it runs UNCHANGED as a native
+    streaming aggregation — one JVM state row (two longs) per category
+    at ANY stream volume; the midpoint ships as a literal from the
+    static table (the reference-window-vs-live-feed deployment shape:
+    reference bounds are computed once, the feed streams against
+    them).  An availableNow + complete drain equals the batch pivot
+    cell-for-cell, so the PSI/chi-square tail and the oracle apply
+    verbatim (the price_hist_stream doctrine)."""
+    from mvrepair.operators.dq import drift_counts, drift_scores
+    from mvrepair.sources.parquet import load_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    [row] = ev.agg(
+        F.shiftright(F.min(us) + F.max(us), 1).alias("mid")
+    ).collect()
+    sev = load_stream(spark, sf_dir, "events").select("event_type", "ts")
+    sdf = drift_counts(sev, "event_type", "ts", int(row["mid"]))
+    with _state_partitions(spark, 8):
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName("__drift_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return drift_scores(spark.table("__drift_stream"))
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase over the event stream:
     users reaching each step (each step strictly after the user's
@@ -7910,6 +7942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_mmr": q_embed_mmr,  # twin: kmeans_clusters (the embed_kcenter doctrine: iterative broadcast-center loop, unrolled-CTE oracle replay) + one k-row broadcast join for the rank column
         "orders_woe_iv": q_orders_woe_iv,  # twin: nb_classify (the micro_log2 count-ladder family); bins from the price_hist_quantiles grid sketch (its local gate), assignment a map-side literal sum
         "hard_negatives": q_hard_negatives,  # twin: pq_topk (the ANN family rep; this is the ann_lsh_topk bucket-join + _ranked shape with the label inequality riding the join)
+        "events_drift_stream": q_events_drift_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the PSI/chi tail is events_drift_psi's, oracle shared verbatim
     }
 
 
@@ -8066,6 +8099,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_mmr": _oracle_embed_mmr(),
         "orders_woe_iv": _oracle_orders_woe_iv(),
         "hard_negatives": _oracle_hard_negatives(),
+        "events_drift_stream": _oracle_events_drift(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -356,19 +356,48 @@ def category_drift(
 
     from mvrepair.functions.exactlog import micro_log2
 
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     # the midpoint is ONE bounded aggregate collected driver-side (the
     # zorder normalization precedent) so the count pass can use it as a
     # literal — no 1-row cross join (BNLJ) in the returned plan, and
     # the conditional-count pivot keeps it to a SINGLE corpus scan
+    us = _event_us(ts_col)
     [row] = df.agg(
         F.shiftright(F.min(us) + F.max(us), 1).alias("mid")
     ).collect()
-    mid = F.lit(int(row["mid"]))
-    cnt = df.groupBy(F.col(cat_col).alias("category")).agg(
+    cnt = drift_counts(df, cat_col, ts_col, int(row["mid"]))
+    return drift_scores(cnt)
+
+
+def _event_us(ts_col: str) -> Column:
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def drift_counts(
+    df: DataFrame, cat_col: str, ts_col: str, mid_us: int
+) -> DataFrame:
+    """The drift monitor's ONLY corpus-sized pass: per-category
+    conditional counts on either side of the (literal) midpoint — a
+    plain keyed count aggregate, map-combinable, and therefore
+    STREAMING-LEGAL unchanged: as a streaming aggregation it holds one
+    JVM state row per category (two longs), and an availableNow +
+    complete drain equals the batch pivot cell-for-cell, so
+    :func:`drift_scores` and the DuckDB oracle apply verbatim to the
+    drained table (the price_hist_stream doctrine)."""
+    us = _event_us(ts_col)
+    mid = F.lit(int(mid_us))
+    return df.groupBy(F.col(cat_col).alias("category")).agg(
         F.count(F.when(us <= mid, 1)).alias("ca"),
         F.count(F.when(us > mid, 1)).alias("cb"),
     )
+
+
+def drift_scores(cnt: DataFrame) -> DataFrame:
+    """PSI + chi-square tail over the |categories|-row count frame
+    (see :func:`category_drift` for the exactness contract)."""
+    from pyspark.sql.window import Window
+
+    from mvrepair.functions.exactlog import micro_log2
+
     w = Window.partitionBy()
     j = cnt.select(
         "category",

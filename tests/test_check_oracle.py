@@ -484,6 +484,10 @@ class TestRegistryOrderingContract:
         # r11: contrastive hard-negative mining — the ANN family rep
         # (bucket equi-join + exact rerank + WindowGroupLimit top-k)
         "hard_negatives": "pq_topk",
+        # r11: streaming drift twin — JVM-state keyed count agg (the
+        # streaming-agg rep); the PSI/chi tail rides events_drift_psi's
+        # local gate, oracle shared verbatim
+        "events_drift_stream": "events_hourly_stream",
     }
 
     def test_every_family_within_driver_window(self):

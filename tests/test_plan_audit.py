@@ -45,7 +45,7 @@ STREAMING = {
     "mv_upserts_stream", "events_latest_stream", "sessions_stream",
     "neardup_stream", "nb_stream", "events_sliding_stream",
     "view_purchase_stream", "cms_stream", "pca_stream",
-    "price_hist_stream",
+    "price_hist_stream", "events_drift_stream",
 }
 
 NEVER = ("CartesianProduct", "BatchEvalPython")

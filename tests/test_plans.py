@@ -453,6 +453,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                        "Filter": 3, "Window": 1, "WindowGroupLimit": 2,
                        "Sort": 2, "Exchange": 3, "BroadcastHashJoin": 1,
                        "FileScan": 2, "BroadcastExchange": 1},
+    # r11: streaming drift twin — the drained JVM-state pivot is a
+    # LocalTableScan; the PSI/chi tail is the batch plan verbatim
+    "events_drift_stream": {"AdaptiveSparkPlan": 1, "Window": 2,
+                            "Project": 2, "Filter": 1, "Exchange": 1,
+                            "LocalTableScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
