@@ -5275,6 +5275,55 @@ FROM (
   FROM ({ml}))"""
 
 
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance of o_totalprice cents — the
+    forensic DQ check for fabricated/truncated feeds, as all-integer
+    deviation algebra (dev_q = c_d·ML10 − n·ML_d with precomputed
+    micro_log2 constants; |dev_q| sums order-independently).  One
+    digit-count pass, then constants over the 9-row frame.  See
+    dq.py:benford_report.  (The fixture's price distribution is
+    uniform-ish, NOT Benford — the check correctly reports large
+    deviations; the oracle gates the arithmetic, the unit test gates
+    the verdict direction on constructed conformant data.)"""
+    from mvrepair.operators.dq import benford_report
+
+    ords = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    return benford_report(ords, "cents")
+
+
+def _oracle_orders_benford() -> str:
+    from mvrepair.functions.exactlog import py_micro_log2
+
+    ml10 = py_micro_log2(10.0)
+    mls = ", ".join(
+        str(py_micro_log2((d + 1) / d)) for d in range(1, 10)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS v
+  FROM orders),
+cnt AS (
+  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS c
+  FROM base WHERE v > 0 GROUP BY 1),
+consts AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS d,
+                  CAST(unnest([{mls}]) AS BIGINT) AS ml_d),
+scored AS (
+  SELECT cnt.digit, cnt.c,
+         CAST(sum(cnt.c) OVER () AS BIGINT) AS n,
+         consts.ml_d, CAST({ml10} AS BIGINT) AS ml10
+  FROM cnt JOIN consts ON cnt.digit = consts.d)
+SELECT digit, c, n, ml_d, ml10,
+       c * ml10 - n * ml_d AS dev_q,
+       CAST(sum(abs(c * ml10 - n * ml_d)) OVER () AS BIGINT)
+         AS abs_dev_total_q
+FROM scored"""
+
+
 MMR_K = 8
 MMR_LAM = (7, 10)  # λ = 0.7 as exact integer weights (7·rel − 3·maxsim)
 
@@ -7943,6 +7992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_woe_iv": q_orders_woe_iv,  # twin: nb_classify (the micro_log2 count-ladder family); bins from the price_hist_quantiles grid sketch (its local gate), assignment a map-side literal sum
         "hard_negatives": q_hard_negatives,  # twin: pq_topk (the ANN family rep; this is the ann_lsh_topk bucket-join + _ranked shape with the label inequality riding the join)
         "events_drift_stream": q_events_drift_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the PSI/chi tail is events_drift_psi's, oracle shared verbatim
+        "orders_benford": q_orders_benford,  # twin: nb_classify (precomputed micro_log2 constants over one count pass — the count-ladder family's constants-only corner)
     }
 
 
@@ -8100,6 +8150,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_woe_iv": _oracle_orders_woe_iv(),
         "hard_negatives": _oracle_hard_negatives(),
         "events_drift_stream": _oracle_events_drift(),
+        "orders_benford": _oracle_orders_benford(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

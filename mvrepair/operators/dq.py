@@ -541,3 +541,59 @@ def woe_iv(
     return scored.select(
         "*", F.sum("iv_q").over(w).alias("iv_total_q")
     )
+
+
+def benford_report(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford first-digit conformance check — the forensic DQ test for
+    fabricated or truncated numeric feeds (Benford 1938; Nigrini's
+    audit usage): across data spanning several decades, the leading
+    digit d should appear with probability log10(1 + 1/d).
+
+    All-integer deviation algebra (no float sums, no libm): the
+    expected log-probabilities ship as PRECOMPUTED micro_log2 constants
+    (``ML_d = micro_log2((d+1)/d)``, ``ML10 = micro_log2(10)`` — the
+    same int64 in any engine by construction), and each digit's
+    deviation is the exact int64 cross-product difference
+    ``dev_q = c_d * ML10 - n * ML_d`` — zero iff the observed share
+    equals Benford's in q20 units; ``/ (n * ML10)`` recovers the
+    relative deviation.  ``|dev_q|`` sums order-independently into the
+    single-number verdict.  Bound: n < ~2.6e12 keeps n * ML_d under
+    2^63 (ML_d <= 2^20·log2 10 ≈ 3.5e6).
+
+    First digit: string head of the positive integer value — identical
+    in both engines for BIGINT; non-positive values are excluded (no
+    leading digit).  Plan: ONE map-combinable digit-count pass, then
+    constants and windows over the 9-row frame.
+    """
+    from pyspark.sql.window import Window
+
+    from mvrepair.functions.exactlog import py_micro_log2
+
+    ml10 = py_micro_log2(10.0)
+    mls = {d: py_micro_log2((d + 1) / d) for d in range(1, 10)}
+    v = F.col(value_col).cast("bigint")
+    cnt = (
+        df.filter(v > 0)
+        .groupBy(
+            F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy()
+    ml_d = F.element_at(
+        F.array(*[F.lit(mls[d]).cast("long") for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    scored = cnt.select(
+        "digit",
+        "c",
+        F.sum("c").over(w).alias("n"),
+        ml_d.alias("ml_d"),
+        F.lit(ml10).cast("long").alias("ml10"),
+    ).withColumn(
+        "dev_q", F.col("c") * F.col("ml10") - F.col("n") * F.col("ml_d")
+    )
+    return scored.select(
+        "*",
+        F.sum(F.abs(F.col("dev_q"))).over(w).alias("abs_dev_total_q"),
+    )

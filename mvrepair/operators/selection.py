@@ -110,19 +110,25 @@ def kcenter_select(
             id_col, "qv", _d2(F.col("qv"), cqv0).alias("mind2")
         ).persist()
         prev = None
+        # ONE action per round: the argmax TakeOrdered materializes the
+        # round's persisted frame (so the parent can release), and the
+        # last round never builds the update frame it would never read
         for rnd in range(1, k):
             far = (
                 cur.orderBy(F.desc("mind2"), F.asc(id_col)).limit(1).collect()[0]
             )
+            if prev is not None:
+                prev.unpersist()
             centers.append((rnd, far[id_col], list(far["qv"])))
-            cqv = F.array(*[F.lit(v).cast("long") for v in centers[-1][2]])
-            prev, cur = cur, cur.select(
-                id_col,
-                "qv",
-                F.least("mind2", _d2(F.col("qv"), cqv)).alias("mind2"),
-            ).persist()
-            cur.count()  # materialize before releasing the parent
-            prev.unpersist()
+            if rnd < k - 1:
+                cqv = F.array(
+                    *[F.lit(v).cast("long") for v in centers[-1][2]]
+                )
+                prev, cur = cur, cur.select(
+                    id_col,
+                    "qv",
+                    F.least("mind2", _d2(F.col("qv"), cqv)).alias("mind2"),
+                ).persist()
         lits = _center_lits(centers)
         # argmin over the k centers as ONE map-side expression: array_min
         # on struct<d2,rnd,cid> orders lexicographically, giving the
@@ -246,6 +252,9 @@ def mmr_select(
         ).persist()
         prev = None
         w_red = lam_den - lam_num
+        # ONE action per round (the kcenter loop shape): the argmax
+        # materializes the round's frame, and the last round skips the
+        # update frame it would never read
         for rnd in range(1, k):
             picked_ids = [pid for _, pid, _ in picks]
             score = F.lit(lam_num) * F.col("rel_micro") - F.lit(
@@ -257,18 +266,21 @@ def mmr_select(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
             picks.append((rnd, best[id_col], list(best["qv"])))
-            plit = F.array(*[F.lit(v).cast("long") for v in picks[-1][2]])
-            prev, cur = cur, cur.select(
-                id_col,
-                "qv",
-                "rel_micro",
-                F.greatest(
-                    "maxsim_micro", _cos_micro(F.col("qv"), plit)
-                ).alias("maxsim_micro"),
-            ).persist()
-            cur.count()
-            prev.unpersist()
+            if rnd < k - 1:
+                plit = F.array(
+                    *[F.lit(v).cast("long") for v in picks[-1][2]]
+                )
+                prev, cur = cur, cur.select(
+                    id_col,
+                    "qv",
+                    "rel_micro",
+                    F.greatest(
+                        "maxsim_micro", _cos_micro(F.col("qv"), plit)
+                    ).alias("maxsim_micro"),
+                ).persist()
         cur.unpersist()
         # output rides the SOURCE frame map-side (the kcenter doctrine):
         # final maxsim == max over picks of cos_micro, identical to the

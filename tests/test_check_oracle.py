@@ -488,6 +488,9 @@ class TestRegistryOrderingContract:
         # streaming-agg rep); the PSI/chi tail rides events_drift_psi's
         # local gate, oracle shared verbatim
         "events_drift_stream": "events_hourly_stream",
+        # r11: Benford conformance — the count-ladder family's
+        # constants-only corner (precomputed micro_log2 literals)
+        "orders_benford": "nb_classify",
     }
 
     def test_every_family_within_driver_window(self):

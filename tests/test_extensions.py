@@ -5081,3 +5081,56 @@ def test_hard_negatives_rank_contract(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
         for r in rs:
             assert labels[r["neighbor_id"]] != labels[qid]
+
+
+# ---------------------------------------------------------------- Benford
+
+
+def test_benford_conformant_data_scores_near_zero(spark):
+    from mvrepair.functions.exactlog import py_micro_log2
+    from mvrepair.operators import dq
+
+    # construct an exactly-Benford-proportioned multiset: c_d chosen so
+    # c_d/n == ML_d/ML10 up to integer rounding (n = ML10 scaled down)
+    ml10 = py_micro_log2(10.0)
+    q = 1000  # ~3,483 rows
+    counts = {d: py_micro_log2((d + 1) / d) // q for d in range(1, 10)}
+    rows = [
+        (d * 10000 + i,)  # block size > max c_d, so no digit bleed
+        for d, c in counts.items()
+        for i in range(c)
+    ]
+    df = spark.createDataFrame(rows, "v long")
+    out = dq.benford_report(df, "v").collect()
+    n = out[0]["n"]
+    # relative deviation |dev_q| / (n * ML10) stays under 1% per digit
+    for r in out:
+        assert abs(r["dev_q"]) / (n * ml10) < 0.01
+    assert out[0]["abs_dev_total_q"] == sum(abs(r["dev_q"]) for r in out)
+
+
+def test_benford_uniform_digits_flagged(spark):
+    from mvrepair.functions.exactlog import py_micro_log2
+    from mvrepair.operators import dq
+
+    ml10 = py_micro_log2(10.0)
+    rows = [(d * 100 + i,) for d in range(1, 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "v long")
+    out = {r["digit"]: r for r in dq.benford_report(df, "v").collect()}
+    n = out[1]["n"]
+    assert n == 900
+    # uniform digits: 1 is UNDER-represented vs Benford (11% < 30.1%),
+    # 9 OVER-represented (11% > 4.6%) — sign carries the direction
+    assert out[1]["dev_q"] < 0 < out[9]["dev_q"]
+    # and the total deviation is far from the conformant band (>5%)
+    assert out[1]["abs_dev_total_q"] / (n * ml10) > 0.05
+
+
+def test_benford_nonpositive_excluded(spark):
+    from mvrepair.operators import dq
+
+    df = spark.createDataFrame(
+        [(-5,), (0,), (123,), (7,)], "v long"
+    )
+    out = {r["digit"]: r for r in dq.benford_report(df, "v").collect()}
+    assert sorted(out) == [1, 7] and out[1]["n"] == 2

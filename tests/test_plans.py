@@ -458,6 +458,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "events_drift_stream": {"AdaptiveSparkPlan": 1, "Window": 2,
                             "Project": 2, "Filter": 1, "Exchange": 1,
                             "LocalTableScan": 1},
+    # r11: Benford — one digit-count scan + constants/windows over the
+    # 9-row frame
+    "orders_benford": {"AdaptiveSparkPlan": 1, "Project": 4,
+                       "Window": 2, "Exchange": 2, "HashAggregate": 2,
+                       "Filter": 1, "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
