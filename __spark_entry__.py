@@ -5324,6 +5324,52 @@ SELECT digit, c, n, ml_d, ml10,
 FROM scored"""
 
 
+CRAWL_BUDGET = 10_007  # prime: every source keeps a non-trivial remainder
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl/sampling budget planner: largest-remainder (Hamilton)
+    apportionment of {CRAWL_BUDGET} next-epoch document slots across
+    sources, proportional to each source's exact TOKEN mass — integer
+    allocations that sum exactly to the budget (independent rounding
+    never does), remainder ties broken by source.  One corpus token-
+    count pass, then rank/sum windows over the |sources|-row frame;
+    the total_alloc audit column equals the budget by construction.
+    See sampling.py:budget_apportion."""
+    from mvrepair.operators.sampling import budget_apportion
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.col("text"), " ")).alias("toks")
+    )
+    return budget_apportion(d, "source", "toks", CRAWL_BUDGET)
+
+
+def _oracle_crawl_budget() -> str:
+    b = CRAWL_BUDGET
+    return f"""
+WITH agg AS (
+  SELECT source AS key,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS wt
+  FROM documents GROUP BY 1),
+t AS (
+  SELECT key, wt, CAST(sum(wt) OVER () AS BIGINT) AS tot FROM agg),
+s AS (
+  SELECT key, wt, ({b} * wt) // tot AS base, ({b} * wt) % tot AS rem
+  FROM t),
+r AS (
+  SELECT key, wt, base, rem,
+         {b} - CAST(sum(base) OVER () AS BIGINT) AS lft,
+         CAST(row_number() OVER (ORDER BY rem DESC, key) AS INTEGER) AS rnk
+  FROM s),
+a AS (
+  SELECT key, wt, base, rem, rnk,
+         base + CASE WHEN rnk <= lft THEN 1 ELSE 0 END AS alloc
+  FROM r)
+SELECT key, wt, base, rem, rnk, alloc,
+       CAST(sum(alloc) OVER () AS BIGINT) AS total_alloc
+FROM a"""
+
+
 MMR_K = 8
 MMR_LAM = (7, 10)  # λ = 0.7 as exact integer weights (7·rel − 3·maxsim)
 
@@ -7993,6 +8039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,  # twin: pq_topk (the ANN family rep; this is the ann_lsh_topk bucket-join + _ranked shape with the label inequality riding the join)
         "events_drift_stream": q_events_drift_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the PSI/chi tail is events_drift_psi's, oracle shared verbatim
         "orders_benford": q_orders_benford,  # twin: nb_classify (precomputed micro_log2 constants over one count pass — the count-ladder family's constants-only corner)
+        "crawl_budget": q_crawl_budget,  # twin: key_skew (one per-key weight frame + tiny-window ranks — the count-frame-reduction family); the apportionment tail is pure integer window algebra
     }
 
 
@@ -8151,6 +8198,7 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _oracle_hard_negatives(),
         "events_drift_stream": _oracle_events_drift(),
         "orders_benford": _oracle_orders_benford(),
+        "crawl_budget": _oracle_crawl_budget(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -649,3 +649,73 @@ def contrastive_negatives(
             "anchor_id", F.col("j").cast("int").alias("j"), "negative_id"
         )
     )
+
+
+def budget_apportion(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer budget
+    across keys, proportional to exact integer weights — the crawl/
+    sampling PLANNER's primitive: "we can afford ``budget`` documents
+    next epoch; how many from each source, proportional to its token
+    mass, such that the allocations are integers and sum EXACTLY to the
+    budget?"  Rounding each share independently never sums right;
+    Hamilton's method (base = floor share, then +1 to the largest
+    remainders until the budget is spent) is the classic fix, fully
+    deterministic here (remainder ties resolve by key).
+
+    All arithmetic is exact int64: ``base = (budget·w) DIV W``,
+    ``rem = (budget·w) % W`` (both engines truncate non-negatives);
+    bound: ``budget·max(w) < 2^63``.  The output carries
+    ``total_alloc`` as a self-audit column — it equals ``budget`` BY
+    CONSTRUCTION on every row (the leftover L = budget − Σbase is
+    exactly the number of +1s handed out, since Σrem = L·W).
+
+    Plan: ONE map-combinable weight aggregate (the only corpus-sized
+    pass), then rank/sum windows over the |keys|-row frame.
+    """
+    from pyspark.sql.window import Window
+
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("wt")
+    )
+    w_all = Window.partitionBy()
+    t = agg.select(
+        "key", "wt", F.sum("wt").over(w_all).alias("__tot")
+    )
+    t = t.select(
+        "key",
+        "wt",
+        F.expr(f"({budget} * wt) DIV __tot").alias("base"),
+        F.expr(f"({budget} * wt) % __tot").alias("rem"),
+    )
+    t = t.select(
+        "key",
+        "wt",
+        "base",
+        "rem",
+        (F.lit(budget) - F.sum("base").over(w_all)).alias("__left"),
+        F.row_number()
+        .over(Window.orderBy(F.col("rem").desc(), F.col("key").asc()))
+        .cast("int")
+        .alias("rnk"),
+    )
+    t = t.withColumn(
+        "alloc",
+        F.col("base")
+        + F.when(F.col("rnk") <= F.col("__left"), 1).otherwise(0),
+    )
+    return t.select(
+        "key",
+        "wt",
+        "base",
+        "rem",
+        "rnk",
+        "alloc",
+        F.sum("alloc").over(w_all).alias("total_alloc"),
+    )

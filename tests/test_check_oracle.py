@@ -491,6 +491,9 @@ class TestRegistryOrderingContract:
         # r11: Benford conformance — the count-ladder family's
         # constants-only corner (precomputed micro_log2 literals)
         "orders_benford": "nb_classify",
+        # r11: largest-remainder budget apportionment — the per-key
+        # count-frame-reduction family (one weight agg + tiny windows)
+        "crawl_budget": "key_skew",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5134,3 +5134,36 @@ def test_benford_nonpositive_excluded(spark):
     )
     out = {r["digit"]: r for r in dq.benford_report(df, "v").collect()}
     assert sorted(out) == [1, 7] and out[1]["n"] == 2
+
+
+# ------------------------------------------------------------ apportion
+
+
+def test_budget_apportion_sums_exactly_and_is_proportional(spark):
+    from mvrepair.operators import sampling as SA
+
+    rows = [("a", 5), ("b", 3), ("c", 1), ("d", 1)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    out = {r["key"]: r for r in SA.budget_apportion(df, "k", "w", 17).collect()}
+    assert sum(r["alloc"] for r in out.values()) == 17
+    assert all(r["total_alloc"] == 17 for r in out.values())
+    # exact shares: 17*5/10=8.5, 17*3/10=5.1, 17*1/10=1.7 each
+    # bases 8,5,1,1 (sum 15), leftover 2 -> largest remainders .7/.7
+    # (c and d, tie by key) get +1 over .5 (a) and .1 (b)
+    assert {k: r["alloc"] for k, r in out.items()} == {
+        "a": 8, "b": 5, "c": 2, "d": 2
+    }
+    # allocation never off by more than 1 from the real-valued share
+    for k, w in rows:
+        assert abs(out[k]["alloc"] - 17 * w / 10) < 1
+
+
+def test_budget_apportion_zero_and_validation(spark):
+    from mvrepair.operators import sampling as SA
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 5), ("b", 3)], "k string, w long")
+    out = SA.budget_apportion(df, "k", "w", 0).collect()
+    assert all(r["alloc"] == 0 and r["total_alloc"] == 0 for r in out)
+    with _pytest.raises(ValueError):
+        SA.budget_apportion(df, "k", "w", -1)

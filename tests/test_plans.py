@@ -463,6 +463,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "orders_benford": {"AdaptiveSparkPlan": 1, "Project": 4,
                        "Window": 2, "Exchange": 2, "HashAggregate": 2,
                        "Filter": 1, "FileScan": 1},
+    # r11: Hamilton apportionment — one token-count scan, then
+    # rank/sum windows over the |sources|-row frame
+    "crawl_budget": {"AdaptiveSparkPlan": 1, "Window": 4, "Project": 3,
+                     "Sort": 1, "Exchange": 2, "HashAggregate": 2,
+                     "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
