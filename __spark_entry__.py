@@ -6940,6 +6940,50 @@ def q_events_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_scores(spark.table("__drift_stream"))
 
 
+def q_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch linear attribution over the event stream: each
+    purchase distributes exactly 1e6 micro-credits equally (Hamilton
+    split, leftover to the most recent touches) over the user's
+    view/click touches in a 2-day lookback — per-channel credit totals
+    that sum exactly to conversions x 1e6 (the self-audit window
+    column).  One user-keyed band join (the purchase_context shape) +
+    one conversion-keyed window pair.  See
+    temporal.py:linear_attribution."""
+    ev = load_table(spark, sf_dir, "events")
+    return T.linear_attribution(ev)
+
+
+_ORACLE_TOUCH_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id AS u, epoch_us(ts) AS ct, event_id AS cid
+  FROM events WHERE event_type = 'purchase'),
+touch AS (
+  SELECT user_id AS u, epoch_us(ts) AS tt, event_id AS tid,
+         event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')),
+pairs AS (
+  SELECT t.touch_type, c.cid, t.tt, t.tid
+  FROM conv c JOIN touch t
+    ON c.u = t.u AND t.tt < c.ct AND t.tt >= c.ct - 172800000000),
+cr AS (
+  SELECT touch_type, cid,
+         count(*) OVER (PARTITION BY cid) AS n,
+         row_number() OVER (PARTITION BY cid ORDER BY tt DESC, tid) AS r
+  FROM pairs),
+credited AS (
+  SELECT touch_type,
+         1000000 // n + CASE WHEN r <= 1000000 % n THEN 1 ELSE 0 END
+           AS credit
+  FROM cr),
+agg AS (
+  SELECT touch_type, count(*) AS n_touches,
+         CAST(sum(credit) AS BIGINT) AS credit_micro
+  FROM credited GROUP BY 1)
+SELECT touch_type, n_touches, credit_micro,
+       CAST(sum(credit_micro) OVER () AS BIGINT) AS total_credit_micro
+FROM agg"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase over the event stream:
     users reaching each step (each step strictly after the user's
@@ -8040,6 +8084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift_stream": q_events_drift_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the PSI/chi tail is events_drift_psi's, oracle shared verbatim
         "orders_benford": q_orders_benford,  # twin: nb_classify (precomputed micro_log2 constants over one count pass — the count-ladder family's constants-only corner)
         "crawl_budget": q_crawl_budget,  # twin: key_skew (one per-key weight frame + tiny-window ranks — the count-frame-reduction family); the apportionment tail is pure integer window algebra
+        "touch_attribution": q_touch_attribution,  # twin: sessions_in_maintenance (the user-keyed band-join family, purchase_context's shape) + conversion-keyed windows; credit split is the crawl_budget Hamilton algebra per conversion
     }
 
 
@@ -8199,6 +8244,7 @@ def oracle_sql() -> dict[str, str]:
         "events_drift_stream": _oracle_events_drift(),
         "orders_benford": _oracle_orders_benford(),
         "crawl_budget": _oracle_crawl_budget(),
+        "touch_attribution": _ORACLE_TOUCH_ATTRIBUTION,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -874,3 +874,86 @@ def mad_anomaly(
         )
         .orderBy(group_col, "v_micro", id_col)
     )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    window_us: int = 2 * 24 * 3600 * 1_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch LINEAR attribution with EXACT integer credits: each
+    conversion distributes exactly 1,000,000 micro-credits equally over
+    the user's touch events in the lookback window — the marketing/
+    funnel-analytics primitive ("which channel earns the purchase?").
+
+    Equal split in floats never sums back to 1 per conversion; here the
+    split is the Hamilton apportionment of 1e6 over n touches
+    (``base = 1e6 DIV n``, the ``1e6 % n`` leftover going to the most
+    RECENT touches, ties by event id) — so ``sum(credit) ==
+    conversions_with_touches * 1e6`` BY CONSTRUCTION, carried as the
+    self-audit window column.
+
+    Plan shape: ONE user-keyed equi-join of conversions against touches
+    with the time band as a join-level filter (the purchase_context /
+    range-join family — at 100 TB both sides shuffle once on user, and
+    the band filter prunes within the co-partitioned stream), then one
+    conversion-keyed window pair (count + recency rank) on the matched
+    pairs and a |touch_types|-row rollup.
+
+    Output per touch type: ``n_touches``, ``credit_micro`` (int64),
+    and the shared ``total_credit_micro`` audit column — it equals
+    (conversions with >= 1 in-window touch) * 1e6, which the unit test
+    asserts against an independent distinct count.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    conv = events.filter(F.col(type_col) == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        us.alias("__ct"),
+        F.col(id_col).alias("__cid"),
+    )
+    touch = events.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(user_col).alias("__u"),
+        us.alias("__tt"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("touch_type"),
+    )
+    pairs = conv.join(touch, "__u").filter(
+        (F.col("__tt") < F.col("__ct"))
+        & (F.col("__tt") >= F.col("__ct") - F.lit(int(window_us)))
+    )
+    w_conv = Window.partitionBy("__cid")
+    w_rank = Window.partitionBy("__cid").orderBy(
+        F.col("__tt").desc(), F.col("__tid").asc()
+    )
+    credited = pairs.select(
+        "touch_type",
+        "__cid",
+        F.count(F.lit(1)).over(w_conv).alias("__n"),
+        F.row_number().over(w_rank).alias("__r"),
+    ).select(
+        "touch_type",
+        "__cid",
+        (
+            F.expr("1000000 DIV __n")
+            + F.when(F.col("__r") <= F.expr("1000000 % __n"), 1).otherwise(0)
+        ).alias("__credit"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        credited.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("__credit").alias("credit_micro"),
+        )
+        .select(
+            "touch_type",
+            "n_touches",
+            "credit_micro",
+            F.sum("credit_micro").over(w_all).alias("total_credit_micro"),
+        )
+    )

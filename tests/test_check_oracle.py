@@ -494,6 +494,10 @@ class TestRegistryOrderingContract:
         # r11: largest-remainder budget apportionment — the per-key
         # count-frame-reduction family (one weight agg + tiny windows)
         "crawl_budget": "key_skew",
+        # r11: multi-touch linear attribution — the user-keyed band
+        # join family (purchase_context doctrine, rep in-window); the
+        # Hamilton credit split is crawl_budget's algebra per group
+        "touch_attribution": "sessions_in_maintenance",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5167,3 +5167,59 @@ def test_budget_apportion_zero_and_validation(spark):
     assert all(r["alloc"] == 0 and r["total_alloc"] == 0 for r in out)
     with _pytest.raises(ValueError):
         SA.budget_apportion(df, "k", "w", -1)
+
+
+# ---------------------------------------------------------- attribution
+
+
+def test_linear_attribution_credits_sum_exactly(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+    from mvrepair.operators import temporal as T
+
+    def ev(eid, u, et, minute):
+        return (eid, datetime(2024, 1, 5, 10, minute), u, et)
+
+    rows = [
+        # user 1: 3 touches then purchase -> 333334/333333/333333
+        ev(1, 1, "view", 0), ev(2, 1, "click", 5), ev(3, 1, "view", 9),
+        ev(4, 1, "purchase", 30),
+        # user 2: 1 touch then purchase -> 1000000
+        ev(5, 2, "click", 0), ev(6, 2, "purchase", 10),
+        # user 3: purchase with no touches -> contributes nothing
+        ev(7, 3, "purchase", 10),
+        # user 4: touch AFTER purchase -> not credited
+        ev(8, 4, "purchase", 10), ev(9, 4, "view", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["touch_type"]: r for r in T.linear_attribution(df).collect()}
+    total = out["view"]["total_credit_micro"]
+    # 2 purchases had in-window touches
+    assert total == 2 * 1_000_000
+    assert out["view"]["credit_micro"] + out["click"]["credit_micro"] == total
+    # recency split: leftover micro goes to the MOST RECENT touch
+    # (eid 3, a view): view = 333334 + 333333, click = 333333 + 1000000
+    assert out["view"]["credit_micro"] == 666667
+    assert out["click"]["credit_micro"] == 1_333_333
+    assert out["view"]["n_touches"] == 2 and out["click"]["n_touches"] == 2
+
+
+def test_linear_attribution_window_cutoff(spark):
+    from datetime import datetime
+
+    from mvrepair.operators import temporal as T
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), 1, "view"),     # 4 days before
+        (2, datetime(2024, 1, 4, 23, 0), 1, "click"),   # in window
+        (3, datetime(2024, 1, 5, 0, 0), 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {r["touch_type"]: r for r in T.linear_attribution(df).collect()}
+    assert "view" not in out
+    assert out["click"]["credit_micro"] == 1_000_000

@@ -468,6 +468,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "crawl_budget": {"AdaptiveSparkPlan": 1, "Window": 4, "Project": 3,
                      "Sort": 1, "Exchange": 2, "HashAggregate": 2,
                      "FileScan": 1},
+    # r11: linear attribution — user-keyed band join (broadcast at
+    # fixture scale), conversion-keyed window pair, tiny rollup
+    "touch_attribution": {"AdaptiveSparkPlan": 1, "Window": 3,
+                          "Exchange": 3, "HashAggregate": 2,
+                          "Project": 4, "Sort": 2,
+                          "BroadcastHashJoin": 1, "BroadcastExchange": 1,
+                          "Filter": 2, "FileScan": 2},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
