@@ -137,10 +137,31 @@ def cosine_topk(
 _N_PLANES = 8
 
 
+_M64 = (1 << 64) - 1
+
+
 def _plane_sign(plane: int, dim: int) -> int:
-    # deterministic ±1 from a tiny LCG on (plane, dim) — public arithmetic
-    v = (1103515245 * (plane * 131 + dim) + 12345) % 2147483648
-    return 1 if (v >> 16) & 1 else -1
+    """Deterministic ±1 sign for hyperplane ``plane``, component ``dim``.
+
+    Planes 0-7 keep the original tiny-LCG derivation BYTE-IDENTICAL —
+    every historical single-table bucket id (and so every oracle hash
+    that froze one) is unchanged.  Planes >= 8 use a splitmix64 mix:
+    the LCG's bit 16 nearly repeats SIGN-FLIPPED at lag 8 (measured
+    |corr| up to 0.91 between plane p and p+8 over 64 dims), which made
+    (a) multi-table LSH tables partially correlated with table 0 —
+    understating banding's recall gains — and (b) n_planes > 8 nearly
+    useless as a density knob (the 30x hard-negatives sweep at 13
+    planes split only half the pairs 8 planes left).  Splitmix64's
+    avalanche gives cross-plane correlations at noise level (~N^-1/2).
+    """
+    if plane < 8:
+        v = (1103515245 * (plane * 131 + dim) + 12345) % 2147483648
+        return 1 if (v >> 16) & 1 else -1
+    x = (plane * 131 + dim + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    x ^= x >> 31
+    return 1 if x & 1 else -1
 
 
 def _bucket_from_qv(
@@ -1187,6 +1208,7 @@ def hard_negative_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    n_planes: int = 8,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for EVERY anchor vector, the
     top-k most-similar vectors carrying a DIFFERENT label — the batch
@@ -1206,6 +1228,13 @@ def hard_negative_topk(
     rides the bucket-join output keyed by anchor
     (WindowGroupLimit-capped, the _ranked shape).
 
+    ``n_planes`` is THE scale knob: a fixed bucket count makes
+    in-bucket density — and therefore candidate pairs — grow ∝k² with
+    corpus size (measured: exponent 3.1 over 30× at 8 planes).  Grow
+    planes with log2 of the corpus (one extra plane per doubling) and
+    density stays constant: the same sweep at 8+ceil(log2(k)) planes
+    is measured back near-linear in the scale study.
+
     Output: (query_id, neighbor_id, rank int, cosine_micro) — the ANN
     output contract, so downstream batch assembly composes unchanged.
     """
@@ -1222,7 +1251,7 @@ def hard_negative_topk(
             F.sqrt(_dot(F.col("__qv"), F.col("__qv")).cast("double")),
         )
         return out.withColumn(
-            "__bucket", _bucket_from_qv(F.col("__qv"), dim, 8)
+            "__bucket", _bucket_from_qv(F.col("__qv"), dim, n_planes)
         )
 
     q = prep("query_id", "__lq").alias("l")

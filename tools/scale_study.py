@@ -975,6 +975,60 @@ def main() -> None:
 
         return kcenter_select(df.select("vec_id", "embedding"), 6)[1]
 
+    def _drift_op(df):
+        from mvrepair.operators.dq import category_drift
+
+        return category_drift(
+            df.select("event_type", "ts"), "event_type", "ts"
+        )
+
+    def _woe_op(df):
+        from mvrepair.operators.dq import woe_iv
+
+        o = df.select(
+            F.floor(F.col("o_totalprice").cast("double") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            (F.col("o_orderstatus") == "F").alias("label"),
+        )
+        return woe_iv(o, "cents", "label", n_bins=8, width=1 << 16)
+
+    def _benford_op(df):
+        from mvrepair.operators.dq import benford_report
+
+        o = df.select(
+            F.floor(F.col("o_totalprice").cast("double") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        return benford_report(o, "cents")
+
+    def _hardneg_op(df):
+        from mvrepair.operators.similarity import hard_negative_topk
+
+        return hard_negative_topk(df, dim=64, k=3)
+
+    def _budget_op(df):
+        from mvrepair.operators.sampling import budget_apportion
+
+        d = df.select(
+            "source", F.size(F.split(F.col("text"), " ")).alias("toks")
+        )
+        return budget_apportion(d, "source", "toks", 10_007)
+
+    def _attrib_op(df):
+        from mvrepair.operators.temporal import linear_attribution
+
+        return linear_attribution(df)
+
+    def _hardneg_scaled_op(df, k):
+        import math
+
+        from mvrepair.operators.similarity import hard_negative_topk
+
+        planes = 8 + max(0, math.ceil(math.log2(k)))
+        return hard_negative_topk(df, dim=64, k=3, n_planes=planes)
+
     def _cms_joinsize_op(df):
         from mvrepair.operators.sketch import cms_join_size
 
@@ -1312,6 +1366,29 @@ def main() -> None:
         # growth is the per-round scan; round count and the driver's
         # center list are volume-independent
         "kcenter(emb)": ("emb", _kcenter_op),
+        # events copies (shifted user ids): per-type counts scale kx,
+        # everything after the one count pass is a 5-row frame
+        "drift_psi(ev)": ("ev", _drift_op),
+        # orders copies: the grid and the bin frame are fixed-size;
+        # growth is the sketch count pass + the conditional-count pass
+        "woe_iv(ord)": ("ord", _woe_op),
+        # orders copies: one digit-count pass, 9-row tail
+        "benford(ord)": ("ord", _benford_op),
+        # DISJOINT (rolled) embedding copies: fixed 256-bucket LSH, so
+        # in-bucket density grows kx and candidate pairs k^2 — the
+        # documented self-join trade; the plane count is the knob a
+        # growing corpus turns (9 planes halve density)
+        "hard_negatives(embroll)": ("embroll", _hardneg_op),
+        # document copies: token-mass agg scales, apportionment tail is
+        # a |sources|-row window stack
+        "crawl_budget(docs)": (True, _budget_op),
+        # events copies (shifted users): conversions and touches kx,
+        # per-user band-join structure constant -> linear
+        "attribution(ev)": ("ev", _attrib_op),
+        # the fix for the row above: one extra plane per corpus
+        # doubling keeps in-bucket density constant — the measured
+        # answer to the fixed-bucket k^2 wall
+        "hard_negatives_scaled(embroll)": ("embroll", _hardneg_scaled_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
