@@ -6984,6 +6984,51 @@ SELECT touch_type, n_touches, credit_micro,
 FROM agg"""
 
 
+def q_events_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift on the event value
+    stream between the two halves of its time range — the NUMERIC
+    drift companion of events_drift_psi: D as the max of
+    |cumA·nB − cumB·nA| over quantized values (all-int64; the argmax
+    and ties engine-exact, one deterministic division at the end).
+    One conditional-count pass + one value-ordered cumulative over the
+    6.4k-unit domain frame.  See dq.py:numeric_drift_ks."""
+    from mvrepair.operators.dq import numeric_drift_ks
+
+    ev = load_table(spark, sf_dir, "events").select("value", "ts")
+    return numeric_drift_ks(ev, "value", "ts", quant=100)
+
+
+_ORACLE_EVENTS_DRIFT_KS = """
+WITH bnd AS (
+  SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+          + CAST(max(epoch_us(ts)) AS BIGINT)) >> 1 AS mid
+  FROM events),
+cnt AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS unit,
+         count(CASE WHEN epoch_us(ts) <= bnd.mid THEN 1 END) AS ca,
+         count(CASE WHEN epoch_us(ts) > bnd.mid THEN 1 END) AS cb
+  FROM events, bnd GROUP BY 1),
+cum AS (
+  SELECT unit,
+         CAST(sum(ca) OVER (ORDER BY unit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY unit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb
+  FROM cnt),
+scored AS (
+  SELECT unit, cum_a, cum_b, na, nb,
+         abs(cum_a * nb - cum_b * na) AS d_num
+  FROM cum)
+SELECT unit AS ks_at_unit, cum_a, cum_b, na, nb, d_num,
+       CAST(floor(CAST(d_num AS DOUBLE) / CAST(na * nb AS DOUBLE)
+                  * 1000000.0) AS BIGINT) AS d_micro
+FROM scored ORDER BY d_num DESC, unit LIMIT 1"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase over the event stream:
     users reaching each step (each step strictly after the user's
@@ -8085,6 +8130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_benford": q_orders_benford,  # twin: nb_classify (precomputed micro_log2 constants over one count pass — the count-ladder family's constants-only corner)
         "crawl_budget": q_crawl_budget,  # twin: key_skew (one per-key weight frame + tiny-window ranks — the count-frame-reduction family); the apportionment tail is pure integer window algebra
         "touch_attribution": q_touch_attribution,  # twin: sessions_in_maintenance (the user-keyed band-join family, purchase_context's shape) + conversion-keyed windows; credit split is the crawl_budget Hamilton algebra per conversion
+        "events_drift_ks": q_events_drift_ks,  # twin: posting_lists (one count agg + the value-ordered cumulative window — the token_quantiles exact-rank shape); the drift framing rides events_drift_psi's local gate
     }
 
 
@@ -8245,6 +8291,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_benford": _oracle_orders_benford(),
         "crawl_budget": _oracle_crawl_budget(),
         "touch_attribution": _ORACLE_TOUCH_ATTRIBUTION,
+        "events_drift_ks": _ORACLE_EVENTS_DRIFT_KS,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

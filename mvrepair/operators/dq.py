@@ -597,3 +597,84 @@ def benford_report(df: DataFrame, value_col: str) -> DataFrame:
         "*",
         F.sum(F.abs(F.col("dev_q"))).over(w).alias("abs_dev_total_q"),
     )
+
+
+def numeric_drift_ks(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    quant: int = 100,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the two
+    halves of a table's time range — the NUMERIC companion of
+    :func:`category_drift`: D = max over values of |ECDF_A − ECDF_B|,
+    the classic distribution-shift test for a continuous feed.
+
+    EXACT integer algebra end to end: values quantize to
+    ``floor(v·quant)`` units, cumulative counts are exact ints off one
+    (unit, half) conditional-count pass, and the sup statistic is the
+    max of the CROSS-MULTIPLIED difference ``|cumA·nB − cumB·nA|``
+    (int64; bound na·nb < 2^63 ⇒ fine to ~3e9 rows per side) — never a
+    float ECDF, so the argmax and ties are engine-exact.  The reported
+    ``d_micro`` is the single deterministic division at the end.
+
+    Scale note: the cumulative needs a GLOBAL order over the DISTINCT
+    quantized values — one Exchange+Sort over the value-domain-sized
+    frame (6.4k cents here; the exact-quantile family's cost shape).
+    For an unbounded domain, pre-bin with ``sketch.equiwidth_hist`` and
+    accept the bin-width resolution; the statistic over bins is the
+    same algebra.
+
+    Output: ONE row — ``(ks_at_unit, cum_a, cum_b, na, nb, d_num,
+    d_micro)``: the smallest quantized value achieving the sup, the
+    exact cross-product numerator, and micro-quantized D.
+    """
+    from pyspark.sql.window import Window
+
+    us = _event_us(ts_col)
+    [row] = df.agg(
+        F.shiftright(F.min(us) + F.max(us), 1).alias("mid")
+    ).collect()
+    mid = F.lit(int(row["mid"]))
+    q = F.floor(F.col(value_col).cast("double") * quant).cast("long")
+    cnt = df.groupBy(q.alias("unit")).agg(
+        F.count(F.when(us <= mid, 1)).alias("ca"),
+        F.count(F.when(us > mid, 1)).alias("cb"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("unit").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cnt.select(
+        "unit",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    ).withColumn(
+        "d_num",
+        F.abs(
+            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+        ),
+    )
+    best = cum.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("d_num").desc(), F.col("unit").asc()))
+        .alias("__rn"),
+    ).filter(F.col("__rn") == 1)
+    return best.select(
+        F.col("unit").alias("ks_at_unit"),
+        "cum_a",
+        "cum_b",
+        "na",
+        "nb",
+        "d_num",
+        F.floor(
+            F.col("d_num").cast("double")
+            / (F.col("na") * F.col("nb")).cast("double")
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )

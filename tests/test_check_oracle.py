@@ -498,6 +498,9 @@ class TestRegistryOrderingContract:
         # join family (purchase_context doctrine, rep in-window); the
         # Hamilton credit split is crawl_budget's algebra per group
         "touch_attribution": "sessions_in_maintenance",
+        # r11: exact two-sample KS — the value-ordered exact-rank
+        # cumulative family (token_quantiles/posting_lists shape)
+        "events_drift_ks": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5223,3 +5223,54 @@ def test_linear_attribution_window_cutoff(spark):
     out = {r["touch_type"]: r for r in T.linear_attribution(df).collect()}
     assert "view" not in out
     assert out["click"]["credit_micro"] == 1_000_000
+
+
+# -------------------------------------------------------------------- KS
+
+
+def test_ks_identical_halves_zero_and_disjoint_halves_one(spark):
+    from datetime import datetime
+
+    from mvrepair.operators import dq
+
+    def frame(vals_a, vals_b):
+        rows = [(datetime(2024, 1, 1, 0), float(v)) for v in vals_a] + [
+            (datetime(2024, 1, 2, 0), float(v)) for v in vals_b
+        ]
+        return spark.createDataFrame(rows, "ts timestamp, value double")
+
+    # identical distributions: D = 0
+    same = list(range(1, 51))
+    [r] = dq.numeric_drift_ks(frame(same, same), "value", "ts").collect()
+    assert r["d_num"] == 0 and r["d_micro"] == 0
+    # fully disjoint supports: D = 1 (at the end of A's support)
+    [r] = dq.numeric_drift_ks(
+        frame(range(1, 51), range(100, 150)), "value", "ts"
+    ).collect()
+    assert r["d_micro"] == 1_000_000
+    assert r["cum_a"] == 50 and r["cum_b"] == 0
+    assert r["ks_at_unit"] == 50 * 100  # smallest unit achieving the sup
+
+
+def test_ks_matches_scipy_style_reference(spark):
+    from datetime import datetime
+
+    from mvrepair.operators import dq
+
+    # deterministic asymmetric shift
+    a = [i % 97 + 1 for i in range(300)]
+    b = [(i % 89) * 2 + 5 for i in range(280)]
+    rows = [(datetime(2024, 1, 1), float(v)) for v in a] + [
+        (datetime(2024, 1, 3), float(v)) for v in b
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    [r] = dq.numeric_drift_ks(df, "value", "ts").collect()
+    # pure-Python exact reference over the same quantized units
+    units = sorted({v * 100 for v in a} | {v * 100 for v in b})
+    na, nb = len(a), len(b)
+    best = max(
+        abs(sum(1 for v in a if v * 100 <= u) * nb
+            - sum(1 for v in b if v * 100 <= u) * na)
+        for u in units
+    )
+    assert r["d_num"] == best and r["na"] == na and r["nb"] == nb

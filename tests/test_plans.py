@@ -475,6 +475,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Project": 4, "Sort": 2,
                           "BroadcastHashJoin": 1, "BroadcastExchange": 1,
                           "Filter": 2, "FileScan": 2},
+    # r11: exact KS — one conditional-count scan, cum/total windows
+    # over the unit-domain frame, argmax as a rank-1 cut
+    "events_drift_ks": {"AdaptiveSparkPlan": 1, "Project": 3,
+                        "Filter": 1, "Window": 3,
+                        "TakeOrderedAndProject": 1, "Sort": 1,
+                        "Exchange": 2, "HashAggregate": 2,
+                        "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
