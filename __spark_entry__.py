@@ -7952,13 +7952,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 wave-3 families (promoted r8): funnel, anomaly,
         # inverted index, PMI collocations
         "event_funnel": q_event_funnel,
-        # round-10 wave-4 promotion: closed-form grouped regression
-        # (exact-integer OLS on shift-invariant normal-equation sums,
-        # signed portable floor division) — a genuinely new algebra with
-        # no window/sort anywhere; displaced events_anomaly, whose
-        # hourly-bucket + per-type ordered window frame is the plan twin
-        # of the still-checked events_gapfill
-        "event_trend": q_event_trend,
+        # round-11 rotation (cont.): embed_kcenter promoted — the greedy
+        # max-min selection loop (iterative collected argmax + literal-
+        # center map-side assignment) is a genuinely new ITERATIVE
+        # algebra whose oracle replays every round; event_trend demoted
+        # as a plan twin of the in-window pricing_summary (its own
+        # docstring's words: two hash aggregates, no window, no sort —
+        # the partial-agg tree shape; the regression ALGEBRA stays
+        # locally gated, and value_correlation rides the same family)
+        "embed_kcenter": q_embed_kcenter,
         "posting_lists": q_posting_lists,
         "collocations": q_collocations,
         # ---- position 51+ : plan twins of checked queries (local gate only) ----
@@ -8120,7 +8122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimate (0 <= err < width by construction)
         "price_hist_quantiles": q_price_hist_quantiles,  # twin: quality_percentiles (the group-keyed exact-rank quantile audit is its shape; the grid fold is the pricing_summary map-combinable hash-agg)
         "price_hist_stream": q_price_hist_stream,  # twin: events_hourly_stream (JVM-state keyed agg); the grid + quantile algebra is price_hist_quantiles', oracle shared verbatim
-        "embed_kcenter": q_embed_kcenter,  # twin: kmeans_clusters (iterative broadcast-center geometric loop, unrolled-CTE oracle replay); greedy max-min selection over the same persisted quantized corpus
+        "event_trend": q_event_trend,  # twin: pricing_summary (two hash aggregates, no window/sort — the partial-agg fact-rollup shape); demoted in the r11 rotation for embed_kcenter's promotion, driver-green r10
         "bucketed_join": q_bucketed_join,  # twin: zorder_layout (the data-layout surface: zorder = scan pruning, bucketing = shuffle elimination); result algebra is pricing_summary's fact rollup
         "events_drift_psi": q_events_drift_psi,  # twin: nb_classify (the micro_log2 count-ladder scoring family, the source_divergence doctrine); one (type,half) count pass + tiny-frame ladders
         "embed_mmr": q_embed_mmr,  # twin: kmeans_clusters (the embed_kcenter doctrine: iterative broadcast-center loop, unrolled-CTE oracle replay) + one k-row broadcast join for the rank column

@@ -184,9 +184,14 @@ class TestRegistryOrderingContract:
         # rep (one key-keyed Exchange+Sort over the types x hours
         # frame); the anomaly family keeps driver coverage through it
         "anomaly": "events_gapfill",
-        # r10 wave 4: closed-form grouped regression (exact-integer OLS
-        # sums + signed portable floor division — no window, no sort)
-        "trend-regression": "event_trend",
+        # r11 rotation: event_trend demoted for embed_kcenter — the
+        # regression aggregate is the partial-agg fact-rollup shape
+        # (its own docstring: two hash aggs, no window, no sort), so
+        # the trend family rides the analytics-agg rep; the OLS
+        # ALGEBRA stays locally gated via event_trend's past-window row
+        "trend-regression": "pricing_summary",
+        # r11: greedy selection loops (kcenter in-window; MMR rides it)
+        "selection": "embed_kcenter",
         "posting-lists": "posting_lists",
         "collocations": "collocations",
         # round-8 wave-5 families
@@ -389,7 +394,10 @@ class TestRegistryOrderingContract:
         # hourly-bucket + per-type ordered-frame shape
         "events_anomaly": "events_gapfill",
         # round-10 wave-4 additions:
-        "value_correlation": "event_trend",  # identical sufficient-statistics aggregate; adds Σy² + one IEEE sqrt-product divide
+        "value_correlation": "pricing_summary",  # identical sufficient-statistics partial-agg tree (the event_trend shape, demoted r11); adds Σy² + one IEEE sqrt-product divide
+        # r11 rotation: event_trend demoted for embed_kcenter — the
+        # two-hash-agg partial-agg tree (driver-green r10)
+        "event_trend": "pricing_summary",
         "basket_rules": "basket_pairs",  # same co-partitioned basket self-join + pair agg prefix; rule algebra adds row-local direction explode + item-count joins
         "ann_multiprobe": "pq_topk",  # same bucket equi-join + WindowGroupLimit rerank; probe expansion is query-side row-local explode
         "contrastive_pairs": "doc_splits",  # deterministic hash-bucket assignment + 64-row broadcast join; election is the min-struct keep-best shape
@@ -461,11 +469,6 @@ class TestRegistryOrderingContract:
         # unchanged — JVM-state rep family; the quantile algebra rides
         # price_hist_quantiles' local gate, oracle shared verbatim
         "price_hist_stream": "events_hourly_stream",
-        # r11: greedy k-center selection — the iterative broadcast-
-        # center geometric loop over the same persisted quantized
-        # corpus as the in-window kmeans rep (unrolled-CTE oracle
-        # replay, literal-center map-side assignment)
-        "embed_kcenter": "kmeans_clusters",
         # r11: bucketed co-located join — the data-layout surface
         # family (zorder rep in-window: zorder = scan pruning, this =
         # shuffle elimination); the result algebra is pricing_summary's
@@ -475,9 +478,9 @@ class TestRegistryOrderingContract:
         # count-ladder scoring family (the source_divergence twin
         # doctrine); one (type, half) count pass + tiny-frame windows
         "events_drift_psi": "nb_classify",
-        # r11: MMR diversified re-ranking — the embed_kcenter doctrine
-        # (iterative broadcast-center geometric loop, kmeans rep)
-        "embed_mmr": "kmeans_clusters",
+        # r11: MMR diversified re-ranking — the selection-loop family
+        # (one-scan-one-TakeOrdered rounds; its rep now in-window)
+        "embed_mmr": "embed_kcenter",
         # r11: WOE/IV supervised binning — the micro_log2 count-ladder
         # family; boundaries ride the price_hist_quantiles grid sketch
         "orders_woe_iv": "nb_classify",

@@ -416,12 +416,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 5, "Generate": 2, "Window": 4,
                           "LocalTableScan": 1, "BroadcastExchange": 1,
                           "FileScan": 1},
-    # r11: greedy k-center — the RETURNED assignment is a pure map-side
-    # argmin against k broadcast literal centers (one scan, zero joins;
-    # the Exchange is _spread's repartition); the iterative selection
-    # ran eagerly during plan construction, kmeans_clusters' doctrine
-    "embed_kcenter": {"AdaptiveSparkPlan": 1, "Project": 2,
-                      "Exchange": 1, "FileScan": 1},
+    # r11 rotation: event_trend demoted (embed_kcenter promoted) — the
+    # exact-integer OLS sufficient-statistics aggregate, a pure
+    # partial-agg tree (no window, no sort)
+    "event_trend": {"AdaptiveSparkPlan": 1, "Project": 3, "Filter": 1,
+                    "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
     # r11: bucketed co-located join — SortMergeJoin with ZERO Sort and
     # the plan's ONLY Exchange being the 5-row priority aggregate: the
     # bucket layout satisfies both distribution and order requirements
