@@ -7029,6 +7029,53 @@ SELECT unit AS ks_at_unit, cum_a, cum_b, na, nb, d_num,
 FROM scored ORDER BY d_num DESC, unit LIMIT 1"""
 
 
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve with right censoring over
+    the event stream (hour buckets): the survival-analysis primitive
+    behind conversion-latency / churn dashboards, as an exact integer
+    micro-unit recurrence (S_t = S_prev·(n−d) DIV n) folded IN-PLAN
+    over the life table and replayed by the oracle as a recursive CTE.
+    One user-keyed aggregate is the only corpus-sized pass.  See
+    temporal.py:km_survival."""
+    ev = load_table(spark, sf_dir, "events")
+    return T.km_survival(ev)
+
+
+_ORACLE_KM_SURVIVAL = """
+WITH RECURSIVE per_user AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS conv_us,
+         max(epoch_us(ts)) AS last_us
+  FROM events GROUP BY 1),
+dur AS (
+  SELECT conv_us IS NOT NULL AS converted,
+         CAST((coalesce(conv_us, last_us) - first_us) // 3600000000
+              AS BIGINT) AS t
+  FROM per_user),
+lt AS (
+  SELECT t, count(CASE WHEN converted THEN 1 END) AS d,
+         count(CASE WHEN NOT converted THEN 1 END) AS c
+  FROM dur GROUP BY 1),
+steps AS (
+  SELECT t, d, c,
+         CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS i,
+         CAST(sum(d + c) OVER () AS BIGINT)
+           - CAST(coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n
+  FROM lt),
+km AS (
+  SELECT s.i, s.t, s.d, s.c, s.n,
+         (1000000 * (s.n - s.d)) // s.n AS sm
+  FROM steps s WHERE s.i = 1
+  UNION ALL
+  SELECT s.i, s.t, s.d, s.c, s.n,
+         (km.sm * (s.n - s.d)) // s.n AS sm
+  FROM km JOIN steps s ON s.i = km.i + 1)
+SELECT t, d, c, n, CAST(sm AS BIGINT) AS s_micro FROM km"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase over the event stream:
     users reaching each step (each step strictly after the user's
@@ -8133,6 +8180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,  # twin: key_skew (one per-key weight frame + tiny-window ranks — the count-frame-reduction family); the apportionment tail is pure integer window algebra
         "touch_attribution": q_touch_attribution,  # twin: sessions_in_maintenance (the user-keyed band-join family, purchase_context's shape) + conversion-keyed windows; credit split is the crawl_budget Hamilton algebra per conversion
         "events_drift_ks": q_events_drift_ks,  # twin: posting_lists (one count agg + the value-ordered cumulative window — the token_quantiles exact-rank shape); the drift framing rides events_drift_psi's local gate
+        "km_survival": q_km_survival,  # twin: cohort_retention (the per-user min/max lifecycle aggregate + tiny-frame tail family); the sequential product folds in-plan over one collect_list row, oracle = recursive CTE
     }
 
 
@@ -8294,6 +8342,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_budget": _oracle_crawl_budget(),
         "touch_attribution": _ORACLE_TOUCH_ATTRIBUTION,
         "events_drift_ks": _ORACLE_EVENTS_DRIFT_KS,
+        "km_survival": _ORACLE_KM_SURVIVAL,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -957,3 +957,104 @@ def linear_attribution(
             F.sum("credit_micro").over(w_all).alias("total_credit_micro"),
         )
     )
+
+
+def km_survival(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    bucket_us: int = 3_600_000_000,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958) over
+    time-to-conversion with right censoring — the survival-analysis
+    primitive behind conversion-latency and churn curves: subject =
+    user, event = first ``conversion_type`` after the user's first
+    activity, censoring = last activity for users who never convert.
+
+    EXACT integer algebra: durations bucket to integer units
+    (``DIV bucket_us``), the life table (d_t deaths, c_t censored,
+    n_t at-risk) is pure exact counts, and the survival curve is the
+    integer micro-unit recurrence ``S_t = S_prev·(n_t−d_t) DIV n_t``
+    (S_0 = 1e6) — each step one int64 multiply + truncating divide,
+    bit-identical in any engine (bound: n < 2^43 keeps S·n under
+    2^63), replayed by the oracle as a recursive CTE.  Quantizing at
+    every step instead of once at the end loses < |steps| micro-units
+    — the price of cross-engine exactness, documented not hidden.
+
+    Scale shape: ONE user-keyed aggregate over the event stream (the
+    corpus-sized pass), a bucket-keyed count onto the life table
+    (bounded by the time domain / bucket width), and the sequential
+    product folds IN-PLAN over one ``array_sort(collect_list(...))``
+    row — no driver loop, no Python; the fold's array is life-table-
+    sized, never user-sized.
+
+    Output per bucket with activity: ``(t, d, c, n, s_micro)`` —
+    at-risk follows the standard convention (deaths and censorings at
+    t leave the risk set after t).
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(us).alias("__first"),
+        F.min(
+            F.when(F.col(type_col) == conversion_type, us)
+        ).alias("__conv"),
+        F.max(us).alias("__last"),
+    )
+    dur = per_user.select(
+        F.col("__conv").isNotNull().alias("__converted"),
+        F.expr(
+            f"CAST((coalesce(__conv, __last) - __first) DIV {int(bucket_us)}"
+            " AS BIGINT)"
+        ).alias("t"),
+    )
+    lt = dur.groupBy("t").agg(
+        F.count(F.when(F.col("__converted"), 1)).alias("d"),
+        F.count(F.when(~F.col("__converted"), 1)).alias("c"),
+    )
+    w_all = Window.partitionBy()
+    w_prior = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    steps = lt.select(
+        "t",
+        "d",
+        "c",
+        (
+            F.sum(F.col("d") + F.col("c")).over(w_all)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prior), F.lit(0)
+            )
+        ).alias("n"),
+    )
+    one = steps.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "c", "n"))
+        ).alias("steps")
+    )
+    folded = one.select(
+        F.explode(
+            F.expr(
+                """
+aggregate(
+  steps,
+  struct(CAST(1000000 AS BIGINT) AS s,
+         CAST(array() AS array<struct<t: bigint, d: bigint, c: bigint,
+                                      n: bigint, sm: bigint>>) AS out),
+  (acc, x) -> struct(
+    CAST((acc.s * (x.n - x.d)) DIV x.n AS BIGINT) AS s,
+    concat(acc.out, array(struct(
+      x.t AS t, x.d AS d, x.c AS c, x.n AS n,
+      CAST((acc.s * (x.n - x.d)) DIV x.n AS BIGINT) AS sm))) AS out)
+).out"""
+            )
+        ).alias("r")
+    )
+    return folded.select(
+        F.col("r.t").alias("t"),
+        F.col("r.d").alias("d"),
+        F.col("r.c").alias("c"),
+        F.col("r.n").alias("n"),
+        F.col("r.sm").alias("s_micro"),
+    )

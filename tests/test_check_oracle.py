@@ -504,6 +504,10 @@ class TestRegistryOrderingContract:
         # r11: exact two-sample KS — the value-ordered exact-rank
         # cumulative family (token_quantiles/posting_lists shape)
         "events_drift_ks": "posting_lists",
+        # r11: Kaplan-Meier — the per-user lifecycle-aggregate family
+        # (cohort_retention's shape); the product recurrence folds over
+        # one life-table row in-plan, oracle = recursive CTE
+        "km_survival": "cohort_retention",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5274,3 +5274,56 @@ def test_ks_matches_scipy_style_reference(spark):
         for u in units
     )
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
+
+
+# ----------------------------------------------------------- Kaplan-Meier
+
+
+def test_km_survival_textbook_example(spark):
+    from datetime import datetime, timedelta
+
+    from mvrepair.operators import temporal as T
+
+    # 6 users, hour buckets.  u1,u2 convert at t=1; u3 censored at t=1;
+    # u4 converts at t=2; u5 censored at t=3; u6 converts at t=3.
+    base = datetime(2024, 1, 1, 0)
+
+    def u(uid, *evts):
+        return [
+            (uid, base + timedelta(hours=h), et) for h, et in evts
+        ]
+
+    rows = (
+        u(1, (0, "view"), (1, "purchase"))
+        + u(2, (0, "view"), (1, "purchase"))
+        + u(3, (0, "view"), (1, "view"))
+        + u(4, (0, "view"), (2, "purchase"))
+        + u(5, (0, "view"), (3, "view"))
+        + u(6, (0, "view"), (3, "purchase"))
+    )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {r["t"]: r for r in T.km_survival(df).collect()}
+    # t=1: n=6, d=2, c=1 -> S = 1e6*4//6 = 666666
+    assert out[1]["n"] == 6 and out[1]["d"] == 2 and out[1]["c"] == 1
+    assert out[1]["s_micro"] == 666_666
+    # t=2: n=3, d=1 -> S = 666666*2//3 = 444444
+    assert out[2]["n"] == 3 and out[2]["s_micro"] == 444_444
+    # t=3: n=2, d=1, c=1 -> S = 444444*1//2 = 222222
+    assert out[3]["n"] == 2 and out[3]["d"] == 1 and out[3]["c"] == 1
+    assert out[3]["s_micro"] == 222_222
+
+
+def test_km_survival_monotone_and_bounded(spark, sf_dir):
+    from mvrepair.operators import temporal as T
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = sorted(T.km_survival(ev).collect(), key=lambda r: r["t"])
+    assert rows, "life table empty"
+    s = [r["s_micro"] for r in rows]
+    assert all(0 <= x <= 1_000_000 for x in s)
+    assert s == sorted(s, reverse=True)  # survival never increases
+    # at-risk bookkeeping: n_t = n_prev - d_prev - c_prev across rows
+    for a, b in zip(rows, rows[1:]):
+        assert b["n"] == a["n"] - a["d"] - a["c"]

@@ -481,6 +481,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                         "TakeOrderedAndProject": 1, "Sort": 1,
                         "Exchange": 2, "HashAggregate": 2,
                         "FileScan": 1},
+    # r11: Kaplan-Meier — one user-keyed agg (the corpus pass), life-
+    # table windows, the sequential product as ONE collect_list fold
+    # (ObjectHashAggregate) + Generate explode
+    "km_survival": {"AdaptiveSparkPlan": 1, "Project": 5, "Generate": 1,
+                    "ObjectHashAggregate": 2, "Window": 2, "Sort": 1,
+                    "Exchange": 3, "HashAggregate": 4, "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
