@@ -7076,6 +7076,43 @@ km AS (
 SELECT t, d, c, n, CAST(sm AS BIGINT) AS s_micro FROM km"""
 
 
+def q_part_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-part revenue concentration — the
+    head-heaviness diagnostic a rebalancing pipeline reads (0 =
+    uniform, →1 = one product owns everything), in exact integer
+    Lorenz algebra (DECIMAL(38,0) rank-weighted sum, one integral
+    divide).  One part-keyed aggregate + one sort over the 20k-part
+    domain frame.  See dq.py:gini_concentration."""
+    from mvrepair.operators.dq import gini_concentration
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice").cast("double") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return gini_concentration(li, "l_partkey", "cents")
+
+
+_ORACLE_PART_GINI = """
+WITH per_key AS (
+  SELECT l_partkey AS k,
+         CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100)
+                       AS BIGINT)) AS BIGINT) AS x
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT x,
+         CAST(row_number() OVER (ORDER BY x, k) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM per_key)
+SELECT max(n) AS n_keys, CAST(sum(x) AS BIGINT) AS total_value,
+       CAST((CAST(1000000 AS HUGEINT)
+             * sum(CAST(2 * i - n - 1 AS HUGEINT) * CAST(x AS HUGEINT)))
+            // (CAST(max(n) AS HUGEINT) * CAST(sum(x) AS HUGEINT))
+            AS BIGINT) AS gini_micro
+FROM ranked"""
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel view -> click -> purchase over the event stream:
     users reaching each step (each step strictly after the user's
@@ -8181,6 +8218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,  # twin: sessions_in_maintenance (the user-keyed band-join family, purchase_context's shape) + conversion-keyed windows; credit split is the crawl_budget Hamilton algebra per conversion
         "events_drift_ks": q_events_drift_ks,  # twin: posting_lists (one count agg + the value-ordered cumulative window — the token_quantiles exact-rank shape); the drift framing rides events_drift_psi's local gate
         "km_survival": q_km_survival,  # twin: cohort_retention (the per-user min/max lifecycle aggregate + tiny-frame tail family); the sequential product folds in-plan over one collect_list row, oracle = recursive CTE
+        "part_gini": q_part_gini,  # twin: events_drift_ks (one key agg + the value-ordered rank window over the key-domain frame — the exact-rank cumulative family); DECIMAL(38,0) sum is the event_trend cross-product precedent
     }
 
 
@@ -8343,6 +8381,7 @@ def oracle_sql() -> dict[str, str]:
         "touch_attribution": _ORACLE_TOUCH_ATTRIBUTION,
         "events_drift_ks": _ORACLE_EVENTS_DRIFT_KS,
         "km_survival": _ORACLE_KM_SURVIVAL,
+        "part_gini": _ORACLE_PART_GINI,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -678,3 +678,55 @@ def numeric_drift_ks(
         .cast("long")
         .alias("d_micro"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of a per-key value distribution — the
+    concentration diagnostic ("how head-heavy is revenue per product /
+    token mass per source / sample count per domain?") a curation
+    pipeline reads before rebalancing; 0 = uniform, →1 = one key owns
+    everything.
+
+    Exact integer Lorenz algebra: per-key totals are exact int64 sums;
+    with keys ranked ascending by (value, key), the numerator is
+    ``Σ (2i − n − 1)·x_i`` accumulated in DECIMAL(38,0) (the
+    event_trend cross-product precedent — n·x can pass 2^63 long
+    before 10^38), and ``gini_micro = (1e6·num) DIV (n·Σx)`` is one
+    integral divide on exact decimals (both engines truncate).  Ties
+    rank deterministically by key; equal values make the sum
+    tie-order-invariant anyway.
+
+    Scale shape: one key-keyed aggregate (the corpus pass), then one
+    Exchange+Sort + windows over the KEY-DOMAIN-sized frame (the exact
+    KS/quantile family's cost; for unbounded key domains, Gini over
+    histogram-sketch bins is the same algebra).  Output: ONE row
+    ``(n_keys, total_value, gini_micro)``.
+    """
+    from pyspark.sql.window import Window
+
+    per_key = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("__x")
+    )
+    w_all = Window.partitionBy()
+    ranked = per_key.select(
+        "__x",
+        F.row_number()
+        .over(Window.orderBy(F.col("__x").asc(), F.col("__k").asc()))
+        .alias("__i"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    return ranked.agg(
+        F.max("__n").alias("n_keys"),
+        F.sum("__x").alias("total_value"),
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0))"
+            " * sum(CAST((2 * __i - __n - 1) AS DECIMAL(38,0))"
+            "       * CAST(__x AS DECIMAL(38,0))))"
+            " DIV (CAST(max(__n) AS DECIMAL(38,0))"
+            "      * CAST(sum(__x) AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("gini_micro"),
+    )

@@ -508,6 +508,9 @@ class TestRegistryOrderingContract:
         # (cohort_retention's shape); the product recurrence folds over
         # one life-table row in-plan, oracle = recursive CTE
         "km_survival": "cohort_retention",
+        # r11: Gini concentration — the exact-rank cumulative family
+        # (one key agg + value-ordered rank window, the KS shape)
+        "part_gini": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5327,3 +5327,35 @@ def test_km_survival_monotone_and_bounded(spark, sf_dir):
     # at-risk bookkeeping: n_t = n_prev - d_prev - c_prev across rows
     for a, b in zip(rows, rows[1:]):
         assert b["n"] == a["n"] - a["d"] - a["c"]
+
+
+# ------------------------------------------------------------------ Gini
+
+
+def test_gini_uniform_zero_and_degenerate_one(spark):
+    from mvrepair.operators import dq
+
+    uni = spark.createDataFrame(
+        [(k, 100) for k in range(50)], "k long, v long"
+    )
+    [r] = dq.gini_concentration(uni, "k", "v").collect()
+    assert r["gini_micro"] == 0 and r["n_keys"] == 50
+    # one key owns everything: G = (n-1)/n = 0.98
+    deg = spark.createDataFrame(
+        [(0, 1000)] + [(k, 0) for k in range(1, 50)], "k long, v long"
+    )
+    [r] = dq.gini_concentration(deg, "k", "v").collect()
+    assert r["gini_micro"] == 980_000
+
+
+def test_gini_matches_python_reference(spark):
+    from mvrepair.operators import dq
+
+    vals = [(k, (k * 37) % 101 + 1) for k in range(200)]
+    df = spark.createDataFrame(vals, "k long, v long")
+    [r] = dq.gini_concentration(df, "k", "v").collect()
+    xs = sorted(v for _, v in vals)
+    n, tot = len(xs), sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    assert r["gini_micro"] == (1_000_000 * num) // (n * tot)
+    assert r["total_value"] == tot

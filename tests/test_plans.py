@@ -487,6 +487,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "km_survival": {"AdaptiveSparkPlan": 1, "Project": 5, "Generate": 1,
                     "ObjectHashAggregate": 2, "Window": 2, "Sort": 1,
                     "Exchange": 3, "HashAggregate": 4, "FileScan": 1},
+    # r11: Gini — one key agg, rank/count windows over the key-domain
+    # frame, single-row DECIMAL fold
+    "part_gini": {"AdaptiveSparkPlan": 1, "HashAggregate": 4,
+                  "Window": 2, "Project": 2, "Sort": 1, "Exchange": 2,
+                  "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
