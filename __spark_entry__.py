@@ -7675,6 +7675,72 @@ SELECT event_type, CAST(n AS BIGINT) AS n_points,
 FROM d"""
 
 
+def q_part_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the part-popularity distribution: OLS fit of
+    micro_log2(freq) against micro_log2(rank) — THE power-law
+    diagnostic (slope ≈ −s for freq ∝ rank^−s) a corpus planner reads
+    before head/tail sampling decisions; here over l_partkey demand
+    (the fixture vocabulary is 31 tokens, too few points for a
+    meaningful fit).  Pure composition of two exact engines: the
+    micro_log2 ladder on exact counts/ranks, then grouped_trend's
+    DECIMAL(38,0) normal-equation sums with portable signed floor
+    division.  One key-keyed count (the corpus pass) + one rank window
+    over the key-domain frame + a single-group aggregate."""
+    from mvrepair.functions.exactlog import micro_log2
+    from mvrepair.operators.regression import grouped_trend
+
+    freq = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.col("f").desc(), F.col("l_partkey").asc()))
+        .alias("rnk"),
+    )
+    pts = ranked.select(
+        F.lit("zipf").alias("corpus"),
+        micro_log2(F.col("rnk").cast("double")).alias("lx"),
+        micro_log2(F.col("f").cast("double")).alias("ly"),
+    )
+    return grouped_trend(pts, "corpus", F.col("lx"), F.col("ly"))
+
+
+def _oracle_part_zipf() -> str:
+    from mvrepair.functions.exactlog import micro_log2_sql
+
+    inner = """
+WITH freq AS (
+  SELECT l_partkey, count(*)::BIGINT AS f FROM lineitem GROUP BY 1)
+SELECT f, row_number() OVER (ORDER BY f DESC, l_partkey) AS rnk
+FROM freq"""
+    step1 = micro_log2_sql(
+        inner, "CAST(rnk AS DOUBLE)", keep=["f"], out="lx"
+    )
+    step2 = micro_log2_sql(
+        step1, "CAST(f AS DOUBLE)", keep=["lx"], out="ly"
+    )
+    return f"""
+WITH s AS (
+  SELECT 'zipf' AS corpus, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(lx) AS HUGEINT) AS sx, CAST(sum(ly) AS HUGEINT) AS sy,
+         CAST(sum(CAST(lx AS HUGEINT) * ly) AS HUGEINT) AS sxy,
+         CAST(sum(CAST(lx AS HUGEINT) * lx) AS HUGEINT) AS sxx
+  FROM ({step2})),
+d AS (
+  SELECT corpus, n,
+         (n * sxy - sx * sy) * 1000000 AS num,
+         (n * sxx - sx * sx) AS den,
+         sy * 1000000 AS lnum
+  FROM s WHERE n >= 2 AND (n * sxx - sx * sx) > 0)
+SELECT corpus, CAST(n AS BIGINT) AS n_points,
+  CAST((num - ((num % den) + den) % den) // den AS BIGINT) AS slope_micro,
+  CAST((lnum - ((lnum % n) + n) % n) // n AS BIGINT) AS level_micro
+FROM d"""
+
+
 def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Pearson correlation between hour-of-day and the
     micro-quantized value column: the three determinants are exact
@@ -8218,7 +8284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": q_touch_attribution,  # twin: sessions_in_maintenance (the user-keyed band-join family, purchase_context's shape) + conversion-keyed windows; credit split is the crawl_budget Hamilton algebra per conversion
         "events_drift_ks": q_events_drift_ks,  # twin: posting_lists (one count agg + the value-ordered cumulative window — the token_quantiles exact-rank shape); the drift framing rides events_drift_psi's local gate
         "km_survival": q_km_survival,  # twin: cohort_retention (the per-user min/max lifecycle aggregate + tiny-frame tail family); the sequential product folds in-plan over one collect_list row, oracle = recursive CTE
-        "part_gini": q_part_gini,  # twin: events_drift_ks (one key agg + the value-ordered rank window over the key-domain frame — the exact-rank cumulative family); DECIMAL(38,0) sum is the event_trend cross-product precedent
+        "part_gini": q_part_gini,  # twin: posting_lists (one key agg + the value-ordered rank window over the key-domain frame — the exact-rank cumulative family, events_drift_ks' shape); DECIMAL(38,0) sum is the event_trend cross-product precedent
+        "part_zipf": q_part_zipf,  # twin: posting_lists (the identical key-count + rank-window frame) composed with event_trend's OLS sums (locally gated past-window) through the micro_log2 ladder — pure composition, the ann_recall doctrine
     }
 
 
@@ -8382,6 +8449,7 @@ def oracle_sql() -> dict[str, str]:
         "events_drift_ks": _ORACLE_EVENTS_DRIFT_KS,
         "km_survival": _ORACLE_KM_SURVIVAL,
         "part_gini": _ORACLE_PART_GINI,
+        "part_zipf": _oracle_part_zipf(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

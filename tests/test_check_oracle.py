@@ -511,6 +511,9 @@ class TestRegistryOrderingContract:
         # r11: Gini concentration — the exact-rank cumulative family
         # (one key agg + value-ordered rank window, the KS shape)
         "part_gini": "posting_lists",
+        # r11: Zipf slope — the same key-count + rank-window frame
+        # composed with the (locally gated) OLS algebra via micro_log2
+        "part_zipf": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

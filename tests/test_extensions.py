@@ -5359,3 +5359,37 @@ def test_gini_matches_python_reference(spark):
     num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
     assert r["gini_micro"] == (1_000_000 * num) // (n * tot)
     assert r["total_value"] == tot
+
+
+# ------------------------------------------------------------------ Zipf
+
+
+def test_zipf_slope_recovers_power_law(spark):
+    from mvrepair.functions.exactlog import py_micro_log2
+    from mvrepair.operators.regression import grouped_trend
+    from pyspark.sql import functions as F
+
+    # construct an EXACT power law: freq(rank) = floor(2^20 / rank)
+    # (s = 1), feed the same micro_log2 pipeline the query uses
+    rows = [(r, (1 << 20) // r) for r in range(1, 201)]
+    df = spark.createDataFrame(rows, "rnk long, f long")
+    from mvrepair.functions.exactlog import micro_log2
+
+    pts = df.select(
+        F.lit("zipf").alias("corpus"),
+        micro_log2(F.col("rnk").cast("double")).alias("lx"),
+        micro_log2(F.col("f").cast("double")).alias("ly"),
+    )
+    [r] = grouped_trend(pts, "corpus", F.col("lx"), F.col("ly")).collect()
+    # slope_micro = floor(1e6 * b); b should be ~-1 (within floor noise
+    # of the 2^20/r truncation at deep ranks)
+    assert -1_001_000 < r["slope_micro"] < -995_000
+    # python replay of the exact OLS on the exact ladder values
+    xs = [py_micro_log2(float(rr)) for rr, _ in rows]
+    ys = [py_micro_log2(float(f)) for _, f in rows]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
+    assert r["slope_micro"] == num // den  # python // floors like the op

@@ -492,6 +492,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "part_gini": {"AdaptiveSparkPlan": 1, "HashAggregate": 4,
                   "Window": 2, "Project": 2, "Sort": 1, "Exchange": 2,
                   "FileScan": 1},
+    # r11: Zipf slope — key count + rank window + the micro_log2
+    # ladder feeding one single-group OLS aggregate
+    "part_zipf": {"AdaptiveSparkPlan": 1, "Project": 3, "Filter": 1,
+                  "HashAggregate": 4, "Window": 1, "Sort": 1,
+                  "Exchange": 2, "FileScan": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
