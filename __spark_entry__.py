@@ -8001,6 +8001,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     twin coverage (key_skew); bm25_rank demoted as a term-stat-shuffle
     twin of the still-checked posting_lists (the tfidf_topterms
     precedent), frozen fingerprint + local-gate row kept.
+    Round-11 rotation (cont.): embed_kcenter promoted — the greedy
+    selection loop (collected argmax rounds + literal-center map-side
+    assignment, oracle replaying every round) is a genuinely new
+    ITERATIVE algebra; event_trend demoted as the plan twin of
+    pricing_summary (its own docstring: two hash aggregates, no
+    window, no sort — the partial-agg tree), the OLS algebra staying
+    locally gated, value_correlation riding the same rep.  The other
+    round-11-cont additions (bucketed_join, embed_mmr, the drift/
+    WOE/Benford/KS/Gini/Zipf monitor set, hard_negatives,
+    crawl_budget, touch_attribution, km_survival) sit past-window as
+    twins named in their comments.
     """
     return {
         # reconciliation core (SURVEY §2 O1-O12, O16-O19)
