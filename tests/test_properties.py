@@ -707,3 +707,121 @@ class TestMicroLog2CrossEngine:
         # resolution: within 2 quantization steps of true log2
         for x, w in zip(xs, ws):
             assert abs(w / SCALE - math.log2(x)) < 2.0 / SCALE * SCALE / SCALE + 2e-6
+
+
+class TestBudgetApportion:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 25), st.integers(1, 10_000)),
+            min_size=1,
+            max_size=12,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(0, 100_000),
+    )
+    def test_exact_sum_and_quota_property(self, spark, rows, budget):
+        """Hamilton invariants on random weights: allocations sum
+        EXACTLY to the budget, and every allocation is within 1 of the
+        real-valued proportional share (the quota property)."""
+        from mvrepair.operators.sampling import budget_apportion
+
+        df = spark.createDataFrame(
+            [(f"k{k}", w) for k, w in rows], "k string, w long"
+        )
+        out = budget_apportion(df, "k", "w", budget).collect()
+        total_w = sum(w for _, w in rows)
+        assert sum(r["alloc"] for r in out) == budget
+        for r in out:
+            share = budget * r["wt"] / total_w
+            assert share - 1 < r["alloc"] < share + 1
+
+
+class TestGini:
+    @SETTINGS
+    @given(
+        st.lists(st.integers(0, 10_000), min_size=2, max_size=40).filter(
+            lambda xs: sum(xs) > 0
+        )
+    )
+    def test_matches_python_model_and_bounds(self, spark, vals):
+        from mvrepair.operators.dq import gini_concentration
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "k long, v long"
+        )
+        [r] = gini_concentration(df, "k", "v").collect()
+        xs = sorted(vals)
+        n, tot = len(xs), sum(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        assert r["gini_micro"] == (1_000_000 * num) // (n * tot)
+        assert 0 <= r["gini_micro"] < 1_000_000
+
+
+class TestKMSurvival:
+    @SETTINGS
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10),  # duration bucket (hours)
+                st.booleans(),  # converted?
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_matches_python_recurrence(self, spark, subjects):
+        """The in-plan fold equals the plain-Python KM recurrence on
+        arbitrary (duration, converted) life histories."""
+        from datetime import datetime, timedelta
+
+        from mvrepair.operators.temporal import km_survival
+
+        base = datetime(2024, 1, 1)
+        rows = []
+        for uid, (t, conv) in enumerate(subjects):
+            rows.append((uid, base, "view"))
+            if conv:
+                rows.append((uid, base + timedelta(hours=t), "purchase"))
+            elif t > 0:
+                rows.append((uid, base + timedelta(hours=t), "view"))
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        got = {r["t"]: r for r in km_survival(df).collect()}
+        # python model
+        from collections import Counter
+
+        d, c = Counter(), Counter()
+        for t, conv in subjects:
+            (d if conv else c)[t] += 1
+        n = len(subjects)
+        s = 1_000_000
+        for t in sorted(set(d) | set(c)):
+            s = s * (n - d[t]) // n
+            assert got[t]["n"] == n and got[t]["d"] == d[t]
+            assert got[t]["c"] == c[t] and got[t]["s_micro"] == s
+            n -= d[t] + c[t]
+
+
+class TestLinearAttribution:
+    @SETTINGS
+    @given(st.integers(1, 25))
+    def test_per_conversion_credit_sums_to_exactly_one(self, spark, n_touch):
+        """For ANY touch count the Hamilton split hands out exactly 1e6
+        micro-credits."""
+        from datetime import datetime, timedelta
+
+        from mvrepair.operators.temporal import linear_attribution
+
+        base = datetime(2024, 1, 5)
+        rows = [
+            (i, base + timedelta(minutes=i), 1, "view")
+            for i in range(n_touch)
+        ] + [(99, base + timedelta(hours=1), 1, "purchase")]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = linear_attribution(df).collect()
+        assert sum(r["credit_micro"] for r in out) == 1_000_000
+        assert out[0]["total_credit_micro"] == 1_000_000
