@@ -2406,6 +2406,77 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# truncated-RBO@5 exact-rational weights, p = 9/10: contribution of a
+# common pair first covered at depth m is W[m] = Σ_{d=m..5}
+# 9^(d-1)·10^(5-d)·(60/d) over the common denominator 60·10^5; perfect
+# agreement sums to 2,457,060 (= (1−p^5)·6e6), so rbo_micro = num DIV 6
+# and rbo_norm_micro = num·1e6 DIV 2457060
+_RBO_W = [1220082, 620082, 350082, 188082, 78732]
+_RBO_PERFECT = 2457060
+
+
+def q_ann_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010) between the LSH fast
+    path and the exact brute-force top-5, per query — the RANK-AWARE
+    companion of ann_recall: set recall treats rank 1 and rank 5 alike,
+    RBO's geometric weighting (p=0.9) scores agreement where users
+    look.  EXACT RATIONAL formulation: a common pair first covered at
+    depth m = max(rank_a, rank_b) contributes the precomputed integer
+    suffix weight W[m] over the fixed denominator 6e6 — one id-keyed
+    join + one sum, NO per-depth explode, every column int64
+    (truncated RBO, no extrapolation term).  Composition of two
+    driver/locally-gated pipelines (the ann_recall doctrine)."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    brute = S.cosine_topk(emb, queries, k=5)
+    fast = S.lsh_bucketed_topk(emb, queries, dim=64, k=5)
+    w_arr = F.array(*[F.lit(w).cast("long") for w in _RBO_W])
+    pairs = (
+        brute.select("query_id", "neighbor_id", F.col("rank").alias("ra"))
+        .join(
+            fast.select(
+                "query_id", "neighbor_id", F.col("rank").alias("rb")
+            ),
+            ["query_id", "neighbor_id"],
+        )
+        .select(
+            "query_id",
+            F.element_at(w_arr, F.greatest("ra", "rb")).alias("__w"),
+        )
+    )
+    nums = pairs.groupBy("query_id").agg(F.sum("__w").alias("rbo_num"))
+    spine = queries.select(F.col("vec_id").alias("query_id"))
+    return spine.join(nums, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("rbo_num"), F.lit(0)).alias("rbo_num"),
+        F.expr("coalesce(rbo_num, 0) DIV 6").alias("rbo_micro"),
+        F.expr(
+            f"(coalesce(rbo_num, 0) * 1000000) DIV {_RBO_PERFECT}"
+        ).alias("rbo_norm_micro"),
+    )
+
+
+def _oracle_ann_rbo() -> str:
+    cases = " ".join(
+        f"WHEN {m + 1} THEN {w}" for m, w in enumerate(_RBO_W)
+    )
+    return f"""
+WITH brute AS ({_oracle_ann_topk()}),
+fast AS ({_oracle_ann_lsh_topk()}),
+p AS (
+  SELECT b.query_id,
+         CASE greatest(b.rank, f.rank) {cases} END AS w
+  FROM brute b JOIN fast f
+    ON b.query_id = f.query_id AND b.neighbor_id = f.neighbor_id),
+n AS (SELECT query_id, CAST(sum(w) AS BIGINT) AS rbo_num FROM p GROUP BY 1),
+spine AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id % 50 = 0)
+SELECT s.query_id,
+  coalesce(n.rbo_num, 0) AS rbo_num,
+  coalesce(n.rbo_num, 0) // 6 AS rbo_micro,
+  (coalesce(n.rbo_num, 0) * 1000000) // {_RBO_PERFECT} AS rbo_norm_micro
+FROM spine s LEFT JOIN n ON s.query_id = n.query_id"""
+
+
 def _oracle_ann_recall() -> str:
     return f"""
 WITH brute AS ({_oracle_ann_topk()}),
@@ -8297,6 +8368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival": q_km_survival,  # twin: cohort_retention (the per-user min/max lifecycle aggregate + tiny-frame tail family); the sequential product folds in-plan over one collect_list row, oracle = recursive CTE
         "part_gini": q_part_gini,  # twin: posting_lists (one key agg + the value-ordered rank window over the key-domain frame — the exact-rank cumulative family, events_drift_ks' shape); DECIMAL(38,0) sum is the event_trend cross-product precedent
         "part_zipf": q_part_zipf,  # twin: posting_lists (the identical key-count + rank-window frame) composed with event_trend's OLS sums (locally gated past-window) through the micro_log2 ladder — pure composition, the ann_recall doctrine
+        "ann_rbo": q_ann_rbo,  # twin: pq_topk (the ann_recall composition doctrine: brute + LSH pipelines both gated; the RBO tail is one id-keyed join + sum of precomputed integer suffix weights)
     }
 
 
@@ -8461,6 +8533,7 @@ def oracle_sql() -> dict[str, str]:
         "km_survival": _ORACLE_KM_SURVIVAL,
         "part_gini": _ORACLE_PART_GINI,
         "part_zipf": _oracle_part_zipf(),
+        "ann_rbo": _oracle_ann_rbo(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

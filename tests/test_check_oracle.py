@@ -514,6 +514,9 @@ class TestRegistryOrderingContract:
         # r11: Zipf slope — the same key-count + rank-window frame
         # composed with the (locally gated) OLS algebra via micro_log2
         "part_zipf": "posting_lists",
+        # r11: RBO rank-agreement audit — the ann_recall composition
+        # doctrine on the ANN family rep
+        "ann_rbo": "pq_topk",
     }
 
     def test_every_family_within_driver_window(self):

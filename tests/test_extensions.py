@@ -5393,3 +5393,55 @@ def test_zipf_slope_recovers_power_law(spark):
     sxx = sum(a * a for a in xs)
     num, den = (n * sxy - sx * sy) * 1_000_000, n * sxx - sx * sx
     assert r["slope_micro"] == num // den  # python // floors like the op
+
+
+# ------------------------------------------------------------------- RBO
+
+
+def test_rbo_weights_are_the_exact_rationals():
+    from fractions import Fraction
+
+    import __spark_entry__ as e
+
+    # W[m] must equal 6e6 * Σ_{d=m..5} (1/10)(9/10)^(d-1) / d exactly
+    for m in range(1, 6):
+        exact = sum(
+            Fraction(1, 10) * Fraction(9, 10) ** (d - 1) / d
+            for d in range(m, 6)
+        ) * 6_000_000
+        assert exact == e._RBO_W[m - 1]
+    # perfect agreement = one pair first covered at every depth
+    assert sum(e._RBO_W) == e._RBO_PERFECT
+    # ...and equals (1 - p^5) in micro-units over the 6e6 denominator
+    assert Fraction(e._RBO_PERFECT, 6_000_000) == 1 - Fraction(9, 10) ** 5
+
+
+def test_rbo_identical_rankings_score_perfect(spark, sf_dir):
+    import __spark_entry__ as e
+    from mvrepair.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    brute = S.cosine_topk(emb, queries, k=5)
+    w_arr = F.array(*[F.lit(w).cast("long") for w in e._RBO_W])
+    num = (
+        brute.alias("a")
+        .join(
+            brute.alias("b"),
+            [
+                F.col("a.query_id") == F.col("b.query_id"),
+                F.col("a.neighbor_id") == F.col("b.neighbor_id"),
+            ],
+        )
+        .select(
+            F.col("a.query_id"),
+            F.element_at(
+                w_arr, F.greatest(F.col("a.rank"), F.col("b.rank"))
+            ).alias("w"),
+        )
+        .groupBy("a.query_id")
+        .agg(F.sum("w").alias("n"))
+        .collect()
+    )
+    assert num and all(r["n"] == e._RBO_PERFECT for r in num)

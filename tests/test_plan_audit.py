@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",   # labeled brute-force baseline: broadcast crossJoin
     "ann_recall",        # composes the brute-force baseline by definition
     "pq_recall",         # composes the brute-force baseline by definition
+    "ann_rbo",           # composes the brute-force baseline by definition
 }
 
 # streaming-backed entries run a real micro-batch when the fn is called —

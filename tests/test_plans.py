@@ -497,6 +497,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "part_zipf": {"AdaptiveSparkPlan": 1, "Project": 3, "Filter": 1,
                   "HashAggregate": 4, "Window": 1, "Sort": 1,
                   "Exchange": 2, "FileScan": 1},
+    # r11: RBO audit — brute (the allowlisted BNLJ baseline) + LSH
+    # pipelines joined once on (query, neighbor), weight-sum tail
+    "ann_rbo": {"AdaptiveSparkPlan": 1, "Project": 15,
+                "SortMergeJoin": 2, "Sort": 8, "Exchange": 11,
+                "Filter": 7, "FileScan": 5, "HashAggregate": 2,
+                "Window": 2, "WindowGroupLimit": 4,
+                "BroadcastNestedLoopJoin": 1, "BroadcastExchange": 2,
+                "BroadcastHashJoin": 1},
     # one FileScan + Expand (the multi-distinct), 2-level agg only
     "lineitem_dq": {"AdaptiveSparkPlan": 1, "Project": 1, "Generate": 1,
                     "HashAggregate": 4, "Exchange": 2, "FileScan": 1},
