@@ -7472,6 +7472,48 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pricing_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing rollup read THROUGH the ORC leg of the source
+    surface: lineitem round-trips parquet → ORC → scan (value-exact
+    for every column the query touches), then the identical exact-
+    DECIMAL aggregate — proving the second columnar format slots in
+    with the same pushdown/pruning story (the plan's FileScan is orc,
+    PushedFilters intact; pinned by fingerprint).  Oracle = the
+    parquet-side SQL, so the round-trip's value-exactness IS the
+    hash check.  See sources/parquet.py:roundtrip_orc."""
+    from mvrepair.sources.parquet import roundtrip_orc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    orc = roundtrip_orc(li, "/tmp/mvrepair_orc_lineitem")
+    li2 = orc.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast(_DEC18)
+    price = F.col("l_extendedprice").cast(_DEC18)
+    disc_price = price * (F.lit(1.0) - F.col("l_discount")).cast(_DEC12)
+    return li2.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(disc_price)
+        .cast("decimal(28,4)")
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+_ORACLE_PRICING_ORC = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(12,10))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
 BUCKET_JOIN_N = 8
 
 
@@ -8369,6 +8411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_gini": q_part_gini,  # twin: posting_lists (one key agg + the value-ordered rank window over the key-domain frame — the exact-rank cumulative family, events_drift_ks' shape); DECIMAL(38,0) sum is the event_trend cross-product precedent
         "part_zipf": q_part_zipf,  # twin: posting_lists (the identical key-count + rank-window frame) composed with event_trend's OLS sums (locally gated past-window) through the micro_log2 ladder — pure composition, the ann_recall doctrine
         "ann_rbo": q_ann_rbo,  # twin: pq_topk (the ann_recall composition doctrine: brute + LSH pipelines both gated; the RBO tail is one id-keyed join + sum of precomputed integer suffix weights)
+        "pricing_orc": q_pricing_orc,  # twin: pricing_summary (the identical exact-DECIMAL fact rollup; the only change is the scan's format leg — FileScan orc pinned by fingerprint)
     }
 
 
@@ -8534,6 +8577,7 @@ def oracle_sql() -> dict[str, str]:
         "part_gini": _ORACLE_PART_GINI,
         "part_zipf": _oracle_part_zipf(),
         "ann_rbo": _oracle_ann_rbo(),
+        "pricing_orc": _ORACLE_PRICING_ORC,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -94,3 +94,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql access."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def roundtrip_orc(
+    df: DataFrame, path: str, n_files: int = 8
+) -> DataFrame:
+    """Write ``df`` as ORC and read it back — the second columnar
+    format of the source surface (a lakehouse ingests what it's given;
+    ORC is the other columnar standard Spark reads natively, with the
+    same footer-statistics pruning story as parquet: PushedFilters /
+    ReadSchema appear in the ORC scan exactly as in the parquet one).
+
+    Value-exactness note: ints, decimals, strings and doubles survive
+    byte-identically; TIMESTAMPs go through the same UTC-session
+    normalization as :func:`load_table`'s parquet path.  The write is
+    idempotent (overwrite) and repartitions so the read side sees
+    ``n_files`` splits regardless of the input's layout.
+    """
+    df.repartition(n_files).write.mode("overwrite").format("orc").save(
+        path
+    )
+    return df.sparkSession.read.orc(path)

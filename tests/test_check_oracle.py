@@ -517,6 +517,9 @@ class TestRegistryOrderingContract:
         # r11: RBO rank-agreement audit — the ann_recall composition
         # doctrine on the ANN family rep
         "ann_rbo": "pq_topk",
+        # r11: ORC source leg — the identical exact-DECIMAL fact
+        # rollup; only the scan's format differs (pinned)
+        "pricing_orc": "pricing_summary",
     }
 
     def test_every_family_within_driver_window(self):

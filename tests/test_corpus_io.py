@@ -139,3 +139,26 @@ def test_sorted_shards_carry_monotone_rowgroup_stats(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(ts), LessThan(ts,10)]" in plan, plan
+
+
+def test_orc_roundtrip_value_exact_and_pushdown(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mvrepair.sources.parquet import load_table, roundtrip_orc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    )
+    orc = roundtrip_orc(li, "/tmp/mvrepair_orc_test")
+    assert orc.schema == li.schema
+    a = {tuple(r) for r in li.collect()}
+    b = {tuple(r) for r in orc.collect()}
+    assert a == b and a
+    plan = (
+        orc.filter(F.col("l_orderkey") == 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan orc" in plan
+    assert "PushedFilters" in plan and "EqualTo(l_orderkey,1)" in plan.replace(" ", "")

@@ -499,6 +499,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                   "Exchange": 2, "FileScan": 1},
     # r11: RBO audit — brute (the allowlisted BNLJ baseline) + LSH
     # pipelines joined once on (query, neighbor), weight-sum tail
+    # r11: the ORC source leg — identical rollup plan over a FileScan
+    # orc (pushdown verified by test), write ran eagerly at build
+    "pricing_orc": {"AdaptiveSparkPlan": 1, "HashAggregate": 2,
+                    "Exchange": 1, "Project": 1, "Filter": 1,
+                    "FileScan": 1},
     "ann_rbo": {"AdaptiveSparkPlan": 1, "Project": 15,
                 "SortMergeJoin": 2, "Sort": 8, "Exchange": 11,
                 "Filter": 7, "FileScan": 5, "HashAggregate": 2,

@@ -1021,6 +1021,48 @@ def main() -> None:
 
         return linear_attribution(df)
 
+    def _ks_op(df):
+        from mvrepair.operators.dq import numeric_drift_ks
+
+        return numeric_drift_ks(
+            df.select("value", "ts"), "value", "ts", quant=100
+        )
+
+    def _km_op(df):
+        from mvrepair.operators.temporal import km_survival
+
+        return km_survival(df)
+
+    def _gini_op(df):
+        from mvrepair.operators.dq import gini_concentration
+
+        li = df.select(
+            "l_partkey",
+            F.floor(F.col("l_extendedprice").cast("double") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        return gini_concentration(li, "l_partkey", "cents")
+
+    def _zipf_op(df):
+        from mvrepair.functions.exactlog import micro_log2
+        from mvrepair.operators.regression import grouped_trend
+        from pyspark.sql.window import Window as W
+
+        freq = df.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+        ranked = freq.select(
+            "f",
+            F.row_number()
+            .over(W.orderBy(F.col("f").desc(), F.col("l_partkey").asc()))
+            .alias("rnk"),
+        )
+        pts = ranked.select(
+            F.lit("zipf").alias("corpus"),
+            micro_log2(F.col("rnk").cast("double")).alias("lx"),
+            micro_log2(F.col("f").cast("double")).alias("ly"),
+        )
+        return grouped_trend(pts, "corpus", F.col("lx"), F.col("ly"))
+
     def _hardneg_scaled_op(df, k):
         import math
 
@@ -1389,6 +1431,17 @@ def main() -> None:
         # doubling keeps in-bucket density constant — the measured
         # answer to the fixed-bucket k^2 wall
         "hard_negatives_scaled(embroll)": ("embroll", _hardneg_scaled_op),
+        # events copies: one conditional-count pass; the cumulative
+        # runs over the FIXED 6.4k-unit value-domain frame at any k
+        "drift_ks(ev)": ("ev", _ks_op),
+        # events copies (shifted users): k x subjects through one
+        # user-keyed agg; the life table stays time-domain-sized and
+        # the fold is one row
+        "km_survival(ev)": ("ev", _km_op),
+        # lineitem copies, partkeys UNSHIFTED: the key-domain frame
+        # (20k parts) is fixed — growth is the one key-keyed agg
+        "gini(li)": ("li", _gini_op),
+        "zipf(li)": ("li", _zipf_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
