@@ -7854,6 +7854,54 @@ SELECT corpus, CAST(n AS BIGINT) AS n_points,
 FROM d"""
 
 
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA (α=1/8) over the hourly event-count series — the
+    exponential-decay smoother beside the trailing-mean and MAD
+    detectors, as an exact integer micro-unit recurrence folded
+    IN-PLAN per key (the km_survival fold, grouped) with a
+    recursive-CTE oracle.  One hourly count pass is the corpus-sized
+    work; the fold state per type is its own series.  See
+    temporal.py:ewma_smooth."""
+    from mvrepair.operators.temporal import ewma_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP))"
+            " DIV 3600000000 AS BIGINT)"
+        ).alias("idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return ewma_smooth(hourly, "event_type", "idx", "n")
+
+
+_ORACLE_EVENTS_EWMA = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+steps AS (
+  SELECT event_type, t, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY t)
+              AS BIGINT) AS i
+  FROM hourly),
+ew AS (
+  SELECT event_type, i, t, x,
+         (1 * x * 1000000 + 7 * (x * 1000000)) // 8 AS sm,
+         CAST(0 AS BIGINT) AS dev
+  FROM steps WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i, s.t, s.x,
+         (1 * s.x * 1000000 + 7 * ew.sm) // 8 AS sm,
+         s.x * 1000000 - ew.sm AS dev
+  FROM ew JOIN steps s
+    ON s.event_type = ew.event_type AND s.i = ew.i + 1)
+SELECT event_type, t, x, CAST(sm AS BIGINT) AS s_micro,
+       CAST(dev AS BIGINT) AS dev_micro
+FROM ew"""
+
+
 def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Pearson correlation between hour-of-day and the
     micro-quantized value column: the three determinants are exact
@@ -8412,6 +8460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_zipf": q_part_zipf,  # twin: posting_lists (the identical key-count + rank-window frame) composed with event_trend's OLS sums (locally gated past-window) through the micro_log2 ladder — pure composition, the ann_recall doctrine
         "ann_rbo": q_ann_rbo,  # twin: pq_topk (the ann_recall composition doctrine: brute + LSH pipelines both gated; the RBO tail is one id-keyed join + sum of precomputed integer suffix weights)
         "pricing_orc": q_pricing_orc,  # twin: pricing_summary (the identical exact-DECIMAL fact rollup; the only change is the scan's format leg — FileScan orc pinned by fingerprint)
+        "events_ewma": q_events_ewma,  # twin: events_gapfill (the type-keyed hourly-series family); the per-key in-plan fold is km_survival's shape grouped, oracle = recursive CTE per key
     }
 
 
@@ -8578,6 +8627,7 @@ def oracle_sql() -> dict[str, str]:
         "part_zipf": _oracle_part_zipf(),
         "ann_rbo": _oracle_ann_rbo(),
         "pricing_orc": _ORACLE_PRICING_ORC,
+        "events_ewma": _ORACLE_EVENTS_EWMA,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -1058,3 +1058,78 @@ aggregate(
         F.col("r.n").alias("n"),
         F.col("r.sm").alias("s_micro"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average over an integer
+    series — the exponential-decay smoother the monitoring set was
+    missing next to the trailing-mean and MAD detectors: EWMA reacts
+    to level shifts with O(1) state and a tunable memory (α =
+    ``alpha_num/alpha_den``).
+
+    EXACT integer recurrence (the km_survival doctrine): s_t =
+    (α_num·x_t·1e6 + (α_den−α_num)·s_{t−1}) DIV α_den in micro-units,
+    seeded s_0 = x_0·1e6 — each step one int64 multiply-add +
+    truncating divide, bit-identical in any engine (bound:
+    x·1e6·α_den < 2^63 ⇒ x under ~1e12/α_den), replayed by the oracle
+    as a recursive CTE.  Per-step quantization drifts < |series|
+    micro-units from the real-valued EWMA — the documented price of
+    cross-engine exactness.
+
+    Scale shape: the series is assumed PRE-AGGREGATED (one bucket-
+    keyed count pass upstream is the corpus-sized work); this operator
+    is one key-keyed ``array_sort(collect_list(...))`` + an in-plan
+    SQL fold per key + an explode — state per key is its own series
+    (time-domain-sized, the gapfill family's bound), never corpus rows.
+
+    Output: ``(key_col, t, x, s_micro, dev_micro)`` where dev is the
+    pre-update surprise ``x·1e6 − s_{t−1}`` (0 at the seed row).
+    """
+    a, d = int(alpha_num), int(alpha_den)
+    if not (0 < a <= d):
+        raise ValueError("need 0 < alpha_num <= alpha_den")
+    one = df.groupBy(F.col(key_col)).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(t_col).cast("long").alias("t"),
+                    F.col(x_col).cast("long").alias("x"),
+                )
+            )
+        ).alias("steps")
+    )
+    fold = F.expr(
+        f"""
+aggregate(
+  steps,
+  struct(CAST(-1 AS BIGINT) AS s,
+         CAST(array() AS array<struct<t: bigint, x: bigint,
+                                      sm: bigint, dev: bigint>>) AS out),
+  (acc, e) -> struct(
+    CAST(({a} * e.x * 1000000
+          + {d - a} * (CASE WHEN acc.s < 0 THEN e.x * 1000000
+                            ELSE acc.s END)) DIV {d} AS BIGINT) AS s,
+    concat(acc.out, array(struct(
+      e.t AS t, e.x AS x,
+      CAST(({a} * e.x * 1000000
+            + {d - a} * (CASE WHEN acc.s < 0 THEN e.x * 1000000
+                              ELSE acc.s END)) DIV {d} AS BIGINT) AS sm,
+      CAST(e.x * 1000000
+           - (CASE WHEN acc.s < 0 THEN e.x * 1000000
+                   ELSE acc.s END) AS BIGINT) AS dev))) AS out)
+).out"""
+    )
+    return one.select(key_col, F.explode(fold).alias("r")).select(
+        key_col,
+        F.col("r.t").alias("t"),
+        F.col("r.x").alias("x"),
+        F.col("r.sm").alias("s_micro"),
+        F.col("r.dev").alias("dev_micro"),
+    )

@@ -520,6 +520,9 @@ class TestRegistryOrderingContract:
         # r11: ORC source leg — the identical exact-DECIMAL fact
         # rollup; only the scan's format differs (pinned)
         "pricing_orc": "pricing_summary",
+        # r11: EWMA smoother — the type-keyed hourly-series family
+        # (gapfill rep); per-key in-plan fold, recursive-CTE oracle
+        "events_ewma": "events_gapfill",
     }
 
     def test_every_family_within_driver_window(self):

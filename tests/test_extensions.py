@@ -5445,3 +5445,48 @@ def test_rbo_identical_rankings_score_perfect(spark, sf_dir):
         .collect()
     )
     assert num and all(r["n"] == e._RBO_PERFECT for r in num)
+
+
+# ------------------------------------------------------------------ EWMA
+
+
+def test_ewma_matches_python_recurrence_and_seed(spark):
+    from mvrepair.operators import temporal as T
+
+    rows = [("a", t, x) for t, x in enumerate([10, 10, 50, 10, 10])] + [
+        ("b", t, x) for t, x in enumerate([3, 4])
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    out = {
+        (r["k"], r["t"]): r
+        for r in T.ewma_smooth(df, "k", "t", "x").collect()
+    }
+
+    def replay(xs):
+        s, res = None, []
+        for x in xs:
+            sp = x * 1_000_000 if s is None else s
+            s = (1 * x * 1_000_000 + 7 * sp) // 8
+            res.append((s, x * 1_000_000 - sp))
+        return res
+
+    for k, xs in (("a", [10, 10, 50, 10, 10]), ("b", [3, 4])):
+        for t, (sm, dev) in enumerate(replay(xs)):
+            assert out[(k, t)]["s_micro"] == sm
+            assert out[(k, t)]["dev_micro"] == dev
+    # seed row: s = x, dev = 0; the spike at t=2 carries a big +dev
+    assert out[("a", 0)]["s_micro"] == 10_000_000
+    assert out[("a", 0)]["dev_micro"] == 0
+    assert out[("a", 2)]["dev_micro"] == 40_000_000
+
+
+def test_ewma_validation(spark):
+    import pytest as _pytest
+
+    from mvrepair.operators import temporal as T
+
+    df = spark.createDataFrame([("a", 1, 1)], "k string, t long, x long")
+    with _pytest.raises(ValueError):
+        T.ewma_smooth(df, "k", "t", "x", alpha_num=0)
+    with _pytest.raises(ValueError):
+        T.ewma_smooth(df, "k", "t", "x", alpha_num=9, alpha_den=8)

@@ -499,6 +499,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                   "Exchange": 2, "FileScan": 1},
     # r11: RBO audit — brute (the allowlisted BNLJ baseline) + LSH
     # pipelines joined once on (query, neighbor), weight-sum tail
+    # r11: EWMA — one hourly count pass, per-key collect_list fold
+    # (ObjectHashAggregate) + Generate explode, the km_survival shape
+    # grouped
+    "events_ewma": {"AdaptiveSparkPlan": 1, "Project": 2, "Generate": 1,
+                    "ObjectHashAggregate": 2, "Exchange": 2,
+                    "HashAggregate": 2, "FileScan": 1},
     # r11: the ORC source leg — identical rollup plan over a FileScan
     # orc (pushdown verified by test), write ran eagerly at build
     "pricing_orc": {"AdaptiveSparkPlan": 1, "HashAggregate": 2,
