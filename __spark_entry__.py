@@ -7100,6 +7100,56 @@ SELECT unit AS ks_at_unit, cum_a, cum_b, na, nb, d_num,
 FROM scored ORDER BY d_num DESC, unit LIMIT 1"""
 
 
+def q_events_drift_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) drift on the event value
+    stream between the two halves of its time range — the MAGNITUDE
+    companion of events_drift_ks: W1 integrates the ECDF gap
+    (Σ |cumA·nB − cumB·nA| · gap, all-int64) where KS takes its sup,
+    so a small-but-everywhere mean shift scores high even when no
+    single value diverges much.  Same scale shape as KS: one
+    conditional-count pass + one cumulative over the 6.4k-unit domain
+    frame.  See dq.py:numeric_drift_w1."""
+    from mvrepair.operators.dq import numeric_drift_w1
+
+    ev = load_table(spark, sf_dir, "events").select("value", "ts")
+    return numeric_drift_w1(ev, "value", "ts", quant=100)
+
+
+_ORACLE_EVENTS_DRIFT_W1 = """
+WITH bnd AS (
+  SELECT (CAST(min(epoch_us(ts)) AS BIGINT)
+          + CAST(max(epoch_us(ts)) AS BIGINT)) >> 1 AS mid
+  FROM events),
+cnt AS (
+  SELECT CAST(floor(CAST(value AS DOUBLE) * 100) AS BIGINT) AS unit,
+         count(CASE WHEN epoch_us(ts) <= bnd.mid THEN 1 END) AS ca,
+         count(CASE WHEN epoch_us(ts) > bnd.mid THEN 1 END) AS cb
+  FROM events, bnd GROUP BY 1),
+stepped AS (
+  SELECT unit,
+         CAST(sum(ca) OVER (ORDER BY unit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY unit
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_b,
+         CAST(sum(ca) OVER () AS BIGINT) AS na,
+         CAST(sum(cb) OVER () AS BIGINT) AS nb,
+         coalesce(lead(unit) OVER (ORDER BY unit), unit) - unit AS gap
+  FROM cnt),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_units,
+         max(na) AS na, max(nb) AS nb,
+         CAST(sum(abs(cum_a * nb - cum_b * na) * gap) AS BIGINT)
+           AS w1_num
+  FROM stepped)
+SELECT n_units, na, nb, w1_num,
+       CAST(w1_num // (na * nb) * 1000000
+            + (w1_num % (na * nb)) * 1000000 // (na * nb)
+            AS BIGINT) AS w1_micro
+FROM tot"""
+
+
 def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion curve with right censoring over
     the event stream (hour buckets): the survival-analysis primitive
@@ -8461,6 +8511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rbo": q_ann_rbo,  # twin: pq_topk (the ann_recall composition doctrine: brute + LSH pipelines both gated; the RBO tail is one id-keyed join + sum of precomputed integer suffix weights)
         "pricing_orc": q_pricing_orc,  # twin: pricing_summary (the identical exact-DECIMAL fact rollup; the only change is the scan's format leg — FileScan orc pinned by fingerprint)
         "events_ewma": q_events_ewma,  # twin: events_gapfill (the type-keyed hourly-series family); the per-key in-plan fold is km_survival's shape grouped, oracle = recursive CTE per key
+        "events_drift_w1": q_events_drift_w1,  # twin: posting_lists (events_drift_ks' exact-rank cumulative shape verbatim: one count agg + one value-ordered window over the domain frame); only the tail fold differs (sum-of-gaps vs argmax)
     }
 
 
@@ -8628,6 +8679,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_rbo": _oracle_ann_rbo(),
         "pricing_orc": _ORACLE_PRICING_ORC,
         "events_ewma": _ORACLE_EVENTS_EWMA,
+        "events_drift_w1": _ORACLE_EVENTS_DRIFT_W1,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

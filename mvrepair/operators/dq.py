@@ -680,6 +680,85 @@ def numeric_drift_ks(
     )
 
 
+def numeric_drift_w1(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    quant: int = 100,
+) -> DataFrame:
+    """Exact 1-D Wasserstein-1 (earth-mover) drift between the two
+    halves of a table's time range — the MAGNITUDE companion of
+    :func:`numeric_drift_ks`: where KS reports the worst single point
+    of ECDF divergence, W1 integrates it, so a small-but-everywhere
+    shift (mean drift) scores high even when no single value's gap is
+    large.  On a 1-D empirical pair the transport integral collapses to
+
+        W1 = Σ_i |F_A(u_i) − F_B(u_i)| · (u_{i+1} − u_i)
+
+    over the sorted distinct quantized units — no assignment problem,
+    one cumulative pass (Ramdas et al. 2017, "On Wasserstein two-sample
+    testing", eq. 4; public result).
+
+    EXACT integer algebra end to end, the KS discipline: per-unit term
+    ``|cumA·nB − cumB·nA| · gap`` (int64), summed exactly, and the
+    reported ``w1_micro`` (micro-units of the QUANTIZED domain, i.e.
+    value·quant) is one exact floor division decomposed as
+    ``q·1e6 + (r·1e6) DIV (na·nb)`` so no intermediate exceeds int64.
+    Bound: Σ term ≤ na·nb·width; at na=nb=3e5 and width 6.4e3 that is
+    ~5.8e17 < 2^63.  For wider domains pre-bin with a coarser ``quant``
+    (the statistic over bins is the same algebra at bin resolution).
+
+    Scale shape: identical to KS — one conditional-count pass over the
+    corpus, then one Exchange+Sort over the value-DOMAIN-sized frame.
+    Output ONE row: ``(n_units, na, nb, w1_num, w1_micro)``.
+    """
+    from pyspark.sql.window import Window
+
+    us = _event_us(ts_col)
+    [row] = df.agg(
+        F.shiftright(F.min(us) + F.max(us), 1).alias("mid")
+    ).collect()
+    mid = F.lit(int(row["mid"]))
+    q = F.floor(F.col(value_col).cast("double") * quant).cast("long")
+    cnt = df.groupBy(q.alias("unit")).agg(
+        F.count(F.when(us <= mid, 1)).alias("ca"),
+        F.count(F.when(us > mid, 1)).alias("cb"),
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("unit")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped = cnt.select(
+        "unit",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+        # gap to the NEXT distinct unit; the last unit closes the
+        # integral (both ECDFs are 1 there), so its gap is 0.
+        (F.coalesce(F.lead("unit").over(w_ord), F.col("unit"))
+         - F.col("unit")).alias("gap"),
+    )
+    return stepped.groupBy().agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(
+            F.abs(F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na"))
+            * F.col("gap")
+        ).alias("w1_num"),
+    ).select(
+        "n_units",
+        "na",
+        "nb",
+        "w1_num",
+        # exact floor((w1_num * 1e6) / (na*nb)) without the 1e6 blowup
+        F.expr(
+            "w1_num DIV (na * nb) * 1000000"
+            " + (w1_num % (na * nb)) * 1000000 DIV (na * nb)"
+        ).cast("long").alias("w1_micro"),
+    )
+
+
 def gini_concentration(
     df: DataFrame,
     key_col: str,

@@ -523,6 +523,10 @@ class TestRegistryOrderingContract:
         # r11: EWMA smoother — the type-keyed hourly-series family
         # (gapfill rep); per-key in-plan fold, recursive-CTE oracle
         "events_ewma": "events_gapfill",
+        # r11: Wasserstein-1 drift — events_drift_ks' exact-rank
+        # cumulative shape (posting_lists family); only the tail fold
+        # differs (gap-weighted sum vs argmax)
+        "events_drift_w1": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5276,6 +5276,53 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_w1_identical_zero_and_pure_shift_exact(spark):
+    from datetime import datetime
+
+    from mvrepair.operators import dq
+
+    def frame(vals_a, vals_b):
+        rows = [(datetime(2024, 1, 1, 0), float(v)) for v in vals_a] + [
+            (datetime(2024, 1, 2, 0), float(v)) for v in vals_b
+        ]
+        return spark.createDataFrame(rows, "ts timestamp, value double")
+
+    same = list(range(1, 51))
+    [r] = dq.numeric_drift_w1(frame(same, same), "value", "ts").collect()
+    assert r["w1_num"] == 0 and r["w1_micro"] == 0
+    # a pure shift of +10 value units = 1000 quantized units moves every
+    # point exactly that far: W1 = 1000 units -> 1e9 micro-units
+    [r] = dq.numeric_drift_w1(
+        frame(range(1, 51), range(11, 61)), "value", "ts"
+    ).collect()
+    assert r["w1_micro"] == 1_000_000_000
+    assert r["na"] == 50 and r["nb"] == 50
+
+
+def test_w1_matches_python_reference(spark):
+    from datetime import datetime
+
+    from mvrepair.operators import dq
+
+    a = [i % 97 + 1 for i in range(300)]
+    b = [(i % 89) * 2 + 5 for i in range(280)]
+    rows = [(datetime(2024, 1, 1), float(v)) for v in a] + [
+        (datetime(2024, 1, 3), float(v)) for v in b
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    [r] = dq.numeric_drift_w1(df, "value", "ts").collect()
+    units = sorted({v * 100 for v in a} | {v * 100 for v in b})
+    na, nb = len(a), len(b)
+    num = sum(
+        abs(sum(1 for v in a if v * 100 <= u) * nb
+            - sum(1 for v in b if v * 100 <= u) * na) * (nxt - u)
+        for u, nxt in zip(units, units[1:])
+    )
+    assert r["w1_num"] == num
+    assert r["w1_micro"] == num * 1_000_000 // (na * nb)
+    assert r["n_units"] == len(units)
+
+
 # ----------------------------------------------------------- Kaplan-Meier
 
 

@@ -476,6 +476,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: Wasserstein-1 drift — the KS cumulative shape with a lead()
+    # window sharing the same Sort and a final single-row fold instead
+    # of TakeOrdered
+    "events_drift_w1": {"AdaptiveSparkPlan": 1, "Project": 3,
+                        "HashAggregate": 4, "Window": 2, "Sort": 1,
+                        "Exchange": 2, "FileScan": 1},
     "events_drift_ks": {"AdaptiveSparkPlan": 1, "Project": 3,
                         "Filter": 1, "Window": 3,
                         "TakeOrderedAndProject": 1, "Sort": 1,
