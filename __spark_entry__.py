@@ -6607,6 +6607,67 @@ r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM n),
 SELECT id AS part_id, r AS rank_micro FROM {prev}"""
 
 
+LPA_ITERS = 4
+
+
+def q_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities of parts over the co-purchase
+    graph — the clustering companion of part_pagerank on the same edge
+    derivation: 4 SYNCHRONOUS rounds where every part adopts its
+    in-neighbors' most frequent label (ties to the smaller label),
+    deterministic by construction so the oracle unrolls the identical
+    recurrence CTE-by-CTE.  See linkage.py:label_communities."""
+    from mvrepair.operators.linkage import label_communities
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    items = li.dropDuplicates(["l_orderkey", "l_partkey"])
+    a = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("src")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("dst")
+    )
+    edges = (
+        a.join(b, "__b")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    nodes = load_table(spark, sf_dir, "part").select("p_partkey")
+    return label_communities(
+        edges, nodes, id_col="p_partkey", iters=LPA_ITERS
+    ).select(F.col("id").alias("part_id"), "community")
+
+
+def _oracle_part_communities() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"c{i} AS (SELECT ed.dst AS id, {prev}.lbl,"
+            f" count(*) AS cnt FROM ed JOIN {prev} ON ed.src = {prev}.id"
+            f" GROUP BY 1, 2),\n"
+            f"p{i} AS (SELECT id, lbl, row_number() OVER (PARTITION BY id"
+            f" ORDER BY cnt DESC, lbl) AS rn FROM c{i}),\n"
+            f"l{i} AS (SELECT {prev}.id,"
+            f" CAST(coalesce(p{i}.lbl, {prev}.lbl) AS BIGINT) AS lbl"
+            f" FROM {prev} LEFT JOIN (SELECT id, lbl FROM p{i}"
+            f" WHERE rn = 1) p{i} USING (id))"
+        )
+        prev = f"l{i}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+ed AS (SELECT DISTINCT a.i AS src, bb.i AS dst
+       FROM items a JOIN items bb ON a.b = bb.b AND a.i <> bb.i),
+n AS (SELECT p_partkey AS id FROM part),
+l0 AS (SELECT id, CAST(id AS BIGINT) AS lbl FROM n),
+{body}
+SELECT id AS part_id, lbl AS community FROM {prev}"""
+
+
 def q_part_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts over the co-purchase graph — the
     clustering-density companion of part_pagerank on the same edge
@@ -8512,6 +8573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_orc": q_pricing_orc,  # twin: pricing_summary (the identical exact-DECIMAL fact rollup; the only change is the scan's format leg — FileScan orc pinned by fingerprint)
         "events_ewma": q_events_ewma,  # twin: events_gapfill (the type-keyed hourly-series family); the per-key in-plan fold is km_survival's shape grouped, oracle = recursive CTE per key
         "events_drift_w1": q_events_drift_w1,  # twin: posting_lists (events_drift_ks' exact-rank cumulative shape verbatim: one count agg + one value-ordered window over the domain frame); only the tail fold differs (sum-of-gaps vs argmax)
+        "part_communities": q_part_communities,  # twin: part_pagerank (the identical fixed-round edge-join + localCheckpoint iteration over the same co-purchase edges; the round body swaps the rank recurrence for a per-dst label-vote argmax)
     }
 
 
@@ -8680,6 +8742,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_orc": _ORACLE_PRICING_ORC,
         "events_ewma": _ORACLE_EVENTS_EWMA,
         "events_drift_w1": _ORACLE_EVENTS_DRIFT_W1,
+        "part_communities": _oracle_part_communities(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

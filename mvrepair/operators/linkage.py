@@ -524,3 +524,73 @@ def kcore_peel(
     return ends.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
+
+
+def label_communities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    iters: int = 4,
+) -> DataFrame:
+    """Fixed-round SYNCHRONOUS label propagation (Raghavan et al. 2007)
+    over a directed edge list — community detection as a hash-checkable
+    pipeline, completing the graph family (components answers "which
+    nodes touch?", this answers "which nodes cluster?").
+
+    Deterministic variant of LPA: every node starts labeled with its own
+    id; each round EVERY node simultaneously adopts the most frequent
+    label among its in-neighbors, ties broken by the smaller label, and
+    isolated nodes keep their current label.  Synchronous update + total
+    tie order removes the algorithm's textbook nondeterminism (random
+    vertex order / random tie choice), so a SQL oracle can unroll the
+    identical ``iters`` rounds CTE-by-CTE — the pagerank_micro doctrine.
+    ``iters`` is FIXED by convention, not convergence-tested.
+
+    Scale shape, per round: ONE edge-sized join carrying only (dst,
+    label) + a map-side-combinable (dst, label) count + a per-dst argmax
+    window over the label-count frame (bounded by in-degree, not |V|) +
+    a node-sized left join for isolated-node carry.  O(E) shuffle per
+    round, localCheckpoint per round (the iterative-graph lineage rule
+    pinned in connected_components).  Labels are ids, never payloads —
+    at 100 TB the corpus rows stay where they are and only the id-sized
+    label frame cycles.
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    try:
+        ids = nodes.select(F.col(id_col).alias("id"))
+        labels = ids.select(
+            "id", F.col("id").cast("long").alias("lbl")
+        ).localCheckpoint(eager=True)
+        w = Window.partitionBy("id").orderBy(
+            F.desc("cnt"), F.asc("lbl")
+        )
+        for _ in range(iters):
+            votes = (
+                e.join(labels.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"), "lbl")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            best = (
+                votes.select(
+                    "id", "lbl", F.row_number().over(w).alias("__rn")
+                )
+                .filter(F.col("__rn") == 1)
+                .select("id", F.col("lbl").alias("new_lbl"))
+            )
+            labels = (
+                labels.join(best, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+    return labels.select("id", F.col("lbl").alias("community"))

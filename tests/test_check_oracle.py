@@ -527,6 +527,9 @@ class TestRegistryOrderingContract:
         # cumulative shape (posting_lists family); only the tail fold
         # differs (gap-weighted sum vs argmax)
         "events_drift_w1": "posting_lists",
+        # r11: LPA communities — part_pagerank's fixed-round edge-join
+        # + localCheckpoint iteration over the same co-purchase edges
+        "part_communities": "part_pagerank",
     }
 
     def test_every_family_within_driver_window(self):

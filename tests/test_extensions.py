@@ -5276,6 +5276,50 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_label_communities_two_cliques_and_isolate(spark):
+    from mvrepair.operators.linkage import label_communities
+
+    # two triangles {1,2,3} and {10,11,12} joined by the single edge
+    # 3-10, plus isolated node 99.  Within 4 synchronous rounds each
+    # triangle converges to its min label; the bridge is outvoted
+    # (each endpoint has 2 same-clique neighbors vs 1 across).
+    und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        "src long, dst long",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in [1, 2, 3, 10, 11, 12, 99]], "id long"
+    )
+    out = {
+        r["id"]: r["community"]
+        for r in label_communities(edges, nodes, iters=4).collect()
+    }
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == out[12]
+    assert out[10] != out[1]
+    assert out[99] == 99  # isolated node keeps its own label
+
+
+def test_label_communities_tie_breaks_to_smaller_label(spark):
+    from mvrepair.operators.linkage import label_communities
+
+    # node 5 has exactly two neighbors, 2 and 7, one vote each after
+    # round 1 (each keeps its own label: 2's neighbor is only 5, whose
+    # round-0 label 5 wins 2's vote... pin round-1 adoption directly
+    # with a single round so the vote is over initial labels).
+    edges = spark.createDataFrame(
+        [(2, 5), (7, 5)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(2,), (5,), (7,)], "id long")
+    out = {
+        r["id"]: r["community"]
+        for r in label_communities(edges, nodes, iters=1).collect()
+    }
+    assert out[5] == 2  # tie between labels {2, 7} -> smaller wins
+    assert out[2] == 2 and out[7] == 7  # no in-edges: labels carried
+
+
 def test_w1_identical_zero_and_pure_shift_exact(spark):
     from datetime import datetime
 

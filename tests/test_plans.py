@@ -476,6 +476,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: label-propagation communities — the final frame is the
+    # last round's localCheckpoint scan (the pagerank/kcore iterative
+    # doctrine: per-round plans are truncated by design)
+    "part_communities": {"Project": 1, "Scan": 1},
     # r11: Wasserstein-1 drift — the KS cumulative shape with a lead()
     # window sharing the same Sort and a final single-row fold instead
     # of TakeOrdered
