@@ -3359,6 +3359,47 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("exact_n").desc(), F.col("token").asc())
 
 
+def q_events_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second frequency moment (F2 = Σ f_k² = self-join size) of the
+    event user stream via the AMS tug-of-war sketch, median-of-means
+    over 16 md5-signed counters, WITH the exact audit column — the
+    skew-mass estimator beside the CMS cross-join-size family: F2 is
+    what a salted-agg planner actually needs to price a key's quadratic
+    blow-up.  One Expand under one map-combinable sum (16 longs per
+    partition) + one key-keyed exact pass.  See sketch.py:ams_f2."""
+    from mvrepair.operators.sketch import ams_f2
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return ams_f2(ev, "user_id", reps=40, groups=5)
+
+
+_ORACLE_EVENTS_AMS_F2 = """
+WITH reps AS (SELECT unnest(range(0, 40)) AS r),
+occ AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+z AS (
+  SELECT reps.r,
+         CAST(sum(CASE WHEN CAST('0x' || substr(
+                md5(occ.key || '#s' || CAST(reps.r AS VARCHAR)), 1, 15)
+                AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS z
+  FROM occ, reps GROUP BY 1),
+means AS (
+  SELECT (r - r % 8) AS g, CAST(sum(z * z) // 8 AS BIGINT) AS m
+  FROM z GROUP BY 1),
+med AS (
+  SELECT m FROM (
+    SELECT m, row_number() OVER (ORDER BY m, g) AS rn FROM means) s
+  WHERE rn = 3),
+ex AS (
+  SELECT CAST(sum(c * c) AS BIGINT) AS f2
+  FROM (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id) t)
+SELECT CAST(40 AS INTEGER) AS reps, CAST(8 AS INTEGER) AS grp_w,
+       med.m AS f2_est, ex.f2 AS f2_exact,
+       CAST(abs(med.m - ex.f2) // ex.f2 * 1000000
+            + (abs(med.m - ex.f2) % ex.f2) * 1000000 // ex.f2
+            AS BIGINT) AS err_micro
+FROM med, ex"""
+
+
 def q_cms_joinsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size pre-flight in SKETCH space, audited against the exact
     count: the AGMS/CM inner-product estimator (min over d rows of
@@ -8574,6 +8615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,  # twin: events_gapfill (the type-keyed hourly-series family); the per-key in-plan fold is km_survival's shape grouped, oracle = recursive CTE per key
         "events_drift_w1": q_events_drift_w1,  # twin: posting_lists (events_drift_ks' exact-rank cumulative shape verbatim: one count agg + one value-ordered window over the domain frame); only the tail fold differs (sum-of-gaps vs argmax)
         "part_communities": q_part_communities,  # twin: part_pagerank (the identical fixed-round edge-join + localCheckpoint iteration over the same co-purchase edges; the round body swaps the rank recurrence for a per-dst label-vote argmax)
+        "events_ams_f2": q_events_ams_f2,  # twin: events_hll (the mergeable-sketch estimator family: one Expand under one map-combinable fold to a bounded state + an exact-audit pass; signs/Z² here vs registers/rho there)
     }
 
 
@@ -8743,6 +8785,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ewma": _ORACLE_EVENTS_EWMA,
         "events_drift_w1": _ORACLE_EVENTS_DRIFT_W1,
         "part_communities": _oracle_part_communities(),
+        "events_ams_f2": _ORACLE_EVENTS_AMS_F2,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -892,3 +892,114 @@ def hist_quantile_est(
             ((F.min("bucket") + 1) * width).cast("bigint").alias("est")
         )
     )
+
+
+# --------------------------------------------------------------- AMS F2
+# The Alon-Matias-Szegedy tug-of-war sketch (AMS 1996, STOC): each
+# replica r keeps ONE int64 counter Z_r = sum over occurrences of a
+# +-1 hash of the key; E[Z^2] = F2 = sum_k f_k^2 (the second frequency
+# moment = self-join size = the skew mass the salted-agg and AQE
+# planners need).  Like every sketch here, the hash family is the
+# salted md5 ``stable_hash64`` so a DuckDB oracle replays the exact
+# counters and the exact estimate bit-for-bit, and the estimate always
+# ships WITH its exact audit column.
+
+
+def ams_f2(
+    df: DataFrame,
+    key_col: str,
+    reps: int = 16,
+    groups: int = 4,
+) -> DataFrame:
+    """Estimate F2 = Σ f_k² by median-of-means over ``reps`` tug-of-war
+    counters, next to the EXACT F2 audit — the self-join-size / skew
+    estimator the CMS join-size family lacks (CMS estimates a CROSS
+    join's size; AMS estimates a table's own quadratic key mass).
+
+    Estimator convention, all-int64 and engine-exact: sign_r(k) =
+    1 − 2·(md5(k, r) mod 2); Z_r = Σ sign_r; replicas split into
+    ``groups`` consecutive blocks of w = reps/groups; block mean =
+    (Σ Z²) DIV w; the reported estimate is the LOWER MEDIAN (rank
+    ⌈g/2⌉ by (value, block-id) order) — deterministic, no float ever.
+
+    Scale shape: ONE Expand (reps sign rows per occurrence) under ONE
+    map-combinable sum — partial Z vectors collapse to ≤ reps longs per
+    partition before a reps-row shuffle (the CMS grid shape); the exact
+    audit is the one key-keyed aggregate.  The two one-row results
+    combine by union + re-agg, never a literal cross join (the
+    cms_joinsize BNLJ dodge).  Z ≤ n ⇒ Z² ≤ n², so int64 holds to
+    n ≈ 3e9 rows; beyond that, pre-aggregate per key and feed weighted
+    occurrences.
+
+    Output ONE row: ``(reps, grp_w, f2_est, f2_exact, err_micro)``
+    with err_micro = ⌊|est − exact|·1e6 / exact⌋ (decomposed division,
+    no intermediate overflow).
+    """
+    from pyspark.sql.window import Window
+
+    if reps % groups != 0 or groups < 1:
+        raise ValueError("reps must be a positive multiple of groups")
+    w = reps // groups
+    key = F.col(key_col).cast("string")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).cast("int").alias("r"),
+                (
+                    F.lit(1)
+                    - F.lit(2)
+                    * (stable_hash64(F.concat(key, F.lit(f"#s{r}"))) % 2)
+                )
+                .cast("long")
+                .alias("s"),
+            )
+            for r in range(reps)
+        ]
+    )
+    z = (
+        df.select(F.explode(cells).alias("rs"))
+        .groupBy(F.col("rs.r").alias("r"))
+        .agg(F.sum("rs.s").alias("z"))
+    )
+    means = z.groupBy(
+        (F.col("r") - F.col("r") % w).alias("g")
+    ).agg(F.expr(f"sum(z * z) DIV {w}").alias("m"))
+    med = (
+        means.select(
+            "m",
+            F.row_number()
+            .over(Window.orderBy(F.col("m").asc(), F.col("g").asc()))
+            .alias("__rn"),
+        )
+        .filter(F.col("__rn") == F.lit((groups + 1) // 2))
+        .select(F.lit("est").alias("k"), F.col("m").alias("v"))
+    )
+    exact = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.expr("c * c")).alias("v"))
+        .select(F.lit("exact").alias("k"), F.col("v"))
+    )
+    return (
+        med.unionAll(exact)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("k") == "est", F.col("v"))).alias("f2_est"),
+            F.max(F.when(F.col("k") == "exact", F.col("v"))).alias(
+                "f2_exact"
+            ),
+        )
+        .select(
+            F.lit(reps).cast("int").alias("reps"),
+            F.lit(w).cast("int").alias("grp_w"),
+            "f2_est",
+            "f2_exact",
+            F.expr(
+                "abs(f2_est - f2_exact) DIV f2_exact * 1000000"
+                " + (abs(f2_est - f2_exact) % f2_exact) * 1000000"
+                "   DIV f2_exact"
+            )
+            .cast("long")
+            .alias("err_micro"),
+        )
+    )

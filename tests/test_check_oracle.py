@@ -530,6 +530,9 @@ class TestRegistryOrderingContract:
         # r11: LPA communities — part_pagerank's fixed-round edge-join
         # + localCheckpoint iteration over the same co-purchase edges
         "part_communities": "part_pagerank",
+        # r11: AMS tug-of-war F2 — the mergeable-sketch family (events_hll
+        # rep): one Expand under one map-combinable fold + exact audit
+        "events_ams_f2": "events_hll",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5276,6 +5276,44 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_ams_f2_single_key_is_exact_and_validates(spark):
+    import pytest as _pytest
+
+    from mvrepair.operators.sketch import ams_f2
+
+    # one key repeated n times: every replica's Z is +-n, so every
+    # block mean is exactly n^2 and the median equals the exact F2
+    df = spark.createDataFrame([(7,)] * 23, "k long")
+    [r] = ams_f2(df, "k", reps=8, groups=2).collect()
+    assert r["f2_exact"] == 23 * 23
+    assert r["f2_est"] == 23 * 23
+    assert r["err_micro"] == 0
+    with _pytest.raises(ValueError):
+        ams_f2(df, "k", reps=10, groups=4)
+
+
+def test_ams_f2_matches_python_replay(spark):
+    import hashlib
+
+    from mvrepair.operators.sketch import ams_f2
+
+    keys = [i % 13 for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    [r] = ams_f2(df, "k", reps=8, groups=2).collect()
+
+    def sign(k, rep):
+        h = int(hashlib.md5(f"{k}#s{rep}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * (h % 2)
+
+    z = [sum(sign(k, rep) for k in keys) for rep in range(8)]
+    means = [sum(v * v for v in z[g * 4:(g + 1) * 4]) // 4 for g in (0, 1)]
+    est = sorted(means)[0]  # lower median of 2
+    from collections import Counter
+
+    exact = sum(c * c for c in Counter(keys).values())
+    assert r["f2_est"] == est and r["f2_exact"] == exact
+
+
 def test_label_communities_two_cliques_and_isolate(spark):
     from mvrepair.operators.linkage import label_communities
 

@@ -476,6 +476,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: AMS F2 — one Generate (sign expand) under the map-combinable
+    # Z fold, block-mean agg + lower-median window, union + single-row
+    # re-agg with the exact self-join-size audit pass
+    "events_ams_f2": {"AdaptiveSparkPlan": 1, "Project": 3,
+                      "HashAggregate": 10, "Union": 1, "Filter": 1,
+                      "Window": 1, "TakeOrderedAndProject": 1,
+                      "Exchange": 4, "Generate": 1, "FileScan": 2},
     # r11: label-propagation communities — the final frame is the
     # last round's localCheckpoint scan (the pagerank/kcore iterative
     # doctrine: per-round plans are truncated by design)
