@@ -6279,6 +6279,57 @@ FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 1"""
 
 
+def q_customer_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood linkage over customer names — the OTHER
+    classic blocking discipline beside name_linkage's deletion-variant
+    equi-join: order-based candidate generation (each record vs its 3
+    sort-neighbors), decomposed scale-honestly into per-block rank
+    windows + exact boundary recovery so no global Sort task exists.
+    The oracle replays the identical algebra (the sketch doctrine).
+    See linkage.py:snm_pairs."""
+    from mvrepair.operators.linkage import snm_pairs
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return snm_pairs(
+        c, key_col="c_name", id_col="c_custkey",
+        block_prefix_len=15, window=4, max_dist=2,
+    )
+
+
+_ORACLE_CUSTOMER_SNM = """
+WITH base AS (
+  SELECT c_custkey AS id, c_name AS key, substr(c_name, 1, 15) AS blk
+  FROM customer),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY blk ORDER BY key, id) AS rn,
+         row_number() OVER (PARTITION BY blk ORDER BY key DESC, id DESC)
+           AS rd
+  FROM base),
+probe AS (
+  SELECT blk, id AS id_x, key AS key_x, rn + d.d AS rn
+  FROM ranked, (SELECT unnest(range(1, 4)) AS d) d),
+within AS (
+  SELECT p.id_x, p.key_x, r.id AS id_y, r.key AS key_y
+  FROM probe p JOIN ranked r ON p.blk = r.blk AND p.rn = r.rn),
+succ AS (
+  SELECT blk, lead(blk) OVER (ORDER BY blk) AS nxt
+  FROM (SELECT DISTINCT blk FROM base) b),
+across AS (
+  SELECT t.id AS id_x, t.key AS key_x, h.id AS id_y, h.key AS key_y
+  FROM ranked t JOIN succ s ON t.blk = s.blk
+  JOIN ranked h ON h.blk = s.nxt
+  WHERE t.rd < 4 AND h.rn < 4 AND t.rd + h.rn - 1 < 4),
+cand AS (SELECT * FROM within UNION ALL SELECT * FROM across),
+canon AS (
+  SELECT least(id_x, id_y) AS id_a, greatest(id_x, id_y) AS id_b,
+         CASE WHEN id_x < id_y THEN key_x ELSE key_y END AS key_a,
+         CASE WHEN id_x < id_y THEN key_y ELSE key_x END AS key_b
+  FROM cand)
+SELECT id_a, id_b, key_a, key_b,
+       CAST(levenshtein(key_a, key_b) AS INTEGER) AS dist
+FROM canon WHERE levenshtein(key_a, key_b) <= 2"""
+
+
 BASKET_TOP_K = 20
 
 
@@ -8616,6 +8667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_drift_w1": q_events_drift_w1,  # twin: posting_lists (events_drift_ks' exact-rank cumulative shape verbatim: one count agg + one value-ordered window over the domain frame); only the tail fold differs (sum-of-gaps vs argmax)
         "part_communities": q_part_communities,  # twin: part_pagerank (the identical fixed-round edge-join + localCheckpoint iteration over the same co-purchase edges; the round body swaps the rank recurrence for a per-dst label-vote argmax)
         "events_ams_f2": q_events_ams_f2,  # twin: events_hll (the mergeable-sketch estimator family: one Expand under one map-combinable fold to a bounded state + an exact-audit pass; signs/Z² here vs registers/rho there)
+        "customer_snm": q_customer_snm,  # twin: name_linkage (the fuzzy-linkage family: bounded candidate generation + one exact levenshtein verify; order-based neighbors here vs deletion-variant hash buckets there)
     }
 
 
@@ -8786,6 +8838,7 @@ def oracle_sql() -> dict[str, str]:
         "events_drift_w1": _ORACLE_EVENTS_DRIFT_W1,
         "part_communities": _oracle_part_communities(),
         "events_ams_f2": _ORACLE_EVENTS_AMS_F2,
+        "customer_snm": _ORACLE_CUSTOMER_SNM,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -533,6 +533,9 @@ class TestRegistryOrderingContract:
         # r11: AMS tug-of-war F2 — the mergeable-sketch family (events_hll
         # rep): one Expand under one map-combinable fold + exact audit
         "events_ams_f2": "events_hll",
+        # r11: sorted-neighborhood linkage — the fuzzy-linkage family
+        # (name_linkage rep): bounded candidates + exact lev verify
+        "customer_snm": "name_linkage",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5276,6 +5276,58 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_snm_single_block_window_pairs(spark):
+    from mvrepair.operators.linkage import snm_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"aa{i}") for i in range(1, 6)], "id long, key string"
+    )
+    out = snm_pairs(
+        df, "key", "id", block_prefix_len=2, window=3, max_dist=2
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # each record vs its 2 successors in sort order
+    assert pairs == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5),
+                     (4, 5)}
+
+
+def test_snm_boundary_recovery_matches_flat_window(spark):
+    from mvrepair.operators.linkage import snm_pairs
+
+    # two blocks "aa" / "ab"; the boundary recovery must produce exactly
+    # the pairs a single flat sorted window of 3 would: (2,3), (1,3),
+    # (2,4) across the boundary — and NOT (1,4), which is 3 apart.
+    df = spark.createDataFrame(
+        [(1, "aa1"), (2, "aa2"), (3, "ab1"), (4, "ab2")],
+        "id long, key string",
+    )
+    out = snm_pairs(
+        df, "key", "id", block_prefix_len=2, window=3, max_dist=3
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(1, 2), (3, 4), (2, 3), (1, 3), (2, 4)}
+    # verify column canonicalization: key_a belongs to the smaller id
+    row = {(r["id_a"], r["id_b"]): r for r in out.collect()}[(2, 3)]
+    assert row["key_a"] == "aa2" and row["key_b"] == "ab1"
+    assert row["dist"] == 2
+
+
+def test_snm_max_dist_filters(spark):
+    from mvrepair.operators.linkage import snm_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "zzzz")],
+        "id long, key string",
+    )
+    out = snm_pairs(
+        df, "key", "id", block_prefix_len=1, window=3, max_dist=1
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # (1,3)/(2,3) are window candidates across blocks but fail the
+    # levenshtein verify at max_dist=1
+    assert pairs == {(1, 2)}
+
+
 def test_ams_f2_single_key_is_exact_and_validates(spark):
     import pytest as _pytest
 

@@ -476,6 +476,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: sorted-neighborhood linkage — per-block rank windows (the
+    # head/tail cuts become WindowGroupLimit), delta Generate + rank
+    # equi-join, boundary-recovery broadcast joins, one union + verify
+    "customer_snm": {"AdaptiveSparkPlan": 1, "Union": 1, "Project": 14,
+                     "BroadcastHashJoin": 3, "BroadcastExchange": 3,
+                     "Generate": 1, "Window": 5, "Sort": 7,
+                     "Exchange": 6, "Filter": 7, "FileScan": 5,
+                     "WindowGroupLimit": 4, "HashAggregate": 2},
     # r11: AMS F2 — one Generate (sign expand) under the map-combinable
     # Z fold, block-mean agg + lower-median window, union + single-row
     # re-agg with the exact self-join-size audit pass
