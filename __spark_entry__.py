@@ -2128,6 +2128,56 @@ SELECT query_id, neighbor_id, rank::INTEGER AS rank,
 FROM ranked WHERE rank <= 5"""
 
 
+def q_embed_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal nearest-neighbor pairs over the vec_id%10 probe
+    subset — the bitext/pair-mining primitive: LSH top-1 retrieval
+    (the checked ann_lsh_topk pipeline at k=1, corpus = queries =
+    subset) followed by the mutuality self-join, which keeps (a,b)
+    only when each retrieves the other — the classic hub-suppressing
+    precision filter.  Pure composition (the ann_recall doctrine).
+    See similarity.py:mutual_nn_pairs."""
+    emb = _spread(load_table(spark, sf_dir, "embeddings"))
+    sub = emb.filter(F.col("vec_id") % 10 == 0)
+    nn = S.lsh_bucketed_topk(sub, sub, dim=64, k=1).select(
+        "query_id", "neighbor_id", "cosine_micro"
+    )
+    from mvrepair.operators.similarity import mutual_nn_pairs
+
+    return mutual_nn_pairs(nn)
+
+
+def _oracle_embed_mutual_nn() -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), i -> {a}.qv[i] * {b}.qv[i]))"
+        )
+
+    return f"""
+WITH b AS (
+  SELECT vec_id, qv, {_lsh_bucket_sql()} AS bucket
+  FROM (SELECT vec_id, {_QUANT_SQL} AS qv FROM embeddings
+        WHERE vec_id % 10 = 0)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    CAST({dot('q', 'c')} AS DOUBLE)
+      / (sqrt(CAST({dot('q', 'q')} AS DOUBLE)) * sqrt(CAST({dot('c', 'c')} AS DOUBLE))) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+), nn AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(sim * 1000000) AS BIGINT) AS cosine_micro
+  FROM ranked WHERE rank = 1
+)
+SELECT a.query_id AS id_a, a.neighbor_id AS id_b, a.cosine_micro
+FROM nn a JOIN nn b
+  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+WHERE a.query_id < a.neighbor_id"""
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: per anchor, the top-3
     most-similar OTHER-label vectors — the between-epoch batch the
@@ -8668,6 +8718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_communities": q_part_communities,  # twin: part_pagerank (the identical fixed-round edge-join + localCheckpoint iteration over the same co-purchase edges; the round body swaps the rank recurrence for a per-dst label-vote argmax)
         "events_ams_f2": q_events_ams_f2,  # twin: events_hll (the mergeable-sketch estimator family: one Expand under one map-combinable fold to a bounded state + an exact-audit pass; signs/Z² here vs registers/rho there)
         "customer_snm": q_customer_snm,  # twin: name_linkage (the fuzzy-linkage family: bounded candidate generation + one exact levenshtein verify; order-based neighbors here vs deletion-variant hash buckets there)
+        "embed_mutual_nn": q_embed_mutual_nn,  # twin: pq_topk (the ann_recall composition doctrine: the checked LSH bucket-join retrieval at k=1 + one narrow id-keyed mutuality self-join over the top-1 frame)
     }
 
 
@@ -8839,6 +8890,7 @@ def oracle_sql() -> dict[str, str]:
         "part_communities": _oracle_part_communities(),
         "events_ams_f2": _ORACLE_EVENTS_AMS_F2,
         "customer_snm": _ORACLE_CUSTOMER_SNM,
+        "embed_mutual_nn": _oracle_embed_mutual_nn(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -1264,3 +1264,50 @@ def hard_negative_topk(
         )
     )
     return _ranked(scored, k)
+
+
+def mutual_nn_pairs(
+    nn: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    score_col: str = "cosine_micro",
+) -> DataFrame:
+    """Reciprocal (mutual) nearest-neighbor pairs from a top-1 retrieval
+    frame — the bitext/pair-mining primitive (Artetxe & Schwenk 2019,
+    margin-based mining starts from exactly this candidate set): keep
+    (a, b) only when a retrieves b AND b retrieves a.  Mutuality is the
+    classic cheap precision filter — one-directional neighbors are
+    dominated by hub vectors; requiring the reverse edge removes hubs
+    without any model.
+
+    Input: one row per query (rank-1 only) with ``query_col,
+    neighbor_col, score_col``.  Output: ``id_a < id_b, cosine_micro``,
+    one row per mutual pair.
+
+    Scale shape: ONE id-keyed self-join of the top-1 frame on the
+    swapped key pair — the frame is |queries| rows (already reduced by
+    retrieval), so this costs one narrow shuffle, independent of corpus
+    size; symmetric pairs collapse to a single canonical row via the
+    a < b filter.
+    """
+    fwd = nn.select(
+        F.col(query_col).alias("__q"),
+        F.col(neighbor_col).alias("__n"),
+        F.col(score_col).alias("__s"),
+    )
+    rev = fwd.select(
+        F.col("__q").alias("__rn"), F.col("__n").alias("__rq")
+    )
+    return (
+        fwd.join(
+            rev,
+            (F.col("__q") == F.col("__rq"))
+            & (F.col("__n") == F.col("__rn")),
+        )
+        .filter(F.col("__q") < F.col("__n"))
+        .select(
+            F.col("__q").alias("id_a"),
+            F.col("__n").alias("id_b"),
+            F.col("__s").alias(score_col),
+        )
+    )

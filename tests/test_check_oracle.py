@@ -536,6 +536,9 @@ class TestRegistryOrderingContract:
         # r11: sorted-neighborhood linkage — the fuzzy-linkage family
         # (name_linkage rep): bounded candidates + exact lev verify
         "customer_snm": "name_linkage",
+        # r11: reciprocal NN — ann composition doctrine (pq_topk rep):
+        # checked LSH retrieval at k=1 + one mutuality self-join
+        "embed_mutual_nn": "pq_topk",
     }
 
     def test_every_family_within_driver_window(self):

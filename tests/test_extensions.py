@@ -5276,6 +5276,22 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_mutual_nn_pairs_keeps_only_reciprocal(spark):
+    from mvrepair.operators.similarity import mutual_nn_pairs
+
+    # 1->2 and 2->1 are mutual; 3->1 is one-directional (1 prefers 2);
+    # 4->5 / 5->4 mutual
+    nn = spark.createDataFrame(
+        [(1, 2, 900000), (2, 1, 900000), (3, 1, 500000),
+         (4, 5, 800000), (5, 4, 800000)],
+        "query_id long, neighbor_id long, cosine_micro long",
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine_micro"]
+           for r in mutual_nn_pairs(nn).collect()}
+    assert set(out) == {(1, 2), (4, 5)}
+    assert out[(1, 2)] == 900000
+
+
 def test_snm_single_block_window_pairs(spark):
     from mvrepair.operators.linkage import snm_pairs
 

@@ -476,6 +476,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: reciprocal NN — the LSH bucket join + rank-1 WindowGroupLimit
+    # retrieval composed with one swapped-key mutuality self-join
+    "embed_mutual_nn": {"AdaptiveSparkPlan": 1, "Project": 13,
+                        "SortMergeJoin": 1, "Sort": 6, "Exchange": 8,
+                        "Filter": 6, "Window": 2, "WindowGroupLimit": 4,
+                        "BroadcastHashJoin": 2, "FileScan": 4,
+                        "BroadcastExchange": 2},
     # r11: sorted-neighborhood linkage — per-block rank windows (the
     # head/tail cuts become WindowGroupLimit), delta Generate + rank
     # equi-join, boundary-recovery broadcast joins, one union + verify
