@@ -7512,6 +7512,46 @@ SELECT event_type, bucket_us, n,
 FROM w"""
 
 
+PHRASE_QUERIES = ["table part", "fast scan", "row scan slow"]
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase-AND search over the corpus for three fixed
+    query phrases (two 2-term, one 3-term) — the retrieval primitive
+    the posting_lists index feeds: one broadcast join of positional
+    postings against the (term, idx) spec, one (phrase, doc, start)
+    count == L, no L-way join chain.  See text.py:phrase_search."""
+    from mvrepair.operators.text import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), PHRASE_QUERIES)
+
+
+def _oracle_phrase_match() -> str:
+    vals = []
+    for ph in PHRASE_QUERIES:
+        terms = ph.split(" ")
+        for idx, t in enumerate(terms):
+            vals.append(f"('{ph}', '{t}', {idx}, {len(terms)})")
+    values = ", ".join(vals)
+    return f"""
+WITH spec AS (
+  SELECT * FROM (VALUES {values}) AS s(phrase, term, idx, plen)),
+pos AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents),
+starts AS (
+  SELECT s.phrase, p.doc_id, p.pos - s.idx AS start, s.plen
+  FROM pos p JOIN spec s ON p.token = s.term),
+matches AS (
+  SELECT phrase, doc_id, start
+  FROM starts GROUP BY phrase, doc_id, start, plen
+  HAVING count(*) = plen)
+SELECT phrase, doc_id, count(*)::BIGINT AS n_matches
+FROM matches GROUP BY 1, 2"""
+
+
 def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted-index posting lists over the corpus: exact df per
     token, first-20 posting doc-ids comma-joined, top-200 tokens by df.
@@ -8719,6 +8759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ams_f2": q_events_ams_f2,  # twin: events_hll (the mergeable-sketch estimator family: one Expand under one map-combinable fold to a bounded state + an exact-audit pass; signs/Z² here vs registers/rho there)
         "customer_snm": q_customer_snm,  # twin: name_linkage (the fuzzy-linkage family: bounded candidate generation + one exact levenshtein verify; order-based neighbors here vs deletion-variant hash buckets there)
         "embed_mutual_nn": q_embed_mutual_nn,  # twin: pq_topk (the ann_recall composition doctrine: the checked LSH bucket-join retrieval at k=1 + one narrow id-keyed mutuality self-join over the top-1 frame)
+        "phrase_match": q_phrase_match,  # twin: posting_lists (the inverted-index family: the positional posting stream through one broadcast spec join + one (phrase,doc,start)-keyed count — retrieval over the same explode-then-token-shuffle shape)
     }
 
 
@@ -8891,6 +8932,7 @@ def oracle_sql() -> dict[str, str]:
         "events_ams_f2": _ORACLE_EVENTS_AMS_F2,
         "customer_snm": _ORACLE_CUSTOMER_SNM,
         "embed_mutual_nn": _oracle_embed_mutual_nn(),
+        "phrase_match": _oracle_phrase_match(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -1111,3 +1111,59 @@ def source_divergence(
     ).select(
         F.col("__s").alias("source"), "n_tokens", "vocab", "kl_q20_sum"
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional phrase-AND search — the search-engine primitive the
+    capped ``posting_lists`` index feeds: find every document where a
+    query phrase's terms occur at CONSECUTIVE positions, with the exact
+    occurrence count.
+
+    Algorithm (the classic positional-postings identity): a phrase of
+    terms t_0..t_{L-1} matches at start position s iff token(s+i) = t_i
+    for all i, i.e. iff the (term, idx) spec rows all land on the same
+    normalized key s = pos − idx.  So ONE broadcast join of positional
+    postings against the tiny spec frame + ONE (phrase, doc, start)
+    count == L gives every match — no L-way self-join chain, phrase
+    length only changes the spec fan-out, and repeated terms inside a
+    phrase fall out for free (each idx lands once per start).
+
+    Scale shape: the posexplode stream filters to spec terms DURING the
+    broadcast hash join (map-side, pre-shuffle — a stopword-free phrase
+    prunes the corpus stream to the phrase terms' postings only); the
+    only exchange is the (phrase, doc, start)-keyed count whose volume
+    is the matched-postings stream, not the corpus.
+
+    Output: ``(phrase, doc_id, n_matches)``, one row per matching doc.
+    """
+    spec_rows = []
+    for ph in phrases:
+        terms = ph.split(" ")
+        for idx, t in enumerate(terms):
+            spec_rows.append((ph, t, idx, len(terms)))
+    spec = df.sparkSession.createDataFrame(
+        spec_rows, "phrase string, term string, idx int, plen int"
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    starts = (
+        toks.join(F.broadcast(spec), F.col("token") == F.col("term"))
+        .groupBy(
+            "phrase",
+            id_col,
+            (F.col("pos") - F.col("idx")).alias("start"),
+            "plen",
+        )
+        .agg(F.count(F.lit(1)).alias("__k"))
+        .filter(F.col("__k") == F.col("plen"))
+    )
+    return starts.groupBy("phrase", id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches")
+    )

@@ -539,6 +539,9 @@ class TestRegistryOrderingContract:
         # r11: reciprocal NN — ann composition doctrine (pq_topk rep):
         # checked LSH retrieval at k=1 + one mutuality self-join
         "embed_mutual_nn": "pq_topk",
+        # r11: positional phrase search — the inverted-index family
+        # (posting_lists rep): explode -> token-keyed count shapes
+        "phrase_match": "posting_lists",
     }
 
     def test_every_family_within_driver_window(self):

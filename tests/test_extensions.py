@@ -5276,6 +5276,28 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_phrase_search_counts_and_overlaps(spark):
+    from mvrepair.operators.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),       # "a b" twice, "a b c" once
+            (2, "b a c"),           # no "a b"
+            (3, "x x x"),           # repeated-term phrase: "x x" twice
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["phrase"], r["doc_id"]): r["n_matches"]
+        for r in phrase_search(docs, ["a b", "a b c", "x x"]).collect()
+    }
+    assert out == {
+        ("a b", 1): 2,
+        ("a b c", 1): 1,
+        ("x x", 3): 2,  # overlapping matches at positions 0 and 1
+    }
+
+
 def test_mutual_nn_pairs_keeps_only_reciprocal(spark):
     from mvrepair.operators.similarity import mutual_nn_pairs
 

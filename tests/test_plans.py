@@ -476,6 +476,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: phrase search — positional posexplode stream pruned DURING
+    # the broadcast spec join (map-side), one (phrase,doc,start) count
+    # + one per-doc rollup; the spec is a local Scan
+    "phrase_match": {"AdaptiveSparkPlan": 1, "HashAggregate": 4,
+                     "Exchange": 3, "Project": 2, "Filter": 2,
+                     "BroadcastHashJoin": 1, "Generate": 1,
+                     "FileScan": 1, "BroadcastExchange": 1, "Scan": 1},
     # r11: reciprocal NN — the LSH bucket join + rank-1 WindowGroupLimit
     # retrieval composed with one swapped-key mutuality self-join
     "embed_mutual_nn": {"AdaptiveSparkPlan": 1, "Project": 13,
