@@ -7552,6 +7552,52 @@ SELECT phrase, doc_id, count(*)::BIGINT AS n_matches
 FROM matches GROUP BY 1, 2"""
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of document lengths: every
+    source's n_chars marginal is mapped onto the POOLED distribution
+    at percentile resolution (type-1 semantics, exact integers) — how
+    heterogeneous per-source score scales become comparable before one
+    global threshold.  One source-partitioned rank window + one
+    domain-sized pooled cumulative + one 100-row broadcast map; no
+    corpus-wide global sort.  See dq.py:quantile_normalize."""
+    from mvrepair.operators.dq import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_normalize(
+        docs, value_col="n_chars", group_col="source", id_col="doc_id"
+    )
+
+
+_ORACLE_QUANTILE_NORMALIZE = """
+WITH base AS (SELECT doc_id AS id, source AS grp, n_chars AS v
+              FROM documents),
+ranked AS (
+  SELECT id, grp, v,
+         CAST(row_number() OVER (PARTITION BY grp ORDER BY v, id)
+              AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS ns
+  FROM base),
+dom AS (SELECT v, count(*) AS cnt FROM base GROUP BY 1),
+cumf AS (
+  SELECT v,
+         CAST(sum(cnt) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS n FROM dom),
+grid AS (SELECT CAST(unnest(range(1, 101)) AS BIGINT) AS p),
+pool AS (
+  SELECT g.p AS pct, min(c.v) AS norm_value
+  FROM grid g JOIN cumf c ON c.cum >= (c.n * g.p + 99) // 100
+  GROUP BY 1)
+SELECT r.id, r.grp AS "group", r.v AS value,
+       CAST((100 * r.r + r.ns - 1) // r.ns AS BIGINT) AS pct,
+       pool.norm_value
+FROM ranked r
+JOIN pool ON pool.pct = (100 * r.r + r.ns - 1) // r.ns"""
+
+
 def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capped inverted-index posting lists over the corpus: exact df per
     token, first-20 posting doc-ids comma-joined, top-200 tokens by df.
@@ -8760,6 +8806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_snm": q_customer_snm,  # twin: name_linkage (the fuzzy-linkage family: bounded candidate generation + one exact levenshtein verify; order-based neighbors here vs deletion-variant hash buckets there)
         "embed_mutual_nn": q_embed_mutual_nn,  # twin: pq_topk (the ann_recall composition doctrine: the checked LSH bucket-join retrieval at k=1 + one narrow id-keyed mutuality self-join over the top-1 frame)
         "phrase_match": q_phrase_match,  # twin: posting_lists (the inverted-index family: the positional posting stream through one broadcast spec join + one (phrase,doc,start)-keyed count — retrieval over the same explode-then-token-shuffle shape)
+        "quantile_normalize": q_quantile_normalize,  # twin: quality_percentiles (the rank-normalization family: group-partitioned rank windows + exact type-1 quantile algebra; adds the domain-frame pooled cumulative and the 100-row broadcast map)
     }
 
 
@@ -8933,6 +8980,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_snm": _ORACLE_CUSTOMER_SNM,
         "embed_mutual_nn": _oracle_embed_mutual_nn(),
         "phrase_match": _oracle_phrase_match(),
+        "quantile_normalize": _ORACLE_QUANTILE_NORMALIZE,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -809,3 +809,73 @@ def gini_concentration(
             "      * CAST(sum(__x) AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("gini_micro"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    q: int = 100,
+) -> DataFrame:
+    """Cross-group quantile normalization (the microarray-era recipe,
+    Bolstad et al. 2003, at q-quantile resolution): replace each row's
+    value with the POOLED distribution's value at the row's
+    within-group relative rank — after it, every group has the same
+    marginal distribution, which is how heterogeneous quality/length
+    scores from different sources become comparable before a global
+    threshold is applied.
+
+    Exact integer algebra, type-1 quantile semantics throughout (the
+    token_quantiles convention): within-group percentile
+    p = ⌈q·r / n_g⌉ from a group-partitioned rank window; pooled
+    quantile p = the value at pooled position ⌈N·p / q⌉, computed from
+    the value-DOMAIN cumulative frame (one domain-sized Exchange+Sort —
+    the part_gini exception, never a corpus-wide global sort) via the
+    hist fan-filter-min pattern; the q-row pooled map broadcast-joins
+    back to the corpus.
+
+    Scale shape: one group-partitioned rank window (parallel across
+    groups), one domain-sized cumulative, one broadcast join.  No
+    corpus-sized global window anywhere.
+
+    Output: ``(id, group, value, pct, norm_value)``.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    w_grp = Window.partitionBy("group").orderBy("value", "id")
+    w_n = Window.partitionBy("group")
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_grp).cast("long").alias("__r"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("__n"),
+    ).withColumn(
+        "pct", F.expr(f"({q} * __r + __n - 1) DIV __n").cast("long")
+    )
+    dom = base.groupBy("value").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy()
+    cumf = dom.select(
+        "value",
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_tot).alias("__N"),
+    )
+    grid = F.array(*[F.lit(int(p)).cast("long") for p in range(1, q + 1)])
+    pool = (
+        cumf.withColumn("__p", F.explode(grid))
+        .filter(
+            F.col("__cum") >= F.expr(f"(__N * __p + {q - 1}) DIV {q}")
+        )
+        .groupBy(F.col("__p").alias("pct"))
+        .agg(F.min("value").alias("norm_value"))
+    )
+    return ranked.join(F.broadcast(pool), "pct").select(
+        "id", "group", "value", "pct", "norm_value"
+    )

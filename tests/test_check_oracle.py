@@ -542,6 +542,9 @@ class TestRegistryOrderingContract:
         # r11: positional phrase search — the inverted-index family
         # (posting_lists rep): explode -> token-keyed count shapes
         "phrase_match": "posting_lists",
+        # r11: quantile normalization — the rank-normalization family
+        # (quality_percentiles rep): type-1 exact quantile algebra
+        "quantile_normalize": "quality_percentiles",
     }
 
     def test_every_family_within_driver_window(self):

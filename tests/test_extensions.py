@@ -5276,6 +5276,41 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_quantile_normalize_equalizes_marginals(spark):
+    from mvrepair.operators.dq import quantile_normalize
+
+    # group A: 1..4, group B: 101..104 — after normalization both
+    # groups' values map onto the POOLED order statistics at matching
+    # relative ranks, so rank i of A and rank i of B normalize equal
+    rows = [(i, "A", i) for i in range(1, 5)] + [
+        (i + 10, "B", 100 + i) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, v long")
+    out = quantile_normalize(df, "v", "src", "doc_id", q=4)
+    got = {(r["group"], r["pct"]): r["norm_value"] for r in out.collect()}
+    # pooled sorted: 1,2,3,4,101,102,103,104 (N=8); rank r of a 4-row
+    # group -> pct r -> pooled position ceil(8r/4) = 2r
+    assert got[("A", 1)] == got[("B", 1)] == 2
+    assert got[("A", 2)] == got[("B", 2)] == 4
+    assert got[("A", 3)] == got[("B", 3)] == 102
+    assert got[("A", 4)] == got[("B", 4)] == 104
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    from mvrepair.operators.dq import quantile_normalize
+
+    # one group: pooled = own distribution; with q = n every row maps
+    # back to its own value (type-1 exactness)
+    df = spark.createDataFrame(
+        [(i, "S", v) for i, v in enumerate([5, 9, 2, 7])],
+        "doc_id long, src string, v long",
+    )
+    out = quantile_normalize(df, "v", "src", "doc_id", q=4)
+    assert all(
+        r["norm_value"] == r["value"] for r in out.collect()
+    )
+
+
 def test_phrase_search_counts_and_overlaps(spark):
     from mvrepair.operators.text import phrase_search
 

@@ -476,6 +476,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: quantile normalization — group-partitioned rank windows +
+    # the domain-frame pooled cumulative (hist fan/filter/min) + one
+    # 100-row broadcast join back to the corpus
+    "quantile_normalize": {"AdaptiveSparkPlan": 1, "Project": 6,
+                           "BroadcastHashJoin": 1, "Filter": 3,
+                           "Window": 4, "Sort": 2, "Exchange": 3,
+                           "FileScan": 2, "BroadcastExchange": 1,
+                           "HashAggregate": 4, "Generate": 1},
     # r11: phrase search — positional posexplode stream pruned DURING
     # the broadcast spec join (map-side), one (phrase,doc,start) count
     # + one per-doc rollup; the spec is a local Scan
