@@ -7811,6 +7811,54 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning through a Hive-partitioned fact: the
+    event stream is written one directory per day (int yyyymmdd key),
+    a tiny day-dimension is filtered on a non-key attribute
+    (day_int % 7 = 1 — opaque to static pruning), and the per-day/type
+    rollup joins through it — at plan time Spark injects the dim's
+    surviving keys into the fact scan's PartitionFilters
+    (``dynamicpruningexpression``, SPARK-11150), so the fact reads
+    ~1/7 of its directories WITHOUT a literal date predicate anywhere.
+    The third layout lever beside Z-order (footer skipping) and
+    bucketing (shuffle-free joins).  Oracle = the equivalent filter
+    over the raw events.  See layout.py:partitioned_write; a plan test
+    pins the dynamicpruning expression in the scan."""
+    from mvrepair.operators.layout import partitioned_write
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (
+            F.year("ts") * 10000 + F.month("ts") * 100 + F.dayofmonth("ts")
+        ).cast("int").alias("day_int"),
+    )
+    fact = partitioned_write(ev, "day_int", "/tmp/mvrepair_dpp_events")
+    days = ev.select("day_int").distinct().select(
+        "day_int", (F.col("day_int") % 7).cast("int").alias("dow_tag")
+    )
+    days.repartition(1).write.mode("overwrite").parquet(
+        "/tmp/mvrepair_dpp_days"
+    )
+    dim = spark.read.parquet("/tmp/mvrepair_dpp_days").filter(
+        F.col("dow_tag") == 1
+    )
+    return (
+        fact.join(F.broadcast(dim), "day_int")
+        .groupBy("day_int", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+_ORACLE_EVENTS_DPP = """
+SELECT CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INTEGER)
+         AS day_int,
+       event_type, count(*)::BIGINT AS n_events
+FROM events
+WHERE (year(ts) * 10000 + month(ts) * 100 + day(ts)) % 7 = 1
+GROUP BY 1, 2"""
+
+
 def q_pricing_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pricing rollup read THROUGH the ORC leg of the source
     surface: lineitem round-trips parquet → ORC → scan (value-exact
@@ -8807,6 +8855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_mutual_nn": q_embed_mutual_nn,  # twin: pq_topk (the ann_recall composition doctrine: the checked LSH bucket-join retrieval at k=1 + one narrow id-keyed mutuality self-join over the top-1 frame)
         "phrase_match": q_phrase_match,  # twin: posting_lists (the inverted-index family: the positional posting stream through one broadcast spec join + one (phrase,doc,start)-keyed count — retrieval over the same explode-then-token-shuffle shape)
         "quantile_normalize": q_quantile_normalize,  # twin: quality_percentiles (the rank-normalization family: group-partitioned rank windows + exact type-1 quantile algebra; adds the domain-frame pooled cumulative and the 100-row broadcast map)
+        "events_dpp": q_events_dpp,  # twin: zorder_layout (the data-layout family: eager write + pruning-evidence scan; directory-level dynamic pruning here vs footer min-max skipping there — the dynamicpruningexpression is pinned by a plan test)
     }
 
 
@@ -8981,6 +9030,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_mutual_nn": _oracle_embed_mutual_nn(),
         "phrase_match": _oracle_phrase_match(),
         "quantile_normalize": _ORACLE_QUANTILE_NORMALIZE,
+        "events_dpp": _ORACLE_EVENTS_DPP,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

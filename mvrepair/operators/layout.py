@@ -342,3 +342,31 @@ def bucketed_join(
         right.hint("merge"),
         left[left_key] == right[right_key],
     )
+
+
+def partitioned_write(
+    df: DataFrame, part_col: str, path: str
+) -> DataFrame:
+    """Hive-style directory partitioning — the THIRD layout lever
+    beside the Z-order writer (intra-file min/max skipping) and
+    bucketing (shuffle-free joins): one directory per ``part_col``
+    value, so a filter on the partition column prunes whole
+    directories at PLANNING time (PartitionFilters in the scan — no
+    footer reads, no tasks), and a join against a filtered dimension
+    prunes them at RUNTIME via dynamic partition pruning
+    (``dynamicpruningexpression`` in the scan, SPARK-11150).
+
+    The repartition on the partition column keeps it one file per
+    directory (without it every task writes a sliver into every
+    partition — the classic small-files explosion).  Write is
+    idempotent (overwrite); returns the read-back frame whose scans
+    carry the partition metadata.
+
+    Use an INT-rendered key (e.g. yyyymmdd) — directory values
+    round-trip through strings, and partition-column type inference
+    restores ints exactly.
+    """
+    df.repartition(F.col(part_col)).write.mode("overwrite").partitionBy(
+        part_col
+    ).parquet(path)
+    return df.sparkSession.read.parquet(path)

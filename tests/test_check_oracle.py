@@ -545,6 +545,9 @@ class TestRegistryOrderingContract:
         # r11: quantile normalization — the rank-normalization family
         # (quality_percentiles rep): type-1 exact quantile algebra
         "quantile_normalize": "quality_percentiles",
+        # r11: dynamic partition pruning — the data-layout family
+        # (zorder rep): eager write + pruning-evidence scan
+        "events_dpp": "zorder_layout",
     }
 
     def test_every_family_within_driver_window(self):

@@ -476,6 +476,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: dynamic partition pruning — Hive-partitioned fact scan with
+    # a SubqueryAdaptiveBroadcast feeding dynamicpruningexpression
+    # (asserted verbatim by test_events_dpp_prunes_at_runtime)
+    "events_dpp": {"AdaptiveSparkPlan": 2, "HashAggregate": 2,
+                   "Exchange": 1, "Project": 3, "BroadcastHashJoin": 1,
+                   "FileScan": 3, "SubqueryAdaptiveBroadcast": 1,
+                   "Filter": 2, "BroadcastExchange": 1},
     # r11: quantile normalization — group-partitioned rank windows +
     # the domain-frame pooled cumulative (hist fan/filter/min) + one
     # 100-row broadcast join back to the corpus
@@ -1007,6 +1014,25 @@ def _plan_node_multiset(df) -> dict[str, int]:
         if m:
             out[m.group(1)] = out.get(m.group(1), 0) + 1
     return out
+
+
+def test_events_dpp_prunes_at_runtime(spark, sf_dir):
+    """The fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — the whole point of the Hive-partitioned layout
+    leg: the dim's surviving day keys prune fact DIRECTORIES at
+    runtime, without any literal date predicate in the query."""
+    import __spark_entry__ as e
+
+    spark.catalog.clearCache()
+    plan = _plan(e.queries()["events_dpp"](spark, sf_dir))
+    fact_lines = [
+        ln for ln in plan.splitlines()
+        if "mvrepair_dpp_events" in ln and "FileScan" in ln
+    ]
+    assert fact_lines, "fact scan not found in plan:\n" + plan
+    assert any("dynamicpruningexpression" in ln for ln in fact_lines), (
+        "fact scan lost dynamic partition pruning:\n" + plan
+    )
 
 
 def test_twin_fingerprint_table_covers_every_twin():

@@ -1063,6 +1063,80 @@ def main() -> None:
         )
         return grouped_trend(pts, "corpus", F.col("lx"), F.col("ly"))
 
+    def _w1_op(df):
+        from mvrepair.operators.dq import numeric_drift_w1
+
+        return numeric_drift_w1(
+            df.select("value", "ts"), "value", "ts", quant=100
+        )
+
+    def _communities_op(df):
+        from mvrepair.operators.linkage import label_communities
+
+        items = df.select("l_orderkey", "l_partkey").dropDuplicates(
+            ["l_orderkey", "l_partkey"]
+        )
+        a = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("src")
+        )
+        b = items.select(
+            F.col("l_orderkey").alias("__b"), F.col("l_partkey").alias("dst")
+        )
+        edges = (
+            a.join(b, "__b")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+            .dropDuplicates(["src", "dst"])
+        )
+        nodes = load_table(spark, sf_dir, "part").select("p_partkey")
+        return label_communities(edges, nodes, id_col="p_partkey", iters=4)
+
+    def _ams_op(df):
+        from mvrepair.operators.sketch import ams_f2
+
+        return ams_f2(df.select("user_id"), "user_id", reps=40, groups=5)
+
+    def _snm_op(df):
+        from mvrepair.operators.linkage import snm_pairs
+
+        # prefixed copies ("0xCustomer#...") keep each copy's block
+        # space disjoint (the fuzzy-variant doctrine): candidates scale
+        # k x, per-block density constant
+        return snm_pairs(
+            df.select("c_custkey", "c_name"),
+            key_col="c_name", id_col="c_custkey",
+            block_prefix_len=17, window=4, max_dist=2,
+        )
+
+    def _mutual_op(df):
+        from mvrepair.operators.similarity import (
+            lsh_bucketed_topk,
+            mutual_nn_pairs,
+        )
+
+        sub = df.filter(F.col("vec_id") % 10 == 0)
+        nn = lsh_bucketed_topk(sub, sub, dim=64, k=1).select(
+            "query_id", "neighbor_id", "cosine_micro"
+        )
+        return mutual_nn_pairs(nn)
+
+    def _phrase_op(df):
+        from mvrepair.operators.text import phrase_search
+
+        return phrase_search(
+            df, ["table part", "fast scan", "row scan slow"]
+        )
+
+    def _qnorm_op(df):
+        from mvrepair.operators.dq import quantile_normalize
+
+        d = df.select(
+            "doc_id", "source", F.length("text").alias("n_chars")
+        )
+        return quantile_normalize(
+            d, value_col="n_chars", group_col="source", id_col="doc_id"
+        )
+
     def _hardneg_scaled_op(df, k):
         import math
 
@@ -1442,6 +1516,30 @@ def main() -> None:
         # (20k parts) is fixed — growth is the one key-keyed agg
         "gini(li)": ("li", _gini_op),
         "zipf(li)": ("li", _zipf_op),
+        # round 11, session 3.  events copies: W1 rides the same fixed
+        # 6.4k-unit value-domain frame as KS — one conditional-count
+        # pass is the only growing term
+        "drift_w1(ev)": ("ev", _w1_op),
+        # lineitem copies with partkeys UNSHIFTED: the distinct edge
+        # set saturates at the base graph, so the 4 vote rounds run on
+        # a fixed frame — growth is the basket self-join/dedup pass
+        "communities(li)": ("li", _communities_op),
+        # events copies (shifted users): Z state is 40 longs at every
+        # factor — growth is the sign Expand + the k x user audit agg
+        "ams_f2(ev)": ("ev", _ams_op),
+        # prefixed customer copies (disjoint block spaces): candidates
+        # k x, per-block window density constant -> expect ~linear
+        "snm(cust)": ("cust", _snm_op),
+        # disjoint (rolled) embedding copies: fixed 256-bucket LSH, so
+        # probe-subset in-bucket density grows — the hard_negatives
+        # trade on the retrieval path; mutuality tail is top-1-sized
+        "mutual_nn(embroll)": ("embroll", _mutual_op),
+        # exact document copies: spec is 3 phrases at any volume —
+        # growth is the posexplode + broadcast-join postings stream
+        "phrase_match(copies)": (True, _phrase_op),
+        # exact document copies: value domain and the 100-row pooled
+        # map are fixed — growth is the source-partitioned rank pass
+        "quantile_norm(copies)": (True, _qnorm_op),
     }
 
     # optional focus: comma-separated op names (re-measuring one family
