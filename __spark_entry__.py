@@ -1034,6 +1034,60 @@ SELECT user_id,
 FROM s GROUP BY user_id, sess"""
 
 
+def q_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PEAK concurrent user sessions — the gauge metric the
+    interval-overlap join can't express, composed from the checked
+    sessionization (event_sessions' session_window frame) + the
+    classic sweep: +1/−1 points, per-day running sum, max.  Exact
+    across midnight (sessions explode into per-day segments that
+    reopen at the bucket start), half-open tie rule, ties netted
+    before the sweep so the order is total.  The sweep window
+    partitions by day — parallel, never a global sort.  See
+    temporal.py:peak_concurrency."""
+    from mvrepair.operators.temporal import peak_concurrency, sessionize
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    sessions = sessionize(ev, "user_id", "ts", gap="30 minutes")
+    return peak_concurrency(
+        sessions, "session_start_us", "session_end_us"
+    )
+
+
+_ORACLE_SESSION_PEAKS = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM events),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g),
+iv AS (
+  SELECT epoch_us(min(ts)) AS s,
+         epoch_us(max(ts) + INTERVAL 30 MINUTE) AS e
+  FROM s GROUP BY user_id, sess),
+segs AS (
+  SELECT d.day,
+         greatest(s, d.day * 86400000000) AS t0,
+         least(e, (d.day + 1) * 86400000000) AS t1
+  FROM iv, LATERAL unnest(range(s // 86400000000,
+                                (e - 1) // 86400000000 + 1)) AS d(day)),
+pts AS (
+  SELECT day, t0 AS t, 1 AS dd FROM segs
+  UNION ALL
+  SELECT day, t1 AS t, -1 AS dd FROM segs),
+net AS (
+  SELECT day, t, dd, CAST(sum(dd) AS BIGINT) AS net
+  FROM pts GROUP BY 1, 2, 3),
+cum AS (
+  SELECT day, sum(net) OVER (PARTITION BY day ORDER BY t, dd
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM net)
+SELECT CAST(day AS BIGINT) AS epoch_day, CAST(max(c) AS BIGINT) AS peak
+FROM cum GROUP BY 1"""
+
+
 def q_top_users_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
@@ -8856,6 +8910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,  # twin: posting_lists (the inverted-index family: the positional posting stream through one broadcast spec join + one (phrase,doc,start)-keyed count — retrieval over the same explode-then-token-shuffle shape)
         "quantile_normalize": q_quantile_normalize,  # twin: quality_percentiles (the rank-normalization family: group-partitioned rank windows + exact type-1 quantile algebra; adds the domain-frame pooled cumulative and the 100-row broadcast map)
         "events_dpp": q_events_dpp,  # twin: zorder_layout (the data-layout family: eager write + pruning-evidence scan; directory-level dynamic pruning here vs footer min-max skipping there — the dynamicpruningexpression is pinned by a plan test)
+        "session_peaks": q_session_peaks,  # twin: event_sessions (composition: the checked session_window frame + the day-partitioned +1/−1 sweep — per-day Exchange+Sort, the gapfill window-family shape)
     }
 
 
@@ -9031,6 +9086,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_match": _oracle_phrase_match(),
         "quantile_normalize": _ORACLE_QUANTILE_NORMALIZE,
         "events_dpp": _ORACLE_EVENTS_DPP,
+        "session_peaks": _ORACLE_SESSION_PEAKS,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

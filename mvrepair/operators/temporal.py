@@ -1133,3 +1133,68 @@ aggregate(
         F.col("r.sm").alias("s_micro"),
         F.col("r.dev").alias("dev_micro"),
     )
+
+
+def peak_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Per-bucket PEAK number of concurrently-open half-open intervals
+    [start, end) — the gauge metric ("max concurrent sessions/
+    connections/jobs per day") that interval-overlap JOINS can't
+    express: it needs the classic sweep (+1 at start, −1 at end,
+    running sum, max).
+
+    EXACT across bucket boundaries: every interval explodes into its
+    per-bucket segments (an interval open at midnight contributes a
+    segment opening AT the bucket start), so each bucket's sweep sees
+    the true open count — no "attribute the session to its start day"
+    approximation.  Half-open semantics pin the tie rule: at equal
+    timestamps the −1 sorts first, so an interval ending exactly when
+    another starts never counts as overlap.  Ties collapse into one
+    (t, ±1) net row BEFORE the sweep, making the running sum's order
+    total and the whole result engine-exact.
+
+    Scale shape: the sweep window partitions BY BUCKET — parallel
+    across days, per-day state bounded by that day's interval count;
+    the segment explode is ≤ (interval span / bucket) rows, ~1-2 for
+    session-length intervals.  No global-order window anywhere.
+
+    Output: ``(epoch_day, peak)`` (bucket index = µs DIV bucket_us).
+    """
+    from pyspark.sql.window import Window
+
+    base = intervals.select(
+        F.col(start_col).cast("long").alias("__s"),
+        F.col(end_col).cast("long").alias("__e"),
+    ).filter(F.col("__e") > F.col("__s"))
+    segs = base.withColumn(
+        "day",
+        F.explode(
+            F.sequence(
+                F.expr(f"__s DIV {bucket_us}"),
+                F.expr(f"(__e - 1) DIV {bucket_us}"),
+            )
+        ),
+    ).select(
+        "day",
+        F.greatest(F.col("__s"), F.col("day") * bucket_us).alias("t0"),
+        F.least(F.col("__e"), (F.col("day") + 1) * bucket_us).alias("t1"),
+    )
+    pts = segs.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("dd")
+    ).unionAll(
+        segs.select("day", F.col("t1").alias("t"), F.lit(-1).alias("dd"))
+    )
+    net = pts.groupBy("day", "t", "dd").agg(
+        F.sum("dd").cast("long").alias("net")
+    )
+    w = Window.partitionBy("day").orderBy("t", "dd").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = net.select("day", F.sum("net").over(w).alias("c"))
+    return cum.groupBy(F.col("day").cast("long").alias("epoch_day")).agg(
+        F.max("c").cast("long").alias("peak")
+    )

@@ -548,6 +548,9 @@ class TestRegistryOrderingContract:
         # r11: dynamic partition pruning — the data-layout family
         # (zorder rep): eager write + pruning-evidence scan
         "events_dpp": "zorder_layout",
+        # r11: peak concurrency — composition on the sessionization rep
+        # (event_sessions): session_window frame + day-keyed sweep
+        "session_peaks": "event_sessions",
     }
 
     def test_every_family_within_driver_window(self):

@@ -5276,6 +5276,39 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_peak_concurrency_sweep_and_midnight_split(spark):
+    from mvrepair.operators.temporal import peak_concurrency
+
+    DAY = 86_400_000_000
+    H = 3_600_000_000
+    rows = [
+        # day 0: three overlapping at hour 1-2 region
+        (1 * H, 3 * H), (1 * H + 1, 2 * H), (90 * 60_000_000, 4 * H),
+        # half-open: ends exactly when next starts -> no overlap
+        (5 * H, 6 * H), (6 * H, 7 * H),
+        # spans midnight: open during day 0 tail AND day 1 head
+        (23 * H, DAY + 1 * H),
+        # day 1: one more interval overlapping the spillover
+        (DAY, DAY + 2 * H),
+    ]
+    df = spark.createDataFrame(rows, "s long, e long")
+    out = {r["epoch_day"]: r["peak"] for r in
+           peak_concurrency(df, "s", "e").collect()}
+    assert out[0] == 3  # the three morning intervals all open
+    assert out[1] == 2  # midnight spillover + the day-1 interval
+
+
+def test_peak_concurrency_half_open_no_false_overlap(spark):
+    from mvrepair.operators.temporal import peak_concurrency
+
+    # back-to-back chain: peak must stay 1
+    df = spark.createDataFrame(
+        [(i * 100, (i + 1) * 100) for i in range(10)], "s long, e long"
+    )
+    [r] = peak_concurrency(df, "s", "e").collect()
+    assert r["peak"] == 1
+
+
 def test_quantile_normalize_equalizes_marginals(spark):
     from mvrepair.operators.dq import quantile_normalize
 

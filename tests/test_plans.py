@@ -476,6 +476,13 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: peak concurrency — the native MergingSessions frame feeding
+    # the day-partitioned +1/−1 sweep (segment Generate, netted ties,
+    # one per-day Window) and the per-day max fold
+    "session_peaks": {"AdaptiveSparkPlan": 1, "HashAggregate": 8,
+                      "Project": 7, "Window": 1, "Sort": 3,
+                      "Exchange": 4, "Union": 1, "Generate": 2,
+                      "MergingSessions": 2, "Filter": 2, "FileScan": 2},
     # r11: dynamic partition pruning — Hive-partitioned fact scan with
     # a SubqueryAdaptiveBroadcast feeding dynamicpruningexpression
     # (asserted verbatim by test_events_dpp_prunes_at_runtime)
