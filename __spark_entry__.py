@@ -8031,6 +8031,62 @@ SELECT zb::BIGINT AS zbucket, count(*)::BIGINT AS n_rows,
 FROM z GROUP BY 1"""
 
 
+COMPACT_TARGET_ROWS = 10_000
+
+
+def q_zorder_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving compaction plan over the Z-layout bucket stats
+    — the OPTIMIZE step for the small-files problem: contiguous
+    z-bucket runs merged toward ~10k-row output groups, so compaction
+    keeps the Morton locality the writer paid for.  Composition: the
+    checked zorder_layout stats frame + one cumulative window over the
+    ≤64-row bucket frame (pack_sequences' greedy cut rule).  See
+    layout.py:compaction_plan."""
+    from mvrepair.operators.layout import compaction_plan, zorder_layout
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    stats = zorder_layout(
+        li, ["l_partkey", "l_suppkey"],
+        bits=ZORDER_BITS, bucket_bits=ZORDER_BUCKET_BITS,
+    )
+    return compaction_plan(
+        stats, "zbucket", "n_rows", COMPACT_TARGET_ROWS
+    )
+
+
+def _oracle_zorder_compaction() -> str:
+    from mvrepair.operators.layout import z_value_sql
+
+    m = (1 << ZORDER_BITS) - 1
+    shift = 2 * ZORDER_BITS - ZORDER_BUCKET_BITS
+    z = z_value_sql(["np", "ns"], bits=ZORDER_BITS)
+    return f"""
+WITH s AS (
+  SELECT min(l_partkey)::BIGINT AS mnp, max(l_partkey)::BIGINT AS mxp,
+         min(l_suppkey)::BIGINT AS mns, max(l_suppkey)::BIGINT AS mxs
+  FROM lineitem),
+n AS (
+  SELECT ((l_partkey - mnp) * {m}) // GREATEST(1, mxp - mnp) AS np,
+         ((l_suppkey - mns) * {m}) // GREATEST(1, mxs - mns) AS ns
+  FROM lineitem, s),
+zb AS (SELECT {z} >> {shift} AS zbucket, count(*)::BIGINT AS n_rows
+       FROM n GROUP BY 1),
+cum AS (
+  SELECT zbucket, n_rows,
+         CAST(sum(n_rows) OVER (ORDER BY zbucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_rows
+           AS BIGINT) AS prev
+  FROM zb)
+SELECT CAST(prev // {COMPACT_TARGET_ROWS} AS BIGINT) AS group_id,
+       count(*)::BIGINT AS n_members,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       min(zbucket)::BIGINT AS range_min,
+       max(zbucket)::BIGINT AS range_max
+FROM cum GROUP BY 1"""
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring of every document under the corpus's
     own count-trained hashed-bigram model (the CCNet quality-filter
@@ -8911,6 +8967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,  # twin: quality_percentiles (the rank-normalization family: group-partitioned rank windows + exact type-1 quantile algebra; adds the domain-frame pooled cumulative and the 100-row broadcast map)
         "events_dpp": q_events_dpp,  # twin: zorder_layout (the data-layout family: eager write + pruning-evidence scan; directory-level dynamic pruning here vs footer min-max skipping there — the dynamicpruningexpression is pinned by a plan test)
         "session_peaks": q_session_peaks,  # twin: event_sessions (composition: the checked session_window frame + the day-partitioned +1/−1 sweep — per-day Exchange+Sort, the gapfill window-family shape)
+        "zorder_compaction": q_zorder_compaction,  # twin: zorder_layout (pure composition: the checked bucket-stats frame + one cumulative window over the ≤64-row domain frame, pack_sequences' greedy cut)
     }
 
 
@@ -9087,6 +9144,7 @@ def oracle_sql() -> dict[str, str]:
         "quantile_normalize": _ORACLE_QUANTILE_NORMALIZE,
         "events_dpp": _ORACLE_EVENTS_DPP,
         "session_peaks": _ORACLE_SESSION_PEAKS,
+        "zorder_compaction": _oracle_zorder_compaction(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

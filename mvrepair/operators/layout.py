@@ -370,3 +370,53 @@ def partitioned_write(
         part_col
     ).parquet(path)
     return df.sparkSession.read.parquet(path)
+
+
+def compaction_plan(
+    stats: DataFrame,
+    order_col: str,
+    rows_col: str,
+    target_rows: int,
+) -> DataFrame:
+    """Order-preserving compaction planner — the OPTIMIZE step for the
+    small-files problem: given per-file (or per-z-bucket) statistics in
+    layout order, assign contiguous runs to output groups of
+    ~``target_rows`` each, so compaction merges neighbors WITHOUT
+    destroying the sort/Z locality the layout was built for (shuffling
+    arbitrary files together would re-interleave key ranges and undo
+    the min-max skipping the writer paid for).
+
+    The cut rule is pack_sequences' greedy boundary: group =
+    (exclusive prefix row sum) DIV target — deterministic, one pass,
+    each group ends at the first stat row crossing its budget.  Groups
+    can exceed ``target_rows`` by at most one member's rows (the
+    greedy guarantee); only the LAST group can be arbitrarily small.
+
+    Scale shape: ONE cumulative window over the stats frame — which is
+    file-count / bucket-count sized (≤2^bucket_bits for the Z writer),
+    never corpus rows.  Output: one row per group with its member
+    count, total rows, and the covered ``order_col`` range (the
+    metadata a catalog needs to swap the group in atomically).
+    """
+    from pyspark.sql.window import Window
+
+    if target_rows < 1:
+        raise ValueError("compaction_plan: target_rows must be >= 1")
+    w = Window.orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = stats.select(
+        F.col(order_col).alias("__o"),
+        F.col(rows_col).cast("long").alias("__r"),
+        (F.sum(F.col(rows_col).cast("long")).over(w)
+         - F.col(rows_col).cast("long")).alias("__prev"),
+    )
+    grouped = cum.select(
+        "__o", "__r", F.expr(f"__prev DIV {target_rows}").alias("grp")
+    )
+    return grouped.groupBy(F.col("grp").cast("long").alias("group_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("__r").cast("long").alias("total_rows"),
+        F.min("__o").cast("long").alias("range_min"),
+        F.max("__o").cast("long").alias("range_max"),
+    )

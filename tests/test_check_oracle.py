@@ -551,6 +551,9 @@ class TestRegistryOrderingContract:
         # r11: peak concurrency — composition on the sessionization rep
         # (event_sessions): session_window frame + day-keyed sweep
         "session_peaks": "event_sessions",
+        # r11: compaction planner — composition on the layout family
+        # (zorder rep): bucket stats + the pack_sequences cut rule
+        "zorder_compaction": "zorder_layout",
     }
 
     def test_every_family_within_driver_window(self):

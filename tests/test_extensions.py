@@ -5276,6 +5276,32 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_compaction_plan_cut_rule_and_bounds(spark):
+    import pytest as _pytest
+
+    from mvrepair.operators.layout import compaction_plan
+
+    stats = spark.createDataFrame(
+        [(0, 40), (1, 40), (2, 40), (3, 5), (4, 100), (5, 10)],
+        "zbucket long, n_rows long",
+    )
+    out = {r["group_id"]: r for r in
+           compaction_plan(stats, "zbucket", "n_rows", 100).collect()}
+    # prev sums: 0,40,80,120,125,225 -> groups 0,0,0,1,1,2
+    assert out[0]["n_members"] == 3 and out[0]["total_rows"] == 120
+    assert out[0]["range_min"] == 0 and out[0]["range_max"] == 2
+    assert out[1]["n_members"] == 2 and out[1]["total_rows"] == 105
+    assert out[2]["total_rows"] == 10  # last group may be small
+    # groups are contiguous, order-preserving runs
+    ranges = sorted(
+        (r["range_min"], r["range_max"]) for r in out.values()
+    )
+    for (a, b), (c, d) in zip(ranges, ranges[1:]):
+        assert b < c
+    with _pytest.raises(ValueError):
+        compaction_plan(stats, "zbucket", "n_rows", 0)
+
+
 def test_peak_concurrency_sweep_and_midnight_split(spark):
     from mvrepair.operators.temporal import peak_concurrency
 

@@ -476,6 +476,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: compaction planner — the zorder bucket agg + one cumulative
+    # window over the ≤64-row bucket frame + the per-group fold
+    "zorder_compaction": {"AdaptiveSparkPlan": 1, "HashAggregate": 4,
+                          "Project": 3, "Window": 1, "Sort": 1,
+                          "Exchange": 2, "FileScan": 1},
     # r11: peak concurrency — the native MergingSessions frame feeding
     # the day-partitioned +1/−1 sweep (segment Generate, netted ties,
     # one per-day Window) and the per-day max fold
