@@ -8239,6 +8239,54 @@ FROM f ORDER BY rrf_micro DESC, part_id LIMIT 100"""
 # ---------------------------------------------------------------------------
 
 
+def q_event_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen trend over the hourly count series —
+    the ROBUST companion of event_trend's OLS (median of all pairwise
+    slopes, ~29% breakdown vs OLS's zero).  The pairwise frame is
+    time-DOMAIN-sized squared per type (hours², never corpus rows);
+    one type-keyed self-join + one rank window picks the exact lower
+    median under a total order.  See regression.py:theilsen_slope."""
+    from mvrepair.operators.regression import theilsen_slope
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        (
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / F.lit(3_600_000_000)
+            ).cast("long")
+        ).alias("__idx"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    return theilsen_slope(hourly, "event_type", "__idx", "__cnt")
+
+
+_ORACLE_EVENT_THEILSEN = """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS x,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type AS k, a.x AS x1, bb.x AS x2,
+         CAST(((bb.y - a.y) * 1000000) // (bb.x - a.x) AS BIGINT) AS s
+  FROM b a JOIN b bb
+    ON a.event_type = bb.event_type AND bb.x > a.x),
+ranked AS (
+  SELECT k, s,
+         row_number() OVER (PARTITION BY k ORDER BY s, x1, x2) AS rn,
+         count(*) OVER (PARTITION BY k) AS np
+  FROM pairs),
+med AS (SELECT k, s, np FROM ranked WHERE rn = (np + 1) // 2),
+pts AS (SELECT event_type AS k, count(*)::BIGINT AS n_points
+        FROM b GROUP BY 1)
+SELECT med.k AS event_type, pts.n_points,
+       CAST(med.np AS BIGINT) AS n_pairs,
+       med.s AS slope_micro
+FROM med JOIN pts ON med.k = pts.k"""
+
+
 def q_event_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS trend over the hourly count series: exact
     integer normal-equation sums (shift-invariant, so no recentering
@@ -8968,6 +9016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dpp": q_events_dpp,  # twin: zorder_layout (the data-layout family: eager write + pruning-evidence scan; directory-level dynamic pruning here vs footer min-max skipping there — the dynamicpruningexpression is pinned by a plan test)
         "session_peaks": q_session_peaks,  # twin: event_sessions (composition: the checked session_window frame + the day-partitioned +1/−1 sweep — per-day Exchange+Sort, the gapfill window-family shape)
         "zorder_compaction": q_zorder_compaction,  # twin: zorder_layout (pure composition: the checked bucket-stats frame + one cumulative window over the ≤64-row domain frame, pack_sequences' greedy cut)
+        "event_theilsen": q_event_theilsen,  # twin: part_triangles (the domain-sized graph/pair self-join family: type-keyed pair build + rank window; the OLS twin event_trend stays locally gated past-window)
     }
 
 
@@ -9145,6 +9194,7 @@ def oracle_sql() -> dict[str, str]:
         "events_dpp": _ORACLE_EVENTS_DPP,
         "session_peaks": _ORACLE_SESSION_PEAKS,
         "zorder_compaction": _oracle_zorder_compaction(),
+        "event_theilsen": _ORACLE_EVENT_THEILSEN,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

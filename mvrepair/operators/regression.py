@@ -156,3 +156,81 @@ def grouped_correlation(
             F.floor(r * 1_000_000).cast("long").alias("r_micro"),
         )
     )
+
+
+def theilsen_slope(
+    pts: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Theil-Sen slope — the ROBUST companion of
+    :func:`grouped_trend`'s OLS: the median of all pairwise slopes
+    (Sen 1968), with ~29% breakdown where one outlier hour can drag
+    the least-squares line arbitrarily.
+
+    Exact algebra, engine-portable: each pair's slope quantizes to
+    ``floor((y_j − y_i)·1e6 / (x_j − x_i))`` via the pmod floor-div
+    identity (truncating ``div`` of an exact multiple IS the floor;
+    DuckDB's ``//`` floors natively — the grouped_trend discipline, so
+    negative slopes round identically in both engines), and the
+    reported value is the LOWER MEDIAN at rank ⌈n_pairs/2⌉ under the
+    total order (slope, x_i, x_j).
+
+    Scale shape: the pairwise frame is a group-keyed self-join —
+    O(Σ m_g²) pairs where m_g is the POINTS-PER-GROUP (a time-DOMAIN
+    size: hours in range, never corpus rows; corpus rows fold into the
+    per-hour points first).  One group-keyed shuffle builds the pairs,
+    one rank window picks the median.  For m beyond ~10⁴ points use
+    grouped_trend or pre-thin the series — the quadratic pair count is
+    the documented price of the exact median-of-slopes estimator.
+
+    Output: ``(key, n_points, n_pairs, slope_micro)``.
+    """
+    from pyspark.sql.window import Window
+
+    a = pts.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("long").alias("__x1"),
+        F.col(y_col).cast("long").alias("__y1"),
+    )
+    b = pts.select(
+        F.col(key_col).alias("__k"),
+        F.col(x_col).cast("long").alias("__x2"),
+        F.col(y_col).cast("long").alias("__y2"),
+    )
+    pairs = (
+        a.join(b, "__k")
+        .filter(F.col("__x2") > F.col("__x1"))
+        .select(
+            "__k",
+            "__x1",
+            "__x2",
+            F.expr(
+                "CAST(((__y2 - __y1) * 1000000"
+                " - pmod((__y2 - __y1) * 1000000, __x2 - __x1))"
+                " DIV (__x2 - __x1) AS BIGINT)"
+            ).alias("__s"),
+        )
+    )
+    w_rank = Window.partitionBy("__k").orderBy("__s", "__x1", "__x2")
+    w_all = Window.partitionBy("__k")
+    ranked = pairs.select(
+        "__k",
+        "__s",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__np"),
+    )
+    med = ranked.filter(F.col("__rn") == F.expr("(__np + 1) DIV 2"))
+    n_pts = pts.groupBy(F.col(key_col).alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points")
+    )
+    return (
+        med.join(n_pts, "__k")
+        .select(
+            F.col("__k").alias(key_col),
+            "n_points",
+            F.col("__np").cast("long").alias("n_pairs"),
+            F.col("__s").alias("slope_micro"),
+        )
+    )

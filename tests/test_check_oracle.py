@@ -554,6 +554,9 @@ class TestRegistryOrderingContract:
         # r11: compaction planner — composition on the layout family
         # (zorder rep): bucket stats + the pack_sequences cut rule
         "zorder_compaction": "zorder_layout",
+        # r11: Theil-Sen — the domain-sized pair self-join family
+        # (part_triangles rep); the OLS twin stays locally gated
+        "event_theilsen": "part_triangles",
     }
 
     def test_every_family_within_driver_window(self):

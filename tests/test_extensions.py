@@ -5276,6 +5276,27 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_theilsen_robust_to_outlier_and_exact_floor(spark):
+    from mvrepair.operators.regression import theilsen_slope
+
+    # y = 2x except one wild outlier at x=5; OLS would be dragged,
+    # the pairwise median stays exactly 2.0
+    pts = [(x, 2 * x) for x in range(0, 5)] + [(5, 1000)]
+    df = spark.createDataFrame(
+        [("a", x, y) for x, y in pts], "k string, x long, y long"
+    )
+    [r] = theilsen_slope(df, "k", "x", "y").collect()
+    assert r["slope_micro"] == 2_000_000
+    assert r["n_points"] == 6 and r["n_pairs"] == 15
+    # negative slope floors toward -inf in BOTH engines: slope -1/3
+    # over (x=0,y=0)-(x=3,y=-1) must quantize to -333334, not -333333
+    df2 = spark.createDataFrame(
+        [("b", 0, 0), ("b", 3, -1)], "k string, x long, y long"
+    )
+    [r2] = theilsen_slope(df2, "k", "x", "y").collect()
+    assert r2["slope_micro"] == -333_334
+
+
 def test_compaction_plan_cut_rule_and_bounds(spark):
     import pytest as _pytest
 

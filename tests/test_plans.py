@@ -476,6 +476,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: Theil-Sen — type-keyed pair self-join over the hours-domain
+    # points (broadcast at fixture scale) + the median rank window
+    "event_theilsen": {"AdaptiveSparkPlan": 1, "Project": 7,
+                       "BroadcastHashJoin": 2, "Filter": 4, "Window": 2,
+                       "Sort": 1, "Exchange": 5, "HashAggregate": 8,
+                       "FileScan": 3, "BroadcastExchange": 2},
     # r11: compaction planner — the zorder bucket agg + one cumulative
     # window over the ≤64-row bucket frame + the per-group fold
     "zorder_compaction": {"AdaptiveSparkPlan": 1, "HashAggregate": 4,
