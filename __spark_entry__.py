@@ -8816,9 +8816,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family with micro_log2 scoring — the dsir/doc_perplexity
         # precedent), frozen fingerprint + local-gate row kept.
         "view_purchase_stream": q_view_purchase_stream,
-        # round-8 wave-3 families (promoted r8): funnel, anomaly,
-        # inverted index, PMI collocations
-        "event_funnel": q_event_funnel,
+        # round-11 session-3 rotation: events_ams_f2 promoted — the AMS
+        # tug-of-war F2 estimator is the session's genuinely new
+        # numeric pipeline (sign Expand → bounded Z fold → block
+        # median, with the exact self-join-size audit), the r10 task-#4
+        # doctrine events_hll followed; event_funnel demoted as a plan
+        # twin of the gapfill family's key-keyed Exchange+Sort window
+        # scan (the events_anomaly precedent), frozen fingerprint +
+        # local-gate row kept.
+        "events_ams_f2": q_events_ams_f2,
         # round-11 rotation (cont.): embed_kcenter promoted — the greedy
         # max-min selection loop (iterative collected argmax + literal-
         # center map-side assignment) is a genuinely new ITERATIVE
@@ -9008,7 +9014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": q_events_ewma,  # twin: events_gapfill (the type-keyed hourly-series family); the per-key in-plan fold is km_survival's shape grouped, oracle = recursive CTE per key
         "events_drift_w1": q_events_drift_w1,  # twin: posting_lists (events_drift_ks' exact-rank cumulative shape verbatim: one count agg + one value-ordered window over the domain frame); only the tail fold differs (sum-of-gaps vs argmax)
         "part_communities": q_part_communities,  # twin: part_pagerank (the identical fixed-round edge-join + localCheckpoint iteration over the same co-purchase edges; the round body swaps the rank recurrence for a per-dst label-vote argmax)
-        "events_ams_f2": q_events_ams_f2,  # twin: events_hll (the mergeable-sketch estimator family: one Expand under one map-combinable fold to a bounded state + an exact-audit pass; signs/Z² here vs registers/rho there)
+        "event_funnel": q_event_funnel,  # twin: events_gapfill (the key-keyed Exchange+Sort window-scan family — the events_anomaly demotion precedent); driver-green r8-r11w1, frozen fingerprint below
         "customer_snm": q_customer_snm,  # twin: name_linkage (the fuzzy-linkage family: bounded candidate generation + one exact levenshtein verify; order-based neighbors here vs deletion-variant hash buckets there)
         "embed_mutual_nn": q_embed_mutual_nn,  # twin: pq_topk (the ann_recall composition doctrine: the checked LSH bucket-join retrieval at k=1 + one narrow id-keyed mutuality self-join over the top-1 frame)
         "phrase_match": q_phrase_match,  # twin: posting_lists (the inverted-index family: the positional posting stream through one broadcast spec join + one (phrase,doc,start)-keyed count — retrieval over the same explode-then-token-shuffle shape)

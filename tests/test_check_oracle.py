@@ -178,7 +178,15 @@ class TestRegistryOrderingContract:
         "kl-divergence": "nb_classify",
         "streaming-join": "view_purchase_stream",
         # round-8 wave-3 families (promoted in wave 4)
-        "funnel": "event_funnel",
+        # r11 session 3: event_funnel demoted for events_ams_f2's
+        # promotion — the funnel's per-user ordered scan is the same
+        # key-keyed Exchange+Sort window family as the gapfill rep
+        # (the events_anomaly precedent)
+        "funnel": "events_gapfill",
+        # r11 session 3: the AMS tug-of-war F2 estimator — the
+        # session's new numeric pipeline, driver-hashed per the
+        # r10 task-#4 rotation doctrine
+        "ams-f2": "events_ams_f2",
         # r10 wave 4: events_anomaly demoted for event_trend — the
         # trailing-RANGE anomaly window is a plan twin of the gapfill
         # rep (one key-keyed Exchange+Sort over the types x hours
@@ -530,9 +538,9 @@ class TestRegistryOrderingContract:
         # r11: LPA communities — part_pagerank's fixed-round edge-join
         # + localCheckpoint iteration over the same co-purchase edges
         "part_communities": "part_pagerank",
-        # r11: AMS tug-of-war F2 — the mergeable-sketch family (events_hll
-        # rep): one Expand under one map-combinable fold + exact audit
-        "events_ams_f2": "events_hll",
+        # r11 session 3 demotion: the funnel's per-user ordered window
+        # scan rides the gapfill family rep (the anomaly precedent)
+        "event_funnel": "events_gapfill",
         # r11: sorted-neighborhood linkage — the fuzzy-linkage family
         # (name_linkage rep): bounded candidates + exact lev verify
         "customer_snm": "name_linkage",

@@ -531,13 +531,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                      "Generate": 1, "Window": 5, "Sort": 7,
                      "Exchange": 6, "Filter": 7, "FileScan": 5,
                      "WindowGroupLimit": 4, "HashAggregate": 2},
-    # r11: AMS F2 — one Generate (sign expand) under the map-combinable
-    # Z fold, block-mean agg + lower-median window, union + single-row
-    # re-agg with the exact self-join-size audit pass
-    "events_ams_f2": {"AdaptiveSparkPlan": 1, "Project": 3,
-                      "HashAggregate": 10, "Union": 1, "Filter": 1,
-                      "Window": 1, "TakeOrderedAndProject": 1,
-                      "Exchange": 4, "Generate": 1, "FileScan": 2},
+    # r11 session-3 demotion: funnel — per-user ordered window scan
+    # stack over one user-keyed Exchange+Sort (the gapfill family)
+    "event_funnel": {"AdaptiveSparkPlan": 1, "Project": 8, "Window": 5,
+                     "Sort": 2, "Generate": 1, "HashAggregate": 4,
+                     "Exchange": 2, "FileScan": 1},
     # r11: label-propagation communities — the final frame is the
     # last round's localCheckpoint scan (the pagerank/kcore iterative
     # doctrine: per-round plans are truncated by design)
