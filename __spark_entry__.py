@@ -7606,6 +7606,60 @@ SELECT phrase, doc_id, count(*)::BIGINT AS n_matches
 FROM matches GROUP BY 1, 2"""
 
 
+TOKEN_SPLITS = 8
+_TOKEN_WIDTH = (1 << 60) // TOKEN_SPLITS
+
+
+def q_events_tokenrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference connector's token-range split scan EXECUTING as a
+    Spark 4 Python DataSource (not just configured): the 60-bit
+    stable_hash64 token space divides into 8 contiguous ranges, Spark
+    schedules one task per range, each reader yields only its range's
+    rows as Arrow batches, and the equality filter on event_type is
+    PUSHED into the reader (pushFilters — the plan's post-scan Filter
+    keeps only isnotnull).  The token and range id are exposed as
+    columns so the oracle replays the split assignment bit-for-bit —
+    the split logic itself is hash-checked.  See
+    sources/tokenrange.py (reference scan model:
+    src/main/java/mvsync/MvSync.java per-split RDD scan)."""
+    from mvrepair.sources.tokenrange import TokenRangeDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TokenRangeDataSource)
+    df = (
+        spark.read.format("mvrepair_tokenrange")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("pk", "event_id")
+        .option("splits", str(TOKEN_SPLITS))
+        .option("columns", "event_id,user_id,event_type")
+        .load()
+    )
+    return (
+        df.filter(F.col("event_type") == "view")
+        .groupBy("split_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.min("token").alias("min_token"),
+            F.max("token").alias("max_token"),
+        )
+    )
+
+
+_ORACLE_EVENTS_TOKENRANGE = f"""
+WITH t AS (
+  SELECT user_id,
+         CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS token
+  FROM events WHERE event_type = 'view')
+SELECT CAST(token // {_TOKEN_WIDTH} AS INTEGER) AS split_id,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       min(token) AS min_token,
+       max(token) AS max_token
+FROM t GROUP BY 1"""
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization of document lengths: every
     source's n_chars marginal is mapped onto the POOLED distribution
@@ -9023,6 +9077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_peaks": q_session_peaks,  # twin: event_sessions (composition: the checked session_window frame + the day-partitioned +1/−1 sweep — per-day Exchange+Sort, the gapfill window-family shape)
         "zorder_compaction": q_zorder_compaction,  # twin: zorder_layout (pure composition: the checked bucket-stats frame + one cumulative window over the ≤64-row domain frame, pack_sequences' greedy cut)
         "event_theilsen": q_event_theilsen,  # twin: part_triangles (the domain-sized graph/pair self-join family: type-keyed pair build + rank window; the OLS twin event_trend stays locally gated past-window)
+        "events_tokenrange": q_events_tokenrange,  # twin: multimodal_decode (the Python-worker source/Arrow-batch family: BatchScan (Python) feeding a JVM agg — the only other plan whose scan executes Python; the O1 split model itself is new surface, hash-checked via the exposed token/split columns)
     }
 
 
@@ -9201,6 +9256,7 @@ def oracle_sql() -> dict[str, str]:
         "session_peaks": _ORACLE_SESSION_PEAKS,
         "zorder_compaction": _oracle_zorder_compaction(),
         "event_theilsen": _ORACLE_EVENT_THEILSEN,
+        "events_tokenrange": _ORACLE_EVENTS_TOKENRANGE,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -1,0 +1,168 @@
+"""Token-range split scan as a REAL pluggable Spark source — the
+reference connector's scan model executing, not configured.
+
+The reference job scans Cassandra by token range: the connector slices
+the partitioner's token space into contiguous ranges and runs one CQL
+scan per slice (reference: MvSync.java's per-split RDD scan via the
+spark-cassandra-connector; ``mvrepair/sources/cassandra.py`` models its
+CONFIG surface).  This module implements that split model as a Spark 4
+Python DataSource (SPARK-44076): the 60-bit ``stable_hash64`` token
+space divides into ``splits`` contiguous ranges, each ``InputPartition``
+carries one range, and each reader yields only the rows whose partition
+key hashes into its range — so Spark schedules the scan exactly the way
+the connector would, one task per token range, no range reading another
+range's rows.
+
+Scale notes:
+- Readers emit Arrow ``RecordBatch``es (the vectorized fast path of the
+  Python data-source API), never per-row Python tuples.
+- ``pushFilters`` honors equality filters on the source's string/int
+  columns by pre-filtering the Arrow table before tokenization
+  (connector-style server-side pushdown); everything else is handed
+  back to Spark.
+- The token is COMPUTED AND EXPOSED as a column (plus the range id), so
+  a SQL oracle can replay the split assignment bit-for-bit — the split
+  logic itself is hash-checkable, not just the row payload.
+
+The backing store here is the fixture parquet (this container has no
+Cassandra; the live seam stays in ``cassandra.py``) — the point is the
+SPLIT MODEL: partitions(), per-range filtering, and pushdown run for
+real through Spark's scheduler.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+)
+
+TOKEN_SPACE = 1 << 60  # stable_hash64's domain
+
+
+def py_token(value) -> int:
+    """Python twin of ``functions.stable_hash64`` (md5, first 15 hex
+    digits) — one row's token; vectorized over a column by the reader."""
+    return int(
+        hashlib.md5(str(value).encode("utf-8")).hexdigest()[:15], 16
+    )
+
+
+@dataclass
+class TokenRange(InputPartition):
+    split_id: int
+    lo: int  # inclusive
+    hi: int  # exclusive
+
+
+class TokenRangeReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("tokenrange source requires option 'path'")
+        self.pk = options.get("pk")
+        if not self.pk:
+            raise ValueError("tokenrange source requires option 'pk'")
+        self.splits = int(options.get("splits", "8"))
+        if self.splits < 1:
+            raise ValueError("splits must be >= 1")
+        self.cols = [
+            c.strip() for c in options.get("columns", self.pk).split(",")
+        ]
+        if self.pk not in self.cols:
+            self.cols.append(self.pk)
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Connector-style pushdown: accept equality on source columns
+        (applied before tokenization), return the rest to Spark."""
+        for f in filters:
+            if isinstance(f, EqualTo) and len(f.attribute) == 1 and (
+                f.attribute[0] in self.cols
+            ):
+                self._pushed.append((f.attribute[0], f.value))
+            else:
+                yield f
+
+    def partitions(self):
+        width = TOKEN_SPACE // self.splits
+        return [
+            TokenRange(
+                i,
+                i * width,
+                (i + 1) * width if i < self.splits - 1 else TOKEN_SPACE,
+            )
+            for i in range(self.splits)
+        ]
+
+    def read(self, partition: TokenRange):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(self.path, columns=self.cols)
+        for col, val in self._pushed:
+            t = t.filter(pc.equal(t[col], val))
+        tokens = pa.array(
+            [py_token(v) for v in t[self.pk].to_pylist()], type=pa.int64()
+        )
+        mask = pc.and_(
+            pc.greater_equal(tokens, partition.lo),
+            pc.less(tokens, partition.hi),
+        )
+        t = t.append_column("token", tokens).append_column(
+            "split_id",
+            pa.array([partition.split_id] * len(tokens), type=pa.int32()),
+        )
+        t = t.filter(mask)
+        for batch in t.to_batches():
+            yield batch
+
+
+class TokenRangeDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "mvrepair_tokenrange"
+
+    def schema(self):
+        import pyarrow.parquet as pq
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("tokenrange source requires option 'path'")
+        pk = self.options.get("pk")
+        cols = [
+            c.strip()
+            for c in self.options.get("columns", pk or "").split(",")
+            if c.strip()
+        ]
+        if pk and pk not in cols:
+            cols.append(pk)
+        arrow_schema = pq.read_schema(path)
+        type_map = {
+            "int64": "bigint",
+            "int32": "int",
+            "string": "string",
+            "large_string": "string",
+            "double": "double",
+        }
+        parts = []
+        for c in cols:
+            at = str(arrow_schema.field(c).type)
+            if at not in type_map:
+                raise ValueError(
+                    f"tokenrange source: unsupported column type {at}"
+                    f" for {c} (supported: {sorted(type_map)})"
+                )
+            parts.append(f"{c} {type_map[at]}")
+        parts.append("token bigint")
+        parts.append("split_id int")
+        return ", ".join(parts)
+
+    def reader(self, schema):
+        return TokenRangeReader(self.options)

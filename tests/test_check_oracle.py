@@ -565,6 +565,9 @@ class TestRegistryOrderingContract:
         # r11: Theil-Sen — the domain-sized pair self-join family
         # (part_triangles rep); the OLS twin stays locally gated
         "event_theilsen": "part_triangles",
+        # r11: token-range source — the Python-worker scan family
+        # (multimodal rep): Arrow batches from Python into a JVM agg
+        "events_tokenrange": "multimodal_decode",
     }
 
     def test_every_family_within_driver_window(self):

@@ -162,3 +162,75 @@ def test_orc_roundtrip_value_exact_and_pushdown(spark, sf_dir):
     )
     assert "FileScan orc" in plan
     assert "PushedFilters" in plan and "EqualTo(l_orderkey,1)" in plan.replace(" ", "")
+
+
+# ------------------------------------------------- token-range source
+
+
+def test_tokenrange_partitions_cover_and_disjoint():
+    from mvrepair.sources.tokenrange import TOKEN_SPACE, TokenRangeReader
+
+    r = TokenRangeReader(
+        {"path": "x", "pk": "id", "splits": "7", "columns": "id"}
+    )
+    parts = r.partitions()
+    assert parts[0].lo == 0 and parts[-1].hi == TOKEN_SPACE
+    for a, b in zip(parts, parts[1:]):
+        assert a.hi == b.lo  # contiguous, disjoint half-open ranges
+    assert [p.split_id for p in parts] == list(range(7))
+
+
+def test_tokenrange_scan_is_exact_partition_of_table(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from mvrepair.sources.tokenrange import TokenRangeDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(TokenRangeDataSource)
+    df = (
+        spark.read.format("mvrepair_tokenrange")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("pk", "event_id")
+        .option("splits", "4")
+        .option("columns", "event_id,event_type")
+        .load()
+    )
+    plain = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # every row appears in exactly one range: ids through the source
+    # equal the raw table's ids, with no duplicates
+    ids = [r["event_id"] for r in df.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == plain.count()
+    # per-row range assignment matches the python token twin
+    from mvrepair.sources.tokenrange import TOKEN_SPACE, py_token
+
+    width = TOKEN_SPACE // 4
+    sample = df.select("event_id", "token", "split_id").limit(50).collect()
+    for r in sample:
+        assert r["token"] == py_token(r["event_id"])
+        assert r["split_id"] == min(r["token"] // width, 3)
+    # pushdown: the equality filter reaches the reader, so the
+    # post-scan Filter keeps only the isnotnull guard
+    plan = (
+        df.filter(F.col("event_type") == "view")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchScan mvrepair_tokenrange" in plan
+    assert "view" not in plan.split("BatchScan")[0], (
+        "equality filter re-applied above the scan — pushFilters lost:\n"
+        + plan
+    )
+
+
+def test_tokenrange_option_validation():
+    import pytest
+
+    from mvrepair.sources.tokenrange import TokenRangeReader
+
+    with pytest.raises(ValueError):
+        TokenRangeReader({"pk": "id"})
+    with pytest.raises(ValueError):
+        TokenRangeReader({"path": "x"})
+    with pytest.raises(ValueError):
+        TokenRangeReader({"path": "x", "pk": "id", "splits": "0"})

@@ -476,6 +476,12 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: token-range Python DataSource — one BatchScan (Python) per
+    # token range feeding the JVM distinct/count agg pair; the pushed
+    # equality leaves only isnotnull in the post-scan Filter
+    "events_tokenrange": {"AdaptiveSparkPlan": 1, "HashAggregate": 4,
+                          "Exchange": 2, "Project": 1, "Filter": 1,
+                          "BatchScan": 1},
     # r11: Theil-Sen — type-keyed pair self-join over the hours-domain
     # points (broadcast at fixture scale) + the median rank window
     "event_theilsen": {"AdaptiveSparkPlan": 1, "Project": 7,
