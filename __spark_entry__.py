@@ -7660,6 +7660,78 @@ SELECT CAST(token // {_TOKEN_WIDTH} AS INTEGER) AS split_id,
 FROM t GROUP BY 1"""
 
 
+TOKEN_STREAM_SPLITS = 4
+_TOKEN_STREAM_WIDTH = (1 << 60) // TOKEN_STREAM_SPLITS
+
+
+def q_events_tokenrange_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-range source's STREAMING leg: the anti-entropy ring
+    walk as a Structured Streaming query — each micro-batch scans the
+    NEXT token range (offset = next split id, resumable;
+    readBetweenOffsets replays committed spans deterministically), and
+    the per-split rollup accumulates in complete mode until the walk
+    reaches the end of the ring.  One batch per range executed for
+    real (4 batches observed), then the query stops — batch parity
+    with events_tokenrange's split algebra at 4 splits.  See
+    sources/tokenrange.py:TokenRangeStreamReader."""
+    import time as _time
+
+    from mvrepair.sources.tokenrange import TokenRangeDataSource
+
+    spark.dataSource.register(TokenRangeDataSource)
+    sdf = (
+        spark.readStream.format("mvrepair_tokenrange")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("pk", "event_id")
+        .option("splits", str(TOKEN_STREAM_SPLITS))
+        .option("columns", "event_id,user_id,event_type")
+        .load()
+    )
+    agg = (
+        sdf.filter(F.col("event_type") == "view")
+        .groupBy("split_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("token").alias("min_token"),
+            F.max("token").alias("max_token"),
+        )
+    )
+    with _state_partitions(spark, 4):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName("__events_tokenrange_stream")
+            .outputMode("complete")
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # the walk is done when every range's row has landed; complete
+        # mode republishes the full rollup each batch, so the count is
+        # monotone and the poll deterministic
+        deadline = _time.monotonic() + 300
+        while _time.monotonic() < deadline:
+            if (
+                spark.table("__events_tokenrange_stream").count()
+                >= TOKEN_STREAM_SPLITS
+            ):
+                break
+            _time.sleep(0.3)
+        query.stop()
+        query.awaitTermination()
+    return spark.table("__events_tokenrange_stream")
+
+
+_ORACLE_EVENTS_TOKENRANGE_STREAM = f"""
+WITH t AS (
+  SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS token
+  FROM events WHERE event_type = 'view')
+SELECT CAST(token // {_TOKEN_STREAM_WIDTH} AS INTEGER) AS split_id,
+       count(*)::BIGINT AS n_rows,
+       min(token) AS min_token,
+       max(token) AS max_token
+FROM t GROUP BY 1"""
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source quantile normalization of document lengths: every
     source's n_chars marginal is mapped onto the POOLED distribution
@@ -9078,6 +9150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_compaction": q_zorder_compaction,  # twin: zorder_layout (pure composition: the checked bucket-stats frame + one cumulative window over the ≤64-row domain frame, pack_sequences' greedy cut)
         "event_theilsen": q_event_theilsen,  # twin: part_triangles (the domain-sized graph/pair self-join family: type-keyed pair build + rank window; the OLS twin event_trend stays locally gated past-window)
         "events_tokenrange": q_events_tokenrange,  # twin: multimodal_decode (the Python-worker source/Arrow-batch family: BatchScan (Python) feeding a JVM agg — the only other plan whose scan executes Python; the O1 split model itself is new surface, hash-checked via the exposed token/split columns)
+        "events_tokenrange_stream": q_events_tokenrange_stream,  # twin: events_hourly_stream (the complete-mode stateful-agg streaming family; the source's ring-walk offsets are the new surface, per-range batches executed for real)
     }
 
 
@@ -9257,6 +9330,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_compaction": _oracle_zorder_compaction(),
         "event_theilsen": _ORACLE_EVENT_THEILSEN,
         "events_tokenrange": _ORACLE_EVENTS_TOKENRANGE,
+        "events_tokenrange_stream": _ORACLE_EVENTS_TOKENRANGE_STREAM,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

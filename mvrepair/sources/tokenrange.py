@@ -166,3 +166,70 @@ class TokenRangeDataSource(DataSource):
 
     def reader(self, schema):
         return TokenRangeReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return TokenRangeStreamReader(self.options)
+
+
+class TokenRangeStreamReader:
+    """Streaming leg of the token-range source: each micro-batch scans
+    the NEXT token range, the offset is simply the next split id —
+    exactly how an anti-entropy sweep walks the ring (one range at a
+    time, resumable from a recorded position).  Built on Spark 4's
+    ``SimpleDataSourceStreamReader`` contract: ``read`` returns (rows,
+    next offset) and ``readBetweenOffsets`` replays a committed span
+    deterministically, so failure recovery re-reads the identical
+    range rows (the determinism the repair log depends on).
+
+    availableNow drains ranges until ``read`` stops advancing the
+    offset (split == splits), giving batch parity: the drained stream
+    equals the batch source minus the Arrow fast path (simple stream
+    readers are row-iterators by contract).
+    """
+
+    def __init__(self, options):
+        self._cfg = TokenRangeReader(options)
+
+    def initialOffset(self):
+        return {"split": 0}
+
+    def _split_rows(self, i: int):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        cfg = self._cfg
+        width = TOKEN_SPACE // cfg.splits
+        lo = i * width
+        hi = (i + 1) * width if i < cfg.splits - 1 else TOKEN_SPACE
+        t = pq.read_table(cfg.path, columns=cfg.cols)
+        names = t.column_names
+        toks = [py_token(v) for v in t[cfg.pk].to_pylist()]
+        import pyarrow as pa
+
+        t = t.append_column("token", pa.array(toks, type=pa.int64()))
+        t = t.append_column(
+            "split_id", pa.array([i] * len(toks), type=pa.int32())
+        )
+        t = t.filter(
+            pc.and_(
+                pc.greater_equal(t["token"], lo), pc.less(t["token"], hi)
+            )
+        )
+        cols = names + ["token", "split_id"]
+        data = [t[c].to_pylist() for c in cols]
+        return list(zip(*data)) if len(t) else []
+
+    def read(self, start):
+        i = int(start["split"])
+        if i >= self._cfg.splits:
+            return iter([]), start
+        return iter(self._split_rows(i)), {"split": i + 1}
+
+    def readBetweenOffsets(self, start, end):
+        rows = []
+        for i in range(int(start["split"]), int(end["split"])):
+            rows.extend(self._split_rows(i))
+        return iter(rows)
+
+    def commit(self, end):
+        pass

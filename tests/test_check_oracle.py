@@ -568,6 +568,9 @@ class TestRegistryOrderingContract:
         # r11: token-range source — the Python-worker scan family
         # (multimodal rep): Arrow batches from Python into a JVM agg
         "events_tokenrange": "multimodal_decode",
+        # r11: streaming ring walk — the complete-mode stateful-agg
+        # streaming family (events_hourly_stream rep)
+        "events_tokenrange_stream": "events_hourly_stream",
     }
 
     def test_every_family_within_driver_window(self):

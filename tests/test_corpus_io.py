@@ -234,3 +234,43 @@ def test_tokenrange_option_validation():
         TokenRangeReader({"path": "x"})
     with pytest.raises(ValueError):
         TokenRangeReader({"path": "x", "pk": "id", "splits": "0"})
+
+
+def test_tokenrange_stream_offset_contract(sf_dir):
+    """Drive the simple stream reader's offset protocol directly: one
+    range per read(), monotone offsets, a settled end-of-ring, and
+    readBetweenOffsets replaying exactly the committed span."""
+    from mvrepair.sources.tokenrange import TokenRangeStreamReader
+
+    r = TokenRangeStreamReader(
+        {
+            "path": f"{sf_dir}/events.parquet",
+            "pk": "event_id",
+            "splits": "3",
+            "columns": "event_id,event_type",
+        }
+    )
+    assert r.initialOffset() == {"split": 0}
+    seen: dict[int, list] = {}
+    off = r.initialOffset()
+    for expect in (1, 2, 3):
+        rows, off = r.read(off)
+        rows = list(rows)
+        assert off == {"split": expect}
+        for row in rows:
+            seen.setdefault(row[-1], []).append(row)
+    # settled: reading past the ring returns nothing and stays put
+    rows, off2 = r.read(off)
+    assert list(rows) == [] and off2 == off
+    # the three batches partition the table
+    n_total = sum(len(v) for v in seen.values())
+    import duckdb
+
+    [(expected,)] = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    assert n_total == expected and set(seen) == {0, 1, 2}
+    # replay determinism: the committed span re-reads identically
+    replay = list(r.readBetweenOffsets({"split": 1}, {"split": 3}))
+    original = seen[1] + seen[2]
+    assert sorted(replay) == sorted(original)

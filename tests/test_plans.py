@@ -476,6 +476,10 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: streaming ring walk — drained memory table (per-range
+    # micro-batches ran inside the stream; the source test drives the
+    # offset contract directly)
+    "events_tokenrange_stream": {"LocalTableScan": 1},
     # r11: token-range Python DataSource — one BatchScan (Python) per
     # token range feeding the JVM distinct/count agg pair; the pushed
     # equality leaves only isnotnull in the post-scan Filter
