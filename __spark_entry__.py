@@ -144,6 +144,42 @@ def q_mv_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_deletes(wide, P.spec(), base)
 
 
+_MUTATION_CELLS_DDL = (
+    "o_custkey long, o_orderkey long, column string, column_type string,"
+    " value string, writetime long, ttl int, flavor string"
+)
+
+
+def q_mv_repair_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair APPLY leg through a real task-commit protocol: the
+    checked upsert-cell plan writes via the mutation-sink Python
+    DataSource (each task spills uncommitted, the driver commit renames
+    + manifests only successful attempts — duplicate/speculative task
+    attempts structurally cannot double-apply), then the cells read
+    back THROUGH the manifest and must hash-equal the plan — write-path
+    byte parity is the gate, the roundtrip_orc doctrine applied to the
+    O14/O15 sink seam.  See sources/mutationsink.py."""
+    import shutil
+
+    from mvrepair.sources.mutationsink import (
+        MutationSinkDataSource,
+        read_manifested,
+    )
+
+    spark.dataSource.register(MutationSinkDataSource)
+    wide = classify(
+        P.base_df(spark, sf_dir), P.mv_df(spark, sf_dir), P.spec(),
+        window=P.WINDOW,
+    )
+    cells = plan_upserts(wide, P.spec())
+    path = "/tmp/mvrepair_mutation_sink"
+    shutil.rmtree(path, ignore_errors=True)
+    cells.write.format("mvrepair_mutation_sink").option(
+        "path", path
+    ).mode("append").save()
+    return read_manifested(spark, path, _MUTATION_CELLS_DDL)
+
+
 def q_repair_log_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-write-wins compaction of the durable repair-cell log: a
     superseding snapshot re-plans half the keys with bumped writetimes;
@@ -9151,6 +9187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_theilsen": q_event_theilsen,  # twin: part_triangles (the domain-sized graph/pair self-join family: type-keyed pair build + rank window; the OLS twin event_trend stays locally gated past-window)
         "events_tokenrange": q_events_tokenrange,  # twin: multimodal_decode (the Python-worker source/Arrow-batch family: BatchScan (Python) feeding a JVM agg — the only other plan whose scan executes Python; the O1 split model itself is new surface, hash-checked via the exposed token/split columns)
         "events_tokenrange_stream": q_events_tokenrange_stream,  # twin: events_hourly_stream (the complete-mode stateful-agg streaming family; the source's ring-walk offsets are the new surface, per-range batches executed for real)
+        "mv_repair_sink": q_mv_repair_sink,  # twin: mv_repair_upserts (the identical checked plan; the new surface is the commit-protocol write + manifested read-back, whose byte parity IS this hash — shares the upserts oracle)
     }
 
 
@@ -9331,6 +9368,7 @@ def oracle_sql() -> dict[str, str]:
         "event_theilsen": _ORACLE_EVENT_THEILSEN,
         "events_tokenrange": _ORACLE_EVENTS_TOKENRANGE,
         "events_tokenrange_stream": _ORACLE_EVENTS_TOKENRANGE_STREAM,
+        "mv_repair_sink": _oracle_mv_upserts(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

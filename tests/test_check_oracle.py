@@ -571,6 +571,9 @@ class TestRegistryOrderingContract:
         # r11: streaming ring walk — the complete-mode stateful-agg
         # streaming family (events_hourly_stream rep)
         "events_tokenrange_stream": "events_hourly_stream",
+        # r11: mutation sink — the identical checked upsert plan; the
+        # commit-protocol write + manifested read-back is the surface
+        "mv_repair_sink": "mv_repair_upserts",
     }
 
     def test_every_family_within_driver_window(self):

@@ -274,3 +274,64 @@ def test_tokenrange_stream_offset_contract(sf_dir):
     replay = list(r.readBetweenOffsets({"split": 1}, {"split": 3}))
     original = seen[1] + seen[2]
     assert sorted(replay) == sorted(original)
+
+
+# ------------------------------------------------------- mutation sink
+
+
+def test_mutation_sink_commit_manifest_and_abort(spark, tmp_path):
+    import json
+    import os
+
+    from mvrepair.sources.mutationsink import (
+        MANIFEST,
+        MutationSinkWriter,
+        SpillCommit,
+    )
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "sink")
+    w = MutationSinkWriter({"path": path})
+    msg = w.write(iter([Row(a=1, b="x"), Row(a=2, b="y")]))
+    assert msg.n_rows == 2 and msg.spill_name.endswith(".jsonl.tmp")
+    # uncommitted: spill visible, no manifest -> readers see nothing
+    assert os.path.exists(os.path.join(path, msg.spill_name))
+    assert not os.path.exists(os.path.join(path, MANIFEST))
+    # a second (speculative) attempt writes its own spill
+    dup = w.write(iter([Row(a=1, b="x"), Row(a=2, b="y")]))
+    assert dup.spill_name != msg.spill_name
+    # commit manifests ONLY the named attempt; the duplicate's spill is
+    # never renamed, so it can't double-apply
+    w.commit([msg])
+    final = msg.spill_name[: -len(".tmp")]
+    assert os.path.exists(os.path.join(path, final))
+    lines = [
+        json.loads(ln)
+        for ln in open(os.path.join(path, MANIFEST)).read().splitlines()
+    ]
+    assert lines == [{"file": final, "rows": 2}]
+    # abort removes an uncommitted spill and tolerates missing files
+    w.abort([dup])
+    assert not os.path.exists(os.path.join(path, dup.spill_name))
+    w.abort([dup])  # idempotent
+
+
+def test_mutation_sink_manifest_row_guard(spark, tmp_path):
+    import json
+    import os
+
+    import pytest
+
+    from mvrepair.sources.mutationsink import (
+        MANIFEST,
+        read_manifested,
+    )
+
+    path = str(tmp_path / "sink2")
+    os.makedirs(path)
+    with open(os.path.join(path, "part-x.jsonl"), "w") as f:
+        f.write(json.dumps({"a": 1}) + "\n")
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        f.write(json.dumps({"file": "part-x.jsonl", "rows": 2}) + "\n")
+    with pytest.raises(ValueError, match="manifest promises"):
+        read_manifested(spark, path, "a long")

@@ -476,6 +476,9 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: mutation sink — the returned frame is the manifested JSON
+    # read-back (the write ran eagerly under the commit protocol)
+    "mv_repair_sink": {"FileScan": 1},
     # r11: streaming ring walk — drained memory table (per-range
     # micro-batches ran inside the stream; the source test drives the
     # offset contract directly)
