@@ -8401,6 +8401,90 @@ FROM f ORDER BY rrf_micro DESC, part_id LIMIT 100"""
 # ---------------------------------------------------------------------------
 
 
+LTTB_BUCKETS = 12
+
+
+def q_events_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling of each type's hourly count series to
+    2 + 12 visually-dominant points (Steinarsson 2013) — the dashboard
+    decimation beside the EWMA/MAD monitors: extremes survive where
+    averaging flattens them.  Exact integer triangle geometry (the
+    centroid never materializes — areas compare scaled by the bucket
+    count), left-to-right dependence as 12 one-action rounds (the
+    kcenter discipline) so the oracle replays the chain block-by-
+    block.  Every frame past the rank window is series-domain-sized.
+    See temporal.py:lttb_downsample."""
+    from mvrepair.operators.temporal import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP))"
+            " DIV 3600000000 AS BIGINT)"
+        ).alias("hx"),
+    ).agg(F.count(F.lit(1)).alias("hy"))
+    return lttb_downsample(
+        hourly, "event_type", "hx", "hy", buckets=LTTB_BUCKETS
+    ).select(
+        F.col("k").alias("event_type"), "bucket", "x", "y"
+    )
+
+
+def _oracle_events_lttb() -> str:
+    B = LTTB_BUCKETS
+    blocks = []
+    for b in range(B):
+        blocks.append(
+            f"""s{b} AS MATERIALIZED (
+  SELECT k, CAST({b} AS INT) AS bucket, x, y FROM (
+    SELECT i.k, i.x, i.y,
+      row_number() OVER (PARTITION BY i.k ORDER BY
+        abs((p.px * c.c - c.sx) * (i.y - p.py)
+            - (p.px - i.x) * (c.sy - p.py * c.c)) DESC,
+        i.x ASC) AS r
+    FROM interior i JOIN p{b} p ON i.k = p.k
+    JOIN cents c ON c.k = i.k AND c.b = {b + 1}
+    WHERE i.b = {b}) t WHERE r = 1),
+p{b + 1} AS MATERIALIZED (
+  SELECT p.k, coalesce(s.x, p.px) AS px, coalesce(s.y, p.py) AS py
+  FROM p{b} p LEFT JOIN s{b} s ON p.k = s.k)"""
+        )
+    body = ",\n".join(blocks)
+    sel_union = "\nUNION ALL ".join(
+        f"SELECT * FROM s{b}" for b in range(B)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type AS k,
+         CAST(epoch_us(date_trunc('hour', ts)) // 3600000000 AS BIGINT)
+           AS x,
+         count(*)::BIGINT AS y
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY k ORDER BY x) AS rn,
+         count(*) OVER (PARTITION BY k) AS n
+  FROM base),
+frst AS (SELECT k, CAST(-1 AS INT) AS bucket, x, y FROM ranked
+         WHERE rn = 1),
+lst AS (SELECT k, CAST({B} AS INT) AS bucket, x, y FROM ranked
+        WHERE rn = n),
+interior AS MATERIALIZED (
+  SELECT k, x, y, CAST((rn - 2) * {B} // (n - 2) AS INT) AS b
+  FROM ranked WHERE rn > 1 AND rn < n),
+cents AS (
+  SELECT k, b, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy, count(*)::BIGINT AS c
+  FROM interior GROUP BY 1, 2
+  UNION ALL
+  SELECT k, CAST({B} AS INT), x, y, 1 FROM lst),
+p0 AS MATERIALIZED (SELECT k, x AS px, y AS py FROM frst),
+{body}
+SELECT k AS event_type, bucket, x, y FROM (
+  SELECT * FROM frst UNION ALL SELECT * FROM lst
+  UNION ALL {sel_union}) u"""
+
+
 def q_event_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Theil-Sen trend over the hourly count series —
     the ROBUST companion of event_trend's OLS (median of all pairwise
@@ -9188,6 +9272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tokenrange": q_events_tokenrange,  # twin: multimodal_decode (the Python-worker source/Arrow-batch family: BatchScan (Python) feeding a JVM agg — the only other plan whose scan executes Python; the O1 split model itself is new surface, hash-checked via the exposed token/split columns)
         "events_tokenrange_stream": q_events_tokenrange_stream,  # twin: events_hourly_stream (the complete-mode stateful-agg streaming family; the source's ring-walk offsets are the new surface, per-range batches executed for real)
         "mv_repair_sink": q_mv_repair_sink,  # twin: mv_repair_upserts (the identical checked plan; the new surface is the commit-protocol write + manifested read-back, whose byte parity IS this hash — shares the upserts oracle)
+        "events_lttb": q_events_lttb,  # twin: embed_kcenter (the one-action-per-round selection family: per-round 1-row-per-key anchor join + window argmax, fixed rounds, chain-replayed oracle; the triangle geometry is the new algebra)
     }
 
 
@@ -9369,6 +9454,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tokenrange": _ORACLE_EVENTS_TOKENRANGE,
         "events_tokenrange_stream": _ORACLE_EVENTS_TOKENRANGE_STREAM,
         "mv_repair_sink": _oracle_mv_upserts(),
+        "events_lttb": _oracle_events_lttb(),
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

@@ -1198,3 +1198,141 @@ def peak_concurrency(
     return cum.groupBy(F.col("day").cast("long").alias("epoch_day")).agg(
         F.max("c").cast("long").alias("peak")
     )
+
+
+def lttb_downsample(
+    pts: DataFrame,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    buckets: int = 12,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    per series key — the dashboard decimation algorithm: keep the
+    first and last points, split the interior into ``buckets`` rank
+    buckets, and from each bucket keep the point forming the LARGEST
+    triangle with the previously kept point and the NEXT bucket's
+    centroid, so extremes survive where averaging would flatten them.
+
+    EXACT integer geometry: with prev point P, candidate X and next-
+    bucket sums (Sx, Sy, c), the doubled-area-times-c
+    ``|(Px·c − Sx)(Xy − Py) − (Px − Xx)(Sy − Py·c)|`` compares
+    candidates without ever forming the rational centroid (c is
+    constant within a bucket, so the scaling preserves the argmax);
+    ties break to the smaller x.  The left-to-right dependence is
+    NOT folded — it runs as ``buckets`` one-action rounds (the
+    selection.py kcenter discipline): each round joins the 1-row-per-
+    key prev frame to that bucket's candidates and takes one window
+    argmax, so a fixed-round SQL oracle replays the identical chain
+    block-by-block.
+
+    Scale shape: every frame after the per-key rank window is
+    series-DOMAIN-sized (points per key, e.g. hours — never corpus
+    rows; fold corpus rows into the series first), and each round is
+    one key-keyed join + argmax over one bucket's points.  Round
+    count = ``buckets`` is a constant.
+
+    Output: ``(key, bucket, x, y)`` with bucket −1 for the first
+    point and ``buckets`` for the last — ``2 + buckets`` rows per key
+    (fewer if a series has < buckets + 2 points; empty interior
+    buckets are skipped).
+    """
+    from pyspark.sql.window import Window
+
+    base = pts.select(
+        F.col(key_col).alias("k"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    w_asc = Window.partitionBy("k").orderBy("x")
+    w_all = Window.partitionBy("k")
+    ranked = base.select(
+        "*",
+        F.row_number().over(w_asc).alias("__rn"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    ).localCheckpoint(eager=True)
+    first = ranked.filter(F.col("__rn") == 1).select(
+        "k", F.lit(-1).cast("int").alias("bucket"), "x", "y"
+    )
+    last = ranked.filter(F.col("__rn") == F.col("__n")).select(
+        "k", F.lit(buckets).cast("int").alias("bucket"), "x", "y"
+    )
+    interior = ranked.filter(
+        (F.col("__rn") > 1) & (F.col("__rn") < F.col("__n"))
+    ).select(
+        "k",
+        "x",
+        "y",
+        F.expr(f"CAST((__rn - 2) * {buckets} DIV (__n - 2) AS INT)").alias(
+            "b"
+        ),
+    ).localCheckpoint(eager=True)
+    cents = interior.groupBy("k", "b").agg(
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    # the virtual centroid after the final bucket is the last point
+    cents = cents.unionByName(
+        last.select(
+            "k",
+            F.lit(buckets).cast("int").alias("b"),
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            F.lit(1).cast("long").alias("c"),
+        )
+    ).localCheckpoint(eager=True)
+    prev = first.select("k", F.col("x").alias("px"), F.col("y").alias("py"))
+    picked = [first, last]
+    w_pick = Window.partitionBy("k").orderBy(
+        F.col("__a").desc(), F.col("x").asc()
+    )
+    for b in range(buckets):
+        cand = interior.filter(F.col("b") == b)
+        nxt = cents.filter(F.col("b") == b + 1).select(
+            "k", "sx", "sy", "c"
+        )
+        scored = (
+            cand.join(prev, "k")
+            .join(nxt, "k")
+            .withColumn(
+                "__a",
+                F.abs(
+                    (F.col("px") * F.col("c") - F.col("sx"))
+                    * (F.col("y") - F.col("py"))
+                    - (F.col("px") - F.col("x"))
+                    * (F.col("sy") - F.col("py") * F.col("c"))
+                ),
+            )
+        )
+        sel = (
+            scored.withColumn("__r", F.row_number().over(w_pick))
+            .filter(F.col("__r") == 1)
+            .select(
+                "k", F.lit(b).cast("int").alias("bucket"), "x", "y"
+            )
+            .localCheckpoint(eager=True)
+        )
+        picked.append(sel)
+        # a key with an empty bucket keeps its previous anchor
+        prev = (
+            prev.join(
+                sel.select(
+                    "k",
+                    F.col("x").alias("nx"),
+                    F.col("y").alias("ny"),
+                ),
+                "k",
+                "left",
+            )
+            .select(
+                "k",
+                F.coalesce("nx", "px").alias("px"),
+                F.coalesce("ny", "py").alias("py"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.select("k", "bucket", "x", "y")

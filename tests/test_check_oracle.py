@@ -574,6 +574,9 @@ class TestRegistryOrderingContract:
         # r11: mutation sink — the identical checked upsert plan; the
         # commit-protocol write + manifested read-back is the surface
         "mv_repair_sink": "mv_repair_upserts",
+        # r11: LTTB — the one-action-per-round selection family
+        # (embed_kcenter rep): per-round anchor join + window argmax
+        "events_lttb": "embed_kcenter",
     }
 
     def test_every_family_within_driver_window(self):

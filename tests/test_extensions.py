@@ -5276,6 +5276,65 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_lttb_keeps_spike_and_endpoints(spark):
+    from mvrepair.operators.temporal import lttb_downsample
+
+    # flat series with one spike at x=7: with 2 buckets the spike's
+    # bucket MUST pick the spike (largest triangle), and first/last
+    # always survive
+    pts = [(x, 10) for x in range(0, 12)]
+    pts[7] = (7, 500)
+    df = spark.createDataFrame(
+        [("s", x, y) for x, y in pts], "k string, x long, y long"
+    )
+    out = {(r["bucket"]): (r["x"], r["y"]) for r in
+           lttb_downsample(df, "k", "x", "y", buckets=2).collect()}
+    assert out[-1] == (0, 10) and out[2] == (11, 10)
+    assert out[1] == (7, 500)  # the spike lives in bucket 1 (rank 8)
+    assert len(out) == 4
+
+
+def test_lttb_python_replay_exact(spark):
+    from mvrepair.operators.temporal import lttb_downsample
+
+    xs = list(range(20))
+    ys = [(x * 37) % 11 for x in xs]
+    df = spark.createDataFrame(
+        [("s", x, y) for x, y in zip(xs, ys)], "k string, x long, y long"
+    )
+    B = 4
+    got = {r["bucket"]: (r["x"], r["y"]) for r in
+           lttb_downsample(df, "k", "x", "y", buckets=B).collect()}
+
+    # python reference replaying the identical algebra
+    pts = list(zip(xs, ys))
+    interior = pts[1:-1]
+    n_i = len(interior)
+    buckets: dict[int, list] = {}
+    for i, p in enumerate(interior):
+        buckets.setdefault(i * B // n_i, []).append(p)
+    cents = {
+        b: (sum(x for x, _ in v), sum(y for _, y in v), len(v))
+        for b, v in buckets.items()
+    }
+    cents[B] = (pts[-1][0], pts[-1][1], 1)
+    prev = pts[0]
+    expect = {-1: pts[0], B: pts[-1]}
+    for b in range(B):
+        sx, sy, c = cents[b + 1]
+        px, py = prev
+        best = max(
+            buckets[b],
+            key=lambda p: (
+                abs((px * c - sx) * (p[1] - py) - (px - p[0]) * (sy - py * c)),
+                -p[0],
+            ),
+        )
+        expect[b] = best
+        prev = best
+    assert got == expect
+
+
 def test_theilsen_robust_to_outlier_and_exact_floor(spark):
     from mvrepair.operators.regression import theilsen_slope
 

@@ -476,6 +476,9 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: LTTB — the union of the per-round localCheckpoint scans
+    # (first/last + 12 bucket picks; the iterative-selection doctrine)
+    "events_lttb": {"Union": 1, "Project": 14, "Filter": 2, "Scan": 14},
     # r11: mutation sink — the returned frame is the manifested JSON
     # read-back (the write ran eagerly under the commit protocol)
     "mv_repair_sink": {"FileScan": 1},
