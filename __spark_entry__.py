@@ -3502,7 +3502,7 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second frequency moment (F2 = Σ f_k² = self-join size) of the
     event user stream via the AMS tug-of-war sketch, median-of-means
-    over 16 md5-signed counters, WITH the exact audit column — the
+    over 40 hash-bit-signed counters (ONE md5 per row), WITH the exact audit column — the
     skew-mass estimator beside the CMS cross-join-size family: F2 is
     what a salted-agg planner actually needs to price a key's quadratic
     blow-up.  One Expand under one map-combinable sum (16 longs per
@@ -3515,12 +3515,11 @@ def q_events_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_AMS_F2 = """
 WITH reps AS (SELECT unnest(range(0, 40)) AS r),
-occ AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+occ AS (SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS h FROM events),
 z AS (
   SELECT reps.r,
-         CAST(sum(CASE WHEN CAST('0x' || substr(
-                md5(occ.key || '#s' || CAST(reps.r AS VARCHAR)), 1, 15)
-                AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS z
+         CAST(sum(1 - 2 * ((occ.h >> reps.r) & 1)) AS BIGINT) AS z
   FROM occ, reps GROUP BY 1),
 means AS (
   SELECT (r - r % 8) AS g, CAST(sum(z * z) // 8 AS BIGINT) AS m

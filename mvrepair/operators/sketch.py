@@ -916,20 +916,27 @@ def ams_f2(
     estimator the CMS join-size family lacks (CMS estimates a CROSS
     join's size; AMS estimates a table's own quadratic key mass).
 
-    Estimator convention, all-int64 and engine-exact: sign_r(k) =
-    1 − 2·(md5(k, r) mod 2); Z_r = Σ sign_r; replicas split into
+    Estimator convention, all-int64 and engine-exact: ONE md5 per row
+    (h = stable_hash64(k)) and sign_r(k) = 1 − 2·bit_r(h) — replica r
+    reads BIT r of the 60-bit hash (r < 60 enforced), so for fixed r
+    the sign is still an md5-derived hash of the key while the 40-hash
+    fan-out collapses to one.  Z_r = Σ sign_r; replicas split into
     ``groups`` consecutive blocks of w = reps/groups; block mean =
     (Σ Z²) DIV w; the reported estimate is the LOWER MEDIAN (rank
     ⌈g/2⌉ by (value, block-id) order) — deterministic, no float ever.
 
-    Scale shape: ONE Expand (reps sign rows per occurrence) under ONE
-    map-combinable sum — partial Z vectors collapse to ≤ reps longs per
-    partition before a reps-row shuffle (the CMS grid shape); the exact
-    audit is the one key-keyed aggregate.  The two one-row results
-    combine by union + re-agg, never a literal cross join (the
-    cms_joinsize BNLJ dodge).  Z ≤ n ⇒ Z² ≤ n², so int64 holds to
-    n ≈ 3e9 rows; beyond that, pre-aggregate per key and feed weighted
-    occurrences.
+    Scale shape — the measured r11 lesson: the first version expanded
+    ``reps`` struct rows per occurrence, each with its OWN salted md5 —
+    at sf0.1 that is 24M md5 calls and the query benched 23.3 s, the
+    registry's slowest.  This form computes NO Expand and ONE md5:
+    ``reps`` shift-and-mask sum aggregates ride a single
+    whole-stage-codegen pass (partial state = reps longs per
+    partition), and the one-row wide result unpivots via ``stack`` into
+    the (r, z) frame the block fold wants.  The exact audit is the one
+    key-keyed aggregate.  The two one-row results combine by union +
+    re-agg, never a literal cross join (the cms_joinsize BNLJ dodge).
+    Z ≤ n ⇒ Z² ≤ n², so int64 holds to n ≈ 3e9 rows; beyond that,
+    pre-aggregate per key and feed weighted occurrences.
 
     Output ONE row: ``(reps, grp_w, f2_est, f2_exact, err_micro)``
     with err_micro = ⌊|est − exact|·1e6 / exact⌋ (decomposed division,
@@ -939,28 +946,26 @@ def ams_f2(
 
     if reps % groups != 0 or groups < 1:
         raise ValueError("reps must be a positive multiple of groups")
+    if reps > 60:
+        raise ValueError("reps must be <= 60 (one sign bit per hash bit)")
     w = reps // groups
-    key = F.col(key_col).cast("string")
-    cells = F.array(
+    hashed = df.select(
+        stable_hash64(F.col(key_col).cast("string")).alias("__h")
+    )
+    wide = hashed.agg(
         *[
-            F.struct(
-                F.lit(r).cast("int").alias("r"),
-                (
-                    F.lit(1)
-                    - F.lit(2)
-                    * (stable_hash64(F.concat(key, F.lit(f"#s{r}"))) % 2)
-                )
-                .cast("long")
-                .alias("s"),
+            F.sum(
+                F.lit(1) - F.lit(2) * F.expr(f"shiftright(__h, {r}) & 1")
             )
+            .cast("long")
+            .alias(f"z_{r}")
             for r in range(reps)
         ]
     )
-    z = (
-        df.select(F.explode(cells).alias("rs"))
-        .groupBy(F.col("rs.r").alias("r"))
-        .agg(F.sum("rs.s").alias("z"))
-    )
+    stack_args = ", ".join(f"{r}, z_{r}" for r in range(reps))
+    z = wide.select(
+        F.expr(f"stack({reps}, {stack_args}) AS (r, z)")
+    ).select(F.col("r").cast("int").alias("r"), F.col("z"))
     means = z.groupBy(
         (F.col("r") - F.col("r") % w).alias("g")
     ).agg(F.expr(f"sum(z * z) DIV {w}").alias("m"))

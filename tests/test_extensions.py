@@ -5554,6 +5554,8 @@ def test_ams_f2_single_key_is_exact_and_validates(spark):
     assert r["err_micro"] == 0
     with _pytest.raises(ValueError):
         ams_f2(df, "k", reps=10, groups=4)
+    with _pytest.raises(ValueError):
+        ams_f2(df, "k", reps=64, groups=8)  # > 60 hash bits
 
 
 def test_ams_f2_matches_python_replay(spark):
@@ -5566,8 +5568,8 @@ def test_ams_f2_matches_python_replay(spark):
     [r] = ams_f2(df, "k", reps=8, groups=2).collect()
 
     def sign(k, rep):
-        h = int(hashlib.md5(f"{k}#s{rep}".encode()).hexdigest()[:15], 16)
-        return 1 - 2 * (h % 2)
+        h = int(hashlib.md5(f"{k}".encode()).hexdigest()[:15], 16)
+        return 1 - 2 * ((h >> rep) & 1)
 
     z = [sum(sign(k, rep) for k in keys) for rep in range(8)]
     means = [sum(v * v for v in z[g * 4:(g + 1) * 4]) // 4 for g in (0, 1)]
