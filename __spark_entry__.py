@@ -8514,10 +8514,13 @@ WITH b AS (
          count(*)::BIGINT AS y
   FROM events GROUP BY 1, 2),
 pairs AS (
+  -- explicit FLOOR division (the pmod identity): DuckDB's // truncates
+  -- toward zero, which diverges from the floored slope on negatives
   SELECT a.event_type AS k, a.x AS x1, bb.x AS x2,
-         CAST(((bb.y - a.y) * 1000000) // (bb.x - a.x) AS BIGINT) AS s
+         CAST((dy - ((dy % dx) + dx) % dx) // dx AS BIGINT) AS s
   FROM b a JOIN b bb
-    ON a.event_type = bb.event_type AND bb.x > a.x),
+    ON a.event_type = bb.event_type AND bb.x > a.x,
+  LATERAL (SELECT (bb.y - a.y) * 1000000 AS dy, bb.x - a.x AS dx) q),
 ranked AS (
   SELECT k, s,
          row_number() OVER (PARTITION BY k ORDER BY s, x1, x2) AS rn,
@@ -8690,6 +8693,62 @@ ew AS (
 SELECT event_type, t, x, CAST(sm AS BIGINT) AS s_micro,
        CAST(dev AS BIGINT) AS dev_micro
 FROM ew"""
+
+
+def q_events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Holt linear (level + trend) smoothing of the hourly
+    event-count series — the TRENDING companion of events_ewma: the
+    one-step forecast is level + slope, so a steady ramp's surprise
+    decays toward 0 where EWMA's settles at a constant offset.  Exact
+    integer recurrences with explicit FLOOR division (the trend state
+    goes negative, where DIV and // diverge — the Theil-Sen lesson
+    applied to a recurrence); oracle = recursive CTE with two state
+    columns.  See temporal.py:holt_smooth."""
+    from mvrepair.operators.temporal import holt_smooth
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type"),
+        F.expr(
+            "CAST(unix_micros(CAST(date_trunc('hour', ts) AS TIMESTAMP))"
+            " DIV 3600000000 AS BIGINT)"
+        ).alias("idx"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return holt_smooth(hourly, "event_type", "idx", "n")
+
+
+_ORACLE_EVENTS_HOLT = """
+WITH RECURSIVE hourly AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+         count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+steps AS (
+  SELECT event_type, t, x,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY t)
+              AS BIGINT) AS i
+  FROM hourly),
+h AS (
+  SELECT event_type, i, t, x,
+         CAST(x * 1000000 AS BIGINT) AS l,
+         CAST(0 AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS dev
+  FROM steps WHERE i = 1
+  UNION ALL
+  SELECT s.event_type, s.i, s.t, s.x,
+         -- explicit FLOOR division: DuckDB's // truncates toward zero,
+         -- and the trend state goes negative
+         (nl - ((nl % 8) + 8) % 8) // 8 AS l,
+         (nb - ((nb % 4) + 4) % 4) // 4 AS b,
+         s.x * 1000000 - (h.l + h.b) AS dev
+  FROM h JOIN steps s
+    ON s.event_type = h.event_type AND s.i = h.i + 1,
+  LATERAL (SELECT 1 * s.x * 1000000 + 7 * (h.l + h.b) AS nl) ql,
+  LATERAL (SELECT 1 * ((nl - ((nl % 8) + 8) % 8) // 8 - h.l)
+                  + 3 * h.b AS nb) qb)
+SELECT event_type, t, x, CAST(l AS BIGINT) AS l_micro,
+       CAST(b AS BIGINT) AS b_micro, CAST(dev AS BIGINT) AS dev_micro
+FROM h"""
 
 
 def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9272,6 +9331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tokenrange_stream": q_events_tokenrange_stream,  # twin: events_hourly_stream (the complete-mode stateful-agg streaming family; the source's ring-walk offsets are the new surface, per-range batches executed for real)
         "mv_repair_sink": q_mv_repair_sink,  # twin: mv_repair_upserts (the identical checked plan; the new surface is the commit-protocol write + manifested read-back, whose byte parity IS this hash — shares the upserts oracle)
         "events_lttb": q_events_lttb,  # twin: embed_kcenter (the one-action-per-round selection family: per-round 1-row-per-key anchor join + window argmax, fixed rounds, chain-replayed oracle; the triangle geometry is the new algebra)
+        "events_holt": q_events_holt,  # twin: events_gapfill (events_ewma's type-keyed hourly-series fold family; two-state recurrence with explicit floor division, recursive-CTE oracle)
     }
 
 
@@ -9454,6 +9514,7 @@ def oracle_sql() -> dict[str, str]:
         "events_tokenrange_stream": _ORACLE_EVENTS_TOKENRANGE_STREAM,
         "mv_repair_sink": _oracle_mv_upserts(),
         "events_lttb": _oracle_events_lttb(),
+        "events_holt": _ORACLE_EVENTS_HOLT,
         "part_rank_fusion": _oracle_part_rank_fusion(),
         "event_funnel": _ORACLE_EVENT_FUNNEL,
         "events_anomaly": _ORACLE_EVENTS_ANOMALY,

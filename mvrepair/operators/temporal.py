@@ -1336,3 +1336,101 @@ def lttb_downsample(
     for p in picked[1:]:
         out = out.unionByName(p)
     return out.select("k", "bucket", "x", "y")
+
+
+def holt_smooth(
+    df: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 8,
+    beta_num: int = 1,
+    beta_den: int = 4,
+) -> DataFrame:
+    """Per-key Holt linear (double-exponential) smoothing — the
+    TRENDING companion of :func:`ewma_smooth`: EWMA lags a ramp by
+    construction (its forecast is flat), Holt carries a trend state so
+    the one-step forecast is level + slope and a steady ramp's
+    surprise converges to ~0 instead of a constant offset.
+
+    EXACT integer recurrences in micro-units (the km/ewma doctrine),
+    with one deliberate difference: every division is an explicit
+    FLOOR division via the pmod identity — the trend state (and a
+    falling series' forecast) go NEGATIVE, where Spark's truncating
+    ``DIV`` and DuckDB's flooring ``//`` disagree (the Theil-Sen
+    lesson applied to a recurrence):
+
+        pred_t = l_{t−1} + b_{t−1}
+        l_t = ⌊(α·x_t·1e6 + (1−α)·pred_t) / 1⌋_α-scaled
+        b_t = ⌊(β·(l_t − l_{t−1}) + (1−β)·b_{t−1})⌋_β-scaled
+        dev_t = x_t·1e6 − pred_t          (the forecast surprise)
+
+    seeded l_0 = x_0·1e6, b_0 = 0, dev_0 = 0.  The oracle replays the
+    chain as a recursive CTE with two state columns.
+
+    Scale shape: identical to ewma_smooth — series pre-aggregated
+    upstream, one key-keyed collect + in-plan fold + explode, state
+    per key time-domain-sized.
+
+    Output: ``(key_col, t, x, l_micro, b_micro, dev_micro)``.
+    """
+    a, ad = int(alpha_num), int(alpha_den)
+    b, bd = int(beta_num), int(beta_den)
+    if not (0 < a <= ad and 0 < b <= bd):
+        raise ValueError("need 0 < num <= den for alpha and beta")
+    one = df.groupBy(F.col(key_col)).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(t_col).cast("long").alias("t"),
+                    F.col(x_col).cast("long").alias("x"),
+                )
+            )
+        ).alias("steps")
+    )
+
+    def fdiv(num: str, den: int) -> str:
+        return f"CAST((({num}) - pmod(({num}), {den})) DIV {den} AS BIGINT)"
+
+    pred = "(acc.l + acc.b)"
+    l_new = (
+        f"CASE WHEN NOT acc.seeded THEN e.x * 1000000 ELSE "
+        + fdiv(f"{a} * e.x * 1000000 + {ad - a} * {pred}", ad)
+        + " END"
+    )
+    b_new = (
+        f"CASE WHEN NOT acc.seeded THEN CAST(0 AS BIGINT) ELSE "
+        + fdiv(f"{b} * (({l_new}) - acc.l) + {bd - b} * acc.b", bd)
+        + " END"
+    )
+    dev = (
+        f"CASE WHEN NOT acc.seeded THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(e.x * 1000000 - {pred} AS BIGINT) END"
+    )
+    fold = F.expr(
+        f"""
+aggregate(
+  steps,
+  struct(false AS seeded, CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+         CAST(array() AS array<struct<t: bigint, x: bigint, lm: bigint,
+                                      bm: bigint, dev: bigint>>) AS out),
+  (acc, e) -> struct(
+    true AS seeded,
+    CAST(({l_new}) AS BIGINT) AS l,
+    CAST(({b_new}) AS BIGINT) AS b,
+    concat(acc.out, array(struct(
+      e.t AS t, e.x AS x,
+      CAST(({l_new}) AS BIGINT) AS lm,
+      CAST(({b_new}) AS BIGINT) AS bm,
+      {dev} AS dev))) AS out)
+).out"""
+    )
+    return one.select(key_col, F.explode(fold).alias("r")).select(
+        key_col,
+        F.col("r.t").alias("t"),
+        F.col("r.x").alias("x"),
+        F.col("r.lm").alias("l_micro"),
+        F.col("r.bm").alias("b_micro"),
+        F.col("r.dev").alias("dev_micro"),
+    )

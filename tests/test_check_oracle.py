@@ -577,6 +577,9 @@ class TestRegistryOrderingContract:
         # r11: LTTB — the one-action-per-round selection family
         # (embed_kcenter rep): per-round anchor join + window argmax
         "events_lttb": "embed_kcenter",
+        # r11: Holt level+trend — events_ewma's hourly-series fold
+        # family (gapfill rep); two-state recursive-CTE oracle
+        "events_holt": "events_gapfill",
     }
 
     def test_every_family_within_driver_window(self):

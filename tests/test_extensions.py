@@ -5276,6 +5276,49 @@ def test_ks_matches_scipy_style_reference(spark):
     assert r["d_num"] == best and r["na"] == na and r["nb"] == nb
 
 
+def test_holt_tracks_ramp_better_than_ewma(spark):
+    from mvrepair.operators.temporal import ewma_smooth, holt_smooth
+
+    # steady ramp: Holt's forecast surprise must end far below EWMA's
+    # (EWMA settles at a constant lag offset; Holt learns the slope)
+    rows = [("a", t, 10 + 5 * t) for t in range(40)]
+    df = spark.createDataFrame(rows, "k string, t long, x long")
+    h = {r["t"]: r for r in holt_smooth(df, "k", "t", "x").collect()}
+    e = {r["t"]: r for r in ewma_smooth(df, "k", "t", "x").collect()}
+    assert h[0]["l_micro"] == 10_000_000 and h[0]["b_micro"] == 0
+    assert h[0]["dev_micro"] == 0
+    assert abs(h[39]["dev_micro"]) < abs(e[39]["dev_micro"]) / 3
+    # the learned slope approaches the true 5/step (micro-units)
+    assert 4_000_000 < h[39]["b_micro"] <= 5_000_000
+
+
+def test_holt_python_replay_with_negative_trend(spark):
+    from mvrepair.operators.temporal import holt_smooth
+
+    # a falling, noisy series drives the trend state NEGATIVE — the
+    # region where truncating and flooring division diverge
+    xs = [200 - 9 * t + (t * 7) % 5 for t in range(25)]
+    df = spark.createDataFrame(
+        [("s", t, x) for t, x in enumerate(xs)], "k string, t long, x long"
+    )
+    got = {r["t"]: (r["l_micro"], r["b_micro"], r["dev_micro"])
+           for r in holt_smooth(df, "k", "t", "x").collect()}
+
+    def fd(n, d):
+        return n // d  # python // floors
+
+    l, b = xs[0] * 1_000_000, 0
+    expect = {0: (l, b, 0)}
+    for t in range(1, len(xs)):
+        pred = l + b
+        nl = fd(1 * xs[t] * 1_000_000 + 7 * pred, 8)
+        nb = fd(1 * (nl - l) + 3 * b, 4)
+        expect[t] = (nl, nb, xs[t] * 1_000_000 - pred)
+        l, b = nl, nb
+    assert got == expect
+    assert any(v[1] < 0 for v in got.values())  # trend went negative
+
+
 def test_lttb_keeps_spike_and_endpoints(spark):
     from mvrepair.operators.temporal import lttb_downsample
 

@@ -476,6 +476,11 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                           "Filter": 2, "FileScan": 2},
     # r11: exact KS — one conditional-count scan, cum/total windows
     # over the unit-domain frame, argmax as a rank-1 cut
+    # r11: Holt — the EWMA fold shape (collect_list ObjectHashAggregate
+    # + in-plan aggregate fold + explode) with a two-state recurrence
+    "events_holt": {"AdaptiveSparkPlan": 1, "Project": 2, "Generate": 1,
+                    "ObjectHashAggregate": 2, "Exchange": 2,
+                    "HashAggregate": 2, "FileScan": 1},
     # r11: LTTB — the union of the per-round localCheckpoint scans
     # (first/last + 12 bucket picks; the iterative-selection doctrine)
     "events_lttb": {"Union": 1, "Project": 14, "Filter": 2, "Scan": 14},
