@@ -2502,8 +2502,18 @@ def q_pq_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _spread(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-    books = S.pq_train(emb, dim=64, m=PQ_M, k=PQ_K, iters=KMEANS_ITERS)
-    coarse = S.train_kmeans(emb, k=16, iters=KMEANS_ITERS)
+    # r11 optimization: the 5 independent chains (coarse full-dim +
+    # 4 subspace codebooks, same k and iters) train in ONE joint loop —
+    # bit-identical models, 1/5th the jobs and corpus passes
+    # (similarity.train_kmeans_multi; guide §1/§2.3)
+    sub = 64 // PQ_M
+    models = S.train_kmeans_multi(
+        emb,
+        [(0, 64)] + [(s * sub, sub) for s in range(PQ_M)],
+        k=PQ_K,
+        iters=KMEANS_ITERS,
+    )
+    coarse, books = models[0], models[1:]
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.pq_ivf_topk(
         emb,

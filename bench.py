@@ -57,18 +57,22 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
-        # 29 queries × multi-stage codegen ≈ hundreds of Janino classes.
-        # Two JVM fits for a compile-dominated small-data run: (a) the
-        # default 240 MB code cache fills mid-run and shuts the JIT off
-        # (measured: 83 s vs 12 s for the same query) — reserve 1 GB;
-        # (b) C2 spends whole seconds per giant generated method and steals
-        # cores from the 32 task threads (measured: 33 s JIT for one query)
-        # — stop tiering at C1, which compiles ~50× faster and costs little
-        # at fixture scale.  A long-lived 100 TB job amortizes C2 and wants
-        # it back on.
+        # Hundreds of Janino classes across the suite: the default
+        # 240 MB code cache fills mid-run and shuts the JIT off
+        # (measured: 83 s vs 12 s for the same query) — reserve 1 GB.
+        # r11 optimization round: the old -XX:TieredStopAtLevel=1 is
+        # GONE.  It was chosen when the suite was 29 compile-dominated
+        # queries (C2 then cost 33 s of JIT for one query); at 191
+        # queries the suite is scheduler/interpreted-expression-bound,
+        # and a same-boot 16-query A/B measured full tiering 23% faster
+        # overall (113.7 s -> 87.4 s; scheduler hot loops and
+        # interpreted higher-order folds are 2-3x faster under C2:
+        # trivial noop job 85 -> 36 ms, 1-row collect 388 -> 123 ms,
+        # cms_joinsize 13.7 -> 4.3 s, pricing_summary 2.6 -> 0.8 s).
+        # Production always wanted C2; now the bench JVM matches it.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:TieredStopAtLevel=1",
+            "-XX:ReservedCodeCacheSize=1g",
         )
         .getOrCreate()
     )

@@ -213,17 +213,28 @@ def mi_report(
     twin mirrors.  MI >= 0 up to quantization (each term's sign follows
     the exact ratio); MI <= min(H(X), H(Y)) likewise.
 
-    Scale shape per pair: ONE groupBy(X, Y) pass (the margins derive
-    from the joint frame, never a second corpus scan), two vocab-sized
-    margin joins, totals as true scalar subqueries over the persisted
-    joint frame, one-row aggregates combined by union + re-aggregate
-    (never a 1-row join — it constant-folds to BNLJ).  Ownership
-    (round-11): the operator is EAGER — each pair's one-row summary is
-    collected driver-side (6 bounded values) while its joint frame is
-    hot, the joint frame is unpersisted immediately, and the returned
-    frame is a literal rebuild.  Nothing stays cached past the call:
-    the round-10 ADVICE flagged the old per-plan-lifetime joint frames
-    as unreachable accumulation in long profiling sessions.
+    Scale shape per pair: ONE groupBy(X, Y) pass (the joint frame is
+    persisted for the report's lifetime and every consumer — margins,
+    PMI join, totals — reads the cache, never a second corpus scan),
+    two vocab-sized margin joins, the total n as a single-task
+    window-total riding each margin frame (sum of either margin = n,
+    the same int64 fold), one-row aggregates combined by union +
+    re-aggregate (never a 1-row join — it constant-folds to BNLJ).
+
+    Job shape (r11 optimization round, guide §1): the report runs as
+    ONE collect — all pairs' one-row blocks union into a single plan
+    materialized by a single action — instead of the old per-pair
+    persist → multi-stage collect → scalar-subquery chains (56 jobs
+    for 3 pairs measured at sf0.1, 8.9 s where the data work is ~1 s;
+    scalar subqueries each execute as their own job chain, so n now
+    rides the margin frames as a window-total instead).  A fully-lazy
+    no-persist variant was tried and REJECTED: without the cache the
+    joint subtree is duplicated per consumer (30 FileScans / 90
+    Exchanges in the static plan) and AQE's runtime reuse did not
+    collapse them (measured slower than the eager original).  The
+    joint frames are unpersisted before return; the returned frame is
+    a literal rebuild — nothing stays cached past the call (the
+    round-10 ADVICE unreachable-persist finding stays closed).
 
     Output per pair: (pair string, n bigint, n_joint bigint,
     h_x_q20w, h_y_q20w, mi_q20w bigint).
@@ -235,6 +246,7 @@ def mi_report(
     if not pairs:
         raise ValueError("mi_report needs at least one column pair")
     out_frames = []
+    joints: list[DataFrame] = []
     for x, y in pairs:
         if x == y:
             raise ValueError(f"degenerate pair ({x}, {y})")
@@ -244,47 +256,98 @@ def mi_report(
             .agg(F.count(F.lit(1)).alias("__cxy"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        cx = joint.groupBy("__x").agg(F.sum("__cxy").alias("__cx"))
-        cy = joint.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
-        n = joint.agg(F.sum("__cxy").cast("long").alias("n")).scalar()
+        joints.append(joint)
+        # the total n rides each margin frame as a window-total (sum of
+        # EITHER margin = n exactly, same int64 fold) instead of a
+        # scalar subquery: measured, each scalar subquery executes as
+        # its own multi-stage job chain (9 per report), where the
+        # window is one single-task pass over the vocab-sized margin
+        # frame (r11 optimization round, guide §1.5/§2.4)
+        from pyspark.sql.window import Window as _W
+
+        w_all = _W.partitionBy()
+        cx = (
+            joint.groupBy("__x")
+            .agg(F.sum("__cxy").alias("__cx"))
+            .withColumn(
+                "__n", F.sum("__cx").over(w_all).cast("long")
+            )
+        )
+        cy = (
+            joint.groupBy("__y")
+            .agg(F.sum("__cxy").alias("__cy"))
+            .withColumn(
+                "__ny", F.sum("__cy").over(w_all).cast("long")
+            )
+        )
         ratio = (
             F.col("__cxy").cast("double") / F.col("__cx").cast("double")
-        ) * (n.cast("double") / F.col("__cy").cast("double"))
+        ) * (
+            F.col("__n").cast("double") / F.col("__cy").cast("double")
+        )
+        # DEDUPE-BEFORE-QUANTIZE (r11 optimization round): micro_log2 is
+        # an interpreted higher-order fold — measured ~0.5 ms/row under
+        # the bench JVM — and count ratios repeat massively (counts are
+        # small integers), so group identical ratios FIRST, quantize
+        # once per distinct ratio, and scale by the grouped int64
+        # weight.  Exactly value-preserving: Σ_i w_i·log_q(r) over equal
+        # r collapses to (Σ_i w_i)·log_q(r) — int64 multiplication
+        # distributes over the int64 sum with no rounding anywhere.
+        # Measured at sf0.1: 65k+100k+7k fold rows → a few hundred,
+        # orders_mi_profile 8.9 s → ~2 s.
         scored = (
             joint.join(cx, "__x")
             .join(cy, "__y")
             .select(F.col("__cxy"), ratio.alias("__r"))
-            .select(F.col("__cxy"), micro_log2(F.col("__r")).alias("__pmi"))
+            .groupBy("__r")
+            .agg(F.sum("__cxy").alias("__w"))
+            .select(F.col("__w"), micro_log2(F.col("__r")).alias("__pmi"))
         )
         null_l = F.lit(None).cast("bigint")
-        a = scored.agg(
+        a0 = joint.agg(
             F.sum("__cxy").cast("bigint").alias("n"),
             F.count(F.lit(1)).cast("bigint").alias("n_joint"),
-            F.sum(F.col("__cxy") * F.col("__pmi"))
+        ).select(
+            "n", "n_joint", null_l.alias("h_x_q20w"),
+            null_l.alias("h_y_q20w"), null_l.alias("mi_q20w"),
+        )
+        a1 = scored.agg(
+            F.sum(F.col("__w") * F.col("__pmi"))
             .cast("bigint")
             .alias("mi_q20w"),
         ).select(
-            "n", "n_joint", null_l.alias("h_x_q20w"),
-            null_l.alias("h_y_q20w"), "mi_q20w",
+            null_l.alias("n"), null_l.alias("n_joint"),
+            null_l.alias("h_x_q20w"), null_l.alias("h_y_q20w"), "mi_q20w",
         )
+        a = a0.unionByName(a1)
 
-        def _h(frame, ccol, out):
-            r = n.cast("double") / F.col(ccol).cast("double")
+        def _h(frame, ccol, ncol, out):
+            # same dedupe: distinct margin-count values are few (the
+            # count-of-counts profile), each term c·log_q(n/c) is an
+            # int64 product scaled by how many keys share the count
+            grp = frame.groupBy(ccol, ncol).agg(
+                F.count(F.lit(1)).alias("__k")
+            )
+            r = F.col(ncol).cast("double") / F.col(ccol).cast("double")
             return (
-                frame.select(F.col(ccol), r.alias("__r"))
-                .select(F.col(ccol), micro_log2(F.col("__r")).alias("__l"))
+                grp.select(F.col(ccol), F.col("__k"), r.alias("__r"))
+                .select(
+                    F.col(ccol),
+                    F.col("__k"),
+                    micro_log2(F.col("__r")).alias("__l"),
+                )
                 .agg(
-                    F.sum(F.col(ccol) * F.col("__l"))
+                    F.sum(F.col("__k") * (F.col(ccol) * F.col("__l")))
                     .cast("bigint")
                     .alias(out)
                 )
             )
 
-        b = _h(cx, "__cx", "h_x_q20w").select(
+        b = _h(cx, "__cx", "__n", "h_x_q20w").select(
             null_l.alias("n"), null_l.alias("n_joint"), "h_x_q20w",
             null_l.alias("h_y_q20w"), null_l.alias("mi_q20w"),
         )
-        c = _h(cy, "__cy", "h_y_q20w").select(
+        c = _h(cy, "__cy", "__ny", "h_y_q20w").select(
             null_l.alias("n"), null_l.alias("n_joint"),
             null_l.alias("h_x_q20w"), "h_y_q20w", null_l.alias("mi_q20w"),
         )
@@ -303,13 +366,19 @@ def mi_report(
                 "h_x_q20w", "h_y_q20w", "mi_q20w",
             )
         )
-        try:
-            [row] = one.collect()
-        finally:
-            joint.unpersist()
-        out_frames.append(row)
+        out_frames.append(one)
+    plan = out_frames[0]
+    for o in out_frames[1:]:
+        plan = plan.unionByName(o)
+    try:
+        rows = plan.collect()
+    finally:
+        for j in joints:
+            j.unpersist()
+    order = {f"{x}|{y}": i for i, (x, y) in enumerate(pairs)}
+    rows.sort(key=lambda r: order[r["pair"]])
     return df.sparkSession.createDataFrame(
-        out_frames,
+        rows,
         "pair string, n bigint, n_joint bigint, h_x_q20w bigint, "
         "h_y_q20w bigint, mi_q20w bigint",
     )

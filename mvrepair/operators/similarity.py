@@ -609,6 +609,110 @@ def train_kmeans(
     return centroids
 
 
+def train_kmeans_multi(
+    df: DataFrame,
+    slices: list[tuple[int, int]],
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train SEVERAL independent k-means models over sliced projections
+    of one vector column in a SINGLE iteration loop — the job-count
+    optimization of the r11 optimization round (guide §1/§2.3: each
+    driver-side collect is a scheduling barrier AND a full pass; m
+    independent ``train_kmeans`` chains pay m·(iters+1) jobs and m·iters
+    corpus passes where one joint loop pays (iters+1) jobs and iters
+    passes).
+
+    ``slices`` is a list of 0-based ``(start, length)`` windows of the
+    quantized vector; slicing commutes with the per-component
+    micro-quantization, so every model is BIT-IDENTICAL to the
+    equivalent per-slice ``train_kmeans`` call: same k-lowest-id init
+    (one collect of the full vectors, sliced driver-side), same
+    argmax-cosine assignment expression per subspace (each exploded row
+    carries its own subspace's quantized subvector and norm), same
+    order-independent int64 sum + ``_exact_mean_floor`` update, same
+    empty-cluster carry.  ``pq_train`` and the trained-coarse IVF-PQ
+    chain delegate here.
+
+    Scale shape per iteration: ONE corpus-projection pass — the
+    exploded frame is len(slices) rows per input row but the SAME total
+    bytes as the per-slice passes combined, cached once for the loop —
+    one map-side assignment + posexplode + map-combinable
+    groupBy(slice, cluster, pos) sum; the driver collects
+    ``len(slices)·k·dim`` longs (the model artifact).
+    """
+    from pyspark import StorageLevel
+
+    q = _quant(F.col(vec_col))
+    subs = F.array(
+        *[F.slice(q, start + 1, length) for start, length in slices]
+    )
+    prepared = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(subs).alias("__s", "__qv"),
+        )
+        .withColumn(
+            "__norm",
+            F.sqrt(_dot(F.col("__qv"), F.col("__qv")).cast("double")),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        .alias("t")
+    )
+    try:
+        rows = (
+            df.select(F.col(id_col).alias("__id"), q.alias("__qv"))
+            .orderBy(F.col("__id"))
+            .limit(k)
+            .collect()
+        )
+        full = [[int(x) for x in r["__qv"]] for r in rows]
+        cents: list[list[list[int]]] = [
+            [v[start : start + length] for v in full]
+            for start, length in slices
+        ]
+        for _ in range(iters):
+            books_lit = F.array(
+                *[_centroid_lits(cents[s]) for s in range(len(slices))]
+            )
+            this_book = F.element_at(books_lit, F.col("__s").cast("int") + 1)
+            assigned = prepared.withColumn(
+                "__cluster", _best_cluster("t", this_book)
+            )
+            sums = (
+                assigned.select(
+                    "__s",
+                    "__cluster",
+                    F.posexplode("__qv").alias("pos", "v"),
+                )
+                .groupBy("__s", "__cluster", "pos")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            new: dict[tuple[int, int], list[int]] = {}
+            for r in sums:
+                key = (int(r["__s"]), int(r["__cluster"]))
+                if key not in new:
+                    new[key] = cents[key[0]][key[1]][:]
+            for r in sums:
+                key = (int(r["__s"]), int(r["__cluster"]))
+                new[key][int(r["pos"])] = _exact_mean_floor(
+                    int(r["s"]), int(r["n"])
+                )
+            cents = [
+                [
+                    new.get((s, cid), cents[s][cid])
+                    for cid in range(k)
+                ]
+                for s in range(len(slices))
+            ]
+    finally:
+        prepared.unpersist()
+    return cents
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[int]],
@@ -859,21 +963,21 @@ def pq_train(
     Exactness carries over wholesale: slicing commutes with the
     per-component micro-quantization, so a DuckDB twin replays each
     subspace's iterations on ``list_slice`` projections bit-for-bit.
+
+    Since the r11 optimization round the m chains run as ONE joint
+    loop (``train_kmeans_multi``): bit-identical codebooks, but
+    (iters+1) Spark jobs and iters corpus passes instead of
+    m·(iters+1) and m·iters.
     """
     sub = dim // m
-    return [
-        train_kmeans(
-            df.select(
-                F.col(id_col),
-                F.slice(F.col(vec_col), s * sub + 1, sub).alias(vec_col),
-            ),
-            k=k,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
-        for s in range(m)
-    ]
+    return train_kmeans_multi(
+        df,
+        [(s * sub, sub) for s in range(m)],
+        k=k,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
 
 
 def _pq_book_lits(codebook: list[list[int]]) -> Column:

@@ -3726,6 +3726,40 @@ def _quant_py(v):
     return [math.floor(float(x) * 1_000_000) for x in v]
 
 
+def test_train_kmeans_multi_equals_per_slice_chains(spark):
+    """The r11 joint trainer's contract: ``train_kmeans_multi`` over a
+    list of slices is BIT-IDENTICAL to running ``train_kmeans`` on each
+    sliced projection independently (pq_train and the trained-coarse
+    IVF-PQ chain both delegate to it, so this equality is what keeps
+    their oracle hashes unchanged)."""
+    import pyspark.sql.functions as SF
+
+    from mvrepair.operators.similarity import (
+        train_kmeans,
+        train_kmeans_multi,
+    )
+
+    vecs = [
+        (i, [((i * 13 + 5 * j) % 17 - 8) / 9.0 for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    slices = [(0, 8), (0, 4), (4, 4)]  # full + two halves, ragged mix
+    joint = train_kmeans_multi(df, slices, k=3, iters=3)
+    for (start, length), book in zip(slices, joint):
+        solo = train_kmeans(
+            df.select(
+                "vec_id",
+                SF.slice(
+                    SF.col("embedding"), start + 1, length
+                ).alias("embedding"),
+            ),
+            k=3,
+            iters=3,
+        )
+        assert book == solo, f"slice ({start},{length}) diverged"
+
+
 def test_bigram_lm_scores_matches_python_model(spark):
     """Exact-model check: hashed-bigram add-one LM vs a plain-Python
     replica built on py_micro_log2 (the cross-engine-exact quantizer).
