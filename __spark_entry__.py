@@ -3008,6 +3008,18 @@ def _state_partitions(spark: SparkSession, n: int):
     them are pure constant overhead.  The partition count is locked into
     the checkpoint at query start, so this is a per-stream sizing decision,
     not an engine default — a 100 TB stream sets it high once and keeps it.
+
+    r11 optimization round sizing rule (measured: a trivial availableNow
+    drain costs ~3-4.7 s at 32 state partitions, ~1.5 s at 8, ~0.9 s at
+    1 — the floor is per-partition state-store setup/commit I/O, not
+    compute): streams whose state is a BOUNDED artifact (sketch grids,
+    HLL registers, PCA cells, histogram buckets, calendar-domain
+    windows) run at 4 — their reduce side is O(state) at ANY input
+    volume because the partial aggregation collapses map-side, so few
+    partitions is the honest choice at 100 TB too; streams whose state
+    grows with the key space (per-key latest, sessions, exact-dedup
+    digests, stream-stream join buffers) keep 8 locally and scale this
+    knob with key cardinality in production.
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
@@ -3026,7 +3038,7 @@ def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mvrepair.streaming.incremental import streaming_events_hourly
 
     sdf = streaming_events_hourly(load_stream(spark, sf_dir, "events"))
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__events_hourly_stream")
@@ -3053,7 +3065,7 @@ def q_mv_merkle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MERKLE_VALS,
         MERKLE_DEPTH,
     )
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__mv_merkle_stream")
@@ -3085,7 +3097,7 @@ def q_events_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ["event_type"],
     )
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__events_hll_stream")
@@ -3115,7 +3127,7 @@ def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     sdf = streaming_events_sliding(
         load_stream(spark, sf_dir, "events"), slide_minutes=SLIDE_MIN
     )
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__events_sliding_stream")
@@ -3481,7 +3493,7 @@ def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(tokenize(F.col("text"))).alias("token")
     )
     sdf = streaming_cms_counters(stoks, "token", w=CMS_W, d=CMS_D)
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__cms_stream")
@@ -4137,7 +4149,7 @@ def q_pca_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         64,
     )
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__pca_stream")
@@ -5353,7 +5365,7 @@ def q_price_hist_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
     )
     sdf = SK.equiwidth_hist(scents, "cents", ["flag"], HIST_WIDTH_CENTS)
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__hist_stream")
@@ -7301,7 +7313,7 @@ def q_events_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()
     sev = load_stream(spark, sf_dir, "events").select("event_type", "ts")
     sdf = drift_counts(sev, "event_type", "ts", int(row["mid"]))
-    with _state_partitions(spark, 8):
+    with _state_partitions(spark, 4):
         query = (
             sdf.writeStream.format("memory")
             .queryName("__drift_stream")
