@@ -8363,6 +8363,13 @@ def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["item_a", "item_b"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r11 optimization round: materialize the shared edge cache BEFORE
+    # the first consumer plan runs — pagerank's first action reads und
+    # through a 2-branch union, and two branches filling a COLD cache
+    # concurrently each compute the lineitem self-join (measured: the
+    # in-fusion pagerank ran 11-13 s vs 3.5 s standalone from exactly
+    # this; one eager count makes every consumer a warm cache read)
+    und.count()
     directed = und.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("dst")
     ).unionByName(

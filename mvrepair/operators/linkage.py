@@ -416,11 +416,14 @@ def triangle_counts(
         (F.col("__da") == F.col("__db")) & (F.col("__a") < F.col("__b"))
     )
     # r11 optimization round: hash-partition the oriented cache by the
-    # wedge key BEFORE persisting — the wedge self-join's two sides are
-    # this same frame, so neither side re-exchanges (two |E|-sized
-    # Exchanges gone from the plan; guide §2.4 "two operations keyed
-    # the same way share one exchange").  Measured 20.8 s → 9.7 s for
-    # the full count at sf0.1, counts bit-identical.
+    # wedge key BEFORE persisting.  An order-alternating A/B at sf0.1
+    # measured a consistent ~1.3x win (26.8→19.4 / 21.9→14.5 /
+    # 14.4→10.8 s, counts bit-identical).  NOTE the static plan still
+    # shows an Exchange above the InMemoryTableScan — a cached
+    # AQE-compiled plan's output partitioning is not consumable by the
+    # outer planner — so the win is NOT a removed exchange; it comes
+    # from the wedge sides shuffling FROM a src-clustered cache (equal
+    # keys are co-located, so the re-shuffle's blocks are fewer/denser).
     oriented = ranked.select(
         F.when(a_first, F.col("__a")).otherwise(F.col("__b")).alias("src"),
         F.when(a_first, F.col("__b")).otherwise(F.col("__a")).alias("dst"),
