@@ -114,6 +114,7 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     only = set(sys.argv[1:])  # optional: bench just the named queries
     medians: dict[str, float] = {}
+    warm_medians: dict[str, float] = {}
     minimums: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     n_jobs: dict[str, int] = {}
@@ -145,6 +146,15 @@ def main() -> None:
             spark.catalog.clearCache()
         sc.setJobGroup("bench:idle", "between queries")
         medians[name] = round(statistics.median(runs), 3)
+        # run-0-excluded median (r11 verdict item #8): under full tiered
+        # JIT, run 0 absorbs each query's first-run codegen/C2 compile,
+        # which is now the dominant per-query variance source.  The
+        # headline median keeps the contract (the driver pays run 0
+        # too); queries_warm separates plan regressions from compile
+        # noise in cross-round diffs.  Additions-only.
+        warm_medians[name] = round(
+            statistics.median(runs[1:]) if len(runs) > 1 else runs[0], 3
+        )
         minimums[name] = round(min(runs), 3)
         # raw per-repeat timings: WHICH repeat was slow is the first
         # question every anomaly investigation asks (run 0 = inherits
@@ -198,6 +208,7 @@ def main() -> None:
                 "total_min": total_min,
                 "unit": "sec",
                 "queries": medians,
+                "queries_warm": warm_medians,
                 "queries_min": minimums,
                 "queries_runs": raw_runs,
                 "n_jobs": n_jobs,

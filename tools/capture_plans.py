@@ -1,8 +1,9 @@
-"""Capture .explain('formatted') for named queries to plans/r11/.
+"""Capture .explain('formatted') for named queries to plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> <query> [query ...]
-Writes plans/r11/<query>_<suffix>.txt for each.  ``suffix`` is
-"before" / "after" per the round deliverable.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt for each
+(round dir defaults to r12).  ``suffix`` is "before" / "after" per the
+round deliverable.
 
 Streaming queries (and eager operators) execute driver-side work at
 plan-build time; this harness builds each plan the same way bench.py
@@ -44,16 +45,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
 
-    os.makedirs("/root/repo/plans/r11", exist_ok=True)
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    os.makedirs(f"/root/repo/plans/{rnd}", exist_ok=True)
     qs = e.queries()
     for name in names:
         df = qs[name](spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        with open(f"/root/repo/plans/r11/{name}_{suffix}.txt", "w") as f:
+        with open(f"/root/repo/plans/{rnd}/{name}_{suffix}.txt", "w") as f:
             f.write(buf.getvalue())
-        print(f"wrote plans/r11/{name}_{suffix}.txt", file=sys.stderr)
+        print(f"wrote plans/{rnd}/{name}_{suffix}.txt", file=sys.stderr)
         from mvrepair import cache as _cache
 
         _cache.release_all()
