@@ -7731,8 +7731,6 @@ def q_events_tokenrange_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     real (4 batches observed), then the query stops — batch parity
     with events_tokenrange's split algebra at 4 splits.  See
     sources/tokenrange.py:TokenRangeStreamReader."""
-    import time as _time
-
     from mvrepair.sources.tokenrange import TokenRangeDataSource
 
     spark.dataSource.register(TokenRangeDataSource)
@@ -7753,6 +7751,17 @@ def q_events_tokenrange_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("token").alias("max_token"),
         )
     )
+    # r12 (guide §1): the walk is done after batch TOKEN_STREAM_SPLITS-1
+    # commits (batch i scans range i; complete mode carries every prior
+    # range's rollup in state), and ``lastProgress`` is driver-local
+    # metadata — so the poll no longer runs a count() JOB per probe,
+    # and the 0.3 s sleep quantum (up to one quantum of dead time per
+    # batch) drops to 30 ms.  trigger(availableNow) was TRIED and
+    # REJECTED: the simple-stream-reader wrapper captures its end
+    # offset from the single prefetched batch, so it drains ONE range
+    # and terminates — rowcount 1 vs 4 against the oracle.
+    import time as _time
+
     with _state_partitions(spark, 4):
         query = (
             agg.writeStream.format("memory")
@@ -7761,17 +7770,15 @@ def q_events_tokenrange_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(processingTime="0 seconds")
             .start()
         )
-        # the walk is done when every range's row has landed; complete
-        # mode republishes the full rollup each batch, so the count is
-        # monotone and the poll deterministic
         deadline = _time.monotonic() + 300
         while _time.monotonic() < deadline:
-            if (
-                spark.table("__events_tokenrange_stream").count()
-                >= TOKEN_STREAM_SPLITS
-            ):
+            p = query.lastProgress
+            if p is not None and p["batchId"] >= TOKEN_STREAM_SPLITS - 1:
                 break
-            _time.sleep(0.3)
+            _time.sleep(0.03)
+        else:
+            query.stop()
+            raise RuntimeError("tokenrange stream did not drain in 300 s")
         query.stop()
         query.awaitTermination()
     return spark.table("__events_tokenrange_stream")
@@ -8323,27 +8330,33 @@ def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each list cuts to top-k via TakeOrdered BEFORE the k-row rank
     window; fusion is a union + one tiny aggregate.
 
-    The undirected co-purchase edge frame is derived ONCE and persisted
-    — both components consumed it independently before (r8: the bench's
-    single most expensive entry, 24.5 s, was recomputing the lineitem
-    self-join + dedup per component; one shared |E|-sized cache removes
-    the second fact-table pass, and the directed pagerank edges are just
-    the persisted frame unioned with its swap).  Results are unchanged:
-    the directed set (both orientations of every unordered pair) is
-    exactly what the per-component derivation produced.
+    r12 optimization round (VERDICT r11 item #1): ONE degree-ranked
+    oriented edge frame feeds BOTH legs.  The undirected co-purchase
+    frame is derived once (persisted only until the orientation
+    checkpoint materializes), oriented ONCE with both endpoint degrees
+    riding along (``linkage._orient_edges``), and checkpointed
+    hash-partitioned by the wedge key.  The triangle leg consumes it
+    directly (``_triangles_from_oriented`` — zero-exchange wedge
+    self-join + size-gated broadcast closing probe); the pagerank leg's
+    directed edge set is the checkpoint unioned with its swap — exactly
+    the both-orientations set the r11 per-leg derivation produced, so
+    ranks and counts are bit-identical while the r11 plan's second
+    degree aggregation + orientation joins disappear.
 
     Ownership: the returned frame comes back eagerly materialized and
-    CACHED (persist + count so the shared edge cache can be released
-    inside this call) — the caller owns it and should unpersist when
-    done; the bench harness clears the cache between repeats for
-    exactly this reason (the cosine_neardup_pairs capped-path
-    convention)."""
+    CACHED — the caller owns it and should unpersist when done; the
+    bench harness clears the cache between repeats for exactly this
+    reason (the cosine_neardup_pairs capped-path convention).  The
+    oriented checkpoint blocks free via the ContextCleaner when this
+    call's references drop."""
     from pyspark import StorageLevel
 
     from mvrepair.operators.linkage import (
+        _checkpoint_oriented,
+        _orient_edges,
+        _triangles_from_oriented,
         pagerank_micro,
         rrf_fuse,
-        triangle_counts,
     )
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -8359,27 +8372,36 @@ def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = (
         a.join(b, "__b")
         .filter(F.col("item_a") < F.col("item_b"))
-        .select("item_a", "item_b")
-        .dropDuplicates(["item_a", "item_b"])
+        .select(
+            F.col("item_a").alias("__a"), F.col("item_b").alias("__b")
+        )
+        .dropDuplicates(["__a", "__b"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # r11 optimization round: materialize the shared edge cache BEFORE
-    # the first consumer plan runs — pagerank's first action reads und
-    # through a 2-branch union, and two branches filling a COLD cache
-    # concurrently each compute the lineitem self-join (measured: the
-    # in-fusion pagerank ran 11-13 s vs 3.5 s standalone from exactly
-    # this; one eager count makes every consumer a warm cache read)
-    und.count()
-    directed = und.select(
-        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    try:
+        n_edges = und.count()  # materialize the cache; gate the plan
+        oriented = _checkpoint_oriented(spark, _orient_edges(und), n_edges)
+    finally:
+        und.unpersist()
+    # both orientations of every unordered pair, each carrying its
+    # source's undirected degree (= the directed out-degree) straight
+    # off the checkpoint — pagerank_micro(deg_col=...) then skips its
+    # degree aggregation and init join entirely
+    directed = oriented.select(
+        "src", "dst", F.col("dsrc").alias("deg")
     ).unionByName(
-        und.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+        oriented.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            F.col("ddst").alias("deg"),
+        )
     )
     nodes = load_table(spark, sf_dir, "part").select("p_partkey")
     pr = pagerank_micro(
-        directed, nodes, id_col="p_partkey", iters=PAGERANK_ITERS
+        directed, nodes, id_col="p_partkey", iters=PAGERANK_ITERS,
+        deg_col="deg",
     ).select(F.col("id").alias("part_id"), F.col("rank_micro").alias("score"))
-    tri = triangle_counts(und).select(
+    tri = _triangles_from_oriented(oriented, n_edges).select(
         F.col("node").alias("part_id"),
         F.col("n_triangles").cast("long").alias("score"),
     )
@@ -8387,15 +8409,13 @@ def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("pagerank", pr), ("triangles", tri)], id_col="part_id", k=100
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        fused.count()  # materialize while the edge cache is hot
+        fused.count()  # materialize while the oriented checkpoint is hot
         from mvrepair import cache as _cache
 
         _cache.adopt(fused)
     except Exception:
         fused.unpersist()
         raise
-    finally:
-        und.unpersist()
     return fused
 
 

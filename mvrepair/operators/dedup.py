@@ -758,26 +758,35 @@ def connected_components(
     from mvrepair.tuning import sized_loop
 
     n_pairs = pairs.count()  # sizes the loop (callers pass pairs cached)
+    # r12 (r11 ADVICE): the context enters INSIDE the try — an
+    # AnalysisException while building edges/labels used to leak
+    # AQE-disabled + a static shuffle-partition count into the shared
+    # session for every later query.  edges/labels start None so the
+    # finally's unpersist is always bound.
     _ctx = sized_loop(spark, 2 * n_pairs)
-    _ctx.__enter__()
-    # no distinct(): duplicate edges are harmless under min-aggregation
-    # and deduping them would cost an extra shuffle per build.
-    # dst-partitioned: the per-round neighbor join keys on dst, so the
-    # |E|-sized cache never re-exchanges (labels, |V|-sized, aligns to it)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
-        .repartition("dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = labels = None
     try:
+        _ctx.__enter__()
+        # no distinct(): duplicate edges are harmless under
+        # min-aggregation and deduping them would cost an extra shuffle
+        # per build.  dst-partitioned: the per-round neighbor join keys
+        # on dst, so the |E|-sized cache never re-exchanges (labels,
+        # |V|-sized, aligns to it)
+        edges = (
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+            .unionByName(
+                pairs.select(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                )
+            )
+            .repartition("dst")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        labels = nodes.select(
+            F.col(id_col).alias("id"), F.col(id_col).alias("lbl")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         from pyspark.sql import Observation
 
         converged = False
@@ -857,11 +866,13 @@ def connected_components(
             F.col("id").alias(id_col), F.col("lbl").alias("cluster_id")
         )
     finally:
-        edges.unpersist()
+        if edges is not None:
+            edges.unpersist()
         # meaningful only when the loop never checkpointed (exception in
         # round 0): afterwards ``labels`` is a checkpointed frame and
         # this is a harmless no-op (see the round-0 comment above)
-        labels.unpersist()
+        if labels is not None:
+            labels.unpersist()
         _ctx.__exit__(None, None, None)
         # undo the global checkpoint-dir mutation (possible only when a
         # prior dir existed — Spark has no unset; the uuid-subdir scheme

@@ -213,10 +213,13 @@ def mi_report(
     twin mirrors.  MI >= 0 up to quantization (each term's sign follows
     the exact ratio); MI <= min(H(X), H(Y)) likewise.
 
-    Scale shape per pair: ONE groupBy(X, Y) pass (the joint frame is
-    persisted for the report's lifetime and every consumer — margins,
-    PMI join, totals — reads the cache, never a second corpus scan),
-    two vocab-sized margin joins, the total n as a single-task
+    Scale shape: ONE corpus pass computes EVERY pair's joint counts as
+    grouping sets of a single aggregate (r12, guide §2.3 — the r11
+    layout still scanned the corpus once per pair); the grouping-sets
+    frame is persisted for the report's lifetime and every consumer —
+    per-pair joints (grouping_id filters over the cache), margins, PMI
+    join, totals — reads the cache, never a second corpus scan.  Per
+    pair: two vocab-sized margin joins, the total n as a single-task
     window-total riding each margin frame (sum of either margin = n,
     the same int64 fold), one-row aggregates combined by union +
     re-aggregate (never a 1-row join — it constant-folds to BNLJ).
@@ -261,18 +264,59 @@ def mi_report(
     # deduped term frame.
     term_frames = []
     count_frames = []
-    joints: list[DataFrame] = []
     null_l = F.lit(None).cast("bigint")
+    seen_pairs: set[tuple[str, str]] = set()
     for x, y in pairs:
         if x == y:
             raise ValueError(f"degenerate pair ({x}, {y})")
-        name = f"{x}|{y}"
-        joint = (
-            df.groupBy(F.col(x).alias("__x"), F.col(y).alias("__y"))
-            .agg(F.count(F.lit(1)).alias("__cxy"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        if (x, y) in seen_pairs:
+            # a duplicate pair would collapse into one output row at the
+            # final groupBy('pair') (r11 ADVICE) — reject up front
+            raise ValueError(f"duplicate pair ({x}, {y})")
+        seen_pairs.add((x, y))
+
+    # ONE corpus pass for ALL pairs' joint aggregations (r12, guide
+    # §2.3; r11 left 3 separate groupBy(X,Y) corpus scans).  The pairs'
+    # joint counts compute as GROUPING SETS of one aggregate; each
+    # pair's joint frame is a grouping_id filter over the single cached
+    # result.  Exactness: grouping_id bit i is 1 iff grouping column i
+    # is AGGREGATED in the row's set, so set membership is carried out
+    # of band — a data NULL in a grouping key stays a value and can
+    # never be confused with an aggregated column, and two sets over
+    # different columns can never collide (distinct gid).  Each
+    # filtered slice is therefore row-for-row the old per-pair
+    # groupBy(x, y).count() frame.
+    gcols: list[str] = []
+    for x, y in pairs:
+        for c in (x, y):
+            if c not in gcols:
+                gcols.append(c)
+    set_lists: list[list[str]] = []
+    for x, y in pairs:
+        cols = sorted({x, y}, key=gcols.index)
+        if cols not in set_lists:
+            set_lists.append(cols)
+    gs = (
+        df.groupingSets(
+            [[F.col(c) for c in s] for s in set_lists],
+            *[F.col(c) for c in gcols],
         )
-        joints.append(joint)
+        .agg(
+            F.count(F.lit(1)).alias("__cxy"),
+            F.grouping_id().alias("__gid"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_g = len(gcols)
+
+    for x, y in pairs:
+        name = f"{x}|{y}"
+        want_gid = sum(
+            1 << (n_g - 1 - i) for i, c in enumerate(gcols) if c not in (x, y)
+        )
+        joint = gs.filter(F.col("__gid") == want_gid).select(
+            F.col(x).alias("__x"), F.col(y).alias("__y"), "__cxy"
+        )
         # the total n rides the cx margin as a window-total (sum of the
         # margin = n exactly, same int64 fold as the old scalar
         # subquery, which executed as its own multi-stage job chain)
@@ -381,8 +425,7 @@ def mi_report(
     try:
         rows = plan.collect()
     finally:
-        for j in joints:
-            j.unpersist()
+        gs.unpersist()
     order = {f"{x}|{y}": i for i, (x, y) in enumerate(pairs)}
     rows.sort(key=lambda r: order[r["pair"]])
     return df.sparkSession.createDataFrame(

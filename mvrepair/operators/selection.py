@@ -96,39 +96,53 @@ def kcenter_select(
     """
     if k < 1:
         raise ValueError("kcenter_select needs k >= 1")
+    from mvrepair.tuning import aqe_off
+
     q = df.select(F.col(id_col), _quant(F.col(vec_col)).alias("qv")).persist()
     try:
-        seed = (
-            q.select(id_col, "qv", _d2_norm().alias("n2"))
-            .orderBy(F.desc("n2"), F.asc(id_col))
-            .limit(1)
-            .collect()[0]
-        )
-        centers: list[tuple[int, int, list[int]]] = [(0, seed[id_col], list(seed["qv"]))]
-        cqv0 = F.array(*[F.lit(v).cast("long") for v in centers[0][2]])
-        cur = q.select(
-            id_col, "qv", _d2(F.col("qv"), cqv0).alias("mind2")
-        ).persist()
-        prev = None
-        # ONE action per round: the argmax TakeOrdered materializes the
-        # round's persisted frame (so the parent can release), and the
-        # last round never builds the update frame it would never read
-        for rnd in range(1, k):
-            far = (
-                cur.orderBy(F.desc("mind2"), F.asc(id_col)).limit(1).collect()[0]
+        # r12: the whole greedy loop runs with AQE off (tuning.aqe_off)
+        # — every round is exchange-free (TakeOrdered over a persisted
+        # frame + a map-side update), yet under AQE each round paid a
+        # SECOND job for the cache fill's ResultQueryStage; without it
+        # fill and argmax fuse into the round's single job (2 -> 1 jobs
+        # and ~0.4 -> ~0.2 s per round measured, identical picks).
+        with aqe_off(df.sparkSession):
+            seed = (
+                q.select(id_col, "qv", _d2_norm().alias("n2"))
+                .orderBy(F.desc("n2"), F.asc(id_col))
+                .limit(1)
+                .collect()[0]
             )
-            if prev is not None:
-                prev.unpersist()
-            centers.append((rnd, far[id_col], list(far["qv"])))
-            if rnd < k - 1:
-                cqv = F.array(
-                    *[F.lit(v).cast("long") for v in centers[-1][2]]
+            centers: list[tuple[int, int, list[int]]] = [
+                (0, seed[id_col], list(seed["qv"]))
+            ]
+            cqv0 = F.array(*[F.lit(v).cast("long") for v in centers[0][2]])
+            cur = q.select(
+                id_col, "qv", _d2(F.col("qv"), cqv0).alias("mind2")
+            ).persist()
+            prev = None
+            # ONE action per round: the argmax TakeOrdered materializes
+            # the round's persisted frame (so the parent can release),
+            # and the last round never builds the update frame it would
+            # never read
+            for rnd in range(1, k):
+                far = (
+                    cur.orderBy(F.desc("mind2"), F.asc(id_col))
+                    .limit(1)
+                    .collect()[0]
                 )
-                prev, cur = cur, cur.select(
-                    id_col,
-                    "qv",
-                    F.least("mind2", _d2(F.col("qv"), cqv)).alias("mind2"),
-                ).persist()
+                if prev is not None:
+                    prev.unpersist()
+                centers.append((rnd, far[id_col], list(far["qv"])))
+                if rnd < k - 1:
+                    cqv = F.array(
+                        *[F.lit(v).cast("long") for v in centers[-1][2]]
+                    )
+                    prev, cur = cur, cur.select(
+                        id_col,
+                        "qv",
+                        F.least("mind2", _d2(F.col("qv"), cqv)).alias("mind2"),
+                    ).persist()
         lits = _center_lits(centers)
         # argmin over the k centers as ONE map-side expression: array_min
         # on struct<d2,rnd,cid> orders lexicographically, giving the
@@ -227,61 +241,69 @@ def mmr_select(
         raise ValueError("mmr_select needs k >= 1")
     if not (0 < lam_num <= lam_den):
         raise ValueError("need 0 < lam_num <= lam_den")
+    from mvrepair.tuning import aqe_off
+
     spark = df.sparkSession
     base = df.select(F.col(id_col), _quant(F.col(vec_col)).alias("qv"))
-    [qrow] = base.orderBy(F.asc(id_col)).limit(1).collect()
+    # r12: AQE off for the greedy loop — see kcenter_select (2 -> 1
+    # jobs and ~0.4 -> ~0.2 s per round, identical picks; nothing in
+    # the exchange-free loop body for AQE to size).  rel persists
+    # BEFORE the try so the finally's unpersist is always bound.
+    with aqe_off(spark):
+        [qrow] = base.orderBy(F.asc(id_col)).limit(1).collect()
     qlit = F.array(*[F.lit(v).cast("long") for v in qrow["qv"]])
     rel = base.select(
         id_col, "qv", _cos_micro(F.col("qv"), qlit).alias("rel_micro")
     ).persist()
     try:
-        [seed] = (
-            rel.orderBy(F.desc("rel_micro"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        picks: list[tuple[int, int, list[int]]] = [
-            (0, seed[id_col], list(seed["qv"]))
-        ]
-        seed_lit = F.array(*[F.lit(v).cast("long") for v in picks[0][2]])
-        cur = rel.select(
-            id_col,
-            "qv",
-            "rel_micro",
-            _cos_micro(F.col("qv"), seed_lit).alias("maxsim_micro"),
-        ).persist()
-        prev = None
-        w_red = lam_den - lam_num
-        # ONE action per round (the kcenter loop shape): the argmax
-        # materializes the round's frame, and the last round skips the
-        # update frame it would never read
-        for rnd in range(1, k):
-            picked_ids = [pid for _, pid, _ in picks]
-            score = F.lit(lam_num) * F.col("rel_micro") - F.lit(
-                w_red
-            ) * F.col("maxsim_micro")
-            [best] = (
-                cur.filter(~F.col(id_col).isin(picked_ids))
-                .orderBy(score.desc(), F.asc(id_col))
+        with aqe_off(spark):
+            [seed] = (
+                rel.orderBy(F.desc("rel_micro"), F.asc(id_col))
                 .limit(1)
                 .collect()
             )
-            if prev is not None:
-                prev.unpersist()
-            picks.append((rnd, best[id_col], list(best["qv"])))
-            if rnd < k - 1:
-                plit = F.array(
-                    *[F.lit(v).cast("long") for v in picks[-1][2]]
+            picks: list[tuple[int, int, list[int]]] = [
+                (0, seed[id_col], list(seed["qv"]))
+            ]
+            seed_lit = F.array(*[F.lit(v).cast("long") for v in picks[0][2]])
+            cur = rel.select(
+                id_col,
+                "qv",
+                "rel_micro",
+                _cos_micro(F.col("qv"), seed_lit).alias("maxsim_micro"),
+            ).persist()
+            prev = None
+            w_red = lam_den - lam_num
+            # ONE action per round (the kcenter loop shape): the argmax
+            # materializes the round's frame, and the last round skips
+            # the update frame it would never read
+            for rnd in range(1, k):
+                picked_ids = [pid for _, pid, _ in picks]
+                score = F.lit(lam_num) * F.col("rel_micro") - F.lit(
+                    w_red
+                ) * F.col("maxsim_micro")
+                [best] = (
+                    cur.filter(~F.col(id_col).isin(picked_ids))
+                    .orderBy(score.desc(), F.asc(id_col))
+                    .limit(1)
+                    .collect()
                 )
-                prev, cur = cur, cur.select(
-                    id_col,
-                    "qv",
-                    "rel_micro",
-                    F.greatest(
-                        "maxsim_micro", _cos_micro(F.col("qv"), plit)
-                    ).alias("maxsim_micro"),
-                ).persist()
-        cur.unpersist()
+                if prev is not None:
+                    prev.unpersist()
+                picks.append((rnd, best[id_col], list(best["qv"])))
+                if rnd < k - 1:
+                    plit = F.array(
+                        *[F.lit(v).cast("long") for v in picks[-1][2]]
+                    )
+                    prev, cur = cur, cur.select(
+                        id_col,
+                        "qv",
+                        "rel_micro",
+                        F.greatest(
+                            "maxsim_micro", _cos_micro(F.col("qv"), plit)
+                        ).alias("maxsim_micro"),
+                    ).persist()
+            cur.unpersist()
         # output rides the SOURCE frame map-side (the kcenter doctrine):
         # final maxsim == max over picks of cos_micro, identical to the
         # incremental greatest-chain pair for pair

@@ -1219,133 +1219,117 @@ def lttb_downsample(
     ``|(Px·c − Sx)(Xy − Py) − (Px − Xx)(Sy − Py·c)|`` compares
     candidates without ever forming the rational centroid (c is
     constant within a bucket, so the scaling preserves the argmax);
-    ties break to the smaller x.  The left-to-right dependence is
-    NOT folded — it runs as ``buckets`` one-action rounds (the
-    selection.py kcenter discipline): each round joins the 1-row-per-
-    key prev frame to that bucket's candidates and takes one window
-    argmax, so a fixed-round SQL oracle replays the identical chain
-    block-by-block.
+    ties break to the smaller x.
 
-    Scale shape: every frame after the per-key rank window is
-    series-DOMAIN-sized (points per key, e.g. hours — never corpus
-    rows; fold corpus rows into the series first), and each round is
-    one key-keyed join + argmax over one bucket's points.  Round
-    count = ``buckets`` is a constant.
+    r12 optimization round (guide §1/§2.4; supersedes the r11
+    one-checkpoint-per-round loop): the left-to-right dependence FOLDS
+    IN-PLAN — per key, the sorted point array aggregates once
+    (``collect_list`` + ``array_sort``) and one ``aggregate`` HOF
+    replays the identical bucket chain (same bucket assignment, same
+    doubled-area argmax, same anchor carry) inside a single expression.
+    The r11 shape paid one eager localCheckpoint per bucket: 45 Spark
+    jobs and ~4.2 s at sf0.1 where the fold is 3 jobs and ~0.5 s,
+    output bit-identical (pinned by
+    ``test_lttb_fold_equals_round_loop_shapes``).  The SQL oracle still
+    replays the chain as unrolled fixed-round blocks — the contract is
+    the output, and the argmax iterates candidates in ascending x with
+    a strict ``>``, which IS the (area desc, x asc) head.
+
+    Scale contract (the holt_smooth/ewma doctrine): the per-key series
+    must be DOMAIN-sized (points per key, e.g. hours — never corpus
+    rows; fold corpus rows into the series first), because each key's
+    points gather into one array row.  Bucket semantics preserved
+    exactly: a bucket picks only when it has candidates AND the next
+    bucket's centroid exists (empty next bucket ⇒ no pick, anchor
+    carries) — the r11 inner-join behavior.
 
     Output: ``(key, bucket, x, y)`` with bucket −1 for the first
     point and ``buckets`` for the last — ``2 + buckets`` rows per key
     (fewer if a series has < buckets + 2 points; empty interior
     buckets are skipped).
     """
-    from pyspark.sql.window import Window
-
     base = pts.select(
         F.col(key_col).alias("k"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("long").alias("y"),
     )
-    w_asc = Window.partitionBy("k").orderBy("x")
-    w_all = Window.partitionBy("k")
-    ranked = base.select(
-        "*",
-        F.row_number().over(w_asc).alias("__rn"),
-        F.count(F.lit(1)).over(w_all).alias("__n"),
-    ).localCheckpoint(eager=True)
-    first = ranked.filter(F.col("__rn") == 1).select(
-        "k", F.lit(-1).cast("int").alias("bucket"), "x", "y"
+    one = base.groupBy("k").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("x"), F.col("y")))
+        ).alias("pts")
     )
-    last = ranked.filter(F.col("__rn") == F.col("__n")).select(
-        "k", F.lit(buckets).cast("int").alias("bucket"), "x", "y"
-    )
-    interior = ranked.filter(
-        (F.col("__rn") > 1) & (F.col("__rn") < F.col("__n"))
-    ).select(
-        "k",
-        "x",
-        "y",
-        F.expr(f"CAST((__rn - 2) * {buckets} DIV (__n - 2) AS INT)").alias(
-            "b"
-        ),
-    ).localCheckpoint(eager=True)
-    cents = interior.groupBy("k", "b").agg(
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.count(F.lit(1)).alias("c"),
-    )
-    # the virtual centroid after the final bucket is the last point
-    cents = cents.unionByName(
-        last.select(
-            "k",
-            F.lit(buckets).cast("int").alias("b"),
-            F.col("x").alias("sx"),
-            F.col("y").alias("sy"),
-            F.lit(1).cast("long").alias("c"),
+    B = int(buckets)
+    staged = (
+        one.withColumn("n", F.expr("size(pts)"))
+        .withColumn("fst", F.expr("element_at(pts, 1)"))
+        .withColumn("lst", F.expr("element_at(pts, n)"))
+        # interior points with their bucket: index i in the slice is
+        # 0-based = rn - 2, so b = (rn-2)*B div (n-2), the r11 rank
+        # arithmetic verbatim (the lambda never evaluates on n <= 2:
+        # the slice is empty, so the n-2 divisor is safe)
+        .withColumn(
+            "interior",
+            F.expr(
+                f"""transform(slice(pts, 2, greatest(n - 2, 0)),
+                    (e, i) -> struct(e.x AS x, e.y AS y,
+                      CAST((CAST(i AS BIGINT) * {B}) DIV (n - 2) AS INT) AS b))"""
+            ),
         )
-    ).localCheckpoint(eager=True)
-    # r11 optimization round: ONE checkpointed state frame per round —
-    # (k, px, py, nx, ny) carries the pick (null for an empty bucket)
-    # AND the next anchor together, halving the round's eager actions
-    # (the old shape checkpointed sel and prev separately: 2 + window
-    # sort per round, 104 jobs for the whole query at sf0.1); the
-    # per-key argmax runs as max_by over the struct ordering
-    # (__a desc, x asc) — bit-identical to the row_number head, and x
-    # is unique within a key so the ordering key is collision-free —
-    # instead of a window sort; the rounds run under tuning.sized_loop
-    # (every frame here is series-domain-sized, counted once from the
-    # checkpointed interior).
-    from mvrepair.tuning import sized_loop
-
-    prev = first.select("k", F.col("x").alias("px"), F.col("y").alias("py"))
-    picked = [first, last]
-    with sized_loop(pts.sparkSession, interior.count()):
-        for b in range(buckets):
-            cand = interior.filter(F.col("b") == b)
-            nxt = cents.filter(F.col("b") == b + 1).select(
-                "k", "sx", "sy", "c"
-            )
-            scored = (
-                cand.join(prev, "k")
-                .join(nxt, "k")
-                .withColumn(
-                    "__a",
-                    F.abs(
-                        (F.col("px") * F.col("c") - F.col("sx"))
-                        * (F.col("y") - F.col("py"))
-                        - (F.col("px") - F.col("x"))
-                        * (F.col("sy") - F.col("py") * F.col("c"))
-                    ),
-                )
-            )
-            best = scored.groupBy("k").agg(
-                F.max_by(
-                    F.struct(F.col("x").alias("nx"), F.col("y").alias("ny")),
-                    F.struct(F.col("__a").alias("a"), (-F.col("x")).alias("negx")),
-                ).alias("__p")
-            ).select("k", F.col("__p.nx").alias("nx"), F.col("__p.ny").alias("ny"))
-            state = (
-                prev.join(best, "k", "left")
-                .select(
-                    "k",
-                    F.coalesce("nx", "px").alias("px"),
-                    F.coalesce("ny", "py").alias("py"),
-                    "nx",
-                    "ny",
-                )
-                .localCheckpoint(eager=True)
-            )
-            picked.append(
-                state.filter(F.col("nx").isNotNull()).select(
-                    "k",
-                    F.lit(b).cast("int").alias("bucket"),
-                    F.col("nx").alias("x"),
-                    F.col("ny").alias("y"),
-                )
-            )
-            prev = state.select("k", "px", "py")
-    out = picked[0]
-    for p in picked[1:]:
-        out = out.unionByName(p)
-    return out.select("k", "bucket", "x", "y")
+        # per-bucket centroid sums; index b+1 (1-based) = bucket b,
+        # c = 0 marks an empty bucket; the virtual centroid after the
+        # final bucket is the last point (c = 1), as before
+        .withColumn(
+            "cents",
+            F.expr(
+                f"""transform(sequence(0, {B}),
+                    bb -> CASE WHEN bb = {B}
+                      THEN struct(lst.x AS sx, lst.y AS sy, CAST(1 AS BIGINT) AS c)
+                      ELSE aggregate(
+                        filter(interior, e -> e.b = bb),
+                        struct(CAST(0 AS BIGINT) AS sx, CAST(0 AS BIGINT) AS sy,
+                               CAST(0 AS BIGINT) AS c),
+                        (a, e) -> struct(a.sx + e.x AS sx, a.sy + e.y AS sy,
+                                         a.c + 1 AS c))
+                      END)"""
+            ),
+        )
+    )
+    # doubled-area-times-c, candidates ascending in x + strict '>' =
+    # (area desc, x asc) argmax; transform(array(..), v -> ..) is the
+    # expression-level let-binding (evaluate once, name it)
+    area = (
+        "abs((acc.px * nx.c - nx.sx) * (e.y - acc.py)"
+        " - (acc.px - e.x) * (nx.sy - acc.py * nx.c))"
+    )
+    fold = f"""aggregate(
+        sequence(0, {B} - 1),
+        struct(fst.x AS px, fst.y AS py,
+               CAST(array() AS array<struct<b: INT, x: BIGINT, y: BIGINT>>) AS picks),
+        (acc, bb) -> CASE
+          WHEN size(filter(interior, e -> e.b = bb)) > 0
+               AND element_at(cents, bb + 2).c > 0
+          THEN element_at(transform(array(element_at(cents, bb + 2)), nx ->
+                 element_at(transform(array(
+                     aggregate(
+                       filter(interior, e -> e.b = bb),
+                       struct(CAST(-1 AS BIGINT) AS a, CAST(0 AS BIGINT) AS x,
+                              CAST(0 AS BIGINT) AS y),
+                       (pa, e) -> CASE WHEN {area} > pa.a
+                         THEN struct({area} AS a, e.x AS x, e.y AS y)
+                         ELSE pa END)
+                   ), bst -> struct(bst.x AS px, bst.y AS py,
+                        concat(acc.picks,
+                               array(struct(bb AS b, bst.x AS x, bst.y AS y)))
+                        AS picks)), 1)), 1)
+          ELSE acc END)"""
+    out_arr = f"""concat(
+        array(struct(CAST(-1 AS INT) AS bucket, fst.x AS x, fst.y AS y)),
+        transform(({fold}).picks,
+                  p -> struct(p.b AS bucket, p.x AS x, p.y AS y)),
+        array(struct(CAST({B} AS INT) AS bucket, lst.x AS x, lst.y AS y)))"""
+    return staged.select(
+        "k", F.explode(F.expr(out_arr)).alias("p")
+    ).select("k", "p.bucket", "p.x", "p.y")
 
 
 def holt_smooth(

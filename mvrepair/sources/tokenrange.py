@@ -189,34 +189,48 @@ class TokenRangeStreamReader:
 
     def __init__(self, options):
         self._cfg = TokenRangeReader(options)
+        self._tokenized = None  # lazily built once per reader lifetime
 
     def initialOffset(self):
         return {"split": 0}
 
+    def _table(self):
+        """Parquet read + per-row tokenization, ONCE per reader (r12,
+        guide §1/§4): the ring walk scans one range per micro-batch,
+        but every range filters the SAME tokenized table — the old
+        per-batch rebuild re-read the file and re-hashed every row
+        ``splits`` times.  Reader lifetime == one streaming query, so
+        this is per-run state, never a cross-run cache."""
+        if self._tokenized is None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            cfg = self._cfg
+            t = pq.read_table(cfg.path, columns=cfg.cols)
+            toks = [py_token(v) for v in t[cfg.pk].to_pylist()]
+            self._tokenized = t.append_column(
+                "token", pa.array(toks, type=pa.int64())
+            )
+        return self._tokenized
+
     def _split_rows(self, i: int):
+        import pyarrow as pa
         import pyarrow.compute as pc
-        import pyarrow.parquet as pq
 
         cfg = self._cfg
         width = TOKEN_SPACE // cfg.splits
         lo = i * width
         hi = (i + 1) * width if i < cfg.splits - 1 else TOKEN_SPACE
-        t = pq.read_table(cfg.path, columns=cfg.cols)
-        names = t.column_names
-        toks = [py_token(v) for v in t[cfg.pk].to_pylist()]
-        import pyarrow as pa
-
-        t = t.append_column("token", pa.array(toks, type=pa.int64()))
-        t = t.append_column(
-            "split_id", pa.array([i] * len(toks), type=pa.int32())
-        )
+        t = self._table()
         t = t.filter(
             pc.and_(
                 pc.greater_equal(t["token"], lo), pc.less(t["token"], hi)
             )
         )
-        cols = names + ["token", "split_id"]
-        data = [t[c].to_pylist() for c in cols]
+        t = t.append_column(
+            "split_id", pa.array([i] * len(t), type=pa.int32())
+        )
+        data = [t[c].to_pylist() for c in t.column_names]
         return list(zip(*data)) if len(t) else []
 
     def read(self, start):

@@ -16,9 +16,8 @@ at loop entry (the edge frame is persisted and counted anyway).  So
 size the shuffle ONCE from the measured edge count and run the rounds
 with static planning — each round compiles to ONE job.  This is
 scale-adaptive, not a local-mode constant: partitions grow linearly
-with the measured row count and are floored at the cluster's default
-parallelism once the data is big enough (a 100 TB edge frame gets
-thousands of partitions, exactly as AQE would give it).
+with the measured row count (a 100 TB edge frame gets thousands of
+partitions, exactly as AQE would give it).
 """
 
 from __future__ import annotations
@@ -34,13 +33,16 @@ ROWS_PER_PARTITION = 100_000
 
 def loop_partitions(spark, n_rows: int) -> int:
     """Shuffle-partition count for a fixed-round loop over ``n_rows``
-    working rows: ceil(n_rows / ROWS_PER_PARTITION), at least 1, and at
-    least the cluster's default parallelism once the data saturates it
-    (so big inputs keep every core busy and small inputs don't pay
-    32-task dispatch for kilobyte stages)."""
-    by_size = max(1, -(-int(n_rows) // ROWS_PER_PARTITION))
-    par = spark.sparkContext.defaultParallelism
-    return min(by_size, par) if by_size < par else by_size
+    working rows: ceil(n_rows / ROWS_PER_PARTITION), at least 1 — small
+    inputs don't pay 32-task dispatch for kilobyte stages, and big
+    inputs grow linearly past the core count exactly as AQE would size
+    them.  (r11 ADVICE: the old ``min(by_size, par) if by_size < par
+    else by_size`` returned by_size on BOTH branches — the default-
+    parallelism clamp was dead code, and by_size alone is the behavior
+    every r11 measurement was taken under, so it is now the stated
+    contract.)"""
+    _ = spark  # kept in the signature: callers pass it, future floors may need it
+    return max(1, -(-int(n_rows) // ROWS_PER_PARTITION))
 
 
 @contextmanager
@@ -52,6 +54,25 @@ def sized_loop(spark, n_rows: int):
     are planned at action time, outside it."""
     with static_shuffle(spark, loop_partitions(spark, n_rows)):
         yield
+
+
+@contextmanager
+def aqe_off(spark):
+    """AQE off for the enclosed actions, shuffle partitions untouched;
+    restores on exit.  For EXCHANGE-FREE iterative loops (the greedy
+    selection loops: per-round TakeOrdered over a persisted frame +
+    a map-side update): under AQE even an exchange-free action that
+    fills an InMemoryRelation pays a separate ResultQueryStage JOB for
+    the cache fill — measured r12: 2 jobs and 0.26-0.42 s per greedy
+    round with AQE, 1 job and 0.17-0.28 s without, identical picks.
+    There is nothing for AQE to size here (no exchange in the loop
+    body), so turning it off costs no coalescing/skew handling."""
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 @contextmanager

@@ -4887,6 +4887,28 @@ def test_mi_independent_columns_near_zero(spark):
     assert r.n == 48 and r.n_joint == 16
 
 
+def test_mi_report_multi_pair_equals_per_pair_with_nulls(spark):
+    # r12: the multi-pair report computes every pair's joint counts as
+    # GROUPING SETS of one corpus pass; the new failure surfaces are
+    # cross-pair gid collisions and data-NULL vs grouping-NULL
+    # confusion.  Pin: a 3-pair report over a null-bearing frame equals
+    # the same function called once per pair (a single-set grouping is
+    # semantically a plain groupBy), column for column.
+    from mvrepair.operators.dq import mi_report
+
+    rows = [
+        (1, "x", None), (1, "x", "p"), (None, "y", "p"), (2, None, "q"),
+        (2, "y", "q"), (1, None, None), (None, None, "p"), (2, "x", "p"),
+    ]
+    df = spark.createDataFrame(rows, "a int, b string, c string")
+    pairs = [("a", "b"), ("b", "c"), ("a", "c")]
+    multi = {r["pair"]: r for r in mi_report(df, pairs).collect()}
+    assert len(multi) == 3
+    for x, y in pairs:
+        [single] = mi_report(df, [(x, y)]).collect()
+        assert single == multi[f"{x}|{y}"], f"pair {x}|{y} diverged"
+
+
 def test_pca_suffstats_cells_equals_arrow_fold(spark):
     from mvrepair.operators import decomp as DC
 
@@ -5410,6 +5432,71 @@ def test_lttb_python_replay_exact(spark):
         expect[b] = best
         prev = best
     assert got == expect
+
+
+def test_lttb_fold_equals_round_loop_shapes(spark):
+    # r12: lttb_downsample folded the per-bucket round loop into one
+    # in-plan aggregate.  Pin the fold against a pure-Python replay of
+    # the r11 round-loop semantics on the shapes the fold could get
+    # wrong: n=1 (first==last, two rows), n=2 (no interior), sparse
+    # series where the NEXT bucket is empty (bucket emits NO pick and
+    # the anchor carries — the r11 inner-join behavior), and area ties
+    # (smaller x wins).
+    from mvrepair.operators.temporal import lttb_downsample
+
+    def model(rows, B):
+        bykey: dict = {}
+        for k, x, y in rows:
+            bykey.setdefault(k, []).append((x, y))
+        out = []
+        for k, pts in bykey.items():
+            pts.sort()
+            n = len(pts)
+            first, last = pts[0], pts[-1]
+            out.append((k, -1, first[0], first[1]))
+            interior = [
+                (x, y, (i * B) // (n - 2))
+                for i, (x, y) in enumerate(pts[1:-1])
+            ]
+            cents: dict = {}
+            for x, y, b in interior:
+                sx, sy, c = cents.get(b, (0, 0, 0))
+                cents[b] = (sx + x, sy + y, c + 1)
+            cents[B] = (last[0], last[1], 1)
+            px, py = first
+            for b in range(B):
+                cand = [(x, y) for x, y, bb in interior if bb == b]
+                if not cand or (b + 1) not in cents:
+                    continue  # empty bucket, or empty NEXT bucket
+                sx, sy, c = cents[b + 1]
+                best = max(
+                    cand,
+                    key=lambda p: (
+                        abs((px * c - sx) * (p[1] - py)
+                            - (px - p[0]) * (sy - py * c)),
+                        -p[0],
+                    ),
+                )
+                out.append((k, b, best[0], best[1]))
+                px, py = best
+            out.append((k, B, last[0], last[1]))
+        return sorted(out)
+
+    cases = [
+        [("A", 5, 7)],                                   # n=1
+        [("A", 1, 2), ("A", 9, 9)],                      # n=2
+        [("A", i, (i * 37) % 11) for i in [1, 3, 7, 12, 20]],  # sparse
+        [("A", i, 5) for i in range(16)],                # flat ties
+        [("A", i, (i * i * 13) % 101) for i in range(40)]
+        + [("B", i, (7 * i) % 23) for i in range(15)],   # dense 2-key
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "k string, x long, y long")
+        got = sorted(
+            (r["k"], r["bucket"], r["x"], r["y"])
+            for r in lttb_downsample(df, "k", "x", "y", buckets=12).collect()
+        )
+        assert got == model(rows, 12), f"diverged on {rows[:3]}..."
 
 
 def test_theilsen_robust_to_outlier_and_exact_floor(spark):

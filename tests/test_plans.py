@@ -481,11 +481,14 @@ TWIN_PLAN_FINGERPRINTS: dict[str, dict[str, int]] = {
     "events_holt": {"AdaptiveSparkPlan": 1, "Project": 2, "Generate": 1,
                     "ObjectHashAggregate": 2, "Exchange": 2,
                     "HashAggregate": 2, "FileScan": 1},
-    # r11: LTTB — the union of the per-round localCheckpoint scans
-    # (first/last + 12 bucket picks; the iterative-selection doctrine)
-    # r11 optimization round: each pick now filters its round's merged
-    # (anchor+pick) checkpointed state frame — Filter 2 -> 14
-    "events_lttb": {"Union": 1, "Project": 14, "Filter": 14, "Scan": 14},
+    # r12: LTTB folded in-plan (the events_holt shape: one series
+    # collect_list aggregate + one HOF fold + explode) — 45 jobs of
+    # per-bucket checkpoints became 3; ObjectHashAggregate pair =
+    # collect_list's partial/final, Exchange 2 = the corpus->series
+    # rollup + the series gather, FileScan 1 = ONE corpus pass
+    "events_lttb": {"AdaptiveSparkPlan": 1, "Project": 5, "Generate": 1,
+                    "ObjectHashAggregate": 2, "Exchange": 2,
+                    "HashAggregate": 2, "FileScan": 1},
     # r11: mutation sink — the returned frame is the manifested JSON
     # read-back (the write ran eagerly under the commit protocol)
     "mv_repair_sink": {"FileScan": 1},
